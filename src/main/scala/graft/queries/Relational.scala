@@ -1,0 +1,344 @@
+package graft.queries
+
+import graft.{QueryModule, Tables}
+import graft.functions.ExactAgg._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational operator coverage over the driver tables (SURVEY.md §2.2):
+  * aggregation, broadcast/shuffle joins, semi/anti joins, windows, top-k,
+  * set ops, rollup, string/date/math/array/JSON scalar functions.
+  *
+  * The reference itself has almost none of these (kinesis-s3 is a fixed
+  * ETL dataflow — SURVEY.md §2.2 marks joins/windows/set-ops Absent), but
+  * the engine exposes the full Spark SQL surface; these queries pin its
+  * semantics against the DuckDB oracle.
+  *
+  * Scale notes (100 TB): dimension joins (`nation`, `region`) are
+  * `broadcast()` so the fact side never shuffles for them; fact-fact joins
+  * (lineitem ⋈ orders) shuffle on the join key and rely on AQE for
+  * runtime coalescing/skew handling; every aggregate uses partial
+  * (map-side) aggregation via built-in hash aggregates; sums are exact
+  * decimals so results don't drift with the reduction tree shape.
+  */
+object Relational extends QueryModule {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** TPC-H Q1-style pricing summary: partial-agg heavy scan. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1999-09-01 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsumWide(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Top-k: global order + limit with a unique tie-break key. */
+  def topOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Star join: fact ⋈ dim ⋈ dim with broadcast dims. */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left-semi join (EXISTS). */
+  def customersWithBigOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  def customersWithoutUrgent(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window functions: ranking + lag over a deterministic unique ordering. */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rnk"), col("prev_price"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** Set operations: INTERSECT / EXCEPT with distinct semantics. */
+  def setOpsUsers(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def users(tpe: String) =
+      e.filter(col("event_type") === tpe).select(col("user_id")).distinct()
+    users("purchase").intersect(users("signup")).except(users("error"))
+      .orderBy(col("user_id"))
+  }
+
+  /** ROLLUP hierarchy totals (null grouping slots coalesced to 'ALL' so
+    * both engines agree on representation).
+    */
+  def acctbalRollup(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_cust"), col("total_bal"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  /** String scalar functions, per-row (deterministic, no agg ordering). */
+  def stringFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      substring(col("p_name"), 1, 5).as("pfx"),
+      length(col("p_name")).cast(LongType).as("len"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      split(col("p_name"), " ").getItem(0).as("first_tok"),
+      size(split(col("p_name"), " ")).cast(LongType).as("ntok"),
+      lpad(col("p_brand"), 12, "#").as("padded"),
+      reverse(col("p_name")).as("rev"))
+      .orderBy(col("p_partkey"))
+
+  /** Date/time functions: truncation, extraction, arithmetic. */
+  def dateFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(
+        date_trunc("month", col("o_orderdate")).as("order_month"),
+        year(col("o_orderdate")).cast(LongType).as("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("month_revenue"))
+      .orderBy(col("order_month"))
+
+  /** JSON extraction from the events `props` column. */
+  def jsonFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        sum(get_json_object(col("props"), "$.k").cast(LongType)).as("sum_k"),
+        max(get_json_object(col("props"), "$.k").cast(LongType)).as("max_k"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Distinct aggregation. */
+  def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  /** Fact-fact shuffle join: lineitem ⋈ orders, revenue by priority. */
+  def revenueByPriority(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsumWide(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
+    * rounded in both engines; no transcendental fns in the oracle path).
+    */
+  def mathFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      abs(col("p_size") - lit(25)).as("abs_off"),
+      (col("p_size") % 7).as("size_mod"),
+      floor(col("p_retailprice")).as("price_floor"),
+      ceil(col("p_retailprice")).as("price_ceil"),
+      sqrt(col("p_size").cast(DoubleType)).as("size_sqrt"),
+      greatest(col("p_size"), lit(30)).as("size_hi"),
+      least(col("p_size"), lit(30)).as("size_lo"))
+      .orderBy(col("p_partkey"))
+
+  /** Array functions over tokenized text. */
+  def arrayFns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("ntok"),
+      array_join(slice(split(col("text"), " "), 1, 3), "_").as("first3"),
+      array_join(array_sort(array_distinct(split(col("text"), " "))), ",").as("vocab"),
+      element_at(split(col("text"), " "), -1).as("last_tok"))
+      .orderBy(col("doc_id"))
+
+  /** Streaming-batch meta (SURVEY.md O9/O10): min/max/count per type. */
+  def eventsMeta(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        count(lit(1)).as("n"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_top_orders" -> (topOrders _),
+    "q03_revenue_by_nation" -> (revenueByNation _),
+    "q04_semi_join" -> (customersWithBigOrders _),
+    "q05_anti_join" -> (customersWithoutUrgent _),
+    "q06_window_rank" -> (topOrdersPerCustomer _),
+    "q07_set_ops" -> (setOpsUsers _),
+    "q08_rollup" -> (acctbalRollup _),
+    "q09_string_fns" -> (stringFns _),
+    "q10_date_fns" -> (dateFns _),
+    "q11_json_fns" -> (jsonFns _),
+    "q12_distinct_agg" -> (distinctUsers _),
+    "q13_big_join" -> (revenueByPriority _),
+    "q14_math_fns" -> (mathFns _),
+    "q15_array_fns" -> (arrayFns _),
+    "q16_events_meta" -> (eventsMeta _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(l_quantity) AS avg_qty,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q03_revenue_by_nation" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk, prev_price FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+        |   LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
+        |  FROM orders) WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+    "q07_set_ops" ->
+      """SELECT user_id FROM (
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |  INTERSECT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |  EXCEPT
+        |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        |ORDER BY user_id""".stripMargin,
+    "q08_rollup" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region_name,
+        | COALESCE(n_name, 'ALL') AS nation_name,
+        | COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q09_string_fns" ->
+      """SELECT p_partkey,
+        | UPPER(p_name) AS uname,
+        | SUBSTRING(p_name, 1, 5) AS pfx,
+        | LENGTH(p_name) AS len,
+        | REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS novowels,
+        | CONCAT_WS('|', p_brand, p_type) AS brand_type,
+        | STRING_SPLIT(p_name, ' ')[1] AS first_tok,
+        | LEN(STRING_SPLIT(p_name, ' ')) AS ntok,
+        | LPAD(p_brand, 12, '#') AS padded,
+        | REVERSE(p_name) AS rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q10_date_fns" ->
+      """SELECT DATE_TRUNC('month', o_orderdate) AS order_month,
+        | CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+        | COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY order_month""".stripMargin,
+    "q11_json_fns" ->
+      """SELECT event_type,
+        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q12_distinct_agg" ->
+      """SELECT event_type,
+        | COUNT(DISTINCT user_id) AS users,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q13_big_join" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q14_math_fns" ->
+      """SELECT p_partkey,
+        | ABS(p_size - 25) AS abs_off,
+        | p_size % 7 AS size_mod,
+        | CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        | CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+        | SQRT(CAST(p_size AS DOUBLE)) AS size_sqrt,
+        | GREATEST(p_size, 30) AS size_hi,
+        | LEAST(p_size, 30) AS size_lo
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q15_array_fns" ->
+      """SELECT doc_id,
+        | LEN(STRING_SPLIT(text, ' ')) AS ntok,
+        | ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), 1, 3), '_') AS first3,
+        | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
+        | STRING_SPLIT(text, ' ')[-1] AS last_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q16_events_meta" ->
+      """SELECT event_type,
+        | MIN(ts) AS min_ts,
+        | MAX(ts) AS max_ts,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
