@@ -1,24 +1,55 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line on stdout.
+  *
+  * Methodology (VERDICT r1 "What's wrong" #2/#3 + perf notes):
+  * - Executes through the `noop` sink so every output column is computed
+  *   (`.count()` lets Catalyst prune pure-projection queries down to a
+  *   parquet row-count).
+  * - Same session config as Verify (AQE, UTC, shuffle.partitions=cores)
+  *   via Sessions.local.
+  * - One untimed warmup pass over all queries (JVM/codegen/session
+  *   warmup), then 3 timed passes in stable sorted query order; reports
+  *   the per-query median.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = Sessions.local("graft-bench")
+
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Warmup: run everything once, untimed.
+    queries.foreach { case (n, f) => runOne(n, f) }
+
+    val passes = 3
+    val timings: Map[String, Seq[Double]] =
+      (1 to passes).flatMap { _ =>
+        queries.map { case (n, f) => n -> runOne(n, f) }
+      }.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
+
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+
+    val med = queries.map { case (n, _) => n -> median(timings(n)) }
+    val qs = med.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = med.map(_._2).filter(_ >= 0).sum
+    // The single stdout JSON line the driver parses:
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,7 +21,8 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = name match {
     case "events" =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Requires spark.sql.legacy.parquet.nanosAsLong=true at session build
+      // (Sessions.local sets it); ts arrives as nanos-since-epoch LongType.
       spark.read
         .parquet(s"$dir/events.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -15,17 +15,20 @@ import org.apache.spark.sql.types._
   * The decimal sum still benefits from partial (map-side) aggregation.
   */
 object ExactAgg {
-  /** Exact sum of a money/quantity-like double with `scale` decimal digits. */
+  /** Exact sum of a money/quantity-like double with `scale` decimal digits.
+    * DECIMAL(38,·) so large-magnitude inputs don't silently null out under
+    * non-ANSI cast (values up to 10^36 stay exact).
+    */
   def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+    sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
 
   /** Exact sum for derived expressions (e.g. price*(1-discount)) that need
     * more fractional digits before the cast rounds them.
     */
   def dsumWide(c: Column, scale: Int = 6): Column =
-    sum(c.cast(DecimalType(22, scale))).cast(DoubleType)
+    sum(c.cast(DecimalType(38, scale))).cast(DoubleType)
 
   /** Deterministic average: exact decimal sum, then one IEEE division. */
   def davg(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(c)
+    sum(c.cast(DecimalType(38, scale))).cast(DoubleType) / count(c)
 }

@@ -31,7 +31,7 @@ object Relational extends QueryModule {
   /** TPC-H Q1-style pricing summary: partial-agg heavy scan. */
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1999-09-01 00:00:00")))
+      .filter(col("l_shipdate") <= lit("1999-09-01 00:00:00").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -302,7 +302,7 @@ object Relational extends QueryModule {
         |FROM orders GROUP BY 1, 2 ORDER BY order_month""".stripMargin,
     "q11_json_fns" ->
       """SELECT event_type,
-        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

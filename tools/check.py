@@ -82,6 +82,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             c, i, x, y = bad
             print(f"FAIL {name}: col {c} row {i}: spark={x!r} oracle={y!r}")
             n_fail += 1
+            continue
+        # The driver's hash is value-repr-sensitive: int 99111 vs float
+        # 99111.0 mismatch (r1 q11), while int32 vs int64 or datetime
+        # ns vs us are fine. Fail on cross-kind (int vs float) columns.
+        kind_bad = [
+            c for c, gk, wk in zip(got.columns,
+                                   [d.kind for d in got.dtypes],
+                                   [d.kind for d in want.dtypes])
+            if {gk, wk} == {"i", "f"}
+        ]
+        if kind_bad:
+            print(f"FAIL {name}: int-vs-float dtype mismatch in cols {kind_bad} "
+                  f"(driver hash would differ even with equal values)")
+            n_fail += 1
         else:
             schema_g = [str(t) for t in got.dtypes]
             schema_w = [str(t) for t in want.dtypes]
