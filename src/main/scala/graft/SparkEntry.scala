@@ -11,7 +11,8 @@ import graft.{queries => q}
 object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
-    q.Relational)
+    q.Relational,
+    q.PipelineQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

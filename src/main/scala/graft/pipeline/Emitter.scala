@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import java.time.Instant
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Tstamps
+
+/** Micro-batch emitter: the Spark-native counterpart of the reference's
+  * KinesisS3Emitter.emit (KinesisS3Emitter.scala:65-86) run inside
+  * `foreachBatch`.
+  *
+  * Per batch:
+  *   1. derive the row type (purpose-dependent, reference Common.scala:41-53),
+  *   2. write good rows as newline-framed gzip text files, one file per
+  *      partition value (the reference's one-object-per-flush semantics),
+  *      named `[prefix-][partition-]yyyy-MM-dd-HHmmss-firstSeq-lastSeq.gz`
+  *      under the date-decorated output dir (KinesisS3Emitter.scala:226-244,
+  *      DynamicPath.scala:35-64),
+  *   3. route bad rows (reading errors / upstream failures) as
+  *      snowplow-badrows GenericError JSON lines to the dead-letter dir —
+  *      synchronous, an upgrade over the reference's fire-and-forget
+  *      KinesisSink.scala:97-107 (SURVEY §7.5.5).
+  *
+  * Scale notes (100 TB): the per-partition-value coalesce in exact-naming
+  * mode serializes each partition value through one task — correct for
+  * reference parity, a bottleneck for hot schemas at cluster scale. Set
+  * `exactNaming=false` to keep Spark's parallel file naming (many part
+  * files per partition, no rename step, no extra shuffle): the content
+  * contract (gzip, newline-framed, partition-dir layout) is identical.
+  * Writes stage into `_staging/batch=N` and move atomically per file, so
+  * batch retries never leave partial output under the final prefix.
+  */
+object Emitter {
+
+  final case class BatchResult(
+    count: Long,
+    badCount: Long,
+    earliestTstamp: Option[Instant],
+    files: Seq[String])
+
+  /** @param df  batch frame with columns `value: string` (the record),
+    *            `seq: any` (ordering id for file naming; nullable),
+    *            `error: array<string>` (null = good record)
+    */
+  def emitBatch(
+    df: DataFrame,
+    config: PipelineConfig,
+    batchId: Long,
+    now: Instant = Instant.now(),
+    exactNaming: Boolean = true,
+    statsDEnabled: Boolean = false): BatchResult = {
+
+    val spark = df.sparkSession
+    val batch = df.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rowType: Column = config.purpose match {
+        case Purpose.SelfDescribingJson => RowTypes.partition(col("value"), col("error"))
+        case _ =>
+          when(col("error").isNotNull, lit(RowTypes.ReadingErrorName))
+            .otherwise(lit(RowTypes.UnpartitionedName))
+      }
+      val typed = batch.withColumn("row_type", rowType)
+
+      // Batch-wide sequence range — the reference names all of a flush's
+      // objects with the buffer's first/last Kinesis sequence number
+      // (KinesisS3Emitter.scala:72-73).
+      val seqRow = batch.agg(
+        min(col("seq")).cast("string").as("first"),
+        max(col("seq")).cast("string").as("last"),
+        count(lit(1)).as("n")).head()
+      val (firstSeq, lastSeq) =
+        (Option(seqRow.getString(0)).getOrElse(batchId.toString),
+         Option(seqRow.getString(1)).getOrElse(batchId.toString))
+      val total = seqRow.getLong(2)
+
+      // Batch meta (reference Batch.scala:36-43): earliest collector
+      // tstamp only for Enriched purpose with metrics enabled.
+      val earliest: Option[Instant] = config.purpose match {
+        case Purpose.Enriched if statsDEnabled =>
+          Option(
+            batch.agg(min(Tstamps.collectorTstamp(col("value"))).as("t")).head().getTimestamp(0)
+          ).map(_.toInstant)
+        case _ => None
+      }
+
+      // Good rows → gzip text files. ReadingError rows are excluded here
+      // and routed to the dead-letter channel below, like the reference's
+      // emit returning them to fail() (KinesisS3Emitter.scala:83-84,100-105).
+      val good = typed.filter(col("error").isNull && col("row_type") =!= RowTypes.ReadingErrorName)
+      val outRoot = stripScheme(config.output.s3.path)
+      val staging = s"$outRoot/_staging/batch=$batchId"
+
+      val toWrite = good.select(col("value"), col("row_type"))
+      val arranged = if (exactNaming) toWrite.repartition(col("row_type")) else toWrite
+      arranged.write
+        .mode(SaveMode.Overwrite)
+        .partitionBy("row_type")
+        .option("compression", "gzip")
+        .text(staging)
+
+      val files = commitStaged(spark, config.output.s3, staging, firstSeq, lastSeq, now)
+
+      // Bad rows → GenericError JSON lines, dead-letter directory.
+      val bad = typed.filter(col("error").isNotNull || col("row_type") === RowTypes.ReadingErrorName)
+        .select(BadRows.asJson(BadRows.genericError(
+          col("value"),
+          coalesce(col("error"), array(lit("Error writing raw event to output stream"))),
+          lit(now.toString).cast("timestamp"))).as("value"))
+      val badCount = bad.count()
+      if (badCount > 0) {
+        bad.write.mode(SaveMode.Append).text(stripScheme(config.output.bad.streamName))
+      }
+
+      BatchResult(total, badCount, earliest, files)
+    } finally {
+      batch.unpersist()
+    }
+  }
+
+  /** Move each staged `row_type=X/part-*.txt.gz` file to its final
+    * reference-style name; returns the final paths.
+    */
+  private def commitStaged(
+    spark: org.apache.spark.sql.SparkSession,
+    s3: S3OutputConfig,
+    staging: String,
+    firstSeq: String,
+    lastSeq: String,
+    now: Instant): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stagingPath = new Path(staging)
+    val fs = stagingPath.getFileSystem(conf)
+    if (!fs.exists(stagingPath)) return Nil
+
+    // Final object = <s3.path>/<decorated dateFormat>/<fileName> — same
+    // absolute layout as the reference's bucket + [outputDirectory/]key
+    // split (KinesisS3Emitter.scala:208-220,226-244).
+    val root = new Path(stripScheme(s3.path))
+
+    val dirs = fs.listStatus(stagingPath).filter(_.isDirectory)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    dirs.foreach { d =>
+      val dirName = d.getPath.getName // row_type=<escaped value>
+      val value = unescapePartitionValue(dirName.stripPrefix("row_type="))
+      val partition = if (value == RowTypes.UnpartitionedName) None else Some(value)
+      val parts = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val key = DynamicPath.relativeKey(s3, firstSeq, lastSeq, partition, now)
+        val suffix = if (parts.length > 1) f"-part$i%05d" else ""
+        val decorated = DynamicPath.decorateDirectoryWithTime(s"$key$suffix.gz", now)
+        val dest = new Path(root, decorated)
+        fs.mkdirs(dest.getParent)
+        if (fs.exists(dest)) fs.delete(dest, false) // idempotent batch retry
+        fs.rename(f.getPath, dest)
+        out += dest.toString
+      }
+    }
+    fs.delete(stagingPath, true)
+    // Clean empty _staging parent if this was the last batch dir.
+    val stagingParent = stagingPath.getParent
+    if (fs.exists(stagingParent) && fs.listStatus(stagingParent).isEmpty)
+      fs.delete(stagingParent, true)
+    out.toSeq
+  }
+
+  /** Spark escapes partition values in dir names (e.g. '/' → '%2F'). */
+  private[pipeline] def unescapePartitionValue(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        try { sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar; i += 3 }
+        catch { case _: NumberFormatException => sb += s.charAt(i); i += 1 }
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("s3://")) p.drop("s3://".length) else p
+}

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import java.nio.file.Paths
+
+import graft.Sessions
+
+/** CLI entry (reference Main.scala:26-47): `--config <file> [--drain]`.
+  *
+  * `--drain` processes everything currently in the input directory and
+  * exits (Trigger.AvailableNow) — the offline/test mode. Without it the
+  * pipeline runs continuously with the buffer's timeLimit as the
+  * micro-batch interval.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    parseArgs(args.toList) match {
+      case Left(err) =>
+        System.err.println(err)
+        System.err.println("Usage: graft.pipeline.Main --config <file.hocon> [--drain]")
+        sys.exit(1)
+      case Right((configPath, drain)) =>
+        PipelineConfig.load(Paths.get(configPath)) match {
+          case Left(err) =>
+            System.err.println(s"Configuration error: $err")
+            sys.exit(1)
+          case Right(config) =>
+            if (config.output.s3.compression == Compression.Lzo) {
+              System.err.println(
+                "LZO output requires the hadoop-lzo native codec, not present in this build; use GZIP (SURVEY §7.5.3)")
+              sys.exit(1)
+            }
+            val spark = Sessions.local("graft-pipeline")
+            try {
+              if (drain) {
+                val result = Pipeline.runOnce(spark, config)
+                val files = result.batches.flatMap(_.files)
+                val n = result.batches.map(_.count).sum
+                val bad = result.batches.map(_.badCount).sum
+                println(s"Drained $n records into ${files.size} files ($bad bad rows)")
+              } else {
+                runContinuous(spark, config)
+              }
+            } finally spark.stop()
+        }
+    }
+  }
+
+  private def runContinuous(spark: org.apache.spark.sql.SparkSession, config: PipelineConfig): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val statsDEnabled = config.monitoring.exists(_.statsd.nonEmpty)
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", math.max(1, config.input.maxRecords))
+      .text(config.input.streamName)
+    val query = Pipeline.records(lines, None).writeStream
+      .trigger(Trigger.ProcessingTime(math.max(1000L, config.buffer.timeLimit)))
+      .option("checkpointLocation", config.output.s3.path + "/_checkpoint")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val res = Emitter.emitBatch(df, config, batchId, statsDEnabled = statsDEnabled)
+        for (m <- config.monitoring; sd <- m.statsd)
+          StatsD.report(sd, StatsD.Meta(res.earliestTstamp, res.count))
+        ()
+      }
+      .start()
+    query.awaitTermination()
+  }
+
+  private def parseArgs(args: List[String]): Either[String, (String, Boolean)] = {
+    def loop(rest: List[String], config: Option[String], drain: Boolean): Either[String, (String, Boolean)] =
+      rest match {
+        case Nil => config.toRight("Missing required option: --config").map(c => (c, drain))
+        case "--config" :: path :: tail => loop(tail, Some(path), drain)
+        case "--config" :: Nil => Left("--config requires a value")
+        case "--drain" :: tail => loop(tail, config, drain = true)
+        case other :: _ => Left(s"Unknown argument: $other")
+      }
+    loop(args, None, drain = false)
+  }
+}

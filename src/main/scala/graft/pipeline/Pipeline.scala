@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import java.time.Instant
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.functions.Tstamps
+
+/** The streaming pipeline: Structured Streaming counterpart of the
+  * reference's KCL dataflow (KinesisS3Pipeline.scala:38-51 →
+  * KinesisS3Emitter.scala:65-86).
+  *
+  *   file/stream source → (value, seq, error) → observe(min tstamp, count)
+  *   → foreachBatch { partitioned gzip emit + bad-row dead-letter }
+  *
+  * Mapping of the reference's pieces:
+  *   - KCL worker/shard leases (KinesisSourceExecutor.scala:44-151) →
+  *     Spark source tasks + the streaming checkpoint dir (exactly-once
+  *     file output, an upgrade over KCL at-least-once; SURVEY §2.2).
+  *   - BasicMemoryBuffer byte/record/time flush limits (Config.scala:172)
+  *     → trigger interval (timeLimit) + `maxFilesPerTrigger` admission
+  *     (maxRecords); exact byte-limit flush is a documented divergence.
+  *   - StatsD per-flush report (KinesisS3Emitter.scala:74-75) →
+  *     `observe("meta", ...)` metrics read from each micro-batch's
+  *     progress and forwarded to StatsD.
+  *
+  * Scale: the per-batch plan is a narrow projection (no shuffle except
+  * the optional exact-naming coalesce in the Emitter); source
+  * parallelism = input file/shard count; partitioned write parallelism =
+  * partition-value count (exact naming) or task count (scalable naming).
+  */
+object Pipeline {
+
+  final case class Result(
+    batches: Seq[Emitter.BatchResult],
+    observedMeta: Seq[StatsD.Meta])
+
+  /** Build the per-record frame from a raw line source: `value`, `seq`
+    * (file-source stand-in for the Kinesis sequence number — caller
+    * supplies an expression over `value`, e.g. the first TSV field),
+    * `error` (null: the identity transform can't fail, matching
+    * IdentityTransformer.scala:25-38).
+    */
+  def records(lines: DataFrame, seqExpr: Option[Column]): DataFrame =
+    lines
+      .withColumn("seq", seqExpr.getOrElse(lit(null)).cast("string"))
+      .withColumn("error", lit(null).cast("array<string>"))
+
+  /** Run until the source is drained (Trigger.AvailableNow), then return
+    * per-batch results + observed meta. The offline equivalent of one
+    * buffer-flush cycle; continuous mode uses the same plan with a
+    * ProcessingTime trigger (buffer.timeLimit).
+    */
+  def runOnce(
+    spark: SparkSession,
+    config: PipelineConfig,
+    seqExpr: Option[Column] = None,
+    checkpointDir: Option[String] = None,
+    exactNaming: Boolean = true,
+    now: Option[Instant] = None): Result = {
+
+    val statsDEnabled = config.monitoring.exists(_.statsd.nonEmpty)
+
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", math.max(1, config.input.maxRecords))
+      .text(config.input.streamName)
+
+    val base = records(lines, seqExpr)
+
+    // Batch meta as Spark-native observed metrics (SURVEY §2.1 O9/O10:
+    // min + count via observe, no extra pass over the data).
+    val observed = config.purpose match {
+      case Purpose.Enriched =>
+        base.observe("meta",
+          min(Tstamps.collectorTstamp(col("value"))).as("earliest_tstamp"),
+          count(lit(1)).as("count"))
+      case _ =>
+        base.observe("meta", count(lit(1)).as("count"))
+    }
+
+    val results = new ConcurrentLinkedQueue[Emitter.BatchResult]()
+
+    val query = observed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        checkpointDir.getOrElse(stripScheme(config.output.s3.path) + "/_checkpoint"))
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val res = Emitter.emitBatch(df, config, batchId,
+          now = now.getOrElse(Instant.now()),
+          exactNaming = exactNaming,
+          statsDEnabled = statsDEnabled)
+        results.add(res)
+        ()
+      }
+      .start()
+    query.awaitTermination()
+
+    val metas = query.recentProgress.toSeq.flatMap { p =>
+      Option(p.observedMetrics.get("meta")).map { row =>
+        val earliest = config.purpose match {
+          case Purpose.Enriched =>
+            Option(row.getAs[java.sql.Timestamp]("earliest_tstamp")).map(_.toInstant)
+          case _ => None
+        }
+        StatsD.Meta(earliest, row.getAs[Long]("count"))
+      }
+    }
+
+    // Reference reports StatsD after each successful emit
+    // (KinesisS3Emitter.scala:74-75); we report per micro-batch.
+    for {
+      m <- config.monitoring
+      sd <- m.statsd
+      meta <- metas
+    } StatsD.report(sd, meta)
+
+    import scala.jdk.CollectionConverters._
+    Result(results.asScala.toSeq, metas)
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("s3://")) p.drop("s3://".length) else p
+}

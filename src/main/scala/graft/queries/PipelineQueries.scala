@@ -1,0 +1,246 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import java.time.Instant
+import java.util.Comparator
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+import graft.functions.Tstamps
+import graft.pipeline._
+
+/** Driver-checked queries for the pipeline operators (SURVEY §2.1
+  * O1/O5-O11/O13-O17): each runs real pipeline machinery over the events
+  * table and reduces to a deterministic aggregate DuckDB can oracle.
+  *
+  * The enriched-TSV line is synthesized identically in Spark and in the
+  * oracle SQL:
+  *   event_id \t 'graft' \t event_type \t ts(millis) \t user_id \t
+  *   cents(value) \t props
+  * (collector tstamp at TSV index 3 like the reference's enriched format,
+  * reference StatsD.scala:19, Common.scala:88-96; the double `value` goes
+  * in as integer cents so number→string formatting is engine-independent).
+  */
+object PipelineQueries extends QueryModule {
+
+  // ---- shared line builder (must mirror oracleLineSql) -----------------
+
+  private def tsStr: Column = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSS")
+
+  private def lineCol(ts3: Column): Column =
+    concat_ws("\t",
+      col("event_id").cast("string"), lit("graft"), col("event_type"),
+      ts3, col("user_id").cast("string"),
+      round(col("value") * 100).cast("long").cast("string"), col("props"))
+
+  /** DuckDB rendition of [[lineCol]] with `ts3Sql` at index 3. */
+  private def lineSql(ts3Sql: String): String =
+    "concat_ws(chr(9), CAST(event_id AS VARCHAR), 'graft', event_type, " +
+      s"$ts3Sql, CAST(user_id AS VARCHAR), " +
+      "CAST(CAST(round(value * 100, 0) AS BIGINT) AS VARCHAR), props)"
+
+  private val TsSql = "strftime(ts, '%Y-%m-%d %H:%M:%S.%g')"
+
+  // ---- q17: end-to-end pipeline round-trip -----------------------------
+
+  /** M1 minimum slice (SURVEY §7.2) end-to-end: stage enriched-style TSV
+    * lines → streaming file source (Trigger.AvailableNow micro-batches) →
+    * foreachBatch → gzip text files with seq-range names under a
+    * date-decorated dir → read the .gz files back → aggregate.
+    */
+  def pipelineRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val work = freshWorkDir("q17", dir)
+    val in = s"$work/in"
+    val out = s"$work/out"
+
+    Tables(s, dir, "events")
+      .select(lineCol(tsStr).as("value"))
+      .coalesce(2)
+      .write.mode("overwrite").text(in)
+
+    val config = PipelineConfig(
+      region = None,
+      purpose = Purpose.Enriched,
+      input = InputConfig("graft-q17", in, InitialPosition.TrimHorizon, maxRecords = 64),
+      output = OutputConfig(
+        S3OutputConfig(out, dateFormat = Some("{yyyy}/{MM}"), filenamePrefix = Some("graft"),
+          compression = Compression.Gzip, maxTimeout = 10000),
+        BadOutputConfig(s"$work/bad")),
+      buffer = BufferConfig(byteLimit = 1 << 20, recordLimit = 10000, timeLimit = 0),
+      monitoring = None)
+
+    Pipeline.runOnce(s, config,
+      seqExpr = Some(split(col("value"), "\t").getItem(0)),
+      checkpointDir = Some(s"$work/checkpoint"))
+
+    // Read back ONLY what the pipeline wrote (gzip text files) and reduce.
+    s.read.option("recursiveFileLookup", "true").text(out)
+      .select(Tstamps.collectorTstamp(col("value")).as("cts"),
+        get(split(col("value"), "\t", -1), lit(5)).cast("long").as("cents"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("cts")).cast("long").as("n_ts"),
+        min(col("cts")).as("min_ts"),
+        max(col("cts")).as("max_ts"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
+  private val q17Oracle: String =
+    """SELECT COUNT(*) AS n, COUNT(ts) AS n_ts,
+      | MIN(date_trunc('milliseconds', ts)) AS min_ts,
+      | MAX(date_trunc('milliseconds', ts)) AS max_ts,
+      | CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events""".stripMargin
+
+  // ---- q18: self-describing schema-key partitioning --------------------
+
+  /** Schema-key extraction + partition fallback matrix (reference
+    * Common.scala:60-71, CommonSpec.scala:113-159): valid Iglu URIs
+    * partition as `vendor.name/format-model`; JSON without a schema field
+    * or with a non-Iglu / invalid-model URI falls back to
+    * `unpartitioned`. (Malformed-JSON → unpartitioned and Left-records →
+    * `reading-error` are pinned by RowTypesSpec — DuckDB's json functions
+    * reject malformed input so they can't sit in this oracle.)
+    */
+  def schemaKeyPartition(s: SparkSession, dir: String): DataFrame = {
+    val json = sdJsonCol
+    Tables(s, dir, "events")
+      .select(json.as("value"))
+      .select(RowTypes.partition(col("value"), lit(null).cast("array<string>")).as("row_type"))
+      .groupBy(col("row_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("row_type"))
+  }
+
+  /** Self-describing JSON synthesized from events, exercising the
+    * fallback matrix by event_id residue (mirrored in [[q18Oracle]]). */
+  private def sdJsonCol: Column = {
+    val m = col("event_id") % 5
+    when(m === 0, concat(lit("{\"data\":"), col("props"), lit("}")))
+      .when(m === 1, lit("{\"schema\":\"http://example.com/schema\",\"data\":1}"))
+      .when(m === 2, concat(lit("{\"schema\":\"iglu:com.graft/"), col("event_type"),
+        lit("/jsonschema/0-0-1\",\"data\":1}")))
+      .otherwise(concat(
+        lit("{\"schema\":\"iglu:com.graft/"), col("event_type"), lit("/jsonschema/"),
+        (lit(1) + col("user_id") % 3).cast("string"), lit("-0-"),
+        (col("event_id") % 2).cast("string"), lit("\",\"data\":"), col("props"), lit("}")))
+  }
+
+  private val q18Oracle: String =
+    s"""WITH sd AS (
+       |  SELECT CASE
+       |    WHEN event_id % 5 = 0 THEN concat('{"data":', props, '}')
+       |    WHEN event_id % 5 = 1 THEN '{"schema":"http://example.com/schema","data":1}'
+       |    WHEN event_id % 5 = 2 THEN concat('{"schema":"iglu:com.graft/', event_type, '/jsonschema/0-0-1","data":1}')
+       |    ELSE concat('{"schema":"iglu:com.graft/', event_type, '/jsonschema/',
+       |      CAST(1 + user_id % 3 AS VARCHAR), '-0-', CAST(event_id % 2 AS VARCHAR), '","data":', props, '}')
+       |  END AS value FROM events),
+       |typed AS (
+       |  SELECT CASE
+       |    WHEN json_extract_string(value, '$$.schema') IS NOT NULL
+       |     AND regexp_matches(json_extract_string(value, '$$.schema'), '${RowTypes.IgluUri}')
+       |    THEN concat(
+       |      regexp_extract(json_extract_string(value, '$$.schema'), '${RowTypes.IgluUri}', 1), '.',
+       |      regexp_extract(json_extract_string(value, '$$.schema'), '${RowTypes.IgluUri}', 2), '/',
+       |      regexp_extract(json_extract_string(value, '$$.schema'), '${RowTypes.IgluUri}', 3), '-',
+       |      regexp_extract(json_extract_string(value, '$$.schema'), '${RowTypes.IgluUri}', 4))
+       |    ELSE 'unpartitioned' END AS row_type
+       |  FROM sd)
+       |SELECT row_type, COUNT(*) AS n FROM typed GROUP BY row_type ORDER BY row_type""".stripMargin
+
+  // ---- q19: enriched tstamp extraction totality ------------------------
+
+  /** Collector-tstamp parse totality (reference Common.scala:88-96):
+    * garbage/empty/short col-3 → null, never an error; batch meta = min
+    * tstamp + counts (Batch.scala:36-40).
+    */
+  def enrichedMeta(s: SparkSession, dir: String): DataFrame = {
+    val ts3 =
+      when(col("event_id") % 13 === 0, lit("not-a-time"))
+        .when(col("event_id") % 17 === 0, lit(""))
+        .otherwise(tsStr)
+    val line =
+      when(col("event_id") % 19 === 0,
+        concat_ws("\t", col("event_id").cast("string"), lit("x")))
+        .otherwise(lineCol(ts3))
+    Tables(s, dir, "events")
+      .select(line.as("value"))
+      .select(Tstamps.collectorTstamp(col("value")).as("cts"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("cts")).cast("long").as("n_ts"),
+        min(col("cts")).as("min_ts"),
+        max(col("cts")).as("max_ts"))
+  }
+
+  private val q19Oracle: String =
+    """SELECT COUNT(*) AS n,
+      | CAST(COUNT(CASE WHEN event_id % 19 = 0 OR event_id % 13 = 0 OR event_id % 17 = 0
+      |   THEN NULL ELSE 1 END) AS BIGINT) AS n_ts,
+      | MIN(CASE WHEN event_id % 19 = 0 OR event_id % 13 = 0 OR event_id % 17 = 0
+      |   THEN NULL ELSE date_trunc('milliseconds', ts) END) AS min_ts,
+      | MAX(CASE WHEN event_id % 19 = 0 OR event_id % 13 = 0 OR event_id % 17 = 0
+      |   THEN NULL ELSE date_trunc('milliseconds', ts) END) AS max_ts
+      |FROM events""".stripMargin
+
+  // ---- q20: bad-row channel --------------------------------------------
+
+  /** GenericError structure for failed records (reference
+    * ISerializer.scala:46-74): processor identity + error list + base64
+    * payload. The non-deterministic failure timestamp is excluded from
+    * the checked columns (it is exercised in BadRowsSpec).
+    */
+  def badRows(s: SparkSession, dir: String): DataFrame = {
+    val line = lineCol(tsStr)
+    val events = Tables(s, dir, "events")
+      .select(col("event_id"), line.as("value"))
+      .withColumn("error",
+        when(col("event_id") % 11 === 0,
+          array(lit("Error writing raw event to output stream. simulated"))))
+    val bad = events.filter(col("error").isNotNull)
+      .select(BadRows.genericError(col("value"), col("error")).as("br"))
+    bad.select(
+      col("br.processor.artifact").as("artifact"),
+      col("br.processor.version").as("version"),
+      element_at(col("br.failure.errors"), 1).as("err0"),
+      col("br.payload").as("payload"))
+      .orderBy(col("payload"))
+  }
+
+  private val q20Oracle: String =
+    s"""SELECT 'graft' AS artifact, '0.1.0' AS version,
+       | 'Error writing raw event to output stream. simulated' AS err0,
+       | to_base64(encode(${lineSql(TsSql)})) AS payload
+       |FROM events WHERE event_id % 11 = 0 ORDER BY payload""".stripMargin
+
+  // ---- plumbing --------------------------------------------------------
+
+  /** Deterministic per-(query,sfDir) scratch dir, wiped before each run. */
+  private def freshWorkDir(q: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val p = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"${q}_$tag")
+    deleteRecursively(p)
+    Files.createDirectories(p)
+    p.toString
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_pipeline_roundtrip" -> (pipelineRoundtrip _),
+    "q18_schema_key" -> (schemaKeyPartition _),
+    "q19_enriched_meta" -> (enrichedMeta _),
+    "q20_badrows" -> (badRows _))
+
+  val oracles: Map[String, String] = Map(
+    "q17_pipeline_roundtrip" -> q17Oracle,
+    "q18_schema_key" -> q18Oracle,
+    "q19_enriched_meta" -> q19Oracle,
+    "q20_badrows" -> q20Oracle)
+}

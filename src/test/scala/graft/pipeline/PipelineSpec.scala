@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import java.io.File
+import java.nio.file.Files
+import java.time.Instant
+import scala.sys.process._
+
+import graft.SparkSpec
+
+/** End-to-end micro-batch pipeline: streaming file source → foreachBatch
+  * → gzip files with reference naming (seq range + date decoration) +
+  * bad-row dead-letter. The written files are verified with the external
+  * gunzip binary (reference GZipSerializerSpec style).
+  */
+class PipelineSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def listFilesRec(dir: File): Seq[File] = {
+    val these = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+    these.filter(_.isFile) ++ these.filter(_.isDirectory).flatMap(listFilesRec)
+  }
+
+  private def config(work: String, purpose: Purpose, dateFormat: Option[String] = Some("{yyyy}/{MM}")) =
+    PipelineConfig(
+      region = None,
+      purpose = purpose,
+      input = InputConfig("graft-test", s"$work/in", InitialPosition.TrimHorizon, maxRecords = 100),
+      output = OutputConfig(
+        S3OutputConfig(s"$work/out", dateFormat, Some("pre"), Compression.Gzip, 10000),
+        BadOutputConfig(s"$work/bad")),
+      buffer = BufferConfig(1 << 20, 1000, 0),
+      monitoring = None)
+
+  describe("Pipeline.runOnce (enriched purpose)") {
+    it("writes gzip files with reference naming and drains the source") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        import spark.implicits._
+        val now = Instant.parse("2021-04-30T12:00:00Z")
+        val lines = (1 to 50).map(i => s"$i\tapp\tweb\t2020-11-26 00:01:${"%02d".format(i % 60)}\tuser$i")
+        lines.toDF("value").coalesce(1).write.text(s"$work/in")
+
+        val result = Pipeline.runOnce(spark, config(work, Purpose.Enriched),
+          seqExpr = Some(split(col("value"), "\t").getItem(0).cast("long")),
+          checkpointDir = Some(s"$work/checkpoint"),
+          now = Some(now))
+
+        assert(result.batches.map(_.count).sum == 50)
+        assert(result.batches.flatMap(_.files).nonEmpty)
+        // observe()-based meta: count + earliest collector tstamp
+        assert(result.observedMeta.map(_.count).sum == 50)
+        // i runs 1..50 so the earliest second is :01
+        assert(result.observedMeta.flatMap(_.earliestTstamp).min
+          == Instant.parse("2020-11-26T00:01:01Z"))
+
+        val files = listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+        assert(files.size == 1)
+        val f = files.head
+        // pre-yyyy-MM-dd-HHmmss-first-last.gz under out/2021/04/
+        assert(f.getName.startsWith("pre-2021-04-30-120000-"))
+        assert(f.getName.endsWith(".gz"))
+        assert(f.getParentFile.getName == "04" && f.getParentFile.getParentFile.getName == "2021")
+        // seq range: lexicographic min/max of string seqs 1..50
+        assert(f.getName == "pre-2021-04-30-120000-1-9.gz")
+
+        val out = s"gunzip -c ${f.getAbsolutePath}".!!
+        assert(out.split("\n", -1).dropRight(1).sorted.toSeq == lines.sorted)
+        // no bad rows
+        assert(!new File(s"$work/bad").exists())
+      }
+    }
+  }
+
+  describe("Pipeline.runOnce (self-describing purpose)") {
+    it("partitions by schema key with fallback buckets and dead-letters reading errors") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        import spark.implicits._
+        val now = Instant.parse("2021-04-30T12:00:00Z")
+        val lines = Seq(
+          """{"schema": "iglu:com.acme1/example1/jsonschema/2-0-1", "data": "a"}""",
+          """{"schema": "iglu:com.acme1/example1/jsonschema/2-1-0", "data": "b"}""",
+          """{"schema": "iglu:com.acme2/other/jsonschema/1-0-0", "data": "c"}""",
+          """{"data": "no schema"}""",
+          "not json at all")
+        lines.toDF("value").coalesce(1).write.text(s"$work/in")
+
+        val result = Pipeline.runOnce(spark, config(work, Purpose.SelfDescribingJson, dateFormat = None),
+          checkpointDir = Some(s"$work/checkpoint"), now = Some(now))
+        assert(result.batches.map(_.count).sum == 5)
+
+        val files = listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+        val names = files.map(f => s"${f.getParentFile.getName}/${f.getName}").sorted
+        // File name is prefix-partition-time-seqs and the SelfDescribing
+        // partition contains '/' (vendor.name/format-model,
+        // RowType.scala:28), so the prefix+vendor part becomes a
+        // subdirectory: pre-com.acme1.example1/jsonschema-2-<time>-...
+        assert(names.exists(_.startsWith("pre-com.acme1.example1/jsonschema-2-2021-04-30")))
+        assert(names.exists(_.startsWith("pre-com.acme2.other/jsonschema-1-2021-04-30")))
+        // unpartitioned bucket has no partition segment in the name
+        assert(files.map(_.getName).exists(_.startsWith("pre-2021-04-30")))
+
+        val contents = files.flatMap(f => s"gunzip -c ${f.getAbsolutePath}".!!.split("\n", -1).dropRight(1))
+        assert(contents.size == 5 && contents.toSet == lines.toSet)
+      }
+    }
+  }
+
+  describe("Emitter bad-row channel") {
+    it("routes upstream-failed records to the dead letter dir as GenericError JSON") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        import spark.implicits._
+        val df = Seq(
+          ("good line", null),
+          ("bad line", Seq("Error writing raw event to output stream. simulated")))
+          .toDF("value", "error")
+          .withColumn("seq", lit("0"))
+        val result = Emitter.emitBatch(df, config(work, Purpose.Raw, None), batchId = 0,
+          now = Instant.parse("2021-04-30T12:00:00Z"))
+        assert(result.count == 2 && result.badCount == 1)
+
+        val badFiles = listFilesRec(new File(s"$work/bad"))
+          .filter(_.getName.startsWith("part-"))
+        val rows = badFiles.flatMap(f => Files.readAllLines(f.toPath).toArray.toSeq.map(_.toString))
+        assert(rows.size == 1)
+        val json = rows.head
+        assert(json.contains(""""artifact":"graft""""))
+        assert(json.contains(""""errors":["Error writing raw event to output stream. simulated"]"""))
+        val b64 = java.util.Base64.getEncoder.encodeToString("bad line".getBytes("UTF-8"))
+        assert(json.contains(s""""payload":"$b64""""))
+      }
+    }
+  }
+}
