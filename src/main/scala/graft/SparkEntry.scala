@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     q.Relational,
-    q.PipelineQueries)
+    q.PipelineQueries,
+    q.DataOps)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

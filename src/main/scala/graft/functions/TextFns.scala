@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives for the training-data operators (dedup, near-dup,
+  * fingerprinting, quality scoring). All pure column expressions
+  * (codegen'd, no UDFs), each with an exact DuckDB-SQL counterpart so the
+  * driver's oracle can pin them.
+  */
+object TextFns {
+
+  /** Whitespace tokens (single-space corpus; `split` keeps empties away
+    * for the documents table's normalized text). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def distinctTokens(text: Column): Column = array_distinct(tokens(text))
+
+  /** Distinct w-gram word shingles: the standard near-dup unit. Token
+    * vocabulary in web corpora is heavy-tailed; single tokens
+    * under-discriminate (the test corpus has a 31-word vocabulary), while
+    * 3-shingles separate true near-dups cleanly.
+    */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= w,
+        transform(sequence(lit(0), size(toks) - w),
+          i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)))
+        .otherwise(array()))
+  }
+
+  /** Deterministic 60-bit hash shared bit-for-bit with DuckDB:
+    * first 15 hex digits of md5, read as an integer. Spark:
+    * `conv(substring(md5(s),1,15),16,10)`; DuckDB:
+    * `('0x' || substr(md5(s),1,15))::BIGINT`.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB rendition of [[hash60]] over a SQL expression string. */
+  def hash60Sql(expr: String): String =
+    s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
+
+  /** Seeded hash family for MinHash: h_i(x) = hash60(i || ':' || x). */
+  def seededHash(seed: Int, c: Column): Column =
+    hash60(concat(lit(seed.toString), lit(":"), c))
+
+  def seededHashSql(seed: Int, expr: String): String =
+    hash60Sql(s"'$seed:' || $expr")
+
+  /** English stopword-ish list for quality/language heuristics (public
+    * top-frequency words). */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for", "with", "as", "at", "by")
+}

@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+import graft.functions.{TextFns, VectorFns}
+import graft.operators.{Dedup, Similarity}
+
+/** Driver-checked queries for the training-data operators (north-star
+  * extensions, SURVEY §7.3 M6): exact + near dedup, MinHash-LSH, SimHash,
+  * ANN (brute + IVF), text quality/language/token analysis — each over
+  * the `documents`/`embeddings` tables with a value-level DuckDB oracle.
+  */
+object DataOps extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+
+  // ---- q21: exact dedup ------------------------------------------------
+
+  /** Exact dedup over a corpus with planted duplicates (the test corpus
+    * is dup-free, so every doc_id≡0 (mod 3) is re-added under a shifted
+    * id — mirrored in the oracle).
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.unionAll(
+      d.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.exactGroups(corpus, col("doc_id"), col("text"))
+      .filter(col("n_copies") > 1)
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  private val q21Oracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0)
+      |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin
+
+  // ---- q22: exact near-dup (inverted-index Jaccard) --------------------
+
+  def nearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupPairs(docs(s, dir), col("doc_id"), col("text"), threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Shared oracle CTEs: distinct 3-shingles + per-doc set sizes. */
+  private val shingleCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                               for i in range(1, len(t) - 1)])) AS shingle
+      |       FROM toks WHERE len(t) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT doc_a, doc_b, c / (sa.n + sb.n - c) AS jacc
+      |  FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE c / (sa.n + sb.n - c) >= 0.8)""".stripMargin
+
+  private val q22Oracle: String =
+    s"WITH $shingleCtes\nSELECT doc_a, doc_b, jacc FROM exact ORDER BY doc_a, doc_b"
+
+  // ---- q23: MinHash + banded LSH near-dup ------------------------------
+
+  private val NumPerms = 16
+  private val RowsPerBand = 4
+
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docs(s, dir), col("doc_id"), col("text"),
+      threshold = 0.8, numPerms = NumPerms, rowsPerBand = RowsPerBand)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q23Oracle: String = {
+    val sigCols = (0 until NumPerms)
+      .map(i => s"MIN(${TextFns.seededHashSql(i, "shingle")}) AS s$i").mkString(", ")
+    val bandSelects = (0 until NumPerms / RowsPerBand).map { bnd =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(s${bnd * RowsPerBand + r} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCtes,
+       |sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, jacc FROM cands JOIN exact USING (doc_a, doc_b)
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- q24/q25: ANN over embeddings ------------------------------------
+
+  private val NumQueries = 20
+  private val TopK = 3
+  private val NumCentroids = 8
+
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteTopK(e, e.filter(col("vec_id") < NumQueries), TopK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val q24Oracle: String = {
+    val cos = VectorFns.cosineSql("q.embedding", "c.embedding")
+    s"""SELECT query_id, rnk, neighbor_id, round(sim, 6) AS sim_r FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $cos AS sim,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < NumQueries),
+      e.filter(col("vec_id") < NumCentroids), TopK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  private val q25Oracle: String = {
+    val vcos = VectorFns.cosineSql("v.embedding", "c.embedding")
+    val qcos = VectorFns.cosineSql("q.embedding", "c.embedding")
+    s"""WITH assign AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT v.vec_id, v.embedding, c.vec_id AS centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY $vcos DESC, c.vec_id) AS crn
+       |    FROM embeddings v, embeddings c WHERE c.vec_id < $NumCentroids)
+       |  WHERE crn = 1)
+       |SELECT query_id, rnk, neighbor_id, round(sim, 6) AS sim_r FROM (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $qcos AS sim,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $qcos DESC, c.vec_id) AS rnk
+       |  FROM assign q JOIN assign c
+       |    ON q.centroid_id = c.centroid_id AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries)
+       |WHERE rnk <= $TopK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---- q26: text quality stats -----------------------------------------
+
+  private val stopList = TextFns.EnglishStopwords
+
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val stopArr = array(stopList.map(lit): _*)
+    docs(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tok"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("ttr"),
+      size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("stop_hits"),
+      round(length(col("text")).cast("double") / size(toks), 6).as("avg_tok_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q26Oracle: String = {
+    val stops = stopList.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""SELECT doc_id,
+       | LENGTH(text) AS n_chars,
+       | len(string_split(text, ' ')) AS n_tok,
+       | len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       | round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6) AS ttr,
+       | len(list_filter(string_split(text, ' '), t -> list_contains($stops, t))) AS stop_hits,
+       | round(LENGTH(text) / len(string_split(text, ' ')), 6) AS avg_tok_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q27: language-ID heuristic --------------------------------------
+
+  private val langLists: Seq[(String, Seq[String])] = Seq(
+    "en" -> TextFns.EnglishStopwords,
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour"))
+
+  /** Stopword-overlap language ID: most-hit list wins; zero hits → 'und'
+    * (ISO 639-3 undetermined). Ties resolved by list order (en<de<fr).
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val hits = langLists.map { case (lang, words) =>
+      size(filter(toks, t => array_contains(array(words.map(lit): _*), t))).as(s"hits_$lang")
+    }
+    val d = docs(s, dir).select(col("doc_id") +: hits: _*)
+    // argmax with first-listed winning ties, zero → 'und'
+    val maxHits = greatest(langLists.map { case (l, _) => col(s"hits_$l") }: _*)
+    val guess = when(maxHits === 0, lit("und"))
+      .otherwise(langLists.foldLeft(lit(null).cast("string")) { case (acc, (l, _)) =>
+        coalesce(acc, when(col(s"hits_$l") === maxHits, lit(l)))
+      })
+    d.select(col("doc_id"), col("hits_en"), col("hits_de"), col("hits_fr"), guess.as("lang_guess"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q27Oracle: String = {
+    val hitExprs = langLists.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(string_split(text, ' '), t -> list_contains($arr, t))) AS hits_$lang"
+    }.mkString(",\n ")
+    s"""WITH h AS (SELECT doc_id, $hitExprs FROM documents)
+       |SELECT doc_id, hits_en, hits_de, hits_fr,
+       | CASE WHEN greatest(hits_en, hits_de, hits_fr) = 0 THEN 'und'
+       |      WHEN hits_en = greatest(hits_en, hits_de, hits_fr) THEN 'en'
+       |      WHEN hits_de = greatest(hits_en, hits_de, hits_fr) THEN 'de'
+       |      ELSE 'fr' END AS lang_guess
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q28: SimHash fingerprint ----------------------------------------
+
+  def simhashFp(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
+  private val q28Oracle: String = {
+    val h = TextFns.hash60Sql("tok")
+    val bitSums = (0 until 32).map(b => s"SUM((h >> $b) & 1) AS b$b").mkString(", ")
+    val fp = (0 until 32)
+      .map(b => s"(CASE WHEN 2 * b$b > n_toks THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH dtoks AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
+       |hashed AS (SELECT doc_id, $h AS h FROM dtoks),
+       |counted AS (SELECT doc_id, COUNT(*) AS n_toks, $bitSums FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM counted ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- registry --------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_dedup_exact" -> (dedupExact _),
+    "q22_neardup" -> (nearDup _),
+    "q23_minhash_lsh" -> (minhashLsh _),
+    "q24_ann_brute" -> (annBrute _),
+    "q25_ann_ivf" -> (annIvf _),
+    "q26_text_quality" -> (textQuality _),
+    "q27_langid" -> (langId _),
+    "q28_simhash" -> (simhashFp _))
+
+  val oracles: Map[String, String] = Map(
+    "q21_dedup_exact" -> q21Oracle,
+    "q22_neardup" -> q22Oracle,
+    "q23_minhash_lsh" -> q23Oracle,
+    "q24_ann_brute" -> q24Oracle,
+    "q25_ann_ivf" -> q25Oracle,
+    "q26_text_quality" -> q26Oracle,
+    "q27_langid" -> q27Oracle,
+    "q28_simhash" -> q28Oracle)
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different words about spark and data engines"),
+    (5L, "a b"), // fewer tokens than the shingle width
+    (6L, "completely different words about spark and data engines")) // exact dup of 4
+    .toDF("doc_id", "text")
+
+  describe("Dedup.exactGroups") {
+    it("finds duplicate groups with canonical min id") {
+      val groups = Dedup.exactGroups(corpus, col("doc_id"), col("text"))
+        .filter(col("n_copies") > 1)
+        .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+      assert(groups == Set((1L, 2L), (4L, 2L)))
+    }
+  }
+
+  describe("Dedup.nearDupPairs") {
+    it("pairs exact and near duplicates above the threshold, skipping short docs") {
+      val pairs = Dedup.nearDupPairs(corpus, col("doc_id"), col("text"), threshold = 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)) && pairs.contains((4L, 6L)))
+      assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // 6/8 shingles shared
+      assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    }
+
+    it("exact duplicates have jaccard exactly 1.0") {
+      val j = Dedup.nearDupPairs(corpus, col("doc_id"), col("text"), threshold = 0.99)
+        .filter(col("doc_a") === 1 && col("doc_b") === 2)
+        .select("jacc").as[Double].head()
+      assert(j == 1.0)
+    }
+  }
+
+  describe("Dedup.minhashNearDups") {
+    it("catches exact duplicates (J=1 collides in every band) and never false-positives") {
+      val found = Dedup.minhashNearDups(corpus, col("doc_id"), col("text"), threshold = 0.9)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      // J=1 pairs are guaranteed candidates; threshold 0.9 then filters
+      // the near-but-not-exact pair (1,3).
+      assert(found == Set((1L, 2L), (4L, 6L)))
+    }
+
+    it("signatures are permutation-invariant fingerprints: equal sets, equal sigs") {
+      val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), numPerms = 8)
+        .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+      assert(sigs(1L) == sigs(2L))
+      assert(sigs(4L) == sigs(6L))
+      assert(sigs(1L) != sigs(4L))
+    }
+  }
+
+  describe("Dedup.simhash") {
+    it("equal token sets get equal fingerprints; disjoint sets differ") {
+      val fp = Dedup.simhash(corpus, col("doc_id"), col("text"))
+        .as[(Long, Long)].collect().toMap
+      assert(fp(1L) == fp(2L))
+      assert(fp(4L) == fp(6L))
+      assert(fp(1L) != fp(4L))
+    }
+
+    it("near-dup docs land within a small hamming distance") {
+      val fp = Dedup.simhash(corpus, col("doc_id"), col("text"))
+        .as[(Long, Long)].collect().toMap
+      def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+      assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+    }
+  }
+}
