@@ -236,6 +236,33 @@ object DataOps extends QueryModule {
        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM counted ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q29: multimodal binary columns ----------------------------------
+
+  /** Binary media payloads + typed metadata through the mapPartitions
+    * feature extractor (stubbed codec — see Multimodal.FakeCodec). The
+    * corpus is ASCII so the oracle reproduces the byte stats with
+    * per-char code points.
+    */
+  def multimodal(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.decodeFeatures(Multimodal.syntheticMedia(docs(s, dir)))
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("byte_sum"),
+        col("byte_min"), col("byte_max"), col("n_pixels"), col("frames_sampled"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q29Oracle: String =
+    """SELECT doc_id AS media_id,
+      | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      | octet_length(encode(text)) AS n_bytes,
+      | CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c))) AS BIGINT) AS byte_sum,
+      | list_min(list_transform(string_split(text, ''), c -> ascii(c))) AS byte_min,
+      | list_max(list_transform(string_split(text, ''), c -> ascii(c))) AS byte_max,
+      | CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS BIGINT) AS n_pixels,
+      | CASE WHEN doc_id % 3 = 2
+      |      THEN CAST(least(16, (n_chars % 100 + 1 + 9) // 10) AS INTEGER) END AS frames_sampled
+      |FROM documents ORDER BY media_id""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -246,7 +273,8 @@ object DataOps extends QueryModule {
     "q25_ann_ivf" -> (annIvf _),
     "q26_text_quality" -> (textQuality _),
     "q27_langid" -> (langId _),
-    "q28_simhash" -> (simhashFp _))
+    "q28_simhash" -> (simhashFp _),
+    "q29_multimodal" -> (multimodal _))
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Oracle,
@@ -256,5 +284,6 @@ object DataOps extends QueryModule {
     "q25_ann_ivf" -> q25Oracle,
     "q26_text_quality" -> q26Oracle,
     "q27_langid" -> q27Oracle,
-    "q28_simhash" -> q28Oracle)
+    "q28_simhash" -> q28Oracle,
+    "q29_multimodal" -> q29Oracle)
 }
