@@ -16,19 +16,27 @@ object TextFns {
 
   def distinctTokens(text: Column): Column = array_distinct(tokens(text))
 
-  /** Distinct w-gram word shingles: the standard near-dup unit. Token
-    * vocabulary in web corpora is heavy-tailed; single tokens
-    * under-discriminate (the test corpus has a 31-word vocabulary), while
-    * 3-shingles separate true near-dups cleanly.
+  /** Distinct w-gram word shingles from a MATERIALIZED token-array
+    * column. Token vocabulary in web corpora is heavy-tailed; single
+    * tokens under-discriminate (the test corpus has a 31-word
+    * vocabulary), while 3-shingles separate true near-dups cleanly.
+    *
+    * IMPORTANT: pass an attribute reference (project `tokens(text)`
+    * first), not `split(...)` inline — expressions inside higher-order
+    * lambdas are NOT subexpression-eliminated, so an inline split would
+    * re-tokenize the document for every element_at (observed ~300×
+    * slowdown).
     */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = tokens(text)
+  def shinglesOf(toks: Column, w: Int = 3): Column =
     array_distinct(
       when(size(toks) >= w,
         transform(sequence(lit(0), size(toks) - w),
           i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)))
         .otherwise(array()))
-  }
+
+  /** Convenience one-shot form — only for small inputs/tests; hot paths
+    * must project [[tokens]] first and use [[shinglesOf]]. */
+  def shingles(text: Column, w: Int = 3): Column = shinglesOf(tokens(text), w)
 
   /** Deterministic 60-bit hash shared bit-for-bit with DuckDB:
     * first 15 hex digits of md5, read as an integer. Spark:

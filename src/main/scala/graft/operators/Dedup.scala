@@ -27,38 +27,71 @@ object Dedup {
     docs.groupBy(md5(text).as("content_hash"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct (doc_id, shingle) pairs — the inverted-index postings. */
-  private def postings(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame =
-    docs.select(id.as("doc_id"), explode(TextFns.shingles(text, w)).as("shingle"))
+  /** (doc_id, sh: array<string>) with non-empty distinct shingle sets.
+    * Repartitioned by doc_id BEFORE the shingle/hash compute: the input
+    * may arrive in few large (or one small) parquet partitions, and the
+    * downstream per-doc aggregates hash-partition on doc_id anyway — so
+    * this shuffle moves the CPU-heavy expression work onto all cores for
+    * free (the later groupBy/window reuses the partitioning).
+    */
+  private def shingled(docs: DataFrame, id: Column, text: Column, w: Int): DataFrame =
+    docs.repartition(id)
+      .select(id.as("doc_id"), graft.catalyst.WordShingles(text, w).as("sh"))
+      .filter(size(col("sh")) > 0)
 
-  /** Exact Jaccard similarity over w-shingle sets for all pairs meeting
-    * `threshold`, via inverted index + count-intersections:
-    * J(a,b) = |A∩B| / (|A|+|B|-|A∩B|).
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against
+    * the full shingle arrays: J = |A∩B| / (|A|+|B|-|A∩B|). Candidate
+    * count is small post-filtering, so the per-pair array intersect is
+    * cheap and the join is on doc ids (broadcast-able when candidates
+    * are few).
+    */
+  private def verifyJaccard(candidates: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jacc", col("n_common") / (size(col("sha")) + size(col("shb")) - col("n_common")))
+      .filter(col("jacc") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jacc"))
+
+  /** EXACT Jaccard near-dup pairs (same result set as a brute-force
+    * all-pairs scan) via prefix filtering: under a global shingle order
+    * (rarest first), two sets with J ≥ t must share a shingle within
+    * each one's first `|S| - ⌈t·|S|⌉ + 1` shingles. Only those prefixes
+    * are indexed, so the inverted-index self-join touches the rare end
+    * of the vocabulary — candidate pairs shrink by orders of magnitude
+    * versus indexing every shingle, and hot (high-df) shingles never
+    * join. A length filter (min ≥ t·max) prunes the rest before the
+    * exact verify.
     *
-    * Scale: the join shuffles on the shingle; hot shingles (stopword
-    * n-grams) are the skew risk — AQE skew-join handles moderate skew,
-    * and a df/idf-style frequency cutoff (drop shingles appearing in
-    * >X% of docs) is the production mitigation, orthogonal to the
-    * semantics pinned here.
+    * Shuffle shape at 100 TB: one shuffle to count df, one on the
+    * (rare) prefix shingle, one on doc ids for the verify join — all
+    * key-partitioned, no cartesian anywhere.
     */
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
                    threshold: Double, w: Int = 3): DataFrame = {
-    val post = postings(docs, id, text, w)
-    val sizes = post.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sets = shingled(docs, id, text, w)
+    val post = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val df = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
 
-    val a = post.as("a")
-    val b = post.as("b")
-    val inter = a.join(b,
-      col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val winDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = post
+      .join(df, "shingle")
+      .withColumn("rn", row_number().over(winDoc))
+      .join(sets.select(col("doc_id"), size(col("sh")).as("n")), "doc_id")
+      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"), col("n"))
 
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
-      .withColumn("jacc", col("n_common") / (col("na") + col("nb") - col("n_common")))
-      .filter(col("jacc") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jacc"))
+    val a = prefix.as("a")
+    val b = prefix.as("b")
+    val candidates = a.join(b,
+      col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
+        && least(col("a.n"), col("b.n")) >= lit(threshold) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(candidates, sets, threshold)
   }
 
   /** MinHash signatures: for each doc, sig_i = min over shingles of
@@ -69,7 +102,8 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
                         numPerms: Int, w: Int = 3): DataFrame = {
-    val post = postings(docs, id, text, w)
+    val post = shingled(docs, id, text, w)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
     val aggs = (0 until numPerms).map(i =>
       min(TextFns.seededHash(i, col("shingle"))).as(s"sig$i"))
     post.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -97,18 +131,17 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup: candidates from banded LSH, then exact
-    * Jaccard verification restricted to candidates (the false-positive
-    * filter; false negatives are the price of LSH and deterministic for
-    * a fixed hash family).
+    * Jaccard verification restricted to candidates only (the
+    * false-positive filter; false negatives are the price of LSH and
+    * deterministic for a fixed hash family).
     */
   def minhashNearDups(docs: DataFrame, id: Column, text: Column,
                       threshold: Double, numPerms: Int = 16, rowsPerBand: Int = 4,
                       w: Int = 3): DataFrame = {
+    val sets = shingled(docs, id, text, w)
     val sigs = minhashSignatures(docs, id, text, numPerms, w)
     val candidates = lshCandidates(sigs, numPerms, rowsPerBand)
-    val exact = nearDupPairs(docs, id, text, threshold, w)
-    candidates.join(exact, Seq("doc_a", "doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("jacc"))
+    verifyJaccard(candidates, sets, threshold)
   }
 
   /** 32-bit SimHash over distinct tokens with the shared 60-bit hash's
@@ -117,7 +150,8 @@ object Dedup {
     * one hash-agg pass, no bit explosion.
     */
   def simhash(docs: DataFrame, id: Column, text: Column, bits: Int = 32): DataFrame = {
-    val toks = docs.select(id.as("doc_id"), explode(TextFns.distinctTokens(text)).as("tok"))
+    val toks = docs.repartition(id)
+      .select(id.as("doc_id"), explode(TextFns.distinctTokens(text)).as("tok"))
       .withColumn("h", TextFns.hash60(col("tok")))
     val bitSums = (0 until bits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b"))
