@@ -57,6 +57,26 @@ object TextFns {
   def seededHashSql(seed: Int, expr: String): String =
     hash60Sql(s"'$seed:' || $expr")
 
+  /** Cheap MinHash permutation family over ONE base [[hash60]] value:
+    * h_i = (a_i·hLo + b_i·hHi + c_i) mod (2^31−1) with hLo/hHi the low/
+    * high 30 bits. One md5 per element instead of one per (element,
+    * seed); products stay < 2^56 so the identical int64 arithmetic runs
+    * in DuckDB. Standard 2-universal construction.
+    */
+  def permA(i: Int): Long = 999983L * i + 104729L
+  def permB(i: Int): Long = 999979L * i + 65537L
+  def permC(i: Int): Long = 7919L * i + 17L
+  val PermMod: Long = 2147483647L
+  private val Mask30 = 1073741823L
+
+  def minhashPerm(i: Int, h: Column): Column =
+    (lit(permA(i)) * h.bitwiseAND(lit(Mask30)) +
+      lit(permB(i)) * shiftright(h, 30).bitwiseAND(lit(Mask30)) +
+      lit(permC(i))) % lit(PermMod)
+
+  def minhashPermSql(i: Int, hExpr: String): String =
+    s"(${permA(i)} * ($hExpr & $Mask30) + ${permB(i)} * (($hExpr >> 30) & $Mask30) + ${permC(i)}) % $PermMod"
+
   /** English stopword-ish list for quality/language heuristics (public
     * top-frequency words). */
   val EnglishStopwords: Seq[String] =

@@ -83,35 +83,56 @@ object Dedup {
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("doc_id"), col("shingle"), col("n"))
 
-    val a = prefix.as("a")
-    val b = prefix.as("b")
-    val candidates = a.join(b,
-      col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id")
-        && least(col("a.n"), col("b.n")) >= lit(threshold) * greatest(col("a.n"), col("b.n")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Bucket by prefix shingle, expand pairs inside the bucket array: a
+    // self-join here would recompute the whole prefix branch twice (no
+    // common-subplan reuse across join sides); grouping runs it once.
+    // Prefix postings are rare-by-construction, so buckets stay small.
+    val candidates = pairsFromBuckets(
+      prefix.groupBy(col("shingle"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds")))
+      .filter(least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
 
     verifyJaccard(candidates, sets, threshold)
   }
 
+  /** Expand a bucket's sorted member array into its (i<j) pairs with a
+    * nested array transform — no self-join, no recomputation of the
+    * bucket input. Buckets with one member vanish; giant buckets are
+    * the caller's skew concern (prefix rarity / LSH banding keeps them
+    * small; a production cap would drop pathological buckets
+    * explicitly).
+    */
+  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
+    buckets.filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+          |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
+          |    b -> struct(element_at(ds, i + 1).doc_id AS doc_a,
+          |                element_at(ds, i + 1).n AS na,
+          |                b.doc_id AS doc_b, b.n AS nb))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
+
   /** MinHash signatures: for each doc, sig_i = min over shingles of
-    * h_i(shingle), i < numPerms. Computed as numPerms min-aggregates over
-    * the postings — ONE shuffle, no seed-explosion (a custom
-    * TypedImperativeAggregate could fuse the explode too; the agg shape
-    * is already partial+final).
+    * perm_i(hash60(shingle)), i < numPerms. ONE md5 per posting row plus
+    * numPerms cheap modular permutations, aggregated as numPerms
+    * min-aggregates — one shuffle, no seed-explosion, partial+final agg.
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
                         numPerms: Int, w: Int = 3): DataFrame = {
     val post = shingled(docs, id, text, w)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), TextFns.hash60(col("shingle")).as("h"))
     val aggs = (0 until numPerms).map(i =>
-      min(TextFns.seededHash(i, col("shingle"))).as(s"sig$i"))
+      min(TextFns.minhashPerm(i, col("h"))).as(s"sig$i"))
     post.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded-LSH candidate pairs from MinHash signatures: bands of
     * `rowsPerBand` signature slots; docs sharing any band key are
-    * candidates. Join is on (band index, band key) — never all-pairs.
+    * candidates. Bucket-grouped on (band, key) and pair-expanded in the
+    * array — never all-pairs, and the signature plan runs once.
     */
   def lshCandidates(signatures: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
     val numBands = numPerms / rowsPerBand
@@ -121,12 +142,11 @@ object Dedup {
     }: _*)
     val exploded = signatures
       .select(col("doc_id"), explode(bands).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
-    val l = exploded.as("l")
-    val r = exploded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key")
-      && col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"), lit(0L).as("n"))
+    pairsFromBuckets(
+      exploded.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds")))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
 

@@ -80,14 +80,15 @@ object DataOps extends QueryModule {
 
   private val q23Oracle: String = {
     val sigCols = (0 until NumPerms)
-      .map(i => s"MIN(${TextFns.seededHashSql(i, "shingle")}) AS s$i").mkString(", ")
+      .map(i => s"MIN(${TextFns.minhashPermSql(i, "h")}) AS s$i").mkString(", ")
     val bandSelects = (0 until NumPerms / RowsPerBand).map { bnd =>
       val key = (0 until RowsPerBand)
         .map(r => s"CAST(s${bnd * RowsPerBand + r} AS VARCHAR)").mkString(" || '_' || ")
       s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
     }.mkString("\n  UNION ALL ")
     s"""WITH $shingleCtes,
-       |sigs AS (SELECT doc_id, $sigCols FROM sh GROUP BY doc_id),
+       |hashed AS (SELECT doc_id, ${TextFns.hash60Sql("shingle")} AS h FROM sh),
+       |sigs AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id),
        |bands AS (
        |  $bandSelects),
        |cands AS (
@@ -162,7 +163,7 @@ object DataOps extends QueryModule {
       round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("ttr"),
       size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("stop_hits"),
       round(length(col("text")).cast("double") / size(toks), 6).as("avg_tok_len"))
-      .orderBy(col("doc_id"))
+      
   }
 
   private val q26Oracle: String = {
@@ -200,7 +201,7 @@ object DataOps extends QueryModule {
         coalesce(acc, when(col(s"hits_$l") === maxHits, lit(l)))
       })
     d.select(col("doc_id"), col("hits_en"), col("hits_de"), col("hits_fr"), guess.as("lang_guess"))
-      .orderBy(col("doc_id"))
+      
   }
 
   private val q27Oracle: String = {
@@ -221,7 +222,7 @@ object DataOps extends QueryModule {
 
   def simhashFp(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))
-      .orderBy(col("doc_id"))
+      
 
   private val q28Oracle: String = {
     val h = TextFns.hash60Sql("tok")
@@ -248,7 +249,7 @@ object DataOps extends QueryModule {
     Multimodal.decodeFeatures(Multimodal.syntheticMedia(docs(s, dir)))
       .select(col("media_id"), col("kind"), col("n_bytes"), col("byte_sum"),
         col("byte_min"), col("byte_max"), col("n_pixels"), col("frames_sampled"))
-      .orderBy(col("media_id"))
+      
   }
 
   private val q29Oracle: String =

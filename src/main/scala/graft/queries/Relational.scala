@@ -66,7 +66,7 @@ object Relational extends QueryModule {
     val o = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy(col("c_custkey"))
+      
   }
 
   /** Left-anti join (NOT EXISTS). */
@@ -75,7 +75,7 @@ object Relational extends QueryModule {
     val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_acctbal"))
-      .orderBy(col("c_custkey"))
+      
   }
 
   /** Window functions: ranking + lag over a deterministic unique ordering. */
@@ -88,7 +88,7 @@ object Relational extends QueryModule {
       .filter(col("rnk") <= 3)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         col("rnk"), col("prev_price"))
-      .orderBy(col("o_custkey"), col("rnk"))
+      
   }
 
   /** Set operations: INTERSECT / EXCEPT with distinct semantics. */
@@ -131,7 +131,7 @@ object Relational extends QueryModule {
       size(split(col("p_name"), " ")).cast(LongType).as("ntok"),
       lpad(col("p_brand"), 12, "#").as("padded"),
       reverse(col("p_name")).as("rev"))
-      .orderBy(col("p_partkey"))
+      
 
   /** Date/time functions: truncation, extraction, arithmetic. */
   def dateFns(s: SparkSession, dir: String): DataFrame =
@@ -188,7 +188,7 @@ object Relational extends QueryModule {
       sqrt(col("p_size").cast(DoubleType)).as("size_sqrt"),
       greatest(col("p_size"), lit(30)).as("size_hi"),
       least(col("p_size"), lit(30)).as("size_lo"))
-      .orderBy(col("p_partkey"))
+      
 
   /** Array functions over tokenized text. */
   def arrayFns(s: SparkSession, dir: String): DataFrame =
@@ -198,7 +198,7 @@ object Relational extends QueryModule {
       array_join(slice(split(col("text"), " "), 1, 3), "_").as("first3"),
       array_join(array_sort(array_distinct(split(col("text"), " "))), ",").as("vocab"),
       element_at(split(col("text"), " "), -1).as("last_tok"))
-      .orderBy(col("doc_id"))
+      
 
   /** Streaming-batch meta (SURVEY.md O9/O10): min/max/count per type. */
   def eventsMeta(s: SparkSession, dir: String): DataFrame =
