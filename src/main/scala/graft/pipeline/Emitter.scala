@@ -46,6 +46,28 @@ object Emitter {
     *            `seq: any` (ordering id for file naming; nullable),
     *            `error: array<string>` (null = good record)
     */
+  /** Fixed backoff between output retries (reference
+    * KinesisS3Emitter.scala:194-198: 10 000 ms); overridable for tests. */
+  @volatile var retryBackoffMs: Long = 10000L
+
+  private[pipeline] def retryForAtMost[A](maxTimeoutMs: Long, backoffMs: Long)(f: => A): A = {
+    val deadline = System.nanoTime() + maxTimeoutMs * 1000000L
+    @annotation.tailrec
+    def attempt(): A = {
+      val r = try Right(f) catch { case scala.util.control.NonFatal(e) => Left(e) }
+      r match {
+        case Right(a) => a
+        case Left(e) if System.nanoTime() >= deadline =>
+          throw new RuntimeException(
+            s"Output failing continuously for over ${maxTimeoutMs}ms, giving up", e)
+        case Left(_) =>
+          Thread.sleep(math.max(1L, backoffMs))
+          attempt()
+      }
+    }
+    attempt()
+  }
+
   def emitBatch(
     df: DataFrame,
     config: PipelineConfig,
@@ -96,13 +118,21 @@ object Emitter {
 
       val toWrite = good.select(col("value"), col("row_type"))
       val arranged = if (exactNaming) toWrite.repartition(col("row_type")) else toWrite
-      arranged.write
-        .mode(SaveMode.Overwrite)
-        .partitionBy("row_type")
-        .option("compression", "gzip")
-        .text(staging)
 
-      val files = commitStaged(spark, config.output.s3, staging, firstSeq, lastSeq, now)
+      // Reference retry semantics (KinesisS3Emitter.scala:116-148): keep
+      // retrying the put with fixed backoff; after `maxTimeout` ms of
+      // continuous failure, give up hard (the reference halts the JVM;
+      // here the exception fails the streaming query, and the checkpoint
+      // makes the batch replayable — same at-least-one-attempt-per-10s
+      // behavior, stricter delivery).
+      val files = retryForAtMost(config.output.s3.maxTimeout, retryBackoffMs) {
+        arranged.write
+          .mode(SaveMode.Overwrite)
+          .partitionBy("row_type")
+          .option("compression", "gzip")
+          .text(staging)
+        commitStaged(spark, config.output.s3, staging, firstSeq, lastSeq, now)
+      }
 
       // Bad rows → GenericError JSON lines, dead-letter directory.
       val bad = typed.filter(col("error").isNotNull || col("row_type") === RowTypes.ReadingErrorName)

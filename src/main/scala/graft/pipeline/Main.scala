@@ -38,31 +38,11 @@ object Main {
                 val bad = result.batches.map(_.badCount).sum
                 println(s"Drained $n records into ${files.size} files ($bad bad rows)")
               } else {
-                runContinuous(spark, config)
+                Pipeline.runContinuous(spark, config)
               }
             } finally spark.stop()
         }
     }
-  }
-
-  private def runContinuous(spark: org.apache.spark.sql.SparkSession, config: PipelineConfig): Unit = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.streaming.Trigger
-    val statsDEnabled = config.monitoring.exists(_.statsd.nonEmpty)
-    val lines = spark.readStream
-      .option("maxFilesPerTrigger", math.max(1, config.input.maxRecords))
-      .text(config.input.streamName)
-    val query = Pipeline.records(lines, None).writeStream
-      .trigger(Trigger.ProcessingTime(math.max(1000L, config.buffer.timeLimit)))
-      .option("checkpointLocation", config.output.s3.path + "/_checkpoint")
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val res = Emitter.emitBatch(df, config, batchId, statsDEnabled = statsDEnabled)
-        for (m <- config.monitoring; sd <- m.statsd)
-          StatsD.report(sd, StatsD.Meta(res.earliestTstamp, res.count))
-        ()
-      }
-      .start()
-    query.awaitTermination()
   }
 
   private def parseArgs(args: List[String]): Either[String, (String, Boolean)] = {

@@ -63,10 +63,7 @@ object Pipeline {
     now: Option[Instant] = None): Result = {
 
     val statsDEnabled = config.monitoring.exists(_.statsd.nonEmpty)
-
-    val lines = spark.readStream
-      .option("maxFilesPerTrigger", math.max(1, config.input.maxRecords))
-      .text(config.input.streamName)
+    val lines = source(spark, config)
 
     val base = records(lines, seqExpr)
 
@@ -119,6 +116,47 @@ object Pipeline {
 
     import scala.jdk.CollectionConverters._
     Result(results.asScala.toSeq, metas)
+  }
+
+  /** The line source with the initial-position mapping (reference
+    * Config.scala:62-106 → file-source options):
+    *  - TRIM_HORIZON → everything present (file source default);
+    *  - LATEST → `latestFirst` (process newest files first — the closest
+    *    file-source analog; a true Kinesis source maps it natively);
+    *  - AT_TIMESTAMP → no streaming-file-source equivalent; processed as
+    *    TRIM_HORIZON with a warning (a Kinesis adapter passes it
+    *    through).
+    */
+  def source(spark: SparkSession, config: PipelineConfig): DataFrame = {
+    val reader = spark.readStream
+      .option("maxFilesPerTrigger", math.max(1, config.input.maxRecords))
+    val withPos = config.input.position match {
+      case InitialPosition.TrimHorizon => reader
+      case InitialPosition.Latest      => reader.option("latestFirst", "true")
+      case InitialPosition.AtTimestamp(ts) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"AT_TIMESTAMP($ts) has no file-source equivalent; reading from TRIM_HORIZON")
+        reader
+    }
+    withPos.text(config.input.streamName)
+  }
+
+  /** Continuous mode: same per-batch plan, ProcessingTime trigger from
+    * the buffer's timeLimit (O5 mapping), StatsD per batch. Blocks.
+    */
+  def runContinuous(spark: SparkSession, config: PipelineConfig): Unit = {
+    val statsDEnabled = config.monitoring.exists(_.statsd.nonEmpty)
+    val query = records(source(spark, config), None).writeStream
+      .trigger(Trigger.ProcessingTime(math.max(1000L, config.buffer.timeLimit)))
+      .option("checkpointLocation", stripScheme(config.output.s3.path) + "/_checkpoint")
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val res = Emitter.emitBatch(df, config, batchId, statsDEnabled = statsDEnabled)
+        for (m <- config.monitoring; sd <- m.statsd)
+          StatsD.report(sd, StatsD.Meta(res.earliestTstamp, res.count))
+        ()
+      }
+      .start()
+    query.awaitTermination()
   }
 
   private def stripScheme(p: String): String =
