@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     q.Relational,
     q.PipelineQueries,
-    q.DataOps)
+    q.DataOps,
+    q.StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

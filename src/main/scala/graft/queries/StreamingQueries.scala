@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.{QueryModule, Tables}
+import graft.functions.ExactAgg._
+
+/** Per-user running state for q33 (top-level so the state encoder can
+  * construct it in generated code). */
+case class UserState(n: Long, sumCents: Long, maxValue: Double)
+
+/** Structured Streaming surface beyond the file pipeline (SURVEY §2.2
+  * rows the reference lacks but the engine ships): event-time tumbling
+  * windows + watermark, session windows, streaming dedup state, and
+  * custom state via mapGroupsWithState. Each runs a real streaming query
+  * (AvailableNow over the events parquet as a file-stream) into a memory
+  * sink, then reduces to a deterministic frame the DuckDB oracle checks.
+  */
+object StreamingQueries extends QueryModule {
+
+  /** The events table as a file stream (raw nanos ts → micros). The
+    * streaming file source requires a directory, so the parquet file is
+    * staged (hard-linked/copied) into a scratch dir once per sfDir.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stage = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"stream_$tag")
+    Files.createDirectories(stage)
+    val dest = stage.resolve("events.parquet")
+    if (!Files.exists(dest))
+      Files.copy(Paths.get(dir, "events.parquet"), dest, StandardCopyOption.REPLACE_EXISTING)
+    val raw = s.read.parquet(dest.toString) // schema probe (ts: long nanos)
+    s.readStream.schema(raw.schema).parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming frame to completion into a memory sink, return the
+    * collected result detached from the stream. */
+  private def drain(s: SparkSession, streamDf: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = streamDf.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = s.table(name).localCheckpoint(true)
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  // ---- q30: event-time tumbling window + watermark ---------------------
+
+  /** Daily tumbling windows per event type with a 1-hour watermark.
+    * Complete output mode so the trailing window (which the watermark
+    * never closes under AvailableNow) is still emitted — the standard
+    * batch-drain pattern.
+    */
+  def windowedAgg(s: SparkSession, dir: String): DataFrame = {
+    val windows = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    drain(s, windows, OutputMode.Complete())
+      .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val q30Oracle: String =
+    """SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
+  // ---- q31: session windows --------------------------------------------
+
+  /** 30-minute-gap session windows per user (session extends while the
+    * next event arrives strictly within the gap), reduced to per-user
+    * session stats. Oracle = gaps-and-islands SQL.
+    */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val sessions = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    drain(s, sessions, OutputMode.Complete())
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"), max(col("n")).as("max_session"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q31Oracle: String =
+    """WITH x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (
+      |  SELECT user_id,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x),
+      |sess AS (SELECT user_id, sid, COUNT(*) AS n FROM y GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  MAX(n) AS max_session
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- q32: streaming dedup state --------------------------------------
+
+  /** `dropDuplicates` over a stream (state-store-backed): first
+    * (user_id, event_type) occurrence survives → per-type distinct-user
+    * counts.
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsStream(s, dir)
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("users"))
+    drain(s, deduped, OutputMode.Complete())
+      .orderBy(col("event_type"))
+  }
+
+  private val q32Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q33: custom state via mapGroupsWithState ------------------------
+
+  /** Custom per-key state machine (KeyValueGroupedDataset
+    * .mapGroupsWithState): running count / exact cent-sum / max per
+    * user. Update-mode emissions accumulate in the sink; the final state
+    * per user is the row with the highest (strictly increasing) count.
+    */
+  def statefulUserStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = eventsStream(s, dir)
+      .select(col("user_id").cast("long").as("user"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("value"))
+      .as[(Long, Long, Double)]
+
+    val updated: Dataset[(Long, Long, Long, Double)] =
+      stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[UserState]) =>
+            val prev = state.getOption.getOrElse(UserState(0L, 0L, Double.NegativeInfinity))
+            val next = rows.foldLeft(prev) { (acc, r) =>
+              UserState(acc.n + 1, acc.sumCents + r._2, math.max(acc.maxValue, r._3))
+            }
+            state.update(next)
+            (user, next.n, next.sumCents, next.maxValue)
+        }
+
+    val out = drain(s, updated.toDF("user_id", "n_events", "sum_cents", "max_value"),
+      OutputMode.Update())
+    // last (= max-count) emission per user is the final state
+    out.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("sum_cents"), col("max_value"))).as("f"))
+      .select(col("user_id"), col("f.n_events"), col("f.sum_cents"), col("f.max_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q33Oracle: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      | CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      | MAX(value) AS max_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- registry --------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_stream_window" -> (windowedAgg _),
+    "q31_session_window" -> (sessionWindows _),
+    "q32_stream_dedup" -> (streamDedup _),
+    "q33_stateful" -> (statefulUserStats _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_stream_window" -> q30Oracle,
+    "q31_session_window" -> q31Oracle,
+    "q32_stream_dedup" -> q32Oracle,
+    "q33_stateful" -> q33Oracle)
+}
