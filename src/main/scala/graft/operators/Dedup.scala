@@ -74,14 +74,18 @@ object Dedup {
     val post = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val df = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
 
-    val winDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    // Per-doc prefix without a window: group the df-annotated postings
+    // back per doc, sort in-array by (df, shingle), slice the prefix.
+    // One shuffle (by doc), no per-doc sort exchange, and the doc size
+    // is just the collected array's length (no extra sizes join).
     val prefix = post
       .join(df, "shingle")
-      .withColumn("rn", row_number().over(winDoc))
-      .join(sets.select(col("doc_id"), size(col("sh")).as("n")), "doc_id")
-      .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("doc_id"), col("shingle"), col("n"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
+      .select(col("doc_id"), size(col("ranked")).as("n"),
+        slice(col("ranked"), lit(1),
+          (size(col("ranked")) - ceil(lit(threshold) * size(col("ranked"))) + 1).cast("int")).as("pref"))
+      .select(col("doc_id"), col("n"), explode(col("pref.shingle")).as("shingle"))
 
     // Bucket by prefix shingle, expand pairs inside the bucket array: a
     // self-join here would recompute the whole prefix branch twice (no

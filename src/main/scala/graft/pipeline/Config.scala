@@ -102,7 +102,13 @@ final case class StatsDConfig(
   tags: Map[String, String],
   prefix: Option[String])
 
-final case class MonitoringConfig(statsd: Option[StatsDConfig])
+/** Lifecycle tracking adapter (reference SnowplowMonitoring: collector
+  * URI + appId; here: appId + local tracking file path). */
+final case class SnowplowConfig(appId: String, path: String)
+
+final case class MonitoringConfig(
+  statsd: Option[StatsDConfig],
+  snowplow: Option[SnowplowConfig] = None)
 
 object PipelineConfig {
   /** Load + validate from a HOCON(-subset) file. */
@@ -188,30 +194,47 @@ object PipelineConfig {
       case None => Right(None)
       case Some(m) =>
         val mc = new Hocon.Cursor(m, List("monitoring"))
-        mc.opt("metrics") match {
-          case None => Right(Some(MonitoringConfig(None)))
-          case Some(metrics) =>
-            val cc = new Hocon.Cursor(metrics, List("monitoring", "metrics"))
-            cc.opt("statsd") match {
-              case None => Right(Some(MonitoringConfig(None)))
-              case Some(_) =>
-                val sc = cc.down("statsd")
-                for {
-                  host <- sc.string("hostname")
-                  port <- sc.int("port")
-                  prefix <- sc.optString("prefix")
-                  tags <- sc.opt("tags") match {
-                    case Some(Hocon.Obj(fields)) =>
-                      val bad = fields.collectFirst { case (k, v) if !v.isInstanceOf[Hocon.Str] => k }
-                      bad match {
-                        case Some(k) => Left(s"at monitoring.metrics.statsd.tags.$k: expected string")
-                        case None => Right(fields.collect { case (k, Hocon.Str(v)) => k -> v }.toMap)
-                      }
-                    case Some(other) => Left(s"at monitoring.metrics.statsd.tags: expected object, got ${other.kind}")
-                    case None => Right(Map.empty[String, String])
+        for {
+          statsd <- decodeStatsD(mc)
+          snowplow <- decodeSnowplow(mc)
+        } yield Some(MonitoringConfig(statsd, snowplow))
+    }
+
+  private def decodeSnowplow(mc: Hocon.Cursor): Either[String, Option[SnowplowConfig]] =
+    mc.opt("snowplow") match {
+      case None => Right(None)
+      case Some(_) =>
+        val sc = mc.down("snowplow")
+        for {
+          appId <- sc.string("appId")
+          path <- sc.string("path")
+        } yield Some(SnowplowConfig(appId, path))
+    }
+
+  private def decodeStatsD(mc: Hocon.Cursor): Either[String, Option[StatsDConfig]] =
+    mc.opt("metrics") match {
+      case None => Right(None)
+      case Some(metrics) =>
+        val cc = new Hocon.Cursor(metrics, List("monitoring", "metrics"))
+        cc.opt("statsd") match {
+          case None => Right(None)
+          case Some(_) =>
+            val sc = cc.down("statsd")
+            for {
+              host <- sc.string("hostname")
+              port <- sc.int("port")
+              prefix <- sc.optString("prefix")
+              tags <- sc.opt("tags") match {
+                case Some(Hocon.Obj(fields)) =>
+                  val bad = fields.collectFirst { case (k, v) if !v.isInstanceOf[Hocon.Str] => k }
+                  bad match {
+                    case Some(k) => Left(s"at monitoring.metrics.statsd.tags.$k: expected string")
+                    case None => Right(fields.collect { case (k, Hocon.Str(v)) => k -> v }.toMap)
                   }
-                } yield Some(MonitoringConfig(Some(StatsDConfig(host, port, tags, prefix))))
-            }
+                case Some(other) => Left(s"at monitoring.metrics.statsd.tags: expected object, got ${other.kind}")
+                case None => Right(Map.empty[String, String])
+              }
+            } yield Some(StatsDConfig(host, port, tags, prefix))
         }
     }
 }

@@ -146,17 +146,29 @@ object Pipeline {
     */
   def runContinuous(spark: SparkSession, config: PipelineConfig): Unit = {
     val statsDEnabled = config.monitoring.exists(_.statsd.nonEmpty)
+    val lifecycle = config.monitoring.flatMap(_.snowplow).map { sp =>
+      val lc = new Lifecycle(sp.path, sp.appId)
+      lc.start()
+      lc
+    }
     val query = records(source(spark, config), None).writeStream
       .trigger(Trigger.ProcessingTime(math.max(1000L, config.buffer.timeLimit)))
       .option("checkpointLocation", stripScheme(config.output.s3.path) + "/_checkpoint")
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        val res = Emitter.emitBatch(df, config, batchId, statsDEnabled = statsDEnabled)
-        for (m <- config.monitoring; sd <- m.statsd)
-          StatsD.report(sd, StatsD.Meta(res.earliestTstamp, res.count))
+        try {
+          val res = Emitter.emitBatch(df, config, batchId, statsDEnabled = statsDEnabled)
+          for (m <- config.monitoring; sd <- m.statsd)
+            StatsD.report(sd, StatsD.Meta(res.earliestTstamp, res.count))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            lifecycle.foreach(_.storageWriteFailed(String.valueOf(e.getMessage)))
+            throw e
+        }
         ()
       }
       .start()
-    query.awaitTermination()
+    try query.awaitTermination()
+    finally lifecycle.foreach(_.shutdown())
   }
 
   private def stripScheme(p: String): String =

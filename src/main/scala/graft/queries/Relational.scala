@@ -211,6 +211,53 @@ object Relational extends QueryModule {
         dsum(col("value")).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** CUBE over supplier ⋈ nation (the one driver table no other query
+    * reads): all grouping-set combinations, null slots coalesced.
+    */
+  def supplierCube(s: SparkSession, dir: String): DataFrame = {
+    val su = t(s, dir, "supplier")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .cube(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_supp"), dsum(col("s_acctbal")).as("total_bal"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_supp"), col("total_bal"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  /** Pivot-style conditional aggregation: one column per region (same
+    * CASE-sum formulation in both engines — engine-portable pivot).
+    */
+  def pivotRegions(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val joined = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+    val regions = Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+    val cols = regions.map(rn =>
+      count(when(col("r_name") === rn, lit(1))).as("n_" + rn.toLowerCase.replace(" ", "_")))
+    joined.groupBy(col("c_mktsegment"))
+      .agg(cols.head, cols.tail: _*)
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Date arithmetic: datediff / date_add / last_day / day-of-week. */
+  def dateArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      datediff(lit("1998-12-31").cast(DateType), col("o_orderdate").cast(DateType))
+        .cast(LongType).as("days_to_eoy"),
+      // DATE surfaces as python date vs pandas Timestamp across the two
+      // engines' parquet paths — emit timestamps for the hash compare
+      date_add(col("o_orderdate").cast(DateType), 90).cast(TimestampType).as("due_date"),
+      last_day(col("o_orderdate")).cast(TimestampType).as("month_end"),
+      (dayofweek(col("o_orderdate")) - 1).cast(LongType).as("dow_sun0"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_top_orders" -> (topOrders _),
@@ -227,7 +274,10 @@ object Relational extends QueryModule {
     "q13_big_join" -> (revenueByPriority _),
     "q14_math_fns" -> (mathFns _),
     "q15_array_fns" -> (arrayFns _),
-    "q16_events_meta" -> (eventsMeta _))
+    "q16_events_meta" -> (eventsMeta _),
+    "q34_supplier_cube" -> (supplierCube _),
+    "q35_pivot_regions" -> (pivotRegions _),
+    "q36_date_arith" -> (dateArith _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -340,5 +390,31 @@ object Relational extends QueryModule {
         | MAX(ts) AS max_ts,
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q34_supplier_cube" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region_name,
+        | COALESCE(n_name, 'ALL') AS nation_name,
+        | COUNT(*) AS n_supp,
+        | CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q35_pivot_regions" ->
+      """SELECT c_mktsegment,
+        | COUNT(CASE WHEN r_name = 'AFRICA' THEN 1 END) AS n_africa,
+        | COUNT(CASE WHEN r_name = 'AMERICA' THEN 1 END) AS n_america,
+        | COUNT(CASE WHEN r_name = 'ASIA' THEN 1 END) AS n_asia,
+        | COUNT(CASE WHEN r_name = 'EUROPE' THEN 1 END) AS n_europe,
+        | COUNT(CASE WHEN r_name = 'MIDDLE EAST' THEN 1 END) AS n_middle_east
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q36_date_arith" ->
+      """SELECT o_orderkey,
+        | date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
+        | CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        | CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0
+        |FROM orders""".stripMargin)
 }

@@ -94,6 +94,13 @@ class ConfigSpec extends AnyFunSpec {
       assert(err.contains("recordLimit"))
     }
 
+    it("decodes the optional snowplow lifecycle section") {
+      val withSp = sample.replace("\"metrics\": {",
+        "\"snowplow\": { \"appId\": \"angry-birds\", \"path\": \"/tmp/track.jsonl\" },\n    \"metrics\": {")
+      val c = PipelineConfig.fromString(withSp).fold(e => fail(e), identity)
+      assert(c.monitoring.flatMap(_.snowplow).contains(SnowplowConfig("angry-birds", "/tmp/track.jsonl")))
+    }
+
     it("substitutes environment variables like ConfigFactory.resolve") {
       val path = sys.env.get("PATH")
       assume(path.nonEmpty)
