@@ -38,7 +38,9 @@ object Multimodal {
     StructField("byte_min", IntegerType, nullable = false),
     StructField("byte_max", IntegerType, nullable = false),
     StructField("n_pixels", LongType, nullable = true),
-    StructField("frames_sampled", IntegerType, nullable = true)))
+    StructField("frames_sampled", IntegerType, nullable = true),
+    StructField("resized_w", IntegerType, nullable = true),
+    StructField("resized_h", IntegerType, nullable = true)))
 
   /** STUB codec — deterministic fake in place of a real decoder. */
   object FakeCodec {
@@ -64,6 +66,12 @@ object Multimodal {
       * the metadata, the real version would seek the container. */
     def sampleFrames(nFrames: Int, everyK: Int, cap: Int): Int =
       math.min(cap, if (nFrames <= 0) 0 else (nFrames + everyK - 1) / everyK)
+
+    /** "Resize" to a target width preserving aspect ratio (floor
+      * division, min height 1) — the real version would rescale pixels.
+      */
+    def resizeDims(width: Int, height: Int, targetW: Int): (Int, Int) =
+      (targetW, math.max(1, height * targetW / width))
   }
 
   /** Per-partition batched feature extraction over the binary payloads.
@@ -71,7 +79,8 @@ object Multimodal {
     * codec/library initialization per partition — the standard shape for
     * native-lib media work in Spark; payload bytes never hit the driver.
     */
-  def decodeFeatures(media: DataFrame, frameEveryK: Int = 10, frameCap: Int = 16): DataFrame = {
+  def decodeFeatures(media: DataFrame, frameEveryK: Int = 10, frameCap: Int = 16,
+                     resizeTargetW: Int = 32): DataFrame = {
     val spark = media.sparkSession
     val rows: Dataset[Row] = media.select("media_id", "kind", "payload", "meta.width", "meta.height", "meta.n_frames")
     val out = rows.queryExecution.toRdd.mapPartitions { it =>
@@ -89,7 +98,13 @@ object Multimodal {
           case "video" => nFrames.map(f => FakeCodec.sampleFrames(f, frameEveryK, frameCap))
           case _       => None
         }
-        Row(mediaId, kind, n, sum, mn, mx, nPixels.orNull, sampled.orNull)
+        val resized = kind match {
+          case "image" =>
+            for (w <- width; h <- height if w > 0) yield FakeCodec.resizeDims(w, h, resizeTargetW)
+          case _ => None
+        }
+        Row(mediaId, kind, n, sum, mn, mx, nPixels.orNull, sampled.orNull,
+          resized.map(_._1).orNull, resized.map(_._2).orNull)
       }
     }
     spark.createDataFrame(out, featureSchema)

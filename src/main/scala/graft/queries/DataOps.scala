@@ -248,8 +248,8 @@ object DataOps extends QueryModule {
     import graft.operators.Multimodal
     Multimodal.decodeFeatures(Multimodal.syntheticMedia(docs(s, dir)))
       .select(col("media_id"), col("kind"), col("n_bytes"), col("byte_sum"),
-        col("byte_min"), col("byte_max"), col("n_pixels"), col("frames_sampled"))
-      
+        col("byte_min"), col("byte_max"), col("n_pixels"), col("frames_sampled"),
+        col("resized_w"), col("resized_h"))
   }
 
   private val q29Oracle: String =
@@ -261,7 +261,11 @@ object DataOps extends QueryModule {
       | list_max(list_transform(string_split(text, ''), c -> ascii(c))) AS byte_max,
       | CAST((n_chars % 64 + 1) * (n_chars % 48 + 1) AS BIGINT) AS n_pixels,
       | CASE WHEN doc_id % 3 = 2
-      |      THEN CAST(least(16, (n_chars % 100 + 1 + 9) // 10) AS INTEGER) END AS frames_sampled
+      |      THEN CAST(least(16, (n_chars % 100 + 1 + 9) // 10) AS INTEGER) END AS frames_sampled,
+      | CASE WHEN doc_id % 3 = 0 THEN CAST(32 AS INTEGER) END AS resized_w,
+      | CASE WHEN doc_id % 3 = 0
+      |      THEN CAST(greatest(1, ((n_chars % 48 + 1) * 32) // (n_chars % 64 + 1)) AS INTEGER)
+      |      END AS resized_h
       |FROM documents ORDER BY media_id""".stripMargin
 
   // ---- registry --------------------------------------------------------

@@ -106,6 +106,29 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  describe("Pipeline.runOnce (scalable naming mode)") {
+    it("exactNaming=false writes the same content without the coalesce/rename") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        import spark.implicits._
+        val lines = (1 to 40).map(i => s"$i\tapp\tweb\t2020-11-26 00:01:05\tu$i")
+        lines.toDF("value").repartition(4).write.text(s"$work/in")
+
+        val result = Pipeline.runOnce(spark, config(work, Purpose.Raw, dateFormat = None),
+          checkpointDir = Some(s"$work/checkpoint"), exactNaming = false,
+          now = Some(Instant.parse("2021-04-30T12:00:00Z")))
+        assert(result.batches.map(_.count).sum == 40)
+
+        val files = listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+        // parallel naming: one file per writer task, each still
+        // seq-range-named with a part suffix when multiple
+        assert(files.nonEmpty)
+        val contents = files.flatMap(f => s"gunzip -c ${f.getAbsolutePath}".!!.split("\n", -1).dropRight(1))
+        assert(contents.sorted.toSeq == lines.sorted)
+      }
+    }
+  }
+
   describe("Emitter bad-row channel") {
     it("routes upstream-failed records to the dead letter dir as GenericError JSON") {
       withTempDir { tmp =>
