@@ -32,6 +32,20 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a<b) pairs with
+    * cosine ≥ threshold. Small corpora broadcast one side (no shuffle);
+    * at cluster scale the candidate generation swaps to LSH/IVF
+    * bucketing (see [[ivfTopK]]) with this as the in-bucket verifier.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", VectorFns.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("sim_r"))
+  }
+
   /** Nearest-centroid assignment (ties → lowest centroid id). */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))

@@ -162,8 +162,10 @@ object DataOps extends QueryModule {
       size(array_distinct(toks)).cast("long").as("n_distinct"),
       round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("ttr"),
       size(filter(toks, t => array_contains(stopArr, t))).cast("long").as("stop_hits"),
-      round(length(col("text")).cast("double") / size(toks), 6).as("avg_tok_len"))
-      
+      round(length(col("text")).cast("double") / size(toks), 6).as("avg_tok_len"),
+      // BPE-ish subword segmentation: letter runs, digit runs, other
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("long").as("n_subtok"))
   }
 
   private val q26Oracle: String = {
@@ -174,7 +176,8 @@ object DataOps extends QueryModule {
        | len(list_distinct(string_split(text, ' '))) AS n_distinct,
        | round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6) AS ttr,
        | len(list_filter(string_split(text, ' '), t -> list_contains($stops, t))) AS stop_hits,
-       | round(LENGTH(text) / len(string_split(text, ' ')), 6) AS avg_tok_len
+       | round(LENGTH(text) / len(string_split(text, ' ')), 6) AS avg_tok_len,
+       | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_subtok
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
@@ -268,6 +271,46 @@ object DataOps extends QueryModule {
       |      END AS resized_h
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- q37: embedding-cosine near-dup ----------------------------------
+
+  /** Embedding-space near-duplicates (the dedup family's fourth member
+    * next to exact/Jaccard/MinHash): pairs with cosine ≥ 0.45 — the test
+    * embeddings are well-separated random vectors, so the threshold sits
+    * at the top of the observed similarity range.
+    */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.45)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private val q37Oracle: String = {
+    val cos = VectorFns.cosineSql("a.embedding", "b.embedding")
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 6) AS sim_r
+       |FROM embeddings a, embeddings b
+       |WHERE a.vec_id < b.vec_id AND $cos >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  // ---- q38: rolling-hash document fingerprint --------------------------
+
+  /** Karp–Rabin rolling hash over the character stream (mod 1e9+7,
+    * base 257): content fingerprint cheaper than md5 to maintain
+    * incrementally. The char array is projected before the fold so the
+    * split runs once per row.
+    */
+  def rollingHash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), "").as("chars"))
+      .select(col("doc_id"),
+        aggregate(transform(col("chars"), c => ascii(c).cast("long")),
+          lit(0L), (acc, x) => (acc * 257 + x) % 1000000007L).as("rhash"))
+
+  private val q38Oracle: String =
+    """SELECT doc_id,
+      | list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+      |   (a, b) -> (a * 257 + b) % 1000000007) AS rhash
+      |FROM documents""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -279,7 +322,9 @@ object DataOps extends QueryModule {
     "q26_text_quality" -> (textQuality _),
     "q27_langid" -> (langId _),
     "q28_simhash" -> (simhashFp _),
-    "q29_multimodal" -> (multimodal _))
+    "q29_multimodal" -> (multimodal _),
+    "q37_embed_neardup" -> (embedNearDup _),
+    "q38_rolling_hash" -> (rollingHash _))
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Oracle,
@@ -290,5 +335,7 @@ object DataOps extends QueryModule {
     "q26_text_quality" -> q26Oracle,
     "q27_langid" -> q27Oracle,
     "q28_simhash" -> q28Oracle,
-    "q29_multimodal" -> q29Oracle)
+    "q29_multimodal" -> q29Oracle,
+    "q37_embed_neardup" -> q37Oracle,
+    "q38_rolling_hash" -> q38Oracle)
 }
