@@ -17,7 +17,13 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd single-pass cosine (see CosineSimilarity for why not the
+    * higher-order-function composition). */
+  def cosine(a: Column, b: Column): Column = graft.catalyst.CosineSimilarity(a, b)
+
+  /** The composed higher-order-function form, kept for cross-checking
+    * the custom expression in tests. */
+  def cosineComposed(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** DuckDB counterpart used in oracles. */
   def cosineSql(a: String, b: String): String =

@@ -38,7 +38,10 @@ object Similarity {
     * bucketing (see [[ivfTopK]]) with this as the in-bucket verifier.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    // repartition: a single-file corpus would run the O(n²) compare on
+    // one task; the nested-loop pair scan parallelizes per left row
+    val a = corpus.repartition(col("vec_id"))
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", VectorFns.cosine(col("ea"), col("eb")))

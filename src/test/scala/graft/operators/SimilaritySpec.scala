@@ -28,6 +28,32 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  describe("CosineSimilarity expression vs composed form") {
+    it("matches the zip_with/aggregate composition bit-for-bit") {
+      val pairs = vectors.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+        .crossJoin(vectors.select(col("vec_id").as("idb"), col("embedding").as("eb")))
+      val diff = pairs.select(
+        VectorFns.cosine(col("ea"), col("eb")).as("fast"),
+        VectorFns.cosineComposed(col("ea"), col("eb")).as("slow"))
+        .filter(col("fast") =!= col("slow"))
+      assert(diff.count() == 0)
+    }
+
+    it("returns null on length mismatch and null elements") {
+      val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+      assert(df.select(VectorFns.cosine(col("a"), col("b"))).head().isNullAt(0))
+    }
+  }
+
+  describe("Similarity.cosineNearDupPairs") {
+    it("finds exactly the above-threshold pairs") {
+      val pairs = Similarity.cosineNearDupPairs(vectors, threshold = 0.99)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      // cos(1,4)=0.991 also clears 0.99 — three near-dup pairs
+      assert(pairs == Set((0L, 1L), (1L, 4L), (2L, 3L)))
+    }
+  }
+
   describe("Similarity.bruteTopK") {
     it("ranks the same-cluster vectors first and excludes self") {
       val res = Similarity.bruteTopK(vectors, vectors.filter(col("vec_id") === 0), k = 2)
