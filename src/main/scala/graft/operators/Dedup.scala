@@ -70,7 +70,12 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
                    threshold: Double, w: Int = 3): DataFrame = {
-    val sets = shingled(docs, id, text, w)
+    // The shingle table feeds four plan branches (df count, prefix
+    // grouping, both verify sides); a lazy local checkpoint materializes
+    // it once per action instead of re-tokenizing per branch. At
+    // warehouse scale this is where a persisted shingle/postings table
+    // would slot in.
+    val sets = shingled(docs, id, text, w).localCheckpoint(false)
     val post = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val df = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
 
