@@ -123,13 +123,23 @@ object Dedup {
           |                b.doc_id AS doc_b, b.n AS nb))))""".stripMargin)).as("p"))
       .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
 
-  /** MinHash signatures: for each doc, sig_i = min over shingles of
-    * perm_i(hash60(shingle)), i < numPerms. ONE md5 per posting row plus
-    * numPerms cheap modular permutations, aggregated as numPerms
-    * min-aggregates — one shuffle, no seed-explosion, partial+final agg.
+  /** MinHash signatures via the single-pass MinHashSignature expression:
+    * a NARROW projection — no posting explode, no shuffle (the signature
+    * is a per-doc scalar, not an aggregate). Output schema keeps one
+    * sig_i column per permutation.
     */
   def minhashSignatures(docs: DataFrame, id: Column, text: Column,
                         numPerms: Int, w: Int = 3): DataFrame = {
+    val sigs = shingled(docs, id, text, w)
+      .select(col("doc_id"), graft.catalyst.MinHashSignature(col("sh"), numPerms).as("sig"))
+    val cols = (0 until numPerms).map(i => element_at(col("sig"), i + 1).as(s"sig$i"))
+    sigs.select(col("doc_id") +: cols: _*)
+  }
+
+  /** The explode + numPerms·min-aggregate formulation, kept for
+    * cross-checking the expression in tests. */
+  private[operators] def minhashSignaturesAgg(docs: DataFrame, id: Column, text: Column,
+                                              numPerms: Int, w: Int = 3): DataFrame = {
     val post = shingled(docs, id, text, w)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), TextFns.hash60(col("shingle")).as("h"))

@@ -50,6 +50,14 @@ class DedupSpec extends SparkSpec {
       assert(found == Set((1L, 2L), (4L, 6L)))
     }
 
+    it("single-pass signature expression matches the explode+agg formulation") {
+      val fast = Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), numPerms = 8)
+        .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+      val slow = Dedup.minhashSignaturesAgg(corpus, col("doc_id"), col("text"), numPerms = 8)
+        .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+      assert(fast == slow)
+    }
+
     it("signatures are permutation-invariant fingerprints: equal sets, equal sigs") {
       val sigs = Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), numPerms = 8)
         .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
