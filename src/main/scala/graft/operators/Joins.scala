@@ -31,4 +31,69 @@ object Joins {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Range (interval) join: rows of `points` whose `pointCol` lies in
+    * `[loCol, hiCol]` of `intervals` — WITHOUT the cartesian product a
+    * plain `BETWEEN` join plans. Both sides bucketize onto fixed-width
+    * bins (intervals explode across every bin they overlap), the join is
+    * an equi-join on the bin, and the exact `BETWEEN` filter prunes
+    * bin-edge false positives. Shuffles only on the bin key; bin width
+    * trades replication (wide intervals → many bins) against bucket
+    * size.
+    */
+  def rangeJoin(points: DataFrame, pointCol: Column,
+                intervals: DataFrame, loCol: Column, hiCol: Column,
+                binSize: Double): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    val pb = points.withColumn("__bin", floor(pointCol / binSize).cast("long"))
+    val ib = intervals.withColumn("__bin",
+      explode(sequence(floor(loCol / binSize).cast("long"), floor(hiCol / binSize).cast("long"))))
+    pb.join(ib, Seq("__bin"))
+      .filter(pointCol >= loCol && pointCol <= hiCol)
+      .drop("__bin")
+  }
+
+  /** As-of (point-in-time) join: for every left row, the single latest
+    * right row with `rightTs <= leftTs` within the same `key` — the
+    * time-series lookup DuckDB spells `ASOF JOIN`. One shuffle on the
+    * key via the union + running-`last` window formulation (no
+    * per-left-row probe, no range self-join):
+    * union both sides tagged, sort within key by (ts, side) so a right
+    * row at the same instant precedes the left row, carry the last seen
+    * right payload forward, keep left rows.
+    *
+    * `rightPayload` columns are emitted nullable (no earlier right row →
+    * null), like an ASOF LEFT JOIN.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String,
+               rightPayload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          right.select(rightPayload.map(col).toIndexedSeq: _*).schema.fields.toIndexedSeq)))
+    val r = right
+      .select((key +: rightTs +: rightPayload).distinct.map(col).toIndexedSeq: _*)
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", struct(rightPayload.map(col).toIndexedSeq: _*))
+    val lAligned = l.select(col(key), col("__ts"), col("__side"), col("__payload"),
+      struct(leftCols.map(col).toIndexedSeq: _*).as("__left"))
+    val rAligned = r.select(col(key), col("__ts"), col("__side"), col("__payload"),
+      lit(null).cast(lAligned.schema("__left").dataType).as("__left"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val joined = lAligned.unionByName(rAligned)
+      .withColumn("__match", last(when(col("__side") === 0, col("__payload")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+
+    val outLeft = leftCols.map(c => col(s"__left.$c").as(c))
+    val outRight = rightPayload.map(c => col(s"__match.$c").as(s"asof_$c"))
+    joined.select((outLeft ++ outRight).toIndexedSeq: _*)
+  }
 }

@@ -311,6 +311,55 @@ object DataOps extends QueryModule {
       |   (a, b) -> (a * 257 + b) % 1000000007) AS rhash
       |FROM documents""".stripMargin
 
+  // ---- q39/q40: range join + as-of join --------------------------------
+
+  /** Binned range join: ±0.1% price intervals around a sample of orders
+    * against every order's price; per-interval match counts.
+    */
+  def rangeJoinCounts(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(s, dir, "orders")
+    val intervals = orders.filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey").as("ival_key"),
+        (col("o_totalprice") * 0.999).as("lo"),
+        (col("o_totalprice") * 1.001).as("hi"))
+    val points = orders.select(col("o_totalprice").as("price"))
+    graft.operators.Joins.rangeJoin(points, col("price"), intervals, col("lo"), col("hi"),
+      binSize = 1000.0)
+      .groupBy(col("ival_key"))
+      .agg(count(lit(1)).as("n_in_range"))
+      .orderBy(col("ival_key"))
+  }
+
+  private val q39Oracle: String =
+    """SELECT i.ival_key, COUNT(*) AS n_in_range
+      |FROM (SELECT o_orderkey AS ival_key, o_totalprice * 0.999 AS lo, o_totalprice * 1.001 AS hi
+      |      FROM orders WHERE o_orderkey < 500) i
+      |JOIN orders p ON p.o_totalprice BETWEEN i.lo AND i.hi
+      |GROUP BY i.ival_key ORDER BY i.ival_key""".stripMargin
+
+  /** As-of join: each purchase paired with the user's most recent click
+    * at-or-before the purchase instant. Oracle = DuckDB's native ASOF
+    * LEFT JOIN.
+    */
+  def asofClicks(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables(s, dir, "events")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+    graft.operators.Joins.asofJoin(purchases, clicks, key = "user_id",
+      leftTs = "ts", rightTs = "ts", rightPayload = Seq("click_id"))
+      .select(col("purchase_id"), col("user_id"), col("asof_click_id").as("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q40Oracle: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -324,7 +373,9 @@ object DataOps extends QueryModule {
     "q28_simhash" -> (simhashFp _),
     "q29_multimodal" -> (multimodal _),
     "q37_embed_neardup" -> (embedNearDup _),
-    "q38_rolling_hash" -> (rollingHash _))
+    "q38_rolling_hash" -> (rollingHash _),
+    "q39_range_join" -> (rangeJoinCounts _),
+    "q40_asof_join" -> (asofClicks _))
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Oracle,
@@ -337,5 +388,7 @@ object DataOps extends QueryModule {
     "q28_simhash" -> q28Oracle,
     "q29_multimodal" -> q29Oracle,
     "q37_embed_neardup" -> q37Oracle,
-    "q38_rolling_hash" -> q38Oracle)
+    "q38_rolling_hash" -> q38Oracle,
+    "q39_range_join" -> q39Oracle,
+    "q40_asof_join" -> q40Oracle)
 }

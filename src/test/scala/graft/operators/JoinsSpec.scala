@@ -30,4 +30,33 @@ class JoinsSpec extends SparkSpec {
       assert(r == Seq((1L, "a", "x")))
     }
   }
+
+  describe("Joins.rangeJoin") {
+    it("matches a brute-force BETWEEN join including bin-edge cases") {
+      val points = (0 to 100).map(_.toDouble).toDF("p")
+      val intervals = Seq((1L, 0.0, 10.0), (2L, 9.5, 10.5), (3L, 99.9, 200.0), (4L, 50.0, 50.0))
+        .toDF("k", "lo", "hi")
+      val brute = points.crossJoin(intervals)
+        .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("k", "p").as[(Long, Double)].collect().sorted.toSeq
+      val binned = Joins.rangeJoin(points, col("p"), intervals, col("lo"), col("hi"), binSize = 7.0)
+        .select("k", "p").as[(Long, Double)].collect().sorted.toSeq
+      assert(binned == brute)
+      assert(binned.contains((4L, 50.0))) // degenerate point interval
+    }
+  }
+
+  describe("Joins.asofJoin") {
+    it("picks the latest right row at-or-before each left row per key") {
+      val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
+        .toDF("k", "ts", "trade")
+      val quotes = Seq((1L, 8L, "q8"), (1L, 10L, "q10"), (1L, 15L, "q15"), (2L, 9L, "q9"))
+        .toDF("k", "ts", "quote")
+      val r = Joins.asofJoin(trades, quotes, "k", "ts", "ts", Seq("quote"))
+        .select("trade", "asof_quote").as[(String, Option[String])].collect().toMap
+      assert(r("t1").contains("q10")) // equal timestamps match (>=)
+      assert(r("t2").contains("q15"))
+      assert(r("t3").isEmpty)         // no quote at-or-before ts=5 for key 2
+    }
+  }
 }
