@@ -258,6 +258,19 @@ object Relational extends QueryModule {
       last_day(col("o_orderdate")).cast(TimestampType).as("month_end"),
       (dayofweek(col("o_orderdate")) - 1).cast(LongType).as("dow_sun0"))
 
+  /** Ordered-set aggregates: exact interpolated percentiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`).
+    */
+  def pricePercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        expr("percentile(o_totalprice, 0.99)").as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_top_orders" -> (topOrders _),
@@ -277,7 +290,8 @@ object Relational extends QueryModule {
     "q16_events_meta" -> (eventsMeta _),
     "q34_supplier_cube" -> (supplierCube _),
     "q35_pivot_regions" -> (pivotRegions _),
-    "q36_date_arith" -> (dateArith _))
+    "q36_date_arith" -> (dateArith _),
+    "q41_percentiles" -> (pricePercentiles _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -416,5 +430,12 @@ object Relational extends QueryModule {
         | CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS TIMESTAMP) AS due_date,
         | CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
         | CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+    "q41_percentiles" ->
+      """SELECT o_orderpriority,
+        | quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90,
+        | quantile_cont(o_totalprice, 0.99) AS p99,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }
