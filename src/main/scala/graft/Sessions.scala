@@ -25,6 +25,12 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // RocksDB-backed streaming state: state lives off-heap/on-disk so
+      // watermark-bounded operators (windows, sessions, dedup) survive
+      // state sizes far beyond executor heap — the 100 TB shape. The
+      // HDFS-default provider keeps every key on-heap.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

@@ -11,7 +11,12 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Developer tooling: SPARK_GRAFT_ONLY=q30,q32 restricts the dump to a
+    // comma-separated prefix-match subset (unset in the driver's run).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith)) }
+    selected.foreach { case (name, fn) =>
       // No coalesce(1): full-table-sized results (q04/q09/q14/q15) would
       // serialize through one task — an OOM risk at scale. DuckDB/pandas
       // read multi-file parquet directories fine; the driver sorts rows

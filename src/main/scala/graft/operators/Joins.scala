@@ -77,6 +77,7 @@ object Joins {
           right.select(rightPayload.map(col).toIndexedSeq: _*).schema.fields.toIndexedSeq)))
     val r = right
       .select((key +: rightTs +: rightPayload).distinct.map(col).toIndexedSeq: _*)
+      .filter(col(rightTs).isNotNull) // ASOF never matches a NULL-ts right row
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
       .withColumn("__payload", struct(rightPayload.map(col).toIndexedSeq: _*))

@@ -22,9 +22,27 @@ final class Lifecycle(
   private val stopped = new AtomicBoolean(false)
   private var heartbeatThread: Option[Thread] = None
 
+  /** JSON string escape per RFC 8259: backslash, quote, and control
+    * chars — `storageWriteFailed` feeds exception messages that may
+    * contain any of them, and a tracking line must stay one valid JSON
+    * object. */
+  private def jsonEscape(v: String): String = {
+    val sb = new StringBuilder(v.length + 8)
+    v.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.toString
+  }
+
   private def event(name: String, data: Map[String, String]): String = {
     val dataJson = (data + ("applicationName" -> appId))
-      .map { case (k, v) => s""""$k":"${v.replace("\"", "\\\"")}"""" }
+      .map { case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}"""" }
       .mkString("{", ",", s""","tstamp":"${clock()}"}""")
     s"""{"schema":"iglu:com.graft/$name/jsonschema/1-0-0","data":$dataJson}"""
   }

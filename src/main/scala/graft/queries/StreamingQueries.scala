@@ -17,6 +17,23 @@ case class UserState(n: Long, sumCents: Long, maxValue: Double)
   * custom state via mapGroupsWithState. Each runs a real streaming query
   * (AvailableNow over the events parquet as a file-stream) into a memory
   * sink, then reduces to a deterministic frame the DuckDB oracle checks.
+  *
+  * Two shapes per windowed aggregation:
+  *  - Complete-mode drain (q30/q31): emits every window including the
+  *    trailing one the watermark never closes under AvailableNow — the
+  *    batch-equivalence harness shape.
+  *  - Append-mode (q42/q43): the PRODUCTION shape — windows are emitted
+  *    exactly once when the watermark passes their end, state is evicted,
+  *    and the sink sees only closed windows. This is what runs unbounded
+  *    at 100 TB; the oracle pins the closed-window set (everything except
+  *    windows still inside the final watermark).
+  *
+  * Every stateful operator here is state-bounded: watermarked windows and
+  * sessions evict on close, q32's dedup uses dropDuplicatesWithinWatermark
+  * (state = keys inside the watermark delay, not all keys ever seen), and
+  * q33's per-user state is bounded by user cardinality. The state store is
+  * RocksDB (Sessions.builder) so state lives off-heap/on-disk at scale
+  * instead of in executor heap.
   */
 object StreamingQueries extends QueryModule {
 
@@ -58,10 +75,11 @@ object StreamingQueries extends QueryModule {
   /** Daily tumbling windows per event type with a 1-hour watermark.
     * Complete output mode so the trailing window (which the watermark
     * never closes under AvailableNow) is still emitted — the standard
-    * batch-drain pattern.
+    * batch-drain pattern. Production shape: [[windowedAggAppend]] (q42).
     */
   def windowedAgg(s: SparkSession, dir: String): DataFrame = {
     val windows = eventsStream(s, dir)
+      .select(col("ts"), col("event_type"), col("value"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -75,14 +93,44 @@ object StreamingQueries extends QueryModule {
       | CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  // ---- q42: tumbling windows, Append mode (production shape) -----------
+
+  /** Same daily windows as q30 but Append output: each window is emitted
+    * exactly once when the watermark (max event time − 1 h) passes its
+    * end, and its state is evicted — the unbounded-stream production
+    * shape. Under AvailableNow the final no-data micro-batch advances the
+    * watermark to max(ts) − 1 h, so every window except the still-open
+    * tail is emitted; the oracle pins exactly that closed-window set.
+    */
+  def windowedAggAppend(s: SparkSession, dir: String): DataFrame = {
+    val windows = eventsStream(s, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    drain(s, windows, OutputMode.Append())
+      .select(col("w.start").as("day"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val q42Oracle: String =
+    """WITH wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+      |SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   // ---- q31: session windows --------------------------------------------
 
   /** 30-minute-gap session windows per user (session extends while the
     * next event arrives strictly within the gap), reduced to per-user
-    * session stats. Oracle = gaps-and-islands SQL.
+    * session stats. Oracle = gaps-and-islands SQL. Production shape:
+    * [[sessionWindowsAppend]] (q43).
     */
   def sessionWindows(s: SparkSession, dir: String): DataFrame = {
     val sessions = eventsStream(s, dir)
+      .select(col("ts"), col("user_id"))
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
       .agg(count(lit(1)).as("n"))
@@ -107,18 +155,63 @@ object StreamingQueries extends QueryModule {
       |  MAX(n) AS max_session
       |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- q43: session windows, Append mode (production shape) ------------
+
+  /** Session windows emitted once closed: a session [first, last+30 min)
+    * is emitted when the watermark passes its end (no event can extend it
+    * any more) and its state is evicted. The oracle recomputes sessions
+    * with gaps-and-islands SQL and keeps those whose end ≤ final
+    * watermark (max(ts) − 1 h).
+    */
+  def sessionWindowsAppend(s: SparkSession, dir: String): DataFrame = {
+    val sessions = eventsStream(s, dir)
+      .select(col("ts"), col("user_id"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    drain(s, sessions, OutputMode.Append())
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"), max(col("n")).as("max_session"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q43Oracle: String =
+    """WITH x AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |y AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x),
+      |sess AS (SELECT user_id, sid, COUNT(*) AS n, MAX(ts) AS last_ts
+      |         FROM y GROUP BY 1, 2),
+      |wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM events)
+      |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  MAX(n) AS max_session
+      |FROM sess WHERE last_ts + INTERVAL 30 MINUTE <= (SELECT w FROM wm)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- q32: streaming dedup state --------------------------------------
 
-  /** `dropDuplicates` over a stream (state-store-backed): first
-    * (user_id, event_type) occurrence survives → per-type distinct-user
-    * counts.
+  /** Watermark-bounded streaming dedup: first (user_id, event_type)
+    * occurrence inside the watermark horizon survives. State holds only
+    * keys younger than the watermark delay (dropDuplicatesWithinWatermark
+    * evicts on advance) — bounded at 100 TB, unlike plain
+    * `dropDuplicates` whose state grows with every key ever seen. The
+    * deduped stream drains in Append mode (a dedup emits rows
+    * immediately; only its state is watermark-scoped), then a batch
+    * aggregation reduces to per-type distinct-user counts.
     */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val deduped = eventsStream(s, dir)
-      .dropDuplicates("user_id", "event_type")
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    drain(s, deduped, OutputMode.Append())
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("users"))
-    drain(s, deduped, OutputMode.Complete())
       .orderBy(col("event_type"))
   }
 
@@ -174,11 +267,15 @@ object StreamingQueries extends QueryModule {
     "q30_stream_window" -> (windowedAgg _),
     "q31_session_window" -> (sessionWindows _),
     "q32_stream_dedup" -> (streamDedup _),
-    "q33_stateful" -> (statefulUserStats _))
+    "q33_stateful" -> (statefulUserStats _),
+    "q42_stream_window_append" -> (windowedAggAppend _),
+    "q43_session_append" -> (sessionWindowsAppend _))
 
   val oracles: Map[String, String] = Map(
     "q30_stream_window" -> q30Oracle,
     "q31_session_window" -> q31Oracle,
     "q32_stream_dedup" -> q32Oracle,
-    "q33_stateful" -> q33Oracle)
+    "q33_stateful" -> q33Oracle,
+    "q42_stream_window_append" -> q42Oracle,
+    "q43_session_append" -> q43Oracle)
 }
