@@ -69,7 +69,8 @@ object Dedup {
     * key-partitioned, no cartesian anywhere.
     */
   def nearDupPairs(docs: DataFrame, id: Column, text: Column,
-                   threshold: Double, w: Int = 3): DataFrame = {
+                   threshold: Double, w: Int = 3,
+                   maxBucket: Int = Int.MaxValue): DataFrame = {
     // The shingle table feeds four plan branches (df count, prefix
     // grouping, both verify sides); a lazy local checkpoint materializes
     // it once per action instead of re-tokenizing per branch. At
@@ -98,7 +99,8 @@ object Dedup {
     // Prefix postings are rare-by-construction, so buckets stay small.
     val candidates = pairsFromBuckets(
       prefix.groupBy(col("shingle"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds")))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds")),
+      maxBucket)
       .filter(least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
@@ -108,13 +110,24 @@ object Dedup {
 
   /** Expand a bucket's sorted member array into its (i<j) pairs with a
     * nested array transform — no self-join, no recomputation of the
-    * bucket input. Buckets with one member vanish; giant buckets are
-    * the caller's skew concern (prefix rarity / LSH banding keeps them
-    * small; a production cap would drop pathological buckets
-    * explicitly).
+    * bucket input. Buckets with one member vanish.
+    *
+    * `maxBucket` is the hot-bucket production cap: a bucket with more
+    * than `maxBucket` members contributes NO pairs (a pathological
+    * shingle/band key would otherwise expand quadratically and wedge one
+    * reducer). Dropped work is not silent — the `observe` metrics
+    * (`n_buckets` / `dropped_buckets` / `max_bucket`) surface the drop
+    * count to any QueryExecutionListener, the engine's logging seam.
+    * Callers that need EXACT results keep the default no-drop cap.
     */
-  private def pairsFromBuckets(buckets: DataFrame): DataFrame =
-    buckets.filter(size(col("ds")) > 1)
+  private[operators] def pairsFromBuckets(buckets: DataFrame,
+                                          maxBucket: Int = Int.MaxValue): DataFrame =
+    buckets
+      .observe("bucket_stats",
+        count(lit(1)).as("n_buckets"),
+        sum(when(size(col("ds")) > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
+        max(size(col("ds"))).as("max_bucket"))
+      .filter(size(col("ds")) > 1 && size(col("ds")) <= maxBucket)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ds) - 2),
           |  i -> transform(slice(ds, i + 2, size(ds) - i - 1),
@@ -153,7 +166,8 @@ object Dedup {
     * candidates. Bucket-grouped on (band, key) and pair-expanded in the
     * array — never all-pairs, and the signature plan runs once.
     */
-  def lshCandidates(signatures: DataFrame, numPerms: Int, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(signatures: DataFrame, numPerms: Int, rowsPerBand: Int,
+                    maxBucket: Int = 100000): DataFrame = {
     val numBands = numPerms / rowsPerBand
     val bands = array((0 until numBands).map { bnd =>
       struct(lit(bnd).as("band"),
@@ -164,7 +178,8 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"), lit(0L).as("n"))
     pairsFromBuckets(
       exploded.groupBy(col("band"), col("key"))
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds")))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds")),
+      maxBucket)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
   }
@@ -176,10 +191,10 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, id: Column, text: Column,
                       threshold: Double, numPerms: Int = 16, rowsPerBand: Int = 4,
-                      w: Int = 3): DataFrame = {
+                      w: Int = 3, maxBucket: Int = 100000): DataFrame = {
     val sets = shingled(docs, id, text, w)
     val sigs = minhashSignatures(docs, id, text, numPerms, w)
-    val candidates = lshCandidates(sigs, numPerms, rowsPerBand)
+    val candidates = lshCandidates(sigs, numPerms, rowsPerBand, maxBucket)
     verifyJaccard(candidates, sets, threshold)
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFns
 
-/** Similarity search over an embedding column (`array<float>`).
+/** Similarity search over an embedding column (`array<float|double>`).
   *
   * Scale shapes:
   *  - brute force: broadcast the (small) query set against the corpus —
@@ -17,6 +17,12 @@ import graft.functions.VectorFns
   *    pass + broadcast of centroids), search only the probe's bucket —
   *    the classic inverted-file ANN layout; corpus bucketing would be a
   *    materialized table at 100 TB, recomputed here for self-containment.
+  *  - all-pairs threshold search: two candidate generators with the same
+  *    verify stage — [[cosineNearDupPairs]] (EXACT: blocked equi-join,
+  *    for thresholds inside the corpus's similarity continuum where no
+  *    sublinear filter can be complete) and [[signLshNearDupPairs]]
+  *    (sign-LSH buckets, for true near-dup regimes where duplicates are
+  *    well-separated from the background and candidates ≪ all pairs).
   */
 object Similarity {
 
@@ -32,16 +38,57 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a<b) pairs with
-    * cosine ≥ threshold. Small corpora broadcast one side (no shuffle);
-    * at cluster scale the candidate generation swaps to LSH/IVF
-    * bucketing (see [[ivfTopK]]) with this as the in-bucket verifier.
+  /** EXACT embedding-cosine near-duplicate pairs — all unordered pairs
+    * with cosine ≥ threshold — via a BLOCKED pairwise equi-join, not a
+    * nested-loop cartesian.
+    *
+    * Exactness at an arbitrary threshold needs every pair compared when
+    * the threshold sits inside the corpus's similarity continuum (no
+    * bucketing filter can be complete there — see
+    * [[signLshNearDupPairs]] for the separated-duplicate regime). What
+    * CAN scale is the shape of the O(n²) compare: vectors hash into
+    * `numBlocks` id-blocks; side A replicates each vector to the block
+    * pairs (b, j≥b), side B to (i≤b, b); an equi-join on the packed
+    * block-pair key meets exactly the rows of each unordered block pair
+    * once. The join is a hash/sort-merge SHUFFLE join on the key — work
+    * spreads over `numBlocks·(numBlocks+1)/2` reducers, no broadcast of
+    * the corpus, no BroadcastNestedLoopJoin node, no driver involvement.
+    * Size `numBlocks` ≈ a few × cluster cores so one block pair
+    * ((n/numBlocks)² compares) fits a task.
+    *
+    * Each unordered pair appears exactly once: a cross-block pair meets
+    * only at key (min-block, max-block) with roles fixed by block order;
+    * a same-block pair meets at (b, b) where `ida < idb` keeps one
+    * orientation.
     */
-  def cosineNearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    // repartition: a single-file corpus would run the O(n²) compare on
-    // one task; the nested-loop pair scan parallelizes per left row
-    val a = corpus.repartition(col("vec_id"))
-      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double, numBlocks: Int = 16): DataFrame = {
+    require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
+    val nb = numBlocks.toLong
+    val base = corpus.select(col("vec_id"), col("embedding"),
+      pmod(xxhash64(col("vec_id")), lit(nb)).as("__blk"))
+    val a = base.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("__blk").as("ba"),
+        explode(sequence(col("__blk"), lit(nb - 1))).as("__hi"))
+      .withColumn("__bkey", col("ba") * nb + col("__hi"))
+      .drop("__hi")
+    val b = base.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("__blk").as("bb"),
+        explode(sequence(lit(0L), col("__blk"))).as("__lo"))
+      .withColumn("__bkey", col("__lo") * nb + col("bb"))
+      .drop("__lo")
+    a.join(b, "__bkey")
+      .filter(col("ba") =!= col("bb") || col("ida") < col("idb"))
+      .withColumn("cos_sim", VectorFns.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(least(col("ida"), col("idb")).as("vec_a"),
+        greatest(col("ida"), col("idb")).as("vec_b"),
+        round(col("cos_sim"), 6).as("sim_r"))
+  }
+
+  /** The broadcast nested-loop all-pairs form, kept ONLY as the spec
+    * cross-check oracle for [[cosineNearDupPairs]] /
+    * [[signLshNearDupPairs]] on test corpora. Never in a query path: the
+    * `vec_a < vec_b` predicate plans a cartesian. */
+  private[operators] def bruteCosinePairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", VectorFns.cosine(col("ea"), col("eb")))
@@ -49,16 +96,65 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("sim_r"))
   }
 
-  /** Nearest-centroid assignment (ties → lowest centroid id). */
+  /** Sign-LSH embedding near-duplicate pairs — the sublinear scale path
+    * for TRUE near-dup regimes (duplicates well-separated from the
+    * background, e.g. cosine ≥ 0.9 vs a ≤ 0.6 background): band keys
+    * from seeded random hyperplanes ([[graft.catalyst.HyperplaneBands]],
+    * one codegen'd pass, zero shuffle), bucket-grouped on (band, key)
+    * with pair expansion inside the bucket array, exact cosine verify
+    * only on candidates. Shuffles on the band key and the pair ids —
+    * never all-pairs.
+    *
+    * Recall is `1 − (1 − p^R)^B` with `p = 1 − θ/π`: at cosine 0.995
+    * (R=8, B=12) a true pair is missed with p ≈ 2e-8, while a random
+    * orthogonal pair becomes a candidate in ~4% of buckets — the filter
+    * that makes the all-pairs verify affordable. For thresholds inside
+    * the similarity continuum use [[cosineNearDupPairs]]: no LSH
+    * parameterization is simultaneously complete and selective there.
+    *
+    * `maxBucket` caps pathological buckets (degenerate embeddings, e.g.
+    * all-zero vectors hashing identically) with the drop count observed
+    * via `bucket_stats` — see [[Dedup.pairsFromBuckets]].
+    */
+  def signLshNearDupPairs(corpus: DataFrame, threshold: Double,
+                          numBands: Int = 12, rowsPerBand: Int = 8,
+                          seed: Long = 42L, maxBucket: Int = 100000): DataFrame = {
+    val keyed = corpus
+      .select(col("vec_id"),
+        posexplode(graft.catalyst.HyperplaneBands(col("embedding"), numBands, rowsPerBand, seed)))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("key"))
+    val candidates = Dedup.pairsFromBuckets(
+      keyed.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(struct(col("vec_id").as("doc_id"), lit(0L).as("n")))).as("ds")),
+      maxBucket)
+      .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+      .distinct()
+    candidates
+      .join(corpus.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(corpus.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("cos_sim", VectorFns.cosine(col("ea"), col("eb")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_sim"), 6).as("sim_r"))
+  }
+
+  /** Nearest-centroid assignment (ties → lowest centroid id) as a
+    * `max_by` aggregation: map-side partial agg (`partial_max_by`)
+    * collapses to one row per vector per partition BEFORE the shuffle,
+    * where the window row_number formulation exchanged and sorted every
+    * vector×centroid scored row. (The struct buffer keeps it a
+    * SortAggregate rather than HashAggregate; the partial step is the
+    * scale win.) Tie-break encoded in the ordering struct: higher csim
+    * wins, then lower centroid id (negated id under max). */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val c = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
-    val scored = vectors.select(col("vec_id"), col("embedding"))
+    vectors.select(col("vec_id"), col("embedding"))
       .join(broadcast(c))
       .withColumn("csim", VectorFns.cosine(col("embedding"), col("centroid")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("centroid_id").asc)
-    scored.withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding"), col("centroid_id")),
+        struct(col("csim"), (-col("centroid_id")).as("neg_id"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"), col("m.centroid_id").as("centroid_id"))
   }
 
   /** IVF-style ANN (nprobe=1): search only the query's centroid bucket.

@@ -274,9 +274,13 @@ object DataOps extends QueryModule {
   // ---- q37: embedding-cosine near-dup ----------------------------------
 
   /** Embedding-space near-duplicates (the dedup family's fourth member
-    * next to exact/Jaccard/MinHash): pairs with cosine ≥ 0.45 — the test
-    * embeddings are well-separated random vectors, so the threshold sits
-    * at the top of the observed similarity range.
+    * next to exact/Jaccard/MinHash): pairs with cosine ≥ 0.45. The test
+    * embeddings are random vectors whose pair similarities form a
+    * continuum straddling the threshold (0.4494 just below vs 0.4516
+    * just above at sf0.01) — no bucketing filter can be both complete
+    * and selective there, so this query uses the EXACT blocked pairwise
+    * equi-join. The separated-duplicate regime where LSH candidates do
+    * pay off is q44.
     */
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.45)
@@ -287,6 +291,40 @@ object DataOps extends QueryModule {
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 6) AS sim_r
        |FROM embeddings a, embeddings b
        |WHERE a.vec_id < b.vec_id AND $cos >= 0.45
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  // ---- q44: sign-LSH near-dup on planted duplicates --------------------
+
+  /** The sublinear near-dup path on a TRUE near-dup corpus: the
+    * embeddings table unioned with a perturbed copy of itself (dim 0
+    * shifted by +0.1 → planted pairs at cosine ≈ 0.995 vs a ≤ 0.61
+    * background). Sign-LSH banding generates candidates (~4% of pairs),
+    * exact cosine verifies — the oracle recomputes the full exact
+    * all-pairs answer, so a green run proves 100% recall on every
+    * planted pair plus zero false positives.
+    */
+  def lshNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = e.select((col("vec_id") + lit(100000L)).as("vec_id"),
+      concat(array(element_at(col("embedding"), 1) + lit(0.1)),
+        slice(col("embedding"), 2, 10000)).as("embedding"))
+    graft.operators.Similarity.signLshNearDupPairs(e.unionByName(planted), threshold = 0.9)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val q44Oracle: String = {
+    val cos = VectorFns.cosineSql("a.embedding", "b.embedding")
+    s"""WITH c2 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |    list_prepend(embedding[1] + CAST(0.1 AS DOUBLE), CAST(embedding[2:] AS DOUBLE[]))
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 6) AS sim_r
+       |FROM c2 a, c2 b
+       |WHERE a.vec_id < b.vec_id AND $cos >= 0.9
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
@@ -375,7 +413,8 @@ object DataOps extends QueryModule {
     "q37_embed_neardup" -> (embedNearDup _),
     "q38_rolling_hash" -> (rollingHash _),
     "q39_range_join" -> (rangeJoinCounts _),
-    "q40_asof_join" -> (asofClicks _))
+    "q40_asof_join" -> (asofClicks _),
+    "q44_lsh_neardup" -> (lshNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Oracle,
@@ -390,5 +429,6 @@ object DataOps extends QueryModule {
     "q37_embed_neardup" -> q37Oracle,
     "q38_rolling_hash" -> q38Oracle,
     "q39_range_join" -> q39Oracle,
-    "q40_asof_join" -> q40Oracle)
+    "q40_asof_join" -> q40Oracle,
+    "q44_lsh_neardup" -> q44Oracle)
 }

@@ -50,6 +50,26 @@ class DedupSpec extends SparkSpec {
       assert(found == Set((1L, 2L), (4L, 6L)))
     }
 
+    it("hot-bucket cap bounds pair expansion on an adversarial corpus") {
+      // 30 identical docs: every LSH bucket holds all 30 members, so the
+      // uncapped expansion is C(30,2)=435 candidate pairs per band.
+      val hot = (1 to 30).map(i => (i.toLong, "the exact same adversarial hot document text"))
+        .toDF("doc_id", "text")
+      val uncapped = Dedup.minhashNearDups(hot, col("doc_id"), col("text"), threshold = 0.9)
+      assert(uncapped.count() == 435)
+      // Cap below the bucket size: the hot bucket is dropped entirely —
+      // bounded work (and a recall loss the bucket_stats observation
+      // records), instead of a quadratic blow-up on one reducer.
+      val capped = Dedup.minhashNearDups(hot, col("doc_id"), col("text"), threshold = 0.9,
+        maxBucket = 10)
+      assert(capped.count() == 0)
+      // The normal corpus is unaffected by a production-sized cap.
+      val normal = Dedup.minhashNearDups(corpus, col("doc_id"), col("text"), threshold = 0.9,
+        maxBucket = 10)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(normal == Set((1L, 2L), (4L, 6L)))
+    }
+
     it("single-pass signature expression matches the explode+agg formulation") {
       val fast = Dedup.minhashSignatures(corpus, col("doc_id"), col("text"), numPerms = 8)
         .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap

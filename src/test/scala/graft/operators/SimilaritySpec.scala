@@ -16,6 +16,15 @@ class SimilaritySpec extends SparkSpec {
     (4L, Array(0.8f, 0.2f, 0.0f)))
     .toDF("vec_id", "embedding")
 
+  /** Deterministic random unit-ish vectors (fixed seed → reproducible). */
+  private def randomCorpus(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    val rows = (0 until n).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian()))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
   describe("VectorFns.cosine") {
     it("matches hand-computed values") {
       val sim = vectors.filter(col("vec_id") === 0)
@@ -45,12 +54,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  describe("Similarity.cosineNearDupPairs") {
+  describe("Similarity.cosineNearDupPairs (blocked exact)") {
     it("finds exactly the above-threshold pairs") {
       val pairs = Similarity.cosineNearDupPairs(vectors, threshold = 0.99)
         .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
       // cos(1,4)=0.991 also clears 0.99 — three near-dup pairs
       assert(pairs == Set((0L, 1L), (1L, 4L), (2L, 3L)))
+    }
+
+    it("equals the brute all-pairs result on a random corpus, for any block count") {
+      val corpus = randomCorpus(n = 120, dim = 8, seed = 7)
+      val brute = Similarity.bruteCosinePairs(corpus, threshold = 0.5)
+        .select("vec_a", "vec_b", "sim_r").as[(Long, Long, Double)].collect().toSet
+      assert(brute.nonEmpty) // threshold must bite for the proof to mean anything
+      for (nb <- Seq(1, 3, 16, 300)) {
+        val blocked = Similarity.cosineNearDupPairs(corpus, threshold = 0.5, numBlocks = nb)
+          .select("vec_a", "vec_b", "sim_r").as[(Long, Long, Double)].collect().toSet
+        assert(blocked == brute, s"numBlocks=$nb")
+      }
+    }
+
+    it("plans an equi-join — no cartesian / nested-loop node") {
+      val plan = Similarity.cosineNearDupPairs(vectors, threshold = 0.5)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
+    }
+  }
+
+  describe("Similarity.signLshNearDupPairs") {
+    it("recovers exactly the brute result on a separated near-dup corpus") {
+      // planted duplicates at cosine ~0.995 over an orthogonal-ish background
+      val base = randomCorpus(n = 150, dim = 16, seed = 11)
+      val planted = base.select((col("vec_id") + 10000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) + lit(0.05)),
+          slice(col("embedding"), 2, 1000)).as("embedding"))
+      val corpus = base.unionByName(planted)
+      val brute = Similarity.bruteCosinePairs(corpus, threshold = 0.9)
+        .select("vec_a", "vec_b", "sim_r").as[(Long, Long, Double)].collect().toSet
+      assert(brute.size >= 150) // every planted pair is above threshold
+      val lsh = Similarity.signLshNearDupPairs(corpus, threshold = 0.9)
+        .select("vec_a", "vec_b", "sim_r").as[(Long, Long, Double)].collect().toSet
+      assert(lsh == brute)
+    }
+
+    it("plans bucket joins — no cartesian / nested-loop node") {
+      val plan = Similarity.signLshNearDupPairs(vectors, threshold = 0.9)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     }
   }
 
@@ -76,6 +126,17 @@ class SimilaritySpec extends SparkSpec {
         vectors.filter(col("vec_id").isin(0L, 2L)), k = 3)
         .select("neighbor_id").as[Long].collect().toSet
       assert(res == Set(2L)) // only the other member of cluster {2,3}
+    }
+
+    it("argmax runs as a partial aggregation, not a window sort") {
+      // partial_max_by = map-side combine (one row per vector per
+      // partition crosses the shuffle); the old row_number window
+      // shuffled and sorted EVERY scored row. max_by's struct buffer
+      // keeps it a SortAggregate rather than HashAggregate — the partial
+      // step is the scale win either way.
+      val plan = Similarity.assign(vectors, vectors.filter(col("vec_id").isin(0L, 2L)))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("partial_max_by") && !plan.contains("Window"), plan)
     }
   }
 }
