@@ -116,6 +116,12 @@ object Emitter {
       val outRoot = stripScheme(config.output.s3.path)
       val staging = s"$outRoot/_staging/batch=$batchId"
 
+      // Serializer seam (reference S3Loader.scala:41-44): resolve the
+      // codec for the configured compression; unregistered → hard error
+      // (same failure the reference's startup serializer selection gives).
+      val codec = Serializers.resolve(config.output.s3.compression)
+        .fold(msg => throw new IllegalStateException(msg), identity)
+
       val toWrite = good.select(col("value"), col("row_type"))
       val arranged = if (exactNaming) toWrite.repartition(col("row_type")) else toWrite
 
@@ -129,9 +135,9 @@ object Emitter {
         arranged.write
           .mode(SaveMode.Overwrite)
           .partitionBy("row_type")
-          .option("compression", "gzip")
+          .option("compression", codec.codecValue)
           .text(staging)
-        commitStaged(spark, config.output.s3, staging, firstSeq, lastSeq, now)
+        commitStaged(spark, config.output.s3, staging, firstSeq, lastSeq, now, codec)
       }
 
       // Bad rows → GenericError JSON lines, dead-letter directory.
@@ -160,7 +166,8 @@ object Emitter {
     staging: String,
     firstSeq: String,
     lastSeq: String,
-    now: Instant): Seq[String] = {
+    now: Instant,
+    codec: Serializers.Codec): Seq[String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val stagingPath = new Path(staging)
     val fs = stagingPath.getFileSystem(conf)
@@ -183,11 +190,12 @@ object Emitter {
       parts.zipWithIndex.foreach { case (f, i) =>
         val key = DynamicPath.relativeKey(s3, firstSeq, lastSeq, partition, now)
         val suffix = if (parts.length > 1) f"-part$i%05d" else ""
-        val decorated = DynamicPath.decorateDirectoryWithTime(s"$key$suffix.gz", now)
+        val decorated = DynamicPath.decorateDirectoryWithTime(s"$key$suffix${codec.extension}", now)
         val dest = new Path(root, decorated)
         fs.mkdirs(dest.getParent)
         if (fs.exists(dest)) fs.delete(dest, false) // idempotent batch retry
         fs.rename(f.getPath, dest)
+        codec.postCommit.foreach(hook => hook(conf, dest))
         out += dest.toString
       }
     }

@@ -24,10 +24,14 @@ object Main {
             System.err.println(s"Configuration error: $err")
             sys.exit(1)
           case Right(config) =>
-            if (config.output.s3.compression == Compression.Lzo) {
-              System.err.println(
-                "LZO output requires the hadoop-lzo native codec, not present in this build; use GZIP (SURVEY §7.5.3)")
-              sys.exit(1)
+            // Startup serializer resolution (reference S3Loader.scala:41-44)
+            // through the plug-in registry: LZO becomes usable the moment
+            // an adapter registers its codec, with no change here.
+            Serializers.resolve(config.output.s3.compression) match {
+              case Left(msg) =>
+                System.err.println(msg)
+                sys.exit(1)
+              case Right(_) => ()
             }
             val spark = Sessions.local("graft-pipeline")
             try {

@@ -21,8 +21,8 @@ import graft.functions.Tstamps
   *     Spark source tasks + the streaming checkpoint dir (exactly-once
   *     file output, an upgrade over KCL at-least-once; SURVEY §2.2).
   *   - BasicMemoryBuffer byte/record/time flush limits (Config.scala:172)
-  *     → trigger interval (timeLimit) + `maxFilesPerTrigger` admission
-  *     (maxRecords); exact byte-limit flush is a documented divergence.
+  *     → trigger interval (timeLimit) + `maxBytesPerTrigger` admission
+  *     (byteLimit; see [[FileSource]] for the full mapping).
   *   - StatsD per-flush report (KinesisS3Emitter.scala:74-75) →
   *     `observe("meta", ...)` metrics read from each micro-batch's
   *     progress and forwarded to StatsD.
@@ -60,10 +60,11 @@ object Pipeline {
     seqExpr: Option[Column] = None,
     checkpointDir: Option[String] = None,
     exactNaming: Boolean = true,
-    now: Option[Instant] = None): Result = {
+    now: Option[Instant] = None,
+    source: Source = FileSource): Result = {
 
     val statsDEnabled = config.monitoring.exists(_.statsd.nonEmpty)
-    val lines = source(spark, config)
+    val lines = source.lines(spark, config)
 
     val base = records(lines, seqExpr)
 
@@ -118,40 +119,25 @@ object Pipeline {
     Result(results.asScala.toSeq, metas)
   }
 
-  /** The line source with the initial-position mapping (reference
-    * Config.scala:62-106 → file-source options):
-    *  - TRIM_HORIZON → everything present (file source default);
-    *  - LATEST → `latestFirst` (process newest files first — the closest
-    *    file-source analog; a true Kinesis source maps it natively);
-    *  - AT_TIMESTAMP → no streaming-file-source equivalent; processed as
-    *    TRIM_HORIZON with a warning (a Kinesis adapter passes it
-    *    through).
-    */
-  def source(spark: SparkSession, config: PipelineConfig): DataFrame = {
-    val reader = spark.readStream
-      .option("maxFilesPerTrigger", math.max(1, config.input.maxRecords))
-    val withPos = config.input.position match {
-      case InitialPosition.TrimHorizon => reader
-      case InitialPosition.Latest      => reader.option("latestFirst", "true")
-      case InitialPosition.AtTimestamp(ts) =>
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"AT_TIMESTAMP($ts) has no file-source equivalent; reading from TRIM_HORIZON")
-        reader
-    }
-    withPos.text(config.input.streamName)
-  }
-
   /** Continuous mode: same per-batch plan, ProcessingTime trigger from
     * the buffer's timeLimit (O5 mapping), StatsD per batch. Blocks.
     */
-  def runContinuous(spark: SparkSession, config: PipelineConfig): Unit = {
+  def runContinuous(spark: SparkSession, config: PipelineConfig,
+                    source: Source = FileSource): Unit = {
     val statsDEnabled = config.monitoring.exists(_.statsd.nonEmpty)
     val lifecycle = config.monitoring.flatMap(_.snowplow).map { sp =>
       val lc = new Lifecycle(sp.path, sp.appId)
       lc.start()
       lc
     }
-    val query = records(source(spark, config), None).writeStream
+    // O19 crash reporting: query death with an exception → failure event
+    // on the tracking channel (reference Monitoring.scala:62-77).
+    val crashListener = lifecycle.map { lc =>
+      val l = new CrashListener(lc)
+      spark.streams.addListener(l)
+      l
+    }
+    val query = records(source.lines(spark, config), None).writeStream
       .trigger(Trigger.ProcessingTime(math.max(1000L, config.buffer.timeLimit)))
       .option("checkpointLocation", stripScheme(config.output.s3.path) + "/_checkpoint")
       .foreachBatch { (df: DataFrame, batchId: Long) =>
@@ -168,7 +154,10 @@ object Pipeline {
       }
       .start()
     try query.awaitTermination()
-    finally lifecycle.foreach(_.shutdown())
+    finally {
+      crashListener.foreach(spark.streams.removeListener)
+      lifecycle.foreach(_.shutdown())
+    }
   }
 
   private def stripScheme(p: String): String =

@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The source seam (SURVEY §7.1): the pipeline composes a [[Source]]
+  * without knowing the transport, so a Kinesis adapter (reference
+  * `KinesisSourceExecutor.scala:44-151` — buildable only where the
+  * connector jar exists) is an added implementation, not an edit to
+  * [[Pipeline]].
+  *
+  * Contract: [[Source.lines]] returns a STREAMING frame with one record
+  * per row in a `value: string` column, already positioned per
+  * `config.input.position` and admission-limited per the buffer/fetch
+  * config.
+  */
+trait Source {
+  def lines(spark: SparkSession, config: PipelineConfig): DataFrame
+}
+
+/** File-directory implementation (the offline stand-in for the Kinesis
+  * stream; `input.streamName` is a directory of line files).
+  *
+  * Initial position (reference `Config.scala:62-106`):
+  *  - TRIM_HORIZON → every file present;
+  *  - LATEST → only files modified at/after source construction (the
+  *    stream-tip analog: history present at startup is skipped);
+  *  - AT_TIMESTAMP(ts) → only files modified at/after `ts` (the
+  *    reference's timestamp seek, `Config.scala:72-77`).
+  *  LATEST/AT_TIMESTAMP filter on the `_metadata.file_modification_time`
+  *  column — a row-level predicate on file metadata (Spark can prune
+  *  whole files from it); a native Kinesis source would instead seek.
+  *
+  * Admission (reference buffer semantics, `Config.scala:172`): the
+  * buffer's `byteLimit` maps to `maxBytesPerTrigger` — the micro-batch
+  * IS the buffer, so its flush-at-bytes cap is the faithful knob (the
+  * two trigger caps are mutually exclusive in Spark, and a byte cap is
+  * the one the file source can honor exactly). With `byteLimit <= 0`
+  * the fetch-side `maxRecords` cap degrades to `maxFilesPerTrigger`.
+  * `timeLimit` maps to the ProcessingTime trigger in
+  * [[Pipeline.runContinuous]]; `recordLimit` has no file-source
+  * equivalent (documented divergence, SURVEY §7.5.2).
+  */
+object FileSource extends Source {
+
+  def lines(spark: SparkSession, config: PipelineConfig): DataFrame = {
+    val reader =
+      if (config.buffer.byteLimit > 0)
+        spark.readStream.option("maxBytesPerTrigger", config.buffer.byteLimit)
+      else
+        spark.readStream.option("maxFilesPerTrigger", math.max(1, config.input.maxRecords))
+    val all = reader.text(config.input.streamName)
+    val positioned = config.input.position match {
+      case InitialPosition.TrimHorizon => all
+      case InitialPosition.Latest =>
+        all.where(col("_metadata.file_modification_time") >=
+          lit(java.sql.Timestamp.from(Instant.now())))
+      case InitialPosition.AtTimestamp(ts) =>
+        all.where(col("_metadata.file_modification_time") >=
+          lit(java.sql.Timestamp.from(ts)))
+    }
+    positioned.select(col("value"))
+  }
+}

@@ -271,6 +271,43 @@ object DataOps extends QueryModule {
       |      END AS resized_h
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---- q45: REAL image decode (javax.imageio) --------------------------
+
+  /** Genuine PNG containers round-tripped through the real image codec:
+    * deterministic row-gradient grayscale PNGs (pixel(x,y) = (id+y)%256)
+    * are encoded per-partition, then decoded with `javax.imageio`, pixel
+    * stats read from the raster, and resized via `Graphics2D`. The
+    * closed-form pixel function lets the SQL oracle predict every
+    * decoded statistic — a green run proves a real decode happened
+    * (byte-level stats of a PNG container would match nothing).
+    */
+  def imageDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.decodeFeatures(Multimodal.syntheticImages(docs(s, dir)))
+      .select(col("media_id"), col("decoded_w"), col("decoded_h"), col("n_pixels"),
+        col("px_min"), col("px_max"), col("px_sum"), col("resized_w"), col("resized_h"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q45Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, doc_id % 16 + 4 AS w, doc_id % 12 + 4 AS h FROM documents),
+      |ys AS (SELECT doc_id, w, h, unnest(range(h)) AS y FROM base),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    MIN((doc_id + y) % 256) AS px_min,
+      |    MAX((doc_id + y) % 256) AS px_max,
+      |    SUM((doc_id + y) % 256) * w AS px_sum
+      |  FROM ys GROUP BY 1, 2, 3)
+      |SELECT doc_id AS media_id,
+      |  CAST(w AS INTEGER) AS decoded_w, CAST(h AS INTEGER) AS decoded_h,
+      |  CAST(w * h AS BIGINT) AS n_pixels,
+      |  CAST(px_min AS INTEGER) AS px_min, CAST(px_max AS INTEGER) AS px_max,
+      |  CAST(px_sum AS BIGINT) AS px_sum,
+      |  CAST(32 AS INTEGER) AS resized_w,
+      |  CAST(greatest(1, (h * 32) // w) AS INTEGER) AS resized_h
+      |FROM px ORDER BY media_id""".stripMargin
+
   // ---- q37: embedding-cosine near-dup ----------------------------------
 
   /** Embedding-space near-duplicates (the dedup family's fourth member
@@ -414,7 +451,8 @@ object DataOps extends QueryModule {
     "q38_rolling_hash" -> (rollingHash _),
     "q39_range_join" -> (rangeJoinCounts _),
     "q40_asof_join" -> (asofClicks _),
-    "q44_lsh_neardup" -> (lshNearDup _))
+    "q44_lsh_neardup" -> (lshNearDup _),
+    "q45_image_decode" -> (imageDecode _))
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Oracle,
@@ -430,5 +468,6 @@ object DataOps extends QueryModule {
     "q38_rolling_hash" -> q38Oracle,
     "q39_range_join" -> q39Oracle,
     "q40_asof_join" -> q40Oracle,
-    "q44_lsh_neardup" -> q44Oracle)
+    "q44_lsh_neardup" -> q44Oracle,
+    "q45_image_decode" -> q45Oracle)
 }

@@ -68,7 +68,10 @@ object PipelineQueries extends QueryModule {
         S3OutputConfig(out, dateFormat = Some("{yyyy}/{MM}"), filenamePrefix = Some("graft"),
           compression = Compression.Gzip, maxTimeout = 10000),
         BadOutputConfig(s"$work/bad")),
-      buffer = BufferConfig(byteLimit = 1 << 20, recordLimit = 10000, timeLimit = 0),
+      // byteLimit sized above the staged input (≈10 MB at sf0.1) so the
+      // AvailableNow drain stays one flush, like the old files-based
+      // admission; byte-limit SPLITTING is pinned by PipelineSpec.
+      buffer = BufferConfig(byteLimit = 256L << 20, recordLimit = 10000, timeLimit = 0),
       monitoring = None)
 
     Pipeline.runOnce(s, config,

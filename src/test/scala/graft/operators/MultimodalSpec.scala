@@ -29,6 +29,36 @@ class MultimodalSpec extends SparkSpec {
       assert(aud.isNullAt(6))           // no dimensions
     }
 
+    it("decodes a real PNG: raster pixel stats and Graphics2D resize dims") {
+      // golden 3x2 gradient: pixel(x,y) = 10*y + x →
+      // rows (0,1,2) and (10,11,12); min 0, max 12, sum 36
+      val png = Multimodal.ImageCodec.encodeGrayPng(3, 2)((x, y) => 10 * y + x)
+      val df = mediaDf(Seq(Row(1L, "image", png, meta(999, 999, null, null))))
+      val r = df.transform(Multimodal.decodeFeatures(_, resizeTargetW = 6)).collect().head
+      assert(r.getInt(10) == 3 && r.getInt(11) == 2)  // decoded_w/h from the REAL image,
+      assert(r.getLong(6) == 6L)                      // n_pixels = 3*2, not the lying meta
+      assert(r.getInt(12) == 0 && r.getInt(13) == 12) // px_min / px_max
+      assert(r.getLong(14) == 36L)                    // px_sum
+      assert(r.getInt(8) == 6 && r.getInt(9) == 4)    // resize 3x2 → 6x4 (aspect kept)
+    }
+
+    it("constant-color PNG survives resize with identical pixel values") {
+      val png = Multimodal.ImageCodec.encodeGrayPng(8, 4)((_, _) => 77)
+      val img = Multimodal.ImageCodec.decode(png).get
+      val resized = Multimodal.ImageCodec.resize(img, 16)
+      val st = Multimodal.ImageCodec.stats(resized)
+      assert(st.width == 16 && st.height == 8)
+      assert(st.pxMin == 77 && st.pxMax == 77) // real rescale of real pixels
+    }
+
+    it("an undecodable image payload falls back to metadata-derived stats") {
+      val df = mediaDf(Seq(Row(2L, "image", Array[Byte](1, 2, 3), meta(4, 3, null, null))))
+      val r = df.transform(Multimodal.decodeFeatures(_)).collect().head
+      assert(r.getLong(6) == 12L)                    // meta n_pixels fallback
+      assert(r.isNullAt(10) && r.isNullAt(14))       // no decoded_* columns
+      assert(r.getInt(8) == 32)                      // stub resize dims
+    }
+
     it("handles null/empty payloads and caps video frame sampling") {
       val df = mediaDf(Seq(
         Row(3L, "video", null, meta(2, 2, null, Int.box(1000))),

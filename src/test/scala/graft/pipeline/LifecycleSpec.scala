@@ -59,5 +59,43 @@ class LifecycleSpec extends AnyFunSpec {
         assert(lines(path).count(_.contains("app_shutdown")) == 1)
       }
     }
+
+    it("escapes control characters and backslashes into valid JSON") {
+      withTracker(heartbeatMs = 3600000L) { (lc, path) =>
+        lc.storageWriteFailed("line1\nline2\tC:\\temp")
+        val l = lines(path).head
+        assert(l.contains("""line1\nline2\tC:\\temp"""))
+        assert(!l.contains('\n'.toString + "line2")) // one physical line
+      }
+    }
+  }
+
+  describe("CrashListener (O19)") {
+    it("forwards a query-terminated exception to the lifecycle tracking file") {
+      withTracker(heartbeatMs = 3600000L) { (lc, path) =>
+        val spark = graft.TestSession.spark
+        import spark.implicits._
+        val listener = new CrashListener(lc)
+        spark.streams.addListener(listener)
+        try {
+          val dir = Files.createTempDirectory("graft-crash")
+          Files.write(dir.resolve("in.txt"), "boom\n".getBytes("UTF-8"))
+          val q = spark.readStream.text(dir.toString).writeStream
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+              throw new RuntimeException("simulated storage failure")
+            }
+            .start()
+          intercept[Exception] { q.awaitTermination() }
+          // listener-bus delivery is async — poll briefly
+          val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+          while (!lines(path).exists(_.contains("storage_write_failed"))
+                 && System.nanoTime() < deadline) Thread.sleep(50)
+          val l = lines(path).filter(_.contains("storage_write_failed"))
+          assert(l.nonEmpty, "no failure event forwarded")
+          assert(l.head.contains("simulated storage failure"))
+        } finally spark.streams.removeListener(listener)
+      }
+    }
   }
 }

@@ -129,6 +129,64 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  describe("FileSource initial position") {
+    it("TRIM_HORIZON / AT_TIMESTAMP / LATEST select three different record sets") {
+      withTempDir { tmp =>
+        val root = tmp.getAbsolutePath
+        val now = Instant.now()
+
+        def stage(work: String): Unit = {
+          Files.createDirectories(new File(s"$work/in").toPath)
+          def put(name: String, content: String, mtime: Instant): Unit = {
+            val p = new File(s"$work/in/$name").toPath
+            Files.write(p, (content + "\n").getBytes("UTF-8"))
+            Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.from(mtime))
+          }
+          put("a.txt", "old", now.minusSeconds(7200))
+          put("b.txt", "mid", now.minusSeconds(1800))
+          // future mtime: deterministically "arrives after" LATEST's start
+          put("c.txt", "new", now.plusSeconds(3600))
+        }
+
+        def run(name: String, pos: InitialPosition): Set[String] = {
+          val work = s"$root/$name"
+          stage(work)
+          val cfg = config(work, Purpose.Raw, dateFormat = None)
+          val posCfg = cfg.copy(input = cfg.input.copy(position = pos))
+          Pipeline.runOnce(spark, posCfg, checkpointDir = Some(s"$work/checkpoint"),
+            now = Some(Instant.parse("2021-04-30T12:00:00Z")))
+          listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+            .flatMap(f => s"gunzip -c ${f.getAbsolutePath}".!!.split("\n", -1).dropRight(1))
+            .toSet
+        }
+
+        assert(run("th", InitialPosition.TrimHorizon) == Set("old", "mid", "new"))
+        assert(run("at", InitialPosition.AtTimestamp(now.minusSeconds(3600))) == Set("mid", "new"))
+        assert(run("lt", InitialPosition.Latest) == Set("new"))
+      }
+    }
+  }
+
+  describe("FileSource byte-limit admission") {
+    it("a small buffer.byteLimit splits the drain into multiple flushes") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        Files.createDirectories(new File(s"$work/in").toPath)
+        (1 to 4).foreach { i =>
+          Files.write(new File(s"$work/in/f$i.txt").toPath,
+            s"record-number-$i-padded-to-some-bytes\n".getBytes("UTF-8"))
+        }
+        val base = config(work, Purpose.Raw, dateFormat = None)
+        val cfg = base.copy(buffer = base.buffer.copy(byteLimit = 10))
+        val result = Pipeline.runOnce(spark, cfg, checkpointDir = Some(s"$work/checkpoint"),
+          now = Some(Instant.parse("2021-04-30T12:00:00Z")))
+        // 10-byte cap < any file: each flush admits exactly one file
+        assert(result.batches.map(_.count).sum == 4)
+        assert(result.batches.size == 4)
+      }
+    }
+  }
+
   describe("Emitter bad-row channel") {
     it("routes upstream-failed records to the dead letter dir as GenericError JSON") {
       withTempDir { tmp =>
