@@ -198,6 +198,45 @@ object Dedup {
     verifyJaccard(candidates, sets, threshold)
   }
 
+  /** SimHash near-duplicate pairs with EXACT recall for
+    * `hamming ≤ maxHamming`, via the multi-index pigeonhole scheme
+    * (Manku/Jain/Sarma, WWW'07 — public algorithm): split the b-bit
+    * fingerprint into `maxHamming + 1` bands; a pair differing in at
+    * most `maxHamming` bits must agree EXACTLY on at least one band
+    * (pigeonhole), so band-bucket equi-joins produce a complete
+    * candidate set — deterministically, unlike probabilistic LSH — and
+    * `bit_count(xor) ≤ maxHamming` verifies. Shuffles on (band, key)
+    * and the pair ids; never all-pairs.
+    */
+  def simhashNearDups(docs: DataFrame, id: Column, text: Column,
+                      maxHamming: Int = 3, bits: Int = 32,
+                      maxBucket: Int = 100000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming + 1 <= bits,
+      s"need 0 <= maxHamming and maxHamming+1 bands <= $bits bits, got $maxHamming")
+    val fp = simhash(docs, id, text, bits)
+    val numBands = maxHamming + 1
+    val bands = array((0 until numBands).map { i =>
+      val lo = i * bits / numBands
+      val hi = (i + 1) * bits / numBands
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("key"))
+    }: _*)
+    val exploded = fp.select(col("doc_id"), explode(bands).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"), lit(0L).as("n"))
+    val candidates = pairsFromBuckets(
+      exploded.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds")),
+      maxBucket)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    candidates
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** 32-bit SimHash over distinct tokens with the shared 60-bit hash's
     * low 32 bits: bit b of the fingerprint is set iff more than half the
     * tokens have bit b set. Computed as 32 conditional-sum aggregates —

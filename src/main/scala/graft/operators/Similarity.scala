@@ -157,12 +157,34 @@ object Similarity {
       .select(col("vec_id"), col("m.embedding").as("embedding"), col("m.centroid_id").as("centroid_id"))
   }
 
-  /** IVF-style ANN (nprobe=1): search only the query's centroid bucket.
-    * Approximate by construction; deterministic for fixed centroids.
+  /** Top-`n` nearest centroids per vector (probe list) as one hash
+    * aggregation: collect the scored centroids per vector, sort in-array
+    * (csim desc, centroid id asc on ties), slice `n` — no window, no
+    * per-vector sort exchange. */
+  private[operators] def assignTopN(vectors: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
+    val c = centroids.select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+    vectors.select(col("vec_id"), col("embedding"))
+      .join(broadcast(c))
+      .withColumn("csim", VectorFns.cosine(col("embedding"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        slice(reverse(sort_array(collect_list(
+          struct(col("csim"), (-col("centroid_id")).as("neg_id"), col("centroid_id"))))),
+          1, n).as("probes"))
+      .select(col("vec_id"), col("embedding"), explode(col("probes.centroid_id")).as("centroid_id"))
+  }
+
+  /** IVF-style ANN: search the query's `nprobe` nearest centroid buckets
+    * (corpus vectors live in exactly one bucket each — the classic
+    * inverted-file layout). Approximate by construction, deterministic
+    * for fixed centroids; recall rises with `nprobe` and reaches brute
+    * at `nprobe = numCentroids`.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
+              nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val assigned = assign(corpus, centroids)
-    val q = assign(queries, centroids)
+    val q = assignTopN(queries, centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("centroid_id").as("qc"))
     val c = assigned.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),

@@ -227,7 +227,9 @@ object DataOps extends QueryModule {
     Dedup.simhash(docs(s, dir), col("doc_id"), col("text"))
       
 
-  private val q28Oracle: String = {
+  /** SimHash fingerprint CTEs shared by q28 and q46 (ends with an `fp`
+    * relation of (doc_id, simhash)). */
+  private val simhashCte: String = {
     val h = TextFns.hash60Sql("tok")
     val bitSums = (0 until 32).map(b => s"SUM((h >> $b) & 1) AS b$b").mkString(", ")
     val fp = (0 until 32)
@@ -236,9 +238,32 @@ object DataOps extends QueryModule {
     s"""WITH dtoks AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents),
        |hashed AS (SELECT doc_id, $h AS h FROM dtoks),
-       |counted AS (SELECT doc_id, COUNT(*) AS n_toks, $bitSums FROM hashed GROUP BY doc_id)
-       |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM counted ORDER BY doc_id""".stripMargin
+       |counted AS (SELECT doc_id, COUNT(*) AS n_toks, $bitSums FROM hashed GROUP BY doc_id),
+       |fp AS (SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM counted)""".stripMargin
   }
+
+  private val q28Oracle: String =
+    s"""$simhashCte
+       |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
+
+  // ---- q46: SimHash near-dup (pigeonhole multi-index) ------------------
+
+  /** Band-bucketed SimHash near-dup join: exact recall for hamming ≤ 3
+    * by pigeonhole over 4 bands (no probabilistic miss — see
+    * Dedup.simhashNearDups). The oracle recomputes fingerprints and
+    * brute-forces all pairs with bit_count(xor) ≤ 3.
+    */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(docs(s, dir), col("doc_id"), col("text"), maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q46Oracle: String =
+    s"""$simhashCte
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM fp a, fp b
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- q29: multimodal binary columns ----------------------------------
 
@@ -452,7 +477,8 @@ object DataOps extends QueryModule {
     "q39_range_join" -> (rangeJoinCounts _),
     "q40_asof_join" -> (asofClicks _),
     "q44_lsh_neardup" -> (lshNearDup _),
-    "q45_image_decode" -> (imageDecode _))
+    "q45_image_decode" -> (imageDecode _),
+    "q46_simhash_neardup" -> (simhashNearDup _))
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Oracle,
@@ -469,5 +495,6 @@ object DataOps extends QueryModule {
     "q39_range_join" -> q39Oracle,
     "q40_asof_join" -> q40Oracle,
     "q44_lsh_neardup" -> q44Oracle,
-    "q45_image_decode" -> q45Oracle)
+    "q45_image_decode" -> q45Oracle,
+    "q46_simhash_neardup" -> q46Oracle)
 }

@@ -87,6 +87,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.simhashNearDups") {
+    it("band candidates recover exactly the brute-force hamming result (pigeonhole)") {
+      val fp = Dedup.simhash(corpus, col("doc_id"), col("text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (k <- Seq(0, 3, 6)) {
+        val brute = (for {
+          (a, sa) <- fp; (b, sb) <- fp if a < b
+          h = java.lang.Long.bitCount(sa ^ sb) if h <= k
+        } yield (a, b, h.toLong)).toSet
+        val banded = Dedup.simhashNearDups(corpus, col("doc_id"), col("text"), maxHamming = k)
+          .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+        assert(banded == brute, s"maxHamming=$k")
+      }
+    }
+
+    it("exact duplicates pair at hamming 0") {
+      val pairs = Dedup.simhashNearDups(corpus, col("doc_id"), col("text"), maxHamming = 0)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)) && pairs.contains((4L, 6L)))
+    }
+  }
+
   describe("Dedup.simhash") {
     it("equal token sets get equal fingerprints; disjoint sets differ") {
       val fp = Dedup.simhash(corpus, col("doc_id"), col("text"))

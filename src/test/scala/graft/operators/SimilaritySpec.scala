@@ -128,6 +128,17 @@ class SimilaritySpec extends SparkSpec {
       assert(res == Set(2L)) // only the other member of cluster {2,3}
     }
 
+    it("nprobe widens recall: nprobe = numCentroids equals brute force") {
+      val corpus = randomCorpus(n = 80, dim = 8, seed = 3)
+      val queries = corpus.filter(col("vec_id") < 10)
+      val centroids = corpus.filter(col("vec_id") < 4)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "rnk", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+      val brute = rows(Similarity.bruteTopK(corpus, queries, k = 3))
+      val probeAll = rows(Similarity.ivfTopK(corpus, queries, centroids, k = 3, nprobe = 4))
+      assert(probeAll == brute)
+    }
+
     it("argmax runs as a partial aggregation, not a window sort") {
       // partial_max_by = map-side combine (one row per vector per
       // partition crosses the shuffle); the old row_number window
