@@ -1,0 +1,105 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funspec.AnyFunSpec
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{DynamicPath, GZipLines, RowTypes}
+import graft.functions.Tstamps
+
+/** Property-based coverage (SURVEY §5's scalacheck upgrades): totality
+  * of the per-record expressions on ARBITRARY input (the pipeline's
+  * degrade-gracefully contract, reference Common.scala:67-70,88-96),
+  * partition-of-the-input for the row-type bucketing, and serializer
+  * round-trips on arbitrary byte payloads.
+  *
+  * Runs scalacheck directly (the scalatest↔scalacheck bridge artifact
+  * is not in the offline dependency cache).
+  */
+class PropertySpec extends AnyFunSpec {
+
+  private lazy val spark = TestSession.spark
+
+  /** scalacheck runner → scalatest assertion. */
+  private def check(p: Prop, minTests: Int = 50): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // valid UTF-8 strings without the line terminator (the pipeline's
+  // framing unit is the line — see GZipLines doc)
+  private val lineGen: Gen[String] =
+    Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('\t', ' ', '{', '}', '"', ':', '/', '.', '-', 'é', '台')))
+      .map(_.mkString)
+
+  describe("GZipLines round-trip (reference GZipSerializer framing)") {
+    it("gunzip(gzip(lines)) == lines for arbitrary line batches") {
+      check(forAll(Gen.listOf(lineGen)) { lines =>
+        val packed = GZipLines.gzip(lines.map(_.getBytes("UTF-8")))
+        val back = GZipLines.gunzipLines(new java.io.ByteArrayInputStream(packed))
+        back == lines
+      })
+    }
+
+    it("round-trips arbitrary binary records (newline-free)") {
+      val recGen = Gen.listOf(Gen.choose[Byte](Byte.MinValue, Byte.MaxValue))
+        .map(_.filter(_ != '\n'.toByte).toArray)
+      check(forAll(Gen.listOf(recGen)) { records =>
+        val packed = GZipLines.gzip(records)
+        val back = GZipLines.gunzipLines(new java.io.ByteArrayInputStream(packed))
+        back.map(_.getBytes("UTF-8").toSeq) == records.map(r => new String(r, "UTF-8").getBytes("UTF-8").toSeq)
+      })
+    }
+  }
+
+  describe("Row-type bucketing is a partition of the input") {
+    it("every record lands in exactly one non-null bucket, arbitrary content") {
+      check(Prop.forAllNoShrink(Gen.listOfN(30, lineGen)) { lines =>
+        import spark.implicits._
+        val nonEmpty = if (lines.isEmpty) List("x") else lines
+        val typed = nonEmpty.toDF("value")
+          .withColumn("error", lit(null).cast("array<string>"))
+          .select(RowTypes.partition(col("value"), col("error")).as("rt"))
+          .collect()
+        typed.length == nonEmpty.length && typed.forall(r => !r.isNullAt(0) && r.getString(0).nonEmpty)
+      })
+    }
+  }
+
+  describe("Collector-tstamp extraction is total") {
+    it("never throws and yields either null or a valid timestamp, arbitrary TSV-ish rows") {
+      val rowGen = Gen.oneOf(
+        lineGen,
+        // TSV shape with a timestamp-ish column 3
+        for {
+          pre <- Gen.listOfN(3, Gen.alphaNumStr)
+          ts <- Gen.oneOf("2020-11-26 00:01:05", "2020-11-26 00:01:05.123", "garbage",
+            "9999-99-99 99:99:99", "", "2020-11-26T00:01:05Z")
+          post <- Gen.alphaNumStr
+        } yield (pre :+ ts :+ post).mkString("\t"))
+      check(Prop.forAllNoShrink(Gen.listOfN(30, rowGen)) { rows =>
+        import spark.implicits._
+        val nonEmpty = if (rows.isEmpty) List("x") else rows
+        // totality: the parse expression must not throw on ANY input
+        // (ANSI-safe try_to_timestamp path, reference Common.scala:88-96)
+        val out = nonEmpty.toDF("value")
+          .select(Tstamps.collectorTstamp(col("value")).as("ts"))
+          .collect()
+        out.length == nonEmpty.length
+      })
+    }
+  }
+
+  describe("DynamicPath decoration is total") {
+    it("never throws on arbitrary brace patterns") {
+      val patGen = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('{', '}', '/', '-', '.')))
+        .map(_.mkString)
+      check(forAll(patGen) { pat =>
+        val out = DynamicPath.decorateDirectoryWithTime(pat, java.time.Instant.ofEpochMilli(100000))
+        out != null
+      })
+    }
+  }
+}
