@@ -31,6 +31,9 @@ object Sessions {
       // HDFS-default provider keeps every key on-heap.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Managed-table warehouse (bucketed tables) out of the repo dir.
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft_warehouse")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

@@ -175,6 +175,31 @@ object Relational extends QueryModule {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** The same fact-fact join as q13 through BUCKETED tables: both sides
+    * bucketed on the order key once (`Bucketing.writeBucketed`), then
+    * the join reads buckets 1:1 — zero Exchange nodes in the join plan
+    * (BucketingSpec asserts that). The write cost is the point: at
+    * warehouse scale it amortizes over every later join on the key.
+    */
+  def bucketedRevenue(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bucketing
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val liTable = s"graft_li_bkt_$tag"
+    val oTable = s"graft_or_bkt_$tag"
+    Bucketing.writeBucketed(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      liTable, "l_orderkey", numBuckets = 8)
+    Bucketing.writeBucketed(
+      t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+      oTable, "l_orderkey", numBuckets = 8)
+    Bucketing.bucketedJoin(s, liTable, oTable, "l_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsumWide(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -291,7 +316,8 @@ object Relational extends QueryModule {
     "q34_supplier_cube" -> (supplierCube _),
     "q35_pivot_regions" -> (pivotRegions _),
     "q36_date_arith" -> (dateArith _),
-    "q41_percentiles" -> (pricePercentiles _))
+    "q41_percentiles" -> (pricePercentiles _),
+    "q47_bucketed_join" -> (bucketedRevenue _))
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -437,5 +463,11 @@ object Relational extends QueryModule {
         | quantile_cont(o_totalprice, 0.9) AS p90,
         | quantile_cont(o_totalprice, 0.99) AS p99,
         | COUNT(*) AS n
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q47_bucketed_join" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

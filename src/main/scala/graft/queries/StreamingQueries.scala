@@ -1,15 +1,41 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.{QueryModule, Tables}
 import graft.functions.ExactAgg._
 
-/** Per-user running state for q33 (top-level so the state encoder can
-  * construct it in generated code). */
+/** Per-user running state for q33/q48 (top-level so the state encoder
+  * can construct it in generated code). */
 case class UserState(n: Long, sumCents: Long, maxValue: Double)
+
+/** q48: the same per-user running stats as q33 but on the state API v2
+  * (`transformWithState`, Spark 4) — typed `ValueState` obtained from
+  * the processor handle, with first-class TTL support (TTLConfig.NONE
+  * here: the state is user-keyed and bounded by user cardinality; an
+  * event-keyed processor would set a TTL to bound state at 100 TB).
+  * Requires the RocksDB state store provider (Sessions.builder).
+  */
+class UserStatsProcessor
+    extends StatefulProcessor[Long, (Long, Long, Double), (Long, Long, Long, Double)] {
+
+  @transient private var state: ValueState[UserState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[UserState]("stats", Encoders.product[UserState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Double)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long, Double)] = {
+    val prev = if (state.exists()) state.get() else UserState(0L, 0L, Double.NegativeInfinity)
+    val next = rows.foldLeft(prev) { (acc, r) =>
+      UserState(acc.n + 1, acc.sumCents + r._2, math.max(acc.maxValue, r._3))
+    }
+    state.update(next)
+    Iterator.single((user, next.n, next.sumCents, next.maxValue))
+  }
+}
 
 /** Structured Streaming surface beyond the file pipeline (SURVEY §2.2
   * rows the reference lacks but the engine ships): event-time tumbling
@@ -54,17 +80,31 @@ object StreamingQueries extends QueryModule {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** State-store/shuffle partition count for the drains: a streaming
+    * query pins its state partition count at the first checkpoint, and
+    * every micro-batch pays per-store open/commit/snapshot overhead —
+    * 32 stores for a 100k-row drain is pure fixed cost. Local drains use
+    * a small count; a cluster deployment sizes this to state volume at
+    * its own checkpoint creation (it is per-query, not an engine
+    * constant). */
+  private val StreamShufflePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
   /** Run a streaming frame to completion into a memory sink, return the
     * collected result detached from the stream. */
   private def drain(s: SparkSession, streamDf: DataFrame, mode: OutputMode): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
     val name = s"graft_mem_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = streamDf.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    try {
+      val q = streamDf.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     val out = s.table(name).localCheckpoint(true)
     s.catalog.dropTempView(name)
     out
@@ -261,6 +301,32 @@ object StreamingQueries extends QueryModule {
       | MAX(value) AS max_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- q48: state API v2 (transformWithState) --------------------------
+
+  /** [[UserStatsProcessor]] driven through `transformWithState` — the
+    * engine's surface for Spark 4's arbitrary-stateful-processing API
+    * (typed ValueState/ListState/MapState + TTL + timers). Same oracle
+    * as q33: the two state APIs must agree on the same input.
+    */
+  def statefulV2UserStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = eventsStream(s, dir)
+      .select(col("user_id").cast("long").as("user"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("value"))
+      .as[(Long, Long, Double)]
+
+    val updated = stream.groupByKey(_._1)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update())
+
+    val out = drain(s, updated.toDF("user_id", "n_events", "sum_cents", "max_value"),
+      OutputMode.Update())
+    out.groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("sum_cents"), col("max_value"))).as("f"))
+      .select(col("user_id"), col("f.n_events"), col("f.sum_cents"), col("f.max_value"))
+      .orderBy(col("user_id"))
+  }
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -269,7 +335,8 @@ object StreamingQueries extends QueryModule {
     "q32_stream_dedup" -> (streamDedup _),
     "q33_stateful" -> (statefulUserStats _),
     "q42_stream_window_append" -> (windowedAggAppend _),
-    "q43_session_append" -> (sessionWindowsAppend _))
+    "q43_session_append" -> (sessionWindowsAppend _),
+    "q48_stateful_v2" -> (statefulV2UserStats _))
 
   val oracles: Map[String, String] = Map(
     "q30_stream_window" -> q30Oracle,
@@ -277,5 +344,6 @@ object StreamingQueries extends QueryModule {
     "q32_stream_dedup" -> q32Oracle,
     "q33_stateful" -> q33Oracle,
     "q42_stream_window_append" -> q42Oracle,
-    "q43_session_append" -> q43Oracle)
+    "q43_session_append" -> q43Oracle,
+    "q48_stateful_v2" -> q33Oracle)
 }

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("Bucketing.bucketedJoin") {
+    it("joins same-bucketed tables with ZERO exchange nodes and correct results") {
+      val left = (1L to 200L).map(i => (i, s"l$i")).toDF("k", "lv")
+      val right = (1L to 200L).filter(_ % 2 == 0).map(i => (i, s"r$i")).toDF("k", "rv")
+      Bucketing.writeBucketed(left, "graft_spec_left", "k", numBuckets = 4)
+      Bucketing.writeBucketed(right, "graft_spec_right", "k", numBuckets = 4)
+      // disable auto-broadcast so the assertion exercises the co-located
+      // SortMergeJoin path (a broadcast would also be exchange-light but
+      // proves nothing about bucketing)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val joined = Bucketing.bucketedJoin(spark, "graft_spec_left", "graft_spec_right", "k")
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+        assert(joined.count() == 100)
+        // equivalent unbucketed join DOES shuffle — the cost bucketing removes
+        val naive = left.join(right, "k")
+        assert(naive.queryExecution.executedPlan.toString.contains("Exchange"))
+        assert(naive.count() == 100)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS graft_spec_left")
+        spark.sql("DROP TABLE IF EXISTS graft_spec_right")
+      }
+    }
+  }
+}
