@@ -21,9 +21,13 @@ object DynamicPath {
   def decorateDirectoryWithTime(fileName: String, decoratorDateTime: Instant): String = {
     val decorated = Braced.replaceAllIn(fileName, m => {
       val pattern = m.group(1)
+      // NonFatal, not just IllegalArgumentException: some patterns
+      // compile in ofPattern but throw at FORMAT time (e.g. a `p` pad
+      // modifier → DateTimeException/ClassCastException on narrower
+      // output) — those must fall back to the literal too.
       val rendered =
         try DateTimeFormatter.ofPattern(pattern).withZone(ZoneOffset.UTC).format(decoratorDateTime)
-        catch { case _: IllegalArgumentException => pattern }
+        catch { case scala.util.control.NonFatal(_) => pattern }
       java.util.regex.Matcher.quoteReplacement(rendered)
     })
     normalize(decorated)

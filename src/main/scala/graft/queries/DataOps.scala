@@ -411,6 +411,33 @@ object DataOps extends QueryModule {
       |   (a, b) -> (a * 257 + b) % 1000000007) AS rhash
       |FROM documents""".stripMargin
 
+  // ---- q49: salted skew join -------------------------------------------
+
+  /** The skew-mitigation join through `Joins.saltedJoin` (left side
+    * fanned over synthetic sub-keys, right side replicated `salts`×):
+    * events ⋈ per-user dim. The salt must be result-invariant — the
+    * oracle is the plain unsalted join, so a green run proves salting
+    * changes the shuffle layout and nothing else.
+    */
+  def saltedUserJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events").select(col("user_id"), col("value"))
+    val dim = Tables(s, dir, "events")
+      .groupBy(col("user_id")).agg((min(col("event_id")) % 7).as("user_bucket"))
+    graft.operators.Joins.saltedJoin(e, dim, "user_id", salts = 8)
+      .groupBy(col("user_bucket"))
+      .agg(graft.functions.ExactAgg.dsum(col("value")).as("sum_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_bucket"))
+  }
+
+  private val q49Oracle: String =
+    """WITH dim AS (SELECT user_id, MIN(event_id) % 7 AS user_bucket FROM events GROUP BY user_id)
+      |SELECT user_bucket,
+      | CAST(SUM(CAST(e.value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value,
+      | COUNT(*) AS n
+      |FROM events e JOIN dim USING (user_id)
+      |GROUP BY user_bucket ORDER BY user_bucket""".stripMargin
+
   // ---- q39/q40: range join + as-of join --------------------------------
 
   /** Binned range join: ±0.1% price intervals around a sample of orders
@@ -478,7 +505,8 @@ object DataOps extends QueryModule {
     "q40_asof_join" -> (asofClicks _),
     "q44_lsh_neardup" -> (lshNearDup _),
     "q45_image_decode" -> (imageDecode _),
-    "q46_simhash_neardup" -> (simhashNearDup _))
+    "q46_simhash_neardup" -> (simhashNearDup _),
+    "q49_salted_join" -> (saltedUserJoin _))
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Oracle,
@@ -496,5 +524,6 @@ object DataOps extends QueryModule {
     "q40_asof_join" -> q40Oracle,
     "q44_lsh_neardup" -> q44Oracle,
     "q45_image_decode" -> q45Oracle,
-    "q46_simhash_neardup" -> q46Oracle)
+    "q46_simhash_neardup" -> q46Oracle,
+    "q49_salted_join" -> q49Oracle)
 }

@@ -25,6 +25,12 @@ class DynamicPathSpec extends AnyFunSpec {
     it("handles paths with no patterns") {
       assert(DynamicPath.decorateDirectoryWithTime("bar.gz", time) == "bar.gz")
     }
+    it("falls back on patterns that compile but throw at format time") {
+      // 'p' is the pad modifier: ofPattern accepts it, format throws
+      // (DateTimeException "exceeds pad width") — must literal-fallback
+      assert(DynamicPath.decorateDirectoryWithTime("x/{ph}/bar.gz", time) == "x/ph/bar.gz")
+      assert(DynamicPath.decorateDirectoryWithTime("{pN}", time) == "pN")
+    }
     it("normalizes redundant separators") {
       assert(DynamicPath.decorateDirectoryWithTime("a//b/./bar.gz", time) == "a/b/bar.gz")
     }
