@@ -248,13 +248,17 @@ object DataOps extends QueryModule {
 
   // ---- q46: SimHash near-dup (pigeonhole multi-index) ------------------
 
-  /** Band-bucketed SimHash near-dup join: exact recall for hamming ≤ 3
-    * by pigeonhole over 4 bands (no probabilistic miss — see
-    * Dedup.simhashNearDups). The oracle recomputes fingerprints and
-    * brute-forces all pairs with bit_count(xor) ≤ 3.
+  /** Band-bucketed SimHash near-dup join: exact recall for hamming ≤ 1
+    * by pigeonhole over 2 bands (no probabilistic miss — see
+    * Dedup.simhashNearDups). k = 1, not 3: the templated test corpus
+    * duplicates fingerprints heavily, so the RESULT itself grows
+    * super-linearly with the hamming budget (2.1 M pairs at k=3 vs
+    * 433 k at k=1 on sf0.1) — the tight budget keeps the query
+    * output-meaningful while exercising the same machinery. The oracle
+    * recomputes fingerprints and brute-forces all pairs.
     */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(docs(s, dir), col("doc_id"), col("text"), maxHamming = 3)
+    Dedup.simhashNearDups(docs(s, dir), col("doc_id"), col("text"), maxHamming = 1)
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val q46Oracle: String =
@@ -262,7 +266,7 @@ object DataOps extends QueryModule {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM fp a, fp b
-       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+       |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 1
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- q29: multimodal binary columns ----------------------------------
