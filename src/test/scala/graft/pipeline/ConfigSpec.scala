@@ -112,4 +112,18 @@ class ConfigSpec extends AnyFunSpec {
       assert(c2.input.appName == "")
     }
   }
+
+  describe("PipelineConfig.load") {
+    it("decodes the shipped config/config.hocon.sample from disk") {
+      val path = java.nio.file.Paths.get("config/config.hocon.sample")
+      assume(java.nio.file.Files.exists(path)) // run from the repo root
+      val c = PipelineConfig.load(path).fold(e => fail(e), identity)
+      assert(c.purpose == Purpose.Enriched)
+      assert(c.input.appName == "acme-s3-loader")
+      assert(c.output.s3.compression == Compression.Gzip)
+      assert(c.buffer == BufferConfig(2048, 10, 5000))
+      assert(c.monitoring.flatMap(_.statsd).exists(_.prefix.contains("snowplow.monitoring")))
+      assert(c.monitoring.flatMap(_.snowplow).exists(_.appId == "acme-loader"))
+    }
+  }
 }
