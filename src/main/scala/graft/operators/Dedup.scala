@@ -77,28 +77,38 @@ object Dedup {
     // warehouse scale this is where a persisted shingle/postings table
     // would slot in.
     val sets = shingled(docs, id, text, w).localCheckpoint(false)
+    // The candidate machinery never needs the shingle TEXT — postings
+    // carry xxhash64(shingle) so the two posting-level shuffles (df
+    // count, prefix buckets) move 8-byte longs instead of shingle
+    // strings (~4× less shuffle volume at warehouse scale). Exactness
+    // is preserved: equal shingles hash equal, so no candidate is ever
+    // LOST; a hash collision can only add a spurious candidate, which
+    // the string-level Jaccard verify filters anyway.
     val post = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val df = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
+    val df = post.groupBy(col("sid")).agg(count(lit(1)).as("df"))
 
     // Per-doc prefix without a window: group the df-annotated postings
-    // back per doc, sort in-array by (df, shingle), slice the prefix.
-    // One shuffle (by doc), no per-doc sort exchange, and the doc size
-    // is just the collected array's length (no extra sizes join).
+    // back per doc, sort in-array by (df, sid) — any consistent global
+    // order works for prefix filtering — and slice the prefix. One
+    // shuffle (by doc), no per-doc sort exchange, and the doc size is
+    // just the collected array's length (no extra sizes join).
     val prefix = post
-      .join(df, "shingle")
+      .join(df, "sid")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ranked"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sid")))).as("ranked"))
       .select(col("doc_id"), size(col("ranked")).as("n"),
         slice(col("ranked"), lit(1),
           (size(col("ranked")) - ceil(lit(threshold) * size(col("ranked"))) + 1).cast("int")).as("pref"))
-      .select(col("doc_id"), col("n"), explode(col("pref.shingle")).as("shingle"))
+      .select(col("doc_id"), col("n"), explode(col("pref.sid")).as("sid"))
 
-    // Bucket by prefix shingle, expand pairs inside the bucket array: a
-    // self-join here would recompute the whole prefix branch twice (no
-    // common-subplan reuse across join sides); grouping runs it once.
-    // Prefix postings are rare-by-construction, so buckets stay small.
+    // Bucket by prefix shingle-hash, expand pairs inside the bucket
+    // array: a self-join here would recompute the whole prefix branch
+    // twice (no common-subplan reuse across join sides); grouping runs
+    // it once. Prefix postings are rare-by-construction, so buckets
+    // stay small.
     val candidates = pairsFromBuckets(
-      prefix.groupBy(col("shingle"))
+      prefix.groupBy(col("sid"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds")),
       maxBucket)
       .filter(least(col("na"), col("nb")) >= lit(threshold) * greatest(col("na"), col("nb")))
