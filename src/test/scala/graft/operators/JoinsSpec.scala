@@ -58,5 +58,21 @@ class JoinsSpec extends SparkSpec {
       assert(r("t2").contains("q15"))
       assert(r("t3").isEmpty)         // no quote at-or-before ts=5 for key 2
     }
+
+    it("never matches right rows with a NULL timestamp (ASOF semantics)") {
+      val trades = Seq((1L, 10L, "t1")).toDF("k", "ts", "trade")
+      // NULL-ts quote would sort first under nulls-first asc and leak
+      // into the carried-forward payload without the isNotNull guard
+      val quotes = Seq((1L, Some(8L), "q8"), (1L, None, "qNULL"))
+        .toDF("k", "ts", "quote")
+      val r = Joins.asofJoin(trades, quotes, "k", "ts", "ts", Seq("quote"))
+        .select("trade", "asof_quote").as[(String, Option[String])].collect().toMap
+      assert(r("t1").contains("q8"))
+      // and with ONLY null-ts right rows, the match is null
+      val onlyNull = Seq((1L, Option.empty[Long], "qNULL")).toDF("k", "ts", "quote")
+      val r2 = Joins.asofJoin(trades, onlyNull, "k", "ts", "ts", Seq("quote"))
+        .select("trade", "asof_quote").as[(String, Option[String])].collect().toMap
+      assert(r2("t1").isEmpty)
+    }
   }
 }
