@@ -187,6 +187,72 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  describe("Pipeline checkpoint resume (exactly-once upgrade, SURVEY §4.2)") {
+    it("a restarted drain with the same checkpoint processes only NEW files") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        import spark.implicits._
+        val now = Instant.parse("2021-04-30T12:00:00Z")
+        Files.createDirectories(new File(s"$work/in").toPath)
+        Files.write(new File(s"$work/in/a.txt").toPath, "first\n".getBytes("UTF-8"))
+
+        val cfg = config(work, Purpose.Raw, dateFormat = None)
+        val r1 = Pipeline.runOnce(spark, cfg, checkpointDir = Some(s"$work/checkpoint"), now = Some(now))
+        assert(r1.batches.map(_.count).sum == 1)
+
+        // second drain, same checkpoint, nothing new → zero records
+        val r2 = Pipeline.runOnce(spark, cfg, checkpointDir = Some(s"$work/checkpoint"), now = Some(now))
+        assert(r2.batches.map(_.count).sum == 0)
+
+        // new file arrives → only it is processed (no reprocessing of a.txt)
+        Files.write(new File(s"$work/in/b.txt").toPath, "second\n".getBytes("UTF-8"))
+        val r3 = Pipeline.runOnce(spark, cfg, checkpointDir = Some(s"$work/checkpoint"),
+          now = Some(Instant.parse("2021-04-30T13:00:00Z")))
+        assert(r3.batches.map(_.count).sum == 1)
+
+        // total output across the three drains = each record exactly once
+        val contents = listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+          .flatMap(f => s"gunzip -c ${f.getAbsolutePath}".!!.split("\n", -1).dropRight(1))
+        assert(contents.sorted == Seq("first", "second"))
+      }
+    }
+  }
+
+  describe("Pipeline gzip input ingestion") {
+    it("drains its own gzip output as input (self round-trip)") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        import spark.implicits._
+        val now = Instant.parse("2021-04-30T12:00:00Z")
+        val lines = (1 to 20).map(i => s"rec-$i")
+        lines.toDF("value").coalesce(1).write.text(s"$work/in")
+
+        // first pass: text in → gzip out
+        val cfg1 = config(work, Purpose.Raw, dateFormat = None)
+        Pipeline.runOnce(spark, cfg1, checkpointDir = Some(s"$work/checkpoint1"), now = Some(now))
+        val gzFiles = listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+        assert(gzFiles.nonEmpty)
+
+        // second pass: the GZIP OUTPUT is the input (Spark's text source
+        // decompresses by extension — the engine ingests its own object
+        // format without any config)
+        val cfg2 = PipelineConfig(
+          region = None, purpose = Purpose.Raw,
+          input = InputConfig("graft-test2", s"$work/out", InitialPosition.TrimHorizon, 100),
+          output = OutputConfig(
+            S3OutputConfig(s"$work/out2", None, Some("pre"), Compression.Gzip, 10000),
+            BadOutputConfig(s"$work/bad2")),
+          buffer = BufferConfig(1 << 20, 1000, 0),
+          monitoring = None)
+        val r2 = Pipeline.runOnce(spark, cfg2, checkpointDir = Some(s"$work/checkpoint2"), now = Some(now))
+        assert(r2.batches.map(_.count).sum == 20)
+        val contents = listFilesRec(new File(s"$work/out2")).filter(_.getName.endsWith(".gz"))
+          .flatMap(f => s"gunzip -c ${f.getAbsolutePath}".!!.split("\n", -1).dropRight(1))
+        assert(contents.sorted.toSeq == lines.sorted)
+      }
+    }
+  }
+
   describe("Emitter bad-row channel") {
     it("routes upstream-failed records to the dead letter dir as GenericError JSON") {
       withTempDir { tmp =>
