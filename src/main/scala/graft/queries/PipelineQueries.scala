@@ -43,6 +43,56 @@ object PipelineQueries extends QueryModule {
 
   private val TsSql = "strftime(ts, '%Y-%m-%d %H:%M:%S.%g')"
 
+  // ---- q50: full enriched-event schema round-trip ----------------------
+
+  /** Full-width 131-column enriched TSV (graft.functions.EnrichedEvent)
+    * synthesized from the events table — load-bearing fields populated,
+    * the rest empty like real enriched lines — then parsed back through
+    * `EnrichedEvent.parse` and typed accessors, and aggregated. Pins the
+    * whole wire format: field ORDER (a one-off misplacement shifts every
+    * later column and breaks the oracle), the millisecond timestamp
+    * format, and null-safe typed casts.
+    */
+  def enrichedSchema(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.EnrichedEvent
+    val values: Seq[Column] = EnrichedEvent.fieldNames.map {
+      case "app_id"            => lit("graft")
+      case "platform"          => lit("srv")
+      case "collector_tstamp"  => tsStr
+      case "event"             => col("event_type")
+      case "event_id"          => col("event_id").cast("string")
+      case "user_id"           => col("user_id").cast("string")
+      case "domain_sessionidx" => (col("user_id") % 10).cast("string")
+      case "se_value"          => round(col("value") * 100).cast("long").cast("string")
+      case "derived_tstamp"    => tsStr
+      case _                   => lit("")
+    }
+    val lines = Tables(s, dir, "events").select(concat_ws("\t", values: _*).as("value"))
+    val parsed = EnrichedEvent.parse(lines)
+    parsed.select(
+      col("event"),
+      EnrichedEvent.asLong(col("user_id")).as("uid"),
+      EnrichedEvent.tstamp(col("collector_tstamp")).as("cts"),
+      EnrichedEvent.asLong(col("se_value")).as("cents"),
+      EnrichedEvent.asLong(col("domain_sessionidx")).as("sidx"))
+      .groupBy(col("event"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("uid")).as("users"),
+        min(col("cts")).as("min_ts"),
+        sum(col("cents")).as("sum_cents"),
+        sum(col("sidx")).as("sum_idx"))
+      .orderBy(col("event"))
+  }
+
+  private val q50Oracle: String =
+    """SELECT event_type AS event, COUNT(*) AS n,
+      | COUNT(DISTINCT user_id) AS users,
+      | MIN(date_trunc('milliseconds', ts)) AS min_ts,
+      | CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      | CAST(SUM(user_id % 10) AS BIGINT) AS sum_idx
+      |FROM events GROUP BY event ORDER BY event""".stripMargin
+
   // ---- q17: end-to-end pipeline round-trip -----------------------------
 
   /** M1 minimum slice (SURVEY §7.2) end-to-end: stage enriched-style TSV
@@ -239,11 +289,13 @@ object PipelineQueries extends QueryModule {
     "q17_pipeline_roundtrip" -> (pipelineRoundtrip _),
     "q18_schema_key" -> (schemaKeyPartition _),
     "q19_enriched_meta" -> (enrichedMeta _),
-    "q20_badrows" -> (badRows _))
+    "q20_badrows" -> (badRows _),
+    "q50_enriched_schema" -> (enrichedSchema _))
 
   val oracles: Map[String, String] = Map(
     "q17_pipeline_roundtrip" -> q17Oracle,
     "q18_schema_key" -> q18Oracle,
     "q19_enriched_meta" -> q19Oracle,
-    "q20_badrows" -> q20Oracle)
+    "q20_badrows" -> q20Oracle,
+    "q50_enriched_schema" -> q50Oracle)
 }
