@@ -89,7 +89,11 @@ object Emitter {
 
       // Batch-wide sequence range — the reference names all of a flush's
       // objects with the buffer's first/last Kinesis sequence number
-      // (KinesisS3Emitter.scala:72-73).
+      // (KinesisS3Emitter.scala:72-73). This `.head()` and the
+      // `bad.count()` below are two extra driver actions per micro-batch
+      // over the PERSISTED frame: at micro-batch sizes (bounded by the
+      // buffer limits) they cost two short jobs against cached blocks,
+      // not a recompute — deliberate, not an oversight.
       val seqRow = batch.agg(
         min(col("seq")).cast("string").as("first"),
         max(col("seq")).cast("string").as("last"),
