@@ -301,6 +301,46 @@ object StreamingQueries extends QueryModule {
       | MAX(value) AS max_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- q51: stream-stream time-bounded join ----------------------------
+
+  /** Stream-stream inner join with a time-range condition: each purchase
+    * joined to the user's clicks in the preceding hour. Both sides are
+    * watermarked and the range condition bounds the buffered state on
+    * each side (Spark evicts rows no future match can reach) — the
+    * production stream-correlation shape at 100 TB. Under AvailableNow
+    * every co-present match is emitted; the oracle is the equivalent
+    * batch time-range join.
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("p_ts"))
+    drain(s, joined, OutputMode.Append())
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_clicks"), max(col("click_ts")).as("last_click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q51Oracle: String =
+    """SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+      | MAX(c.ts) AS last_click_ts
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q48: state API v2 (transformWithState) --------------------------
 
   /** [[UserStatsProcessor]] driven through `transformWithState` — the
@@ -336,7 +376,8 @@ object StreamingQueries extends QueryModule {
     "q33_stateful" -> (statefulUserStats _),
     "q42_stream_window_append" -> (windowedAggAppend _),
     "q43_session_append" -> (sessionWindowsAppend _),
-    "q48_stateful_v2" -> (statefulV2UserStats _))
+    "q48_stateful_v2" -> (statefulV2UserStats _),
+    "q51_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "q30_stream_window" -> q30Oracle,
@@ -345,5 +386,6 @@ object StreamingQueries extends QueryModule {
     "q33_stateful" -> q33Oracle,
     "q42_stream_window_append" -> q42Oracle,
     "q43_session_append" -> q43Oracle,
-    "q48_stateful_v2" -> q33Oracle)
+    "q48_stateful_v2" -> q33Oracle,
+    "q51_stream_join" -> q51Oracle)
 }
