@@ -174,6 +174,38 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), explode(col("probes.centroid_id")).as("centroid_id"))
   }
 
+  /** Lloyd's k-means over the embedding column — trains the IVF centroid
+    * codebook (at warehouse scale centroids come from training, not from
+    * the first K rows). Pure DataFrame ops per iteration: one broadcast
+    * assign + one per-dimension mean (posexplode → groupBy(centroid,
+    * pos) avg → re-collect), with an eager localCheckpoint truncating
+    * the otherwise-exponential iterative lineage. Deterministic: init =
+    * the K lowest-id vectors; a centroid that loses all members keeps
+    * its position. Output schema matches the `centroids` argument of
+    * [[assign]]/[[ivfTopK]]: (vec_id, embedding).
+    */
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    var centroids = corpus.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned = assign(corpus, centroids)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("embedding").cast("array<double>")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id").as("vec_id"), col("pm.m").as("embedding"))
+      centroids = means
+        .unionByName(centroids.join(means, Seq("vec_id"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
+
   /** IVF-style ANN: search the query's `nprobe` nearest centroid buckets
     * (corpus vectors live in exactly one bucket each — the classic
     * inverted-file layout). Approximate by construction, deterministic

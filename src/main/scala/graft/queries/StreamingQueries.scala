@@ -341,6 +341,32 @@ object StreamingQueries extends QueryModule {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q52: stream-static enrichment join ------------------------------
+
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (nation, keyed by `user_id % 25`) — the everyday
+    * enrich-then-aggregate shape. The static side broadcasts per
+    * micro-batch (no stream state involved); the aggregation is the
+    * only stateful operator.
+    */
+  def streamStaticEnrich(s: SparkSession, dir: String): DataFrame = {
+    val nations = Tables(s, dir, "nation")
+      .select(col("n_nationkey").as("nk"), col("n_name"))
+    val enriched = eventsStream(s, dir)
+      .select((col("user_id") % 25).cast("int").as("nk"), col("value"))
+      .join(broadcast(nations), "nk")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    drain(s, enriched, OutputMode.Complete())
+      .orderBy(col("n_name"))
+  }
+
+  private val q52Oracle: String =
+    """SELECT n.n_name, COUNT(*) AS n,
+      | CAST(SUM(CAST(e.value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q48: state API v2 (transformWithState) --------------------------
 
   /** [[UserStatsProcessor]] driven through `transformWithState` — the
@@ -377,7 +403,8 @@ object StreamingQueries extends QueryModule {
     "q42_stream_window_append" -> (windowedAggAppend _),
     "q43_session_append" -> (sessionWindowsAppend _),
     "q48_stateful_v2" -> (statefulV2UserStats _),
-    "q51_stream_join" -> (streamStreamJoin _))
+    "q51_stream_join" -> (streamStreamJoin _),
+    "q52_stream_enrich" -> (streamStaticEnrich _))
 
   val oracles: Map[String, String] = Map(
     "q30_stream_window" -> q30Oracle,
@@ -387,5 +414,6 @@ object StreamingQueries extends QueryModule {
     "q42_stream_window_append" -> q42Oracle,
     "q43_session_append" -> q43Oracle,
     "q48_stateful_v2" -> q33Oracle,
-    "q51_stream_join" -> q51Oracle)
+    "q51_stream_join" -> q51Oracle,
+    "q52_stream_enrich" -> q52Oracle)
 }

@@ -139,6 +139,37 @@ class SimilaritySpec extends SparkSpec {
       assert(probeAll == brute)
     }
 
+    it("trainCentroids converges to the cluster structure (Lloyd's)") {
+      // two tight clusters: ids 0/1 seed one member of each (the
+      // deterministic lowest-id init), the rest split between them
+      val rnd = new scala.util.Random(5)
+      def around(base: Array[Double]) =
+        base.map(_ + rnd.nextGaussian() * 0.05)
+      val a = Array(1.0, 0.0, 0.0, 0.0)
+      val b = Array(0.0, 0.0, 1.0, 0.0)
+      val rows = (0L until 60L).map { i =>
+        (i, around(if (i % 2 == 0) a else b))
+      }
+      val corpus = rows.toDF("vec_id", "embedding")
+      val trained = Similarity.trainCentroids(corpus, k = 2, iters = 5)
+      val cents = trained.select("vec_id", "embedding").as[(Long, Array[Double])]
+        .collect().toMap
+      assert(cents.size == 2)
+      // each trained centroid aligns with one true cluster direction
+      def cos(x: Array[Double], y: Array[Double]): Double = {
+        val d = x.zip(y).map { case (p, q) => p * q }.sum
+        d / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+      }
+      assert(cos(cents(0L), a) > 0.99 && cos(cents(1L), b) > 0.99)
+      // trained codebook drives IVF: in-cluster queries match brute force
+      val queries = corpus.filter(col("vec_id") < 6)
+      val brute = Similarity.bruteTopK(corpus, queries, k = 2)
+        .select("query_id", "rnk", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+      val ivf = Similarity.ivfTopK(corpus, queries, trained, k = 2)
+        .select("query_id", "rnk", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+      assert(ivf == brute) // clusters are separated, so nprobe=1 suffices
+    }
+
     it("argmax runs as a partial aggregation, not a window sort") {
       // partial_max_by = map-side combine (one row per vector per
       // partition crosses the shuffle); the old row_number window
