@@ -27,7 +27,7 @@ object Bench {
     val num = "q(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
     num match {
       case n if (n >= 16 && n <= 20) || n == 50 => "pipeline"
-      case n if (n >= 21 && n <= 29) || n == 37 || n == 38 || (n >= 44 && n <= 46) => "dataops"
+      case n if (n >= 21 && n <= 29) || n == 37 || n == 38 || (n >= 44 && n <= 46) || n == 53 => "dataops"
       case n if (n >= 30 && n <= 33) || n == 42 || n == 43 || n == 48 || n == 51 || n == 52 => "streaming"
       case _                                    => "relational"
     }

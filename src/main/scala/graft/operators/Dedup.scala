@@ -208,6 +208,47 @@ object Dedup {
     verifyJaccard(candidates, sets, threshold)
   }
 
+  /** Connected components over a near-dup pair list — the step that
+    * turns pairwise matches into DEDUP CLUSTERS (keep `min(doc_id)` per
+    * component, purge the rest). Iterative min-label propagation: every
+    * node starts as its own label; each round a node takes the minimum
+    * of its own and its neighbors' labels; converged when a round
+    * changes nothing. Rounds needed = graph diameter (near-dup clusters
+    * are shallow); each round is one shuffle on the edge key plus an
+    * eager localCheckpoint to truncate iterative lineage, and the
+    * per-round convergence count is a deliberate driver action (a
+    * control-flow decision, not data movement).
+    *
+    * Output: (doc_id, component) for every node that appears in a pair;
+    * `component` = the minimum doc id reachable from it.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "vlabel"), "v")
+        .groupBy(col("u").as("node"))
+        .agg(min(col("vlabel")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
+  }
+
   /** SimHash near-duplicate pairs with EXACT recall for
     * `hamming ≤ maxHamming`, via the multi-index pigeonhole scheme
     * (Manku/Jain/Sarma, WWW'07 — public algorithm): split the b-bit

@@ -415,6 +415,38 @@ object DataOps extends QueryModule {
       |   (a, b) -> (a * 257 + b) % 1000000007) AS rhash
       |FROM documents""".stripMargin
 
+  // ---- q53: dedup clusters (connected components) ----------------------
+
+  /** Near-dup pairs → dedup clusters: connected components over the
+    * exact-Jaccard pair list (q22's machinery), reduced to per-component
+    * canonical keeper + member count — the final step of a dedup
+    * pipeline (keep `component`, purge the rest). The oracle recomputes
+    * components as a recursive-CTE transitive closure over the same
+    * pairs.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairs(docs(s, dir), col("doc_id"), col("text"), threshold = 0.8)
+    Dedup.connectedComponents(pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("component"))
+  }
+
+  private val q53Oracle: String =
+    s"""WITH $shingleCtes,
+       |nodes AS (SELECT doc_a AS n FROM exact UNION SELECT doc_b FROM exact),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM exact
+       |          UNION SELECT doc_b, doc_a FROM exact),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT n, n FROM nodes
+       |    UNION
+       |    SELECT r.src, e.v FROM r JOIN edges e ON e.u = r.dst)
+       |  SELECT * FROM r),
+       |cc AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY 1)
+       |SELECT component, COUNT(*) AS n_members
+       |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q49: salted skew join -------------------------------------------
 
   /** The skew-mitigation join through `Joins.saltedJoin` (left side
@@ -510,7 +542,8 @@ object DataOps extends QueryModule {
     "q44_lsh_neardup" -> (lshNearDup _),
     "q45_image_decode" -> (imageDecode _),
     "q46_simhash_neardup" -> (simhashNearDup _),
-    "q49_salted_join" -> (saltedUserJoin _))
+    "q49_salted_join" -> (saltedUserJoin _),
+    "q53_dedup_clusters" -> (dedupClusters _))
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Oracle,
@@ -529,5 +562,6 @@ object DataOps extends QueryModule {
     "q44_lsh_neardup" -> q44Oracle,
     "q45_image_decode" -> q45Oracle,
     "q46_simhash_neardup" -> q46Oracle,
-    "q49_salted_join" -> q49Oracle)
+    "q49_salted_join" -> q49Oracle,
+    "q53_dedup_clusters" -> q53Oracle)
 }

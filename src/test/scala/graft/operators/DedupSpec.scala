@@ -87,6 +87,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.connectedComponents") {
+    it("merges transitive chains into one component and keeps islands apart") {
+      // chain 1-2-3-4 (diameter 3) + island pair 10-11
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val cc = Dedup.connectedComponents(pairs)
+        .select("doc_id", "component").as[(Long, Long)].collect().toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+      assert(cc(10L) == 10L && cc(11L) == 10L)
+      assert(cc.size == 6) // only nodes that appear in pairs
+    }
+
+    it("label always reaches the global minimum across a long chain") {
+      // worst-case diameter: a path 20 -> 19 -> ... -> 0
+      val pairs = (1L to 20L).map(i => (i - 1, i)).toDF("doc_a", "doc_b")
+      val cc = Dedup.connectedComponents(pairs, maxIter = 30)
+        .select("doc_id", "component").as[(Long, Long)].collect().toMap
+      assert(cc.values.toSet == Set(0L))
+    }
+  }
+
   describe("Dedup.simhashNearDups") {
     it("band candidates recover exactly the brute-force hamming result (pigeonhole)") {
       val fp = Dedup.simhash(corpus, col("doc_id"), col("text"))
