@@ -224,8 +224,12 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // lazy checkpoint BEFORE the symmetric union: both union branches
+    // share one materialization of the (possibly expensive) pair plan
+    // instead of recomputing it per branch
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+    val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .distinct()
       .localCheckpoint(true)
     var labels = edges.select(col("u").as("node")).distinct()
