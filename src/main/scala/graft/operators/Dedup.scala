@@ -253,6 +253,21 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
+  /** End-to-end near-dup purge: keep one canonical document per
+    * connected component (the minimum id), pass through documents with
+    * no near-dup at all — the dedup pipeline's final materialization
+    * (`docs → pairs → clusters → keep`). A left-anti join against the
+    * non-canonical member set, so the corpus streams through one
+    * hash join keyed on the (small) purge list.
+    */
+  def purgeNearDups(docs: DataFrame, id: Column, pairs: DataFrame,
+                    maxIter: Int = 20): DataFrame = {
+    val purge = connectedComponents(pairs, maxIter)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("__purge_id"))
+    docs.join(purge, id === col("__purge_id"), "left_anti")
+  }
+
   /** SimHash near-duplicate pairs with EXACT recall for
     * `hamming ≤ maxHamming`, via the multi-index pigeonhole scheme
     * (Manku/Jain/Sarma, WWW'07 — public algorithm): split the b-bit

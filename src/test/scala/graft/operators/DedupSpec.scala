@@ -98,6 +98,15 @@ class DedupSpec extends SparkSpec {
       assert(cc.size == 6) // only nodes that appear in pairs
     }
 
+    it("purgeNearDups keeps one canonical doc per cluster plus all singletons") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val all = Seq(1L, 2L, 3L, 7L, 10L, 11L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+      val kept = Dedup.purgeNearDups(all, col("doc_id"), pairs)
+        .select("doc_id").as[Long].collect().toSet
+      // canonical of {1,2,3} is 1; of {10,11} is 10; 7 untouched
+      assert(kept == Set(1L, 7L, 10L))
+    }
+
     it("label always reaches the global minimum across a long chain") {
       // worst-case diameter: a path 20 -> 19 -> ... -> 0
       val pairs = (1L to 20L).map(i => (i - 1, i)).toDF("doc_a", "doc_b")
