@@ -130,10 +130,16 @@ object Dedup {
     * count to any QueryExecutionListener, the engine's logging seam.
     * Callers that need EXACT results keep the default no-drop cap.
     */
+  /** Per-call counter keeps observed-metric names unique: two bucket
+    * operators composed into ONE plan would otherwise both register
+    * "bucket_stats" and fail analysis (duplicate CollectMetrics name).
+    * Listeners prefix-match on "bucket_stats". */
+  private val bucketMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private[operators] def pairsFromBuckets(buckets: DataFrame,
                                           maxBucket: Int = Int.MaxValue): DataFrame =
     buckets
-      .observe("bucket_stats",
+      .observe(s"bucket_stats_${bucketMetricSeq.incrementAndGet()}",
         count(lit(1)).as("n_buckets"),
         sum(when(size(col("ds")) > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
         max(size(col("ds"))).as("max_bucket"))
@@ -250,6 +256,13 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // Un-converged labels are WRONG labels (one component under several
+    // ids) and a downstream purge would keep duplicates — fail loudly,
+    // matching this module's dropped-work-is-not-silent standard.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter iterations " +
+          "(component diameter exceeds maxIter); raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 
@@ -283,7 +296,9 @@ object Dedup {
                       maxBucket: Int = 100000): DataFrame = {
     require(maxHamming >= 0 && maxHamming + 1 <= bits,
       s"need 0 <= maxHamming and maxHamming+1 bands <= $bits bits, got $maxHamming")
-    val fp = simhash(docs, id, text, bits)
+    // the fingerprint plan feeds three branches (band explode + both
+    // verify joins) — materialize once, like nearDupPairs' shingle table
+    val fp = simhash(docs, id, text, bits).localCheckpoint(false)
     val numBands = maxHamming + 1
     val bands = array((0 until numBands).map { i =>
       val lo = i * bits / numBands

@@ -64,7 +64,9 @@ object Pipeline {
     source: Source = FileSource): Result = {
 
     val statsDEnabled = config.monitoring.exists(_.statsd.nonEmpty)
-    val lines = source.lines(spark, config)
+    val resolvedCheckpoint =
+      checkpointDir.getOrElse(stripScheme(config.output.s3.path) + "/_checkpoint")
+    val lines = source.lines(spark, config, Some(resolvedCheckpoint))
 
     val base = records(lines, seqExpr)
 
@@ -83,8 +85,7 @@ object Pipeline {
 
     val query = observed.writeStream
       .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        checkpointDir.getOrElse(stripScheme(config.output.s3.path) + "/_checkpoint"))
+      .option("checkpointLocation", resolvedCheckpoint)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         val res = Emitter.emitBatch(df, config, batchId,
           now = now.getOrElse(Instant.now()),
@@ -137,9 +138,10 @@ object Pipeline {
       spark.streams.addListener(l)
       l
     }
-    val query = records(source.lines(spark, config), None).writeStream
+    val continuousCheckpoint = stripScheme(config.output.s3.path) + "/_checkpoint"
+    val query = records(source.lines(spark, config, Some(continuousCheckpoint)), None).writeStream
       .trigger(Trigger.ProcessingTime(math.max(1000L, config.buffer.timeLimit)))
-      .option("checkpointLocation", stripScheme(config.output.s3.path) + "/_checkpoint")
+      .option("checkpointLocation", continuousCheckpoint)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
         try {
           val res = Emitter.emitBatch(df, config, batchId, statsDEnabled = statsDEnabled)

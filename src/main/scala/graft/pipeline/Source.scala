@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   * config.
   */
 trait Source {
-  def lines(spark: SparkSession, config: PipelineConfig): DataFrame
+  /** @param checkpointDir the query's checkpoint location, when known —
+    *                      initial-position state that must survive a
+    *                      restart (e.g. LATEST's cutoff instant) is
+    *                      persisted alongside it */
+  def lines(spark: SparkSession, config: PipelineConfig,
+            checkpointDir: Option[String] = None): DataFrame
 }
 
 /** File-directory implementation (the offline stand-in for the Kinesis
@@ -45,7 +50,8 @@ trait Source {
   */
 object FileSource extends Source {
 
-  def lines(spark: SparkSession, config: PipelineConfig): DataFrame = {
+  def lines(spark: SparkSession, config: PipelineConfig,
+            checkpointDir: Option[String] = None): DataFrame = {
     val reader =
       if (config.buffer.byteLimit > 0)
         spark.readStream.option("maxBytesPerTrigger", config.buffer.byteLimit)
@@ -56,11 +62,38 @@ object FileSource extends Source {
       case InitialPosition.TrimHorizon => all
       case InitialPosition.Latest =>
         all.where(col("_metadata.file_modification_time") >=
-          lit(java.sql.Timestamp.from(Instant.now())))
+          lit(java.sql.Timestamp.from(latestCutoff(checkpointDir))))
       case InitialPosition.AtTimestamp(ts) =>
         all.where(col("_metadata.file_modification_time") >=
           lit(java.sql.Timestamp.from(ts)))
     }
     positioned.select(col("value"))
   }
+
+  /** LATEST's cutoff must be decided ONCE — at first start — and reused
+    * on every restart, exactly like a stream position: re-evaluating
+    * `now()` after a crash would silently drop every record that arrived
+    * while the pipeline was down, even though the file-source checkpoint
+    * marks those files processed (permanent loss). The cutoff is
+    * persisted next to the checkpoint; without a checkpoint dir the
+    * query has no restart identity, so a fresh cutoff is the correct
+    * (and only possible) semantics.
+    */
+  private def latestCutoff(checkpointDir: Option[String]): Instant =
+    checkpointDir match {
+      case None => Instant.now()
+      case Some(dir) =>
+        val marker = java.nio.file.Paths.get(stripScheme(dir), "graft_latest_cutoff")
+        if (java.nio.file.Files.exists(marker))
+          Instant.parse(java.nio.file.Files.readString(marker).trim)
+        else {
+          val cutoff = Instant.now()
+          Option(marker.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.writeString(marker, cutoff.toString)
+          cutoff
+        }
+    }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("s3://")) p.drop("s3://".length) else p
 }

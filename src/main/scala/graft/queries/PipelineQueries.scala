@@ -55,7 +55,7 @@ object PipelineQueries extends QueryModule {
     */
   def enrichedSchema(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.EnrichedEvent
-    val values: Seq[Column] = EnrichedEvent.fieldNames.map {
+    val raw: Seq[Column] = EnrichedEvent.fieldNames.map {
       case "app_id"            => lit("graft")
       case "platform"          => lit("srv")
       case "collector_tstamp"  => tsStr
@@ -67,6 +67,10 @@ object PipelineQueries extends QueryModule {
       case "derived_tstamp"    => tsStr
       case _                   => lit("")
     }
+    // coalesce per field: concat_ws SKIPS null arguments (it doesn't
+    // emit an empty field), so one null column would shift every later
+    // field left — exactly the misplacement this query exists to catch
+    val values = raw.map(c => coalesce(c, lit("")))
     val lines = Tables(s, dir, "events").select(concat_ws("\t", values: _*).as("value"))
     val parsed = EnrichedEvent.parse(lines)
     parsed.select(

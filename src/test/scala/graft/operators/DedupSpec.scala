@@ -114,6 +114,16 @@ class DedupSpec extends SparkSpec {
         .select("doc_id", "component").as[(Long, Long)].collect().toMap
       assert(cc.values.toSet == Set(0L))
     }
+
+    it("fails loudly instead of returning un-converged (wrong) labels") {
+      // diameter 20 > maxIter 3: silent truncation would leave one
+      // component split under several ids and a purge would keep dups
+      val pairs = (1L to 20L).map(i => (i - 1, i)).toDF("doc_a", "doc_b")
+      val e = intercept[IllegalStateException] {
+        Dedup.connectedComponents(pairs, maxIter = 3).collect()
+      }
+      assert(e.getMessage.contains("did not converge"))
+    }
   }
 
   describe("Dedup.simhashNearDups") {

@@ -22,9 +22,11 @@ class SkewSpec extends SparkSpec {
       val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
-        // hot key 1 carries 50k rows with a fat payload; 99 cold keys
+        // hot key 1 carries 50k rows with a fat payload; ~100 cold keys
+        // (id/500 % 100 spreads the sprinkled rows, unlike id % 100
+        // which is always 0 when id % 500 == 0)
         val left = spark.range(0, 50000).select(
-          when(col("id") % 500 === 0, (col("id") % 100)).otherwise(lit(1L)).as("k"),
+          when(col("id") % 500 === 0, (col("id") / 500) % 100).otherwise(lit(1L)).as("k"),
           concat(lit("x" * 100), col("id").cast("string")).as("payload"))
         val right = spark.range(0, 100).select(col("id").as("k"), col("id").as("rv"))
         val joined = left.join(right, "k")

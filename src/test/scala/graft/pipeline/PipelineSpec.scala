@@ -165,6 +165,34 @@ class PipelineSpec extends SparkSpec {
         assert(run("lt", InitialPosition.Latest) == Set("new"))
       }
     }
+
+    it("LATEST's cutoff survives a restart: files arriving during downtime are kept") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        Files.createDirectories(new File(s"$work/in").toPath)
+        val cfg0 = config(work, Purpose.Raw, dateFormat = None)
+        val cfg = cfg0.copy(input = cfg0.input.copy(position = InitialPosition.Latest))
+
+        // first start: cutoff decided and persisted; a future-mtime file passes
+        val p1 = new File(s"$work/in/a.txt").toPath
+        Files.write(p1, "while-up\n".getBytes("UTF-8"))
+        Files.setLastModifiedTime(p1,
+          java.nio.file.attribute.FileTime.from(Instant.now().plusSeconds(3600)))
+        val r1 = Pipeline.runOnce(spark, cfg, checkpointDir = Some(s"$work/checkpoint"),
+          now = Some(Instant.parse("2021-04-30T12:00:00Z")))
+        assert(r1.batches.map(_.count).sum == 1)
+
+        // downtime: a file arrives with mtime AFTER the original cutoff
+        // but BEFORE the restart instant — a re-evaluated now() filter
+        // would drop it while the checkpoint commits it (data loss)
+        Thread.sleep(5)
+        val p2 = new File(s"$work/in/b.txt").toPath
+        Files.write(p2, "while-down\n".getBytes("UTF-8"))
+        val r2 = Pipeline.runOnce(spark, cfg, checkpointDir = Some(s"$work/checkpoint"),
+          now = Some(Instant.parse("2021-04-30T13:00:00Z")))
+        assert(r2.batches.map(_.count).sum == 1, "downtime arrival must be processed")
+      }
+    }
   }
 
   describe("FileSource byte-limit admission") {
