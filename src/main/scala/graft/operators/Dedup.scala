@@ -118,6 +118,12 @@ object Dedup {
     verifyJaccard(candidates, sets, threshold)
   }
 
+  // Per-call counter keeps observed-metric names unique: two bucket
+  // operators composed into ONE plan would otherwise both register the
+  // same CollectMetrics name and fail analysis. Listeners prefix-match
+  // on "bucket_stats_".
+  private val bucketMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Expand a bucket's sorted member array into its (i<j) pairs with a
     * nested array transform — no self-join, no recomputation of the
     * bucket input. Buckets with one member vanish.
@@ -125,17 +131,12 @@ object Dedup {
     * `maxBucket` is the hot-bucket production cap: a bucket with more
     * than `maxBucket` members contributes NO pairs (a pathological
     * shingle/band key would otherwise expand quadratically and wedge one
-    * reducer). Dropped work is not silent — the `observe` metrics
-    * (`n_buckets` / `dropped_buckets` / `max_bucket`) surface the drop
-    * count to any QueryExecutionListener, the engine's logging seam.
-    * Callers that need EXACT results keep the default no-drop cap.
+    * reducer). Dropped work is not silent — the per-call-named
+    * `bucket_stats_<n>` `observe` metrics (`n_buckets` /
+    * `dropped_buckets` / `max_bucket`) surface the drop count to any
+    * QueryExecutionListener, the engine's logging seam. Callers that
+    * need EXACT results keep the default no-drop cap.
     */
-  /** Per-call counter keeps observed-metric names unique: two bucket
-    * operators composed into ONE plan would otherwise both register
-    * "bucket_stats" and fail analysis (duplicate CollectMetrics name).
-    * Listeners prefix-match on "bucket_stats". */
-  private val bucketMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
   private[operators] def pairsFromBuckets(buckets: DataFrame,
                                           maxBucket: Int = Int.MaxValue): DataFrame =
     buckets
@@ -243,7 +244,10 @@ object Dedup {
       .localCheckpoint(true)
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    // maxIter + 1 rounds: a diameter-d component needs ≤ d label-changing
+    // rounds plus ONE no-change round to observe convergence, so diameter
+    // == maxIter must still be accepted (off-by-one otherwise)
+    while (iter < maxIter + 1 && !converged) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "vlabel"), "v")
         .groupBy(col("u").as("node"))
@@ -261,8 +265,8 @@ object Dedup {
     // matching this module's dropped-work-is-not-silent standard.
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge within $maxIter iterations " +
-          "(component diameter exceeds maxIter); raise maxIter")
+        s"connectedComponents did not converge within $maxIter label-propagation " +
+          "rounds (a component's diameter exceeds maxIter); raise maxIter")
     labels.select(col("node").as("doc_id"), col("label").as("component"))
   }
 

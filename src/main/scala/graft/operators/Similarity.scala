@@ -114,7 +114,8 @@ object Similarity {
     *
     * `maxBucket` caps pathological buckets (degenerate embeddings, e.g.
     * all-zero vectors hashing identically) with the drop count observed
-    * via `bucket_stats` — see [[Dedup.pairsFromBuckets]].
+    * via the per-call-named `bucket_stats_<n>` observe metrics — see
+    * [[Dedup.pairsFromBuckets]].
     */
   def signLshNearDupPairs(corpus: DataFrame, threshold: Double,
                           numBands: Int = 12, rowsPerBand: Int = 8,

@@ -117,7 +117,7 @@ object Emitter {
       // and routed to the dead-letter channel below, like the reference's
       // emit returning them to fail() (KinesisS3Emitter.scala:83-84,100-105).
       val good = typed.filter(col("error").isNull && col("row_type") =!= RowTypes.ReadingErrorName)
-      val outRoot = stripScheme(config.output.s3.path)
+      val outRoot = PipelinePaths.stripScheme(config.output.s3.path)
       val staging = s"$outRoot/_staging/batch=$batchId"
 
       // Serializer seam (reference S3Loader.scala:41-44): resolve the
@@ -152,7 +152,7 @@ object Emitter {
           lit(now.toString).cast("timestamp"))).as("value"))
       val badCount = bad.count()
       if (badCount > 0) {
-        bad.write.mode(SaveMode.Append).text(stripScheme(config.output.bad.streamName))
+        bad.write.mode(SaveMode.Append).text(PipelinePaths.stripScheme(config.output.bad.streamName))
       }
 
       BatchResult(total, badCount, earliest, files)
@@ -180,7 +180,7 @@ object Emitter {
     // Final object = <s3.path>/<decorated dateFormat>/<fileName> — same
     // absolute layout as the reference's bucket + [outputDirectory/]key
     // split (KinesisS3Emitter.scala:208-220,226-244).
-    val root = new Path(stripScheme(s3.path))
+    val root = new Path(PipelinePaths.stripScheme(s3.path))
 
     val dirs = fs.listStatus(stagingPath).filter(_.isDirectory)
     val out = scala.collection.mutable.ListBuffer.empty[String]
@@ -224,6 +224,4 @@ object Emitter {
     sb.toString
   }
 
-  private def stripScheme(p: String): String =
-    if (p.startsWith("s3://")) p.drop("s3://".length) else p
 }

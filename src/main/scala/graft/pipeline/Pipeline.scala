@@ -65,7 +65,7 @@ object Pipeline {
 
     val statsDEnabled = config.monitoring.exists(_.statsd.nonEmpty)
     val resolvedCheckpoint =
-      checkpointDir.getOrElse(stripScheme(config.output.s3.path) + "/_checkpoint")
+      checkpointDir.getOrElse(PipelinePaths.stripScheme(config.output.s3.path) + "/_checkpoint")
     val lines = source.lines(spark, config, Some(resolvedCheckpoint))
 
     val base = records(lines, seqExpr)
@@ -138,7 +138,7 @@ object Pipeline {
       spark.streams.addListener(l)
       l
     }
-    val continuousCheckpoint = stripScheme(config.output.s3.path) + "/_checkpoint"
+    val continuousCheckpoint = PipelinePaths.stripScheme(config.output.s3.path) + "/_checkpoint"
     val query = records(source.lines(spark, config, Some(continuousCheckpoint)), None).writeStream
       .trigger(Trigger.ProcessingTime(math.max(1000L, config.buffer.timeLimit)))
       .option("checkpointLocation", continuousCheckpoint)
@@ -162,6 +162,4 @@ object Pipeline {
     }
   }
 
-  private def stripScheme(p: String): String =
-    if (p.startsWith("s3://")) p.drop("s3://".length) else p
 }

@@ -62,7 +62,7 @@ object FileSource extends Source {
       case InitialPosition.TrimHorizon => all
       case InitialPosition.Latest =>
         all.where(col("_metadata.file_modification_time") >=
-          lit(java.sql.Timestamp.from(latestCutoff(checkpointDir))))
+          lit(java.sql.Timestamp.from(latestCutoff(spark, checkpointDir))))
       case InitialPosition.AtTimestamp(ts) =>
         all.where(col("_metadata.file_modification_time") >=
           lit(java.sql.Timestamp.from(ts)))
@@ -75,25 +75,40 @@ object FileSource extends Source {
     * `now()` after a crash would silently drop every record that arrived
     * while the pipeline was down, even though the file-source checkpoint
     * marks those files processed (permanent loss). The cutoff is
-    * persisted next to the checkpoint; without a checkpoint dir the
-    * query has no restart identity, so a fresh cutoff is the correct
-    * (and only possible) semantics.
+    * persisted next to the checkpoint THROUGH THE SAME Hadoop FileSystem
+    * the checkpoint uses (a driver-local java.nio write would not
+    * survive a driver replacement when the checkpoint lives on
+    * s3a/hdfs), written atomically (temp + rename) so a crash mid-write
+    * cannot leave a truncated marker. A present-but-unparseable marker
+    * fails loudly: guessing a fresh cutoff there IS the data-loss path.
+    * Without a checkpoint dir the query has no restart identity, so a
+    * fresh cutoff is the correct (and only possible) semantics.
     */
-  private def latestCutoff(checkpointDir: Option[String]): Instant =
+  private def latestCutoff(spark: SparkSession, checkpointDir: Option[String]): Instant =
     checkpointDir match {
       case None => Instant.now()
       case Some(dir) =>
-        val marker = java.nio.file.Paths.get(stripScheme(dir), "graft_latest_cutoff")
-        if (java.nio.file.Files.exists(marker))
-          Instant.parse(java.nio.file.Files.readString(marker).trim)
-        else {
+        import org.apache.hadoop.fs.Path
+        val marker = new Path(PipelinePaths.stripScheme(dir), "graft_latest_cutoff")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) {
+          val content = new String(
+            org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(marker)), "UTF-8").trim
+          try Instant.parse(content)
+          catch {
+            case e: Exception => throw new IllegalStateException(
+              s"Corrupt LATEST cutoff marker at $marker ('$content'); " +
+                "delete it to restart from a fresh cutoff (records arrived since " +
+                "the original cutoff would then be re-evaluated)", e)
+          }
+        } else {
           val cutoff = Instant.now()
-          Option(marker.getParent).foreach(java.nio.file.Files.createDirectories(_))
-          java.nio.file.Files.writeString(marker, cutoff.toString)
+          val tmp = new Path(marker.getParent, "graft_latest_cutoff.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(cutoff.toString.getBytes("UTF-8")) finally out.close()
+          if (!fs.rename(tmp, marker) && !fs.exists(marker))
+            throw new IllegalStateException(s"Could not persist LATEST cutoff marker at $marker")
           cutoff
         }
     }
-
-  private def stripScheme(p: String): String =
-    if (p.startsWith("s3://")) p.drop("s3://".length) else p
 }
