@@ -91,24 +91,38 @@ object FileSource extends Source {
         import org.apache.hadoop.fs.Path
         val marker = new Path(PipelinePaths.stripScheme(dir), "graft_latest_cutoff")
         val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(marker)) {
-          val content = new String(
-            org.apache.hadoop.io.IOUtils.readFullyToByteArray(fs.open(marker)), "UTF-8").trim
-          try Instant.parse(content)
-          catch {
-            case e: Exception => throw new IllegalStateException(
-              s"Corrupt LATEST cutoff marker at $marker ('$content'); " +
-                "delete it to restart from a fresh cutoff (records arrived since " +
-                "the original cutoff would then be re-evaluated)", e)
-          }
-        } else {
+        if (fs.exists(marker)) readMarker(fs, marker)
+        else {
           val cutoff = Instant.now()
           val tmp = new Path(marker.getParent, "graft_latest_cutoff.tmp")
           val out = fs.create(tmp, true)
           try out.write(cutoff.toString.getBytes("UTF-8")) finally out.close()
-          if (!fs.rename(tmp, marker) && !fs.exists(marker))
+          if (fs.rename(tmp, marker)) cutoff
+          else if (fs.exists(marker)) {
+            // lost a creation race (TOCTOU past the exists check): the
+            // winner's persisted value IS the query's cutoff — using our
+            // own here would make this run filter differently from
+            // every future restart
+            fs.delete(tmp, false)
+            readMarker(fs, marker)
+          } else
             throw new IllegalStateException(s"Could not persist LATEST cutoff marker at $marker")
-          cutoff
         }
     }
+
+  private def readMarker(fs: org.apache.hadoop.fs.FileSystem,
+                         marker: org.apache.hadoop.fs.Path): Instant = {
+    val in = fs.open(marker)
+    val content =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      finally in.close()
+    try Instant.parse(content)
+    catch {
+      case e: Exception => throw new IllegalStateException(
+        s"Corrupt LATEST cutoff marker at $marker ('$content'). Restore it to the " +
+          "original cutoff instant (ISO-8601) if known; writing a fresh/later instant " +
+          "DROPS every record that arrived before it that the checkpoint has not yet " +
+          "committed — the data-loss path this marker exists to prevent", e)
+    }
+  }
 }
