@@ -22,16 +22,12 @@ package graft
   */
 object Bench {
 
-  /** Query family for the per-family subtotals in the bench JSON. */
-  private[graft] def family(name: String): String = {
-    val num = "q(\\d+)".r.findFirstMatchIn(name).map(_.group(1).toInt).getOrElse(0)
-    num match {
-      case n if (n >= 16 && n <= 20) || n == 50 => "pipeline"
-      case n if (n >= 21 && n <= 29) || n == 37 || n == 38 || (n >= 44 && n <= 46) || n == 53 => "dataops"
-      case n if (n >= 30 && n <= 33) || n == 42 || n == 43 || n == 48 || n == 51 || n == 52 => "streaming"
-      case _                                    => "relational"
-    }
-  }
+  /** Query family for the per-family subtotals in the bench JSON —
+    * looked up from the registering QueryModule (SparkEntry.familyOf),
+    * never a hand-maintained number range.
+    */
+  private[graft] def family(name: String): String =
+    SparkEntry.familyOf.getOrElse(name, "relational")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -10,4 +10,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** Bench family label for this module's queries (per-family subtotals
+    * in the bench JSON) — derived from the registering module so a query
+    * can never be misattributed by a hand-maintained number range.
+    */
+  def family: String
 }

@@ -29,4 +29,8 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
+
+  /** query name → bench family, derived from the registering module. */
+  def familyOf: Map[String, String] =
+    modules.flatMap(m => m.queries.keys.map(_ -> m.family)).toMap
 }

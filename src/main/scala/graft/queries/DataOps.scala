@@ -545,6 +545,8 @@ object DataOps extends QueryModule {
     "q49_salted_join" -> (saltedUserJoin _),
     "q53_dedup_clusters" -> (dedupClusters _))
 
+  val family: String = "dataops"
+
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Oracle,
     "q22_neardup" -> q22Oracle,

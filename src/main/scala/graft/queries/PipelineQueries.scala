@@ -296,6 +296,8 @@ object PipelineQueries extends QueryModule {
     "q20_badrows" -> (badRows _),
     "q50_enriched_schema" -> (enrichedSchema _))
 
+  val family: String = "pipeline"
+
   val oracles: Map[String, String] = Map(
     "q17_pipeline_roundtrip" -> q17Oracle,
     "q18_schema_key" -> q18Oracle,

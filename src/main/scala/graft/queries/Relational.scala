@@ -319,6 +319,8 @@ object Relational extends QueryModule {
     "q41_percentiles" -> (pricePercentiles _),
     "q47_bucketed_join" -> (bucketedRevenue _))
 
+  val family: String = "relational"
+
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -243,11 +243,20 @@ object StreamingQueries extends QueryModule {
     * deduped stream drains in Append mode (a dedup emits rows
     * immediately; only its state is watermark-scoped), then a batch
     * aggregation reduces to per-type distinct-user counts.
+    *
+    * The operator only guarantees dedup WITHIN the watermark delay, so
+    * the harness pins a delay wider than the corpus's 30-day event-time
+    * span: no key is ever evicted mid-drain, and the watermark-bounded
+    * semantics coincide with the oracle's global COUNT(DISTINCT) no
+    * matter how the source splits micro-batches (maxFilesPerTrigger,
+    * rate limits, more files at larger SF). A production deployment
+    * sets the delay to its real dedup horizon; the state bound is the
+    * keys inside that horizon either way.
     */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     val deduped = eventsStream(s, dir)
       .select(col("ts"), col("user_id"), col("event_type"))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", "45 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
     drain(s, deduped, OutputMode.Append())
       .groupBy(col("event_type"))
@@ -405,6 +414,8 @@ object StreamingQueries extends QueryModule {
     "q48_stateful_v2" -> (statefulV2UserStats _),
     "q51_stream_join" -> (streamStreamJoin _),
     "q52_stream_enrich" -> (streamStaticEnrich _))
+
+  val family: String = "streaming"
 
   val oracles: Map[String, String] = Map(
     "q30_stream_window" -> q30Oracle,
