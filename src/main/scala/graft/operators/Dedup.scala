@@ -80,10 +80,15 @@ object Dedup {
     // The candidate machinery never needs the shingle TEXT — postings
     // carry xxhash64(shingle) so the two posting-level shuffles (df
     // count, prefix buckets) move 8-byte longs instead of shingle
-    // strings (~4× less shuffle volume at warehouse scale). Exactness
-    // is preserved: equal shingles hash equal, so no candidate is ever
-    // LOST; a hash collision can only add a spurious candidate, which
-    // the string-level Jaccard verify filters anyway.
+    // strings (~4× less shuffle volume at warehouse scale). Equal
+    // shingles hash equal, so candidates are generated against the
+    // hash-space shingle SETS (collect_set below keeps set, not
+    // multiset, sizing if two of a doc's shingles ever collide); a
+    // collision can only add a spurious candidate — filtered by the
+    // string-level Jaccard verify — except in the astronomically
+    // unlikely (~2^-64 per shingle pair) case of a collision inside two
+    // docs' shingle intersection, which could nudge the hash-space
+    // Jaccard below t and drop that pair from the candidate set.
     val post = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
     val df = post.groupBy(col("sid")).agg(count(lit(1)).as("df"))
@@ -96,7 +101,7 @@ object Dedup {
     val prefix = post
       .join(df, "sid")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("sid")))).as("ranked"))
+      .agg(sort_array(collect_set(struct(col("df"), col("sid")))).as("ranked"))
       .select(col("doc_id"), size(col("ranked")).as("n"),
         slice(col("ranked"), lit(1),
           (size(col("ranked")) - ceil(lit(threshold) * size(col("ranked"))) + 1).cast("int")).as("pref"))
@@ -221,27 +226,34 @@ object Dedup {
     * node starts as its own label; each round a node takes the minimum
     * of its own and its neighbors' labels; converged when a round
     * changes nothing. Rounds needed = graph diameter (near-dup clusters
-    * are shallow); each round is one shuffle on the edge key plus an
-    * eager localCheckpoint to truncate iterative lineage, and the
-    * per-round convergence count is a deliberate driver action (a
-    * control-flow decision, not data movement).
+    * are shallow); each round is one shuffle on the edge key plus a
+    * lineage truncation per the [[Truncation]] policy (fast local
+    * checkpoints by default, durable [[Truncation.Reliable]] roots for
+    * long iterations on preemptible hardware), and the per-round
+    * convergence count is a deliberate driver action (a control-flow
+    * decision, not data movement).
     *
     * Output: (doc_id, component) for every node that appears in a pair;
     * `component` = the minimum doc id reachable from it.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          truncation: Truncation = Truncation.Local): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
     // lazy checkpoint BEFORE the symmetric union: both union branches
     // share one materialization of the (possibly expensive) pair plan
     // instead of recomputing it per branch
     val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(false)
-    val edges = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    // round 0 = the base tables every round joins against (Reliable
+    // checkpoints them durably — they must outlive any executor)
+    val edges = truncation.truncate(
+      p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .distinct(),
+      0)
+    var labels = truncation.truncate(
+      edges.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node")),
+      0)
     var iter = 0
     var converged = false
     // maxIter + 1 rounds: a diameter-d component needs ≤ d label-changing
@@ -252,9 +264,10 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "vlabel"), "v")
         .groupBy(col("u").as("node"))
         .agg(min(col("vlabel")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      val next = truncation.truncate(
+        labels.join(neighborMin, Seq("node"), "left")
+          .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label")),
+        iter + 1)
       converged = next.join(labels.withColumnRenamed("label", "old"), "node")
         .filter(col("label") =!= col("old")).isEmpty
       labels = next
@@ -278,8 +291,9 @@ object Dedup {
     * hash join keyed on the (small) purge list.
     */
   def purgeNearDups(docs: DataFrame, id: Column, pairs: DataFrame,
-                    maxIter: Int = 20): DataFrame = {
-    val purge = connectedComponents(pairs, maxIter)
+                    maxIter: Int = 20,
+                    truncation: Truncation = Truncation.Local): DataFrame = {
+    val purge = connectedComponents(pairs, maxIter, truncation)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as("__purge_id"))
     docs.join(purge, id === col("__purge_id"), "left_anti")
@@ -294,10 +308,16 @@ object Dedup {
     * candidate set — deterministically, unlike probabilistic LSH — and
     * `bit_count(xor) ≤ maxHamming` verifies. Shuffles on (band, key)
     * and the pair ids; never all-pairs.
+    *
+    * The default `maxBucket` is the no-drop cap, so the EXACT-recall
+    * guarantee holds out of the box; a warehouse deployment that sets a
+    * finite cap (against pathological hot fingerprints) trades that
+    * guarantee for bounded reducers and sees every drop in the
+    * `bucket_stats_<n>` observe metrics.
     */
   def simhashNearDups(docs: DataFrame, id: Column, text: Column,
                       maxHamming: Int = 3, bits: Int = 32,
-                      maxBucket: Int = 100000): DataFrame = {
+                      maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming + 1 <= bits,
       s"need 0 <= maxHamming and maxHamming+1 bands <= $bits bits, got $maxHamming")
     // the fingerprint plan feeds three branches (band explode + both

@@ -179,19 +179,23 @@ object Similarity {
     * codebook (at warehouse scale centroids come from training, not from
     * the first K rows). Pure DataFrame ops per iteration: one broadcast
     * assign + one per-dimension mean (posexplode → groupBy(centroid,
-    * pos) avg → re-collect), with an eager localCheckpoint truncating
-    * the otherwise-exponential iterative lineage. Deterministic: init =
+    * pos) avg → re-collect), with a per-round [[Truncation]] cutting
+    * the otherwise-exponential iterative lineage (fast local
+    * checkpoints by default, durable [[Truncation.Reliable]] roots for
+    * long trainings on preemptible hardware). Deterministic: init =
     * the K lowest-id vectors; a centroid that loses all members keeps
     * its position. Output schema matches the `centroids` argument of
     * [[assign]]/[[ivfTopK]]: (vec_id, embedding).
     */
-  def trainCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  def trainCentroids(corpus: DataFrame, k: Int, iters: Int,
+                     truncation: Truncation = Truncation.Local): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
-    var centroids = corpus.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      .localCheckpoint(true)
-    for (_ <- 0 until iters) {
+    var centroids = truncation.truncate(
+      corpus.orderBy(col("vec_id")).limit(k)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+      0)
+    for (i <- 0 until iters) {
       val assigned = assign(corpus, centroids)
       val means = assigned
         .select(col("centroid_id"), posexplode(col("embedding").cast("array<double>")))
@@ -200,9 +204,9 @@ object Similarity {
         .groupBy(col("centroid_id"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id").as("vec_id"), col("pm.m").as("embedding"))
-      centroids = means
-        .unionByName(centroids.join(means, Seq("vec_id"), "left_anti"))
-        .localCheckpoint(true)
+      centroids = truncation.truncate(
+        means.unionByName(centroids.join(means, Seq("vec_id"), "left_anti")),
+        i + 1)
     }
     centroids
   }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Lineage-truncation policy for iterative operators
+  * ([[Dedup.connectedComponents]], [[Similarity.trainCentroids]]).
+  *
+  * Iterative DataFrame plans grow per round; without truncation the
+  * optimizer re-analyzes an ever-deeper tree and recovery lineage
+  * explodes. The two policies trade speed against executor-loss
+  * resilience:
+  *
+  *  - [[Truncation.Local]] (default): eager `localCheckpoint` every
+  *    round. Fastest — no distributed-FS writes — but blocks live
+  *    UNREPLICATED in executor storage and the lineage is severed, so
+  *    losing one executor mid-iteration fails the job (a restart, never
+  *    a wrong answer: the converge-or-throw guard still holds). The
+  *    right choice on a healthy cluster or in local mode.
+  *  - [[Truncation.Reliable]]: every `every`-th round is an eager
+  *    `df.checkpoint()` against a configured reliable directory (HDFS /
+  *    object store); rounds in between materialize via
+  *    `persist(MEMORY_AND_DISK)` WITH lineage intact, rooted at the
+  *    last reliable checkpoint. Executor loss then costs at most
+  *    `every` rounds of recompute from a durable root instead of the
+  *    whole job — the warehouse shape for long iterations on
+  *    preemptible hardware.
+  */
+sealed trait Truncation {
+  /** Materialize `df` for round `round` (0 = the pre-iteration base
+    * tables) and return the frame downstream rounds should build on. */
+  private[operators] def truncate(df: DataFrame, round: Int): DataFrame
+}
+
+object Truncation {
+
+  /** Eager unreplicated local checkpoint every round (speed over
+    * executor-loss resilience). */
+  case object Local extends Truncation {
+    private[operators] def truncate(df: DataFrame, round: Int): DataFrame =
+      df.localCheckpoint(true)
+  }
+
+  /** Reliable checkpoint to `dir` every `every` rounds, lineage-keeping
+    * `persist` in between. Round 0 (the base tables an iteration joins
+    * against every round) always checkpoints reliably — those blocks
+    * must outlive any executor. Each policy instance points the
+    * SparkContext's checkpoint location at its own `dir` on first use
+    * (the checkpoint dir is per-context in Spark, so the most recently
+    * started policy wins — run one iterative operator per policy
+    * instance).
+    */
+  final case class Reliable(dir: String, every: Int = 5) extends Truncation {
+    require(every >= 1, s"every must be >= 1, got $every")
+
+    @volatile private var dirClaimed = false
+
+    private[operators] def truncate(df: DataFrame, round: Int): DataFrame = {
+      val sc = df.sparkSession.sparkContext
+      if (round % every == 0) {
+        if (!dirClaimed) { sc.setCheckpointDir(dir); dirClaimed = true }
+        df.checkpoint(true)
+      } else {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count() // eager, like the checkpoint branches — the round's
+        // convergence/assignment action must read a materialized frame
+        p
+      }
+    }
+  }
+}

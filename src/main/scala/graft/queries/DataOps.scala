@@ -373,7 +373,12 @@ object DataOps extends QueryModule {
   def lshNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val planted = e.select((col("vec_id") + lit(100000L)).as("vec_id"),
+    // planted ids start past max(vec_id), DERIVED from the corpus (one
+    // column-pruned scalar-agg action at plan time) so a larger SF can
+    // never collide planted ids with real ones and silently corrupt the
+    // pair set; the oracle derives the same offset via a subquery
+    val off = e.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1L
+    val planted = e.select((col("vec_id") + lit(off)).as("vec_id"),
       concat(array(element_at(col("embedding"), 1) + lit(0.1)),
         slice(col("embedding"), 2, 10000)).as("embedding"))
     graft.operators.Similarity.signLshNearDupPairs(e.unionByName(planted), threshold = 0.9)
@@ -385,7 +390,7 @@ object DataOps extends QueryModule {
     s"""WITH c2 AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
        |  UNION ALL
-       |  SELECT vec_id + 100000,
+       |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
        |    list_prepend(embedding[1] + CAST(0.1 AS DOUBLE), CAST(embedding[2:] AS DOUBLE[]))
        |  FROM embeddings)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($cos, 6) AS sim_r

@@ -115,6 +115,25 @@ class DedupSpec extends SparkSpec {
       assert(cc.values.toSet == Set(0L))
     }
 
+    it("Reliable truncation matches Local and writes durable checkpoint roots") {
+      withTempDir { dir =>
+        // diameter-5 chain + island, reliable root every 2 rounds: same
+        // labels as the Local policy, and the configured dir actually
+        // receives RDD checkpoint data (the executor-loss recovery root)
+        val pairs = (1L to 5L).map(i => (i - 1, i)).toDF("doc_a", "doc_b")
+          .unionByName(Seq((10L, 11L)).toDF("doc_a", "doc_b"))
+        val local = Dedup.connectedComponents(pairs)
+          .select("doc_id", "component").as[(Long, Long)].collect().toMap
+        val reliable = Dedup.connectedComponents(pairs,
+            truncation = Truncation.Reliable(dir.getAbsolutePath, every = 2))
+          .select("doc_id", "component").as[(Long, Long)].collect().toMap
+        assert(reliable == local)
+        def countFiles(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(countFiles).sum else 1
+        assert(countFiles(dir) > 0, "no reliable checkpoint data written")
+      }
+    }
+
     it("fails loudly instead of returning un-converged (wrong) labels") {
       // diameter 20 > maxIter 3: silent truncation would leave one
       // component split under several ids and a purge would keep dups

@@ -170,6 +170,18 @@ class SimilaritySpec extends SparkSpec {
       assert(ivf == brute) // clusters are separated, so nprobe=1 suffices
     }
 
+    it("trainCentroids under Reliable truncation matches the Local policy") {
+      withTempDir { dir =>
+        val corpus = randomCorpus(n = 40, dim = 6, seed = 9)
+        def cents(t: Truncation) =
+          Similarity.trainCentroids(corpus, k = 3, iters = 4, truncation = t)
+            .select("vec_id", "embedding").as[(Long, Array[Double])]
+            .collect().toMap.map { case (k, v) => k -> v.toSeq }
+        assert(cents(Truncation.Reliable(dir.getAbsolutePath, every = 2)) ==
+          cents(Truncation.Local))
+      }
+    }
+
     it("argmax runs as a partial aggregation, not a window sort") {
       // partial_max_by = map-side combine (one row per vector per
       // partition crosses the shuffle); the old row_number window
