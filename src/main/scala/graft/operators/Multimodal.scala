@@ -9,13 +9,21 @@ import org.apache.spark.sql.types._
   * in batches — the Spark-side plumbing (schema, partitioning, iterator
   * batch shape) a production media pipeline needs.
   *
-  * The IMAGE path is REAL: [[ImageCodec]] decodes PNG/BMP/JPEG payloads
-  * with the JDK's `javax.imageio`, computes pixel statistics from the
-  * raster, and resizes through `Graphics2D` — executed inside the same
-  * `mapPartitions` batch shape. Audio/video decoding stays STUBBED
-  * ([[FakeCodec]], clearly marked: no sound/video libraries in this
-  * container); an image payload that does not parse falls back to the
-  * stub's byte-level stats, so feature extraction is total.
+  * All three decode paths are REAL, on JDK-only codecs:
+  *  - image: [[ImageCodec]] — PNG/BMP/JPEG/GIF via `javax.imageio`,
+  *    raster pixel statistics, `Graphics2D` resize;
+  *  - audio: [[AudioCodec]] — WAV/AU/AIFF via `javax.sound.sampled`,
+  *    16-bit PCM sample statistics over channel 0 (non-PCM payloads are
+  *    converted when the JDK supports the conversion);
+  *  - video: [[VideoCodec]] — multi-frame containers (animated GIF is
+  *    the JDK-native one) via the `ImageIO` sequence reader: real frame
+  *    count, every-k-th frame sampling under a cap, pixel statistics
+  *    over the sampled frames only.
+  *
+  * A payload that does not parse falls back to [[ByteStats]] byte-level
+  * stats plus metadata-derived dimensions, so feature extraction is
+  * total. A production deployment swaps stronger codecs (e.g. FFmpeg
+  * bindings) into the same per-partition decode seam.
   */
 object Multimodal {
 
@@ -42,12 +50,24 @@ object Multimodal {
     StructField("frames_sampled", IntegerType, nullable = true),
     StructField("resized_w", IntegerType, nullable = true),
     StructField("resized_h", IntegerType, nullable = true),
-    // real-decode columns (null when the payload isn't a decodable image)
+    // real-decode columns (null when the payload isn't decodable).
+    // decoded_w/h + px_* are shared by the image path (whole raster) and
+    // the video path (sampled frames): same meaning, per-modality source.
     StructField("decoded_w", IntegerType, nullable = true),
     StructField("decoded_h", IntegerType, nullable = true),
     StructField("px_min", IntegerType, nullable = true),
     StructField("px_max", IntegerType, nullable = true),
-    StructField("px_sum", LongType, nullable = true)))
+    StructField("px_sum", LongType, nullable = true),
+    // audio real-decode columns
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("smp_min", IntegerType, nullable = true),
+    StructField("smp_max", IntegerType, nullable = true),
+    StructField("smp_sum", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    // video real-decode: the container's true frame count (frames_sampled
+    // above is how many of them the sampler actually read)
+    StructField("n_frames", IntegerType, nullable = true)))
 
   /** REAL image codec on the JDK's javax.imageio — no external deps.
     * Pixel statistics read band 0 of the decoded raster (the gray
@@ -118,12 +138,197 @@ object Multimodal {
     }
   }
 
-  /** STUB codec — deterministic fake for the audio/video paths (and the
-    * byte-level fallback when an image payload doesn't parse). */
-  object FakeCodec {
-    /** "Decode": byte-stream stats standing in for sample decoding. A real
-      * implementation would parse the container format here.
+  /** REAL audio codec on the JDK's `javax.sound.sampled` — no external
+    * deps. Decodes WAV (and AU/AIFF) containers; payloads not already
+    * 16-bit signed PCM are converted when the JDK supports the
+    * conversion. Statistics are over CHANNEL 0's 16-bit samples (the
+    * same band-0 contract as the image path).
+    */
+  object AudioCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.ByteArrayInputStream
+
+    final case class Decoded(sampleRate: Int, nSamples: Long,
+                             smpMin: Int, smpMax: Int, smpSum: Long) {
+      /** floor-division milliseconds — mirrors the SQL oracle's `//`. */
+      def durationMs: Long = if (sampleRate <= 0) 0L else nSamples * 1000L / sampleRate
+    }
+
+    def decode(payload: Array[Byte]): Option[Decoded] =
+      if (payload == null || payload.isEmpty) None
+      else try {
+        val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        val pcm16 = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+          raw.getFormat.getChannels * 2, raw.getFormat.getSampleRate, false)
+        val ais =
+          if (raw.getFormat.matches(pcm16)) raw
+          else AudioSystem.getAudioInputStream(pcm16, raw)
+        try Some(channel0Stats(ais))
+        finally ais.close()
+      } catch { case _: Exception => None }
+
+    private def channel0Stats(ais: AudioInputStream): Decoded = {
+      val fmt = ais.getFormat
+      val frameSize = fmt.getFrameSize // bytes per frame, all channels
+      val buf = new Array[Byte](frameSize * 1024)
+      var n = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var sum = 0L
+      var carry = 0 // bytes of an incomplete trailing frame in buf
+      var read = ais.read(buf, carry, buf.length - carry)
+      while (read > 0) {
+        val avail = carry + read
+        val whole = avail - avail % frameSize
+        var off = 0
+        while (off < whole) {
+          // channel 0 = first 16-bit little-endian sample of the frame
+          val s = ((buf(off) & 0xff) | (buf(off + 1) << 8)).toShort.toInt
+          if (s < mn) mn = s
+          if (s > mx) mx = s
+          sum += s
+          n += 1
+          off += frameSize
+        }
+        carry = avail - whole
+        var i = 0
+        while (i < carry) { buf(i) = buf(whole + i); i += 1 }
+        read = ais.read(buf, carry, buf.length - carry)
+      }
+      if (n == 0) Decoded(fmt.getSampleRate.toInt, 0L, 0, 0, 0L)
+      else Decoded(fmt.getSampleRate.toInt, n, mn, mx, sum)
+    }
+
+    /** Deterministic 16-bit mono PCM WAV: sample(i) = f(i) (clamped to
+      * short range). Used by the synthetic-audio generator and golden
+      * tests — PCM is lossless, so decode returns exactly these samples.
       */
+    def encodePcm16Wav(sampleRate: Int, nSamples: Int)(f: Int => Int): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val bytes = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = math.max(Short.MinValue, math.min(Short.MaxValue, f(i))).toInt
+        bytes(2 * i) = (s & 0xff).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, nSamples.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+  }
+
+  /** REAL video codec on the `ImageIO` sequence reader — no external
+    * deps. Animated GIF is the JDK-native multi-frame container; any
+    * registered multi-frame `ImageReader` works through the same path.
+    * Samples every k-th frame up to a cap (the standard training-data
+    * frame-sampling shape: never decode all frames of a long video) and
+    * computes pixel statistics over the SAMPLED frames only, reading
+    * values through `getRGB` (palette-resolved) for determinism across
+    * indexed and gray rasters.
+    */
+  object VideoCodec {
+    import java.io.ByteArrayInputStream
+
+    final case class Decoded(nFrames: Int, framesSampled: Int, width: Int, height: Int,
+                             pxMin: Int, pxMax: Int, pxSum: Long)
+
+    def decodeFrames(payload: Array[Byte], everyK: Int, cap: Int): Option[Decoded] = {
+      require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+      if (payload == null || payload.isEmpty) return None
+      var iis: javax.imageio.stream.ImageInputStream = null
+      try {
+        iis = javax.imageio.ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var sum = 0L
+          var sampled = 0
+          var w = 0
+          var h = 0
+          var idx = 0
+          while (idx < n && sampled < cap) {
+            val img = reader.read(idx)
+            w = img.getWidth
+            h = img.getHeight
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val v = img.getRGB(x, y) & 0xff // gray: R==G==B
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                sum += v
+                x += 1
+              }
+              y += 1
+            }
+            sampled += 1
+            idx += everyK
+          }
+          Some(Decoded(n, sampled, w, h, mn, mx, sum))
+        } finally reader.dispose()
+      } catch { case _: Exception => None }
+      finally if (iis != null) iis.close()
+    }
+
+    /** Deterministic multi-frame grayscale GIF: frame `fr` pixel(x, y) =
+      * f(fr, x, y). Frames are TYPE_BYTE_INDEXED over an identity
+      * 256-gray palette so the GIF encoder stores the exact values (no
+      * web-palette quantization) and decode round-trips losslessly.
+      */
+    def encodeGrayGif(width: Int, height: Int, nFrames: Int)(f: (Int, Int, Int) => Int): Array[Byte] = {
+      import java.awt.image.{BufferedImage, IndexColorModel}
+      val grays = Array.tabulate[Byte](256)(_.toByte)
+      val cm = new IndexColorModel(8, 256, grays, grays, grays)
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        // the JDK GIF writer defaults to INTERLACED frames, which its own
+        // reader mis-rounds-trips on small rasters — write sequential
+        val param = writer.getDefaultWriteParam
+        param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+        writer.prepareWriteSequence(null)
+        var fr = 0
+        while (fr < nFrames) {
+          val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < height) {
+            var x = 0
+            while (x < width) { raster.setSample(x, y, 0, f(fr, x, y) & 0xff); x += 1 }
+            y += 1
+          }
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+          fr += 1
+        }
+        writer.endWriteSequence()
+      } finally {
+        writer.dispose()
+        ios.close()
+      }
+      baos.toByteArray
+    }
+  }
+
+  /** Byte-level fallback when a payload doesn't parse in any codec (and
+    * the metadata-arithmetic stand-ins for dimensions/frame counts when
+    * only the envelope is trustworthy). Keeps feature extraction TOTAL:
+    * every row gets byte stats even when decode fails.
+    */
+  object ByteStats {
+    /** Byte-stream stats: (n_bytes, byte_sum, byte_min, byte_max). */
     def decode(payload: Array[Byte]): (Long, Long, Int, Int) = {
       var sum = 0L
       var mn = 255
@@ -139,14 +344,15 @@ object Multimodal {
       if (payload.isEmpty) (0L, 0L, 0, 0) else (payload.length.toLong, sum, mn, mx)
     }
 
-    /** "Frame sampling": every k-th frame, capped — pure arithmetic on
-      * the metadata, the real version would seek the container. */
+    /** Frame-count arithmetic (every k-th frame, capped) from the
+      * METADATA frame count — the fallback when the container doesn't
+      * parse; [[VideoCodec.decodeFrames]] does the real sampling. */
     def sampleFrames(nFrames: Int, everyK: Int, cap: Int): Int =
       math.min(cap, if (nFrames <= 0) 0 else (nFrames + everyK - 1) / everyK)
 
-    /** "Resize" to a target width preserving aspect ratio (floor
-      * division, min height 1) — the real version would rescale pixels.
-      */
+    /** Resize dimensions (aspect-preserving, floor division, min height
+      * 1) from the METADATA dims — the fallback when the payload doesn't
+      * decode; [[ImageCodec.resize]] rescales real pixels. */
     def resizeDims(width: Int, height: Int, targetW: Int): (Int, Int) =
       (targetW, math.max(1, height * targetW / width))
   }
@@ -156,10 +362,18 @@ object Multimodal {
     * amortizes per partition — the standard shape for native-lib media
     * work in Spark; payload bytes never hit the driver.
     *
-    * kind = image: real `javax.imageio` decode → raster pixel stats +
-    * `Graphics2D` resize (decoded_* / px_* / resized_* from the actual
-    * image); undecodable payloads fall back to metadata-derived dims.
-    * kind = audio/video: stub (see [[FakeCodec]]).
+    *  - kind = image: real `javax.imageio` decode → raster pixel stats +
+    *    `Graphics2D` resize (decoded_* / px_* / resized_*);
+    *  - kind = audio: real `javax.sound.sampled` decode → channel-0
+    *    16-bit sample stats (sample_rate / n_samples / smp_* /
+    *    duration_ms);
+    *  - kind = video: real `ImageIO` sequence decode → true frame count,
+    *    every-k-th-frame sampling under `frameCap`, pixel stats over the
+    *    sampled frames (n_frames / frames_sampled / decoded_* / px_*).
+    *
+    * Undecodable payloads of any kind fall back to [[ByteStats]] +
+    * metadata-derived dimensions/frame arithmetic, so the extraction is
+    * total — every row yields a feature row.
     */
   def decodeFeatures(media: DataFrame, frameEveryK: Int = 10, frameCap: Int = 16,
                      resizeTargetW: Int = 32): DataFrame = {
@@ -174,32 +388,55 @@ object Multimodal {
         val width = if (internal.isNullAt(3)) None else Some(internal.getInt(3))
         val height = if (internal.isNullAt(4)) None else Some(internal.getInt(4))
         val nFrames = if (internal.isNullAt(5)) None else Some(internal.getInt(5))
-        val (n, sum, mn, mx) = FakeCodec.decode(payload)
+        val (n, sum, mn, mx) = ByteStats.decode(payload)
         val decoded = kind match {
           case "image" => ImageCodec.decode(payload).map { img =>
             (ImageCodec.stats(img), ImageCodec.resize(img, resizeTargetW))
           }
           case _ => None
         }
-        val nPixels = decoded match {
-          case Some((d, _)) => Some(d.width.toLong * d.height)
-          case None         => for (w <- width; h <- height) yield w.toLong * h
-        }
-        val sampled = kind match {
-          case "video" => nFrames.map(f => FakeCodec.sampleFrames(f, frameEveryK, frameCap))
+        val audio = kind match {
+          case "audio" => AudioCodec.decode(payload)
           case _       => None
+        }
+        val video = kind match {
+          case "video" => VideoCodec.decodeFrames(payload, frameEveryK, frameCap)
+          case _       => None
+        }
+        val nPixels = (decoded, video) match {
+          case (Some((d, _)), _) => Some(d.width.toLong * d.height)
+          case (_, Some(v))      => Some(v.width.toLong * v.height) // per-frame pixels
+          case _                 => for (w <- width; h <- height) yield w.toLong * h
+        }
+        val sampled = (kind, video) match {
+          case (_, Some(v))  => Some(v.framesSampled)
+          case ("video", _)  => nFrames.map(f => ByteStats.sampleFrames(f, frameEveryK, frameCap))
+          case _             => None
         }
         val resized = decoded match {
           case Some((_, r)) => Some((r.getWidth, r.getHeight))
           case None if kind == "image" =>
-            for (w <- width; h <- height if w > 0) yield FakeCodec.resizeDims(w, h, resizeTargetW)
+            for (w <- width; h <- height if w > 0) yield ByteStats.resizeDims(w, h, resizeTargetW)
           case None => None
+        }
+        val decodedDims = (decoded, video) match {
+          case (Some((d, _)), _) => Some((d.width, d.height))
+          case (_, Some(v))      => Some((v.width, v.height))
+          case _                 => None
+        }
+        val px = (decoded, video) match {
+          case (Some((d, _)), _) => Some((d.pxMin, d.pxMax, d.pxSum))
+          case (_, Some(v))      => Some((v.pxMin, v.pxMax, v.pxSum))
+          case _                 => None
         }
         Row(mediaId, kind, n, sum, mn, mx, nPixels.orNull, sampled.orNull,
           resized.map(_._1).orNull, resized.map(_._2).orNull,
-          decoded.map(_._1.width).orNull, decoded.map(_._1.height).orNull,
-          decoded.map(_._1.pxMin).orNull, decoded.map(_._1.pxMax).orNull,
-          decoded.map(_._1.pxSum).orNull)
+          decodedDims.map(_._1).orNull, decodedDims.map(_._2).orNull,
+          px.map(_._1).orNull, px.map(_._2).orNull, px.map(_._3).orNull,
+          audio.map(_.sampleRate).orNull, audio.map(_.nSamples).orNull,
+          audio.map(_.smpMin).orNull, audio.map(_.smpMax).orNull,
+          audio.map(_.smpSum).orNull, audio.map(_.durationMs).orNull,
+          video.map(_.nFrames).orNull)
       }
     }
     spark.createDataFrame(out, featureSchema)
@@ -238,6 +475,50 @@ object Multimodal {
         val h = (id % 12 + 4).toInt
         val png = ImageCodec.encodeGrayPng(w, h)((_, y) => ((id + y) % 256).toInt)
         Row(id, "image", png, Row(w, h, null, null))
+      }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Synthesize REAL 16-bit mono PCM WAV payloads, one per doc: sample
+    * rate 8/12/16 kHz by id, `id % 500 + 100` samples, sample(i) =
+    * `(id·7 + i·13) % 4001 − 2000`. The closed-form sample function
+    * makes decoded statistics predictable by a SQL oracle while the
+    * payload is a genuine RIFF/WAVE container only a real audio decoder
+    * can read. Encoded per-partition (same batch shape as decode).
+    */
+  def syntheticAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ids: Dataset[Row] = docs.select(col("doc_id"))
+    val out = ids.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(0)
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val n = (id % 500 + 100).toInt
+        val wav = AudioCodec.encodePcm16Wav(rate, n)(i => ((id * 7 + i * 13) % 4001 - 2000).toInt)
+        Row(id, "audio", wav, Row(null, null, rate, null))
+      }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Synthesize REAL multi-frame grayscale GIF payloads, one per doc:
+    * `id % 20 + 2` frames of `(id%12+4)×(id%8+4)`, frame `fr` pixel(x,y)
+    * = `(id + fr·31 + y) % 256` — a per-frame row gradient the SQL
+    * oracle can integrate in closed form, inside a genuine animated-GIF
+    * container only a real sequence decoder can read.
+    */
+  def syntheticVideos(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ids: Dataset[Row] = docs.select(col("doc_id"))
+    val out = ids.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(0)
+        val w = (id % 12 + 4).toInt
+        val h = (id % 8 + 4).toInt
+        val frames = (id % 20 + 2).toInt
+        val gif = VideoCodec.encodeGrayGif(w, h, frames)((fr, _, y) => ((id + fr * 31 + y) % 256).toInt)
+        Row(id, "video", gif, Row(w, h, null, frames))
       }
     }
     spark.createDataFrame(out, mediaSchema)

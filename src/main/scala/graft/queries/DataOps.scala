@@ -272,9 +272,11 @@ object DataOps extends QueryModule {
   // ---- q29: multimodal binary columns ----------------------------------
 
   /** Binary media payloads + typed metadata through the mapPartitions
-    * feature extractor (stubbed codec — see Multimodal.FakeCodec). The
-    * corpus is ASCII so the oracle reproduces the byte stats with
-    * per-char code points.
+    * feature extractor, exercising the TOTALITY contract: these payloads
+    * are text bytes, not decodable containers, so every row takes the
+    * ByteStats + metadata-arithmetic fallback (the real decodes are
+    * pinned by q45/q54/q55). The corpus is ASCII so the oracle
+    * reproduces the byte stats with per-char code points.
     */
   def multimodal(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
@@ -336,6 +338,85 @@ object DataOps extends QueryModule {
       |  CAST(32 AS INTEGER) AS resized_w,
       |  CAST(greatest(1, (h * 32) // w) AS INTEGER) AS resized_h
       |FROM px ORDER BY media_id""".stripMargin
+
+  // ---- q54: REAL audio decode (javax.sound.sampled) --------------------
+
+  /** Genuine RIFF/WAVE containers round-tripped through the real audio
+    * codec: deterministic 16-bit mono PCM (sample(i) =
+    * (id·7 + i·13) % 4001 − 2000) encoded per-partition, decoded with
+    * `javax.sound.sampled`, channel-0 sample statistics. The closed-form
+    * sample function lets the SQL oracle predict every decoded statistic
+    * — a green run proves a real container decode happened (byte stats
+    * of a RIFF header would match nothing).
+    */
+  def audioDecode(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.decodeFeatures(Multimodal.syntheticAudio(docs(s, dir)))
+      .select(col("media_id"), col("sample_rate"), col("n_samples"),
+        col("smp_min"), col("smp_max"), col("smp_sum"), col("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q54Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+      |         doc_id % 500 + 100 AS n FROM documents),
+      |smp AS (SELECT doc_id, sample_rate, n, unnest(range(n)) AS i FROM base),
+      |st AS (
+      |  SELECT doc_id, sample_rate, n,
+      |    MIN((doc_id * 7 + i * 13) % 4001 - 2000) AS smp_min,
+      |    MAX((doc_id * 7 + i * 13) % 4001 - 2000) AS smp_max,
+      |    SUM((doc_id * 7 + i * 13) % 4001 - 2000) AS smp_sum
+      |  FROM smp GROUP BY 1, 2, 3)
+      |SELECT doc_id AS media_id, sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(smp_min AS INTEGER) AS smp_min, CAST(smp_max AS INTEGER) AS smp_max,
+      |  CAST(smp_sum AS BIGINT) AS smp_sum,
+      |  CAST(n * 1000 // sample_rate AS BIGINT) AS duration_ms
+      |FROM st ORDER BY media_id""".stripMargin
+
+  // ---- q55: REAL video frame sampling (ImageIO sequence) ---------------
+
+  /** Genuine animated-GIF containers through the real sequence decoder:
+    * per-doc multi-frame grayscale GIFs (frame fr pixel(x,y) =
+    * (id + fr·31 + y) % 256), every-3rd-frame sampling capped at 5
+    * frames, pixel statistics over the sampled frames only — the
+    * training-data frame-sampling shape, with the true container frame
+    * count alongside. Closed-form pixels make every statistic
+    * SQL-predictable.
+    */
+  def videoFrames(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    Multimodal.decodeFeatures(Multimodal.syntheticVideos(docs(s, dir)),
+        frameEveryK = 3, frameCap = 5)
+      .select(col("media_id"), col("n_frames"), col("frames_sampled"),
+        col("decoded_w"), col("decoded_h"), col("n_pixels"),
+        col("px_min"), col("px_max"), col("px_sum"))
+      .orderBy(col("media_id"))
+  }
+
+  private val q55Oracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, doc_id % 12 + 4 AS w, doc_id % 8 + 4 AS h,
+      |         doc_id % 20 + 2 AS nf FROM documents),
+      |fy AS (SELECT doc_id, w, h, nf, unnest(range(nf)) AS f FROM base),
+      |sel AS (SELECT * FROM fy WHERE f % 3 = 0 AND f // 3 < 5),
+      |fyy AS (SELECT doc_id, w, h, nf, f, unnest(range(h)) AS y FROM sel),
+      |st AS (
+      |  SELECT doc_id, w, h, nf,
+      |    COUNT(DISTINCT f) AS frames_sampled,
+      |    MIN((doc_id + f * 31 + y) % 256) AS px_min,
+      |    MAX((doc_id + f * 31 + y) % 256) AS px_max,
+      |    SUM((doc_id + f * 31 + y) % 256) * w AS px_sum
+      |  FROM fyy GROUP BY 1, 2, 3, 4)
+      |SELECT doc_id AS media_id,
+      |  CAST(nf AS INTEGER) AS n_frames,
+      |  CAST(frames_sampled AS INTEGER) AS frames_sampled,
+      |  CAST(w AS INTEGER) AS decoded_w, CAST(h AS INTEGER) AS decoded_h,
+      |  CAST(w * h AS BIGINT) AS n_pixels,
+      |  CAST(px_min AS INTEGER) AS px_min, CAST(px_max AS INTEGER) AS px_max,
+      |  CAST(px_sum AS BIGINT) AS px_sum
+      |FROM st ORDER BY media_id""".stripMargin
 
   // ---- q37: embedding-cosine near-dup ----------------------------------
 
@@ -548,7 +629,9 @@ object DataOps extends QueryModule {
     "q45_image_decode" -> (imageDecode _),
     "q46_simhash_neardup" -> (simhashNearDup _),
     "q49_salted_join" -> (saltedUserJoin _),
-    "q53_dedup_clusters" -> (dedupClusters _))
+    "q53_dedup_clusters" -> (dedupClusters _),
+    "q54_audio_decode" -> (audioDecode _),
+    "q55_video_frames" -> (videoFrames _))
 
   val family: String = "dataops"
 
@@ -570,5 +653,7 @@ object DataOps extends QueryModule {
     "q45_image_decode" -> q45Oracle,
     "q46_simhash_neardup" -> q46Oracle,
     "q49_salted_join" -> q49Oracle,
-    "q53_dedup_clusters" -> q53Oracle)
+    "q53_dedup_clusters" -> q53Oracle,
+    "q54_audio_decode" -> q54Oracle,
+    "q55_video_frames" -> q55Oracle)
 }

@@ -69,5 +69,63 @@ class MultimodalSpec extends SparkSpec {
       assert(out(3L).getInt(7) == 16)   // 1000/10 = 100, capped at 16
       assert(out(4L).getInt(7) == 3)    // ceil(25/10)
     }
+
+    it("decodes a real WAV: channel-0 sample stats from a PCM round-trip") {
+      // samples 0, -100, 200, 300, -400 at 8 kHz
+      val vals = Array(0, -100, 200, 300, -400)
+      val wav = Multimodal.AudioCodec.encodePcm16Wav(8000, vals.length)(vals(_))
+      val df = mediaDf(Seq(Row(1L, "audio", wav, meta(null, null, 8000, null))))
+      val r = df.transform(Multimodal.decodeFeatures(_)).collect().head
+      assert(r.getInt(15) == 8000)     // sample_rate from the REAL header
+      assert(r.getLong(16) == 5L)      // n_samples
+      assert(r.getInt(17) == -400 && r.getInt(18) == 300) // smp_min / smp_max
+      assert(r.getLong(19) == 0L)      // smp_sum
+      assert(r.getLong(20) == 0L)      // 5 samples / 8000 Hz → 0 ms (floor)
+    }
+
+    it("a stereo WAV reports channel-0 stats only") {
+      // interleave L = i*10, R = 9999 by hand-building a 2-channel stream
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val n = 4
+      val fmt = new AudioFormat(16000f, 16, 2, true, false)
+      val bytes = new Array[Byte](n * 4)
+      for (i <- 0 until n) {
+        val l = i * 10; val rr = 9999
+        bytes(4 * i) = (l & 0xff).toByte; bytes(4 * i + 1) = ((l >> 8) & 0xff).toByte
+        bytes(4 * i + 2) = (rr & 0xff).toByte; bytes(4 * i + 3) = ((rr >> 8) & 0xff).toByte
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong),
+        AudioFileFormat.Type.WAVE, baos)
+      val d = Multimodal.AudioCodec.decode(baos.toByteArray).get
+      assert(d.nSamples == 4 && d.smpMin == 0 && d.smpMax == 30 && d.smpSum == 60)
+    }
+
+    it("decodes a real animated GIF: true frame count, sampling, pixel stats") {
+      // 3 frames of 2x2, frame fr constant color 50*fr → values 0,50,100
+      val gif = Multimodal.VideoCodec.encodeGrayGif(2, 2, 3)((fr, _, _) => 50 * fr)
+      val df = mediaDf(Seq(Row(1L, "video", gif, meta(9, 9, null, Int.box(999)))))
+      // everyK=2 → sample frames 0 and 2 (values 0 and 100), not frame 1
+      val r = df.transform(Multimodal.decodeFeatures(_, frameEveryK = 2, frameCap = 16))
+        .collect().head
+      assert(r.getInt(21) == 3)        // n_frames from the REAL container, not meta
+      assert(r.getInt(7) == 2)         // frames_sampled
+      assert(r.getInt(10) == 2 && r.getInt(11) == 2) // decoded frame dims
+      assert(r.getLong(6) == 4L)       // n_pixels per frame
+      assert(r.getInt(12) == 0 && r.getInt(13) == 100) // px over SAMPLED frames only
+      assert(r.getLong(14) == (0 + 100) * 4L)
+    }
+
+    it("frame cap bounds decoded frames; undecodable video falls back to meta arithmetic") {
+      val gif = Multimodal.VideoCodec.encodeGrayGif(2, 1, 10)((fr, _, _) => fr)
+      val capped = Multimodal.VideoCodec.decodeFrames(gif, everyK = 1, cap = 4).get
+      assert(capped.nFrames == 10 && capped.framesSampled == 4 && capped.pxMax == 3)
+      val df = mediaDf(Seq(Row(5L, "video", Array[Byte](1, 2, 3), meta(2, 2, null, Int.box(25)))))
+      val r = df.transform(Multimodal.decodeFeatures(_, frameEveryK = 10, frameCap = 16))
+        .collect().head
+      assert(r.isNullAt(21))           // no real container → no true frame count
+      assert(r.getInt(7) == 3)         // metadata fallback: ceil(25/10)
+    }
   }
 }
