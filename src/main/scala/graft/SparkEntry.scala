@@ -14,6 +14,7 @@ object SparkEntry {
     q.Relational,
     q.PipelineQueries,
     q.DataOps,
+    q.SketchQueries,
     q.StreamingQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryModule, Tables}
+
+/** Sketch-based corpus analytics — the approximate operators a 100 TB
+  * corpus-stats pass actually runs when exact distinct / percentile /
+  * top-k would be too expensive:
+  *
+  *  - approx-distinct: HyperLogLog++ (`approx_count_distinct`) — one
+  *    pass, fixed ~KB state per group, map-side partial aggregation,
+  *    versus an exact distinct's full shuffle of every key;
+  *  - mergeable sketches: Apache DataSketches HLL (`hll_sketch_agg` /
+  *    `hll_union_agg`) — THE warehouse pre-aggregation pattern: persist
+  *    per-partition (per-day) sketch columns once, answer any later
+  *    rollup by unioning kilobyte sketches instead of rescanning the
+  *    corpus;
+  *  - approx quantiles: `percentile_approx` — bounded-memory rank
+  *    estimation versus an exact percentile's per-group sort;
+  *  - heavy hitters: `approx_top_k` (frequent-items sketch) — fixed
+  *    state versus a full groupBy count + global sort.
+  *
+  * Oracle strategy: sketch ESTIMATES are engine- and implementation-
+  * specific, so a value-level DuckDB compare of the estimate itself
+  * would be meaningless. Each query instead emits EXACT values plus
+  * BOOLEAN within-tolerance flags comparing the in-plan sketch estimate
+  * against the in-plan exact answer; DuckDB independently recomputes
+  * the exact values and pins every flag TRUE. A green run proves the
+  * estimate landed inside the documented error budget — deterministic
+  * for fixed data. (The per-key counts in q59 ARE exactly comparable:
+  * a frequent-items sketch is exact while the number of distinct items
+  * fits its tracked-item bound, which the 31-token corpus does.)
+  */
+object SketchQueries extends QueryModule {
+
+  // ---- q56: HLL++ approx-distinct quality ------------------------------
+
+  /** Distinct users per event type, exact vs HyperLogLog++ at 2% target
+    * rsd, pinned within a 5% budget (2.5σ). At warehouse scale the
+    * exact branch is the one that disappears: HLL keeps ~KB of state
+    * per group and combines map-side, while COUNT(DISTINCT) must
+    * shuffle every (group, user) pair.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.05).as("hll_ok"))
+      .orderBy(col("event_type"))
+
+  private val q56Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q57: approx quantiles quality -----------------------------------
+
+  /** Median and p95 of extended price per return flag: exact
+    * (interpolating `percentile`, a per-group sort) vs
+    * `percentile_approx` at accuracy 10000 (bounded-memory, one pass),
+    * pinned within 2% relative error. The exact values stay in-plan
+    * only — interpolated floats differ across engines in the last ulp,
+    * so the cross-engine contract is the count + the quality flags.
+    */
+  def approxQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.95D))").as("ex"),
+        expr("percentile_approx(l_extendedprice, array(0.5D, 0.95D), 10000)").as("ap"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (abs(element_at(col("ap"), 1) - element_at(col("ex"), 1))
+          <= element_at(col("ex"), 1) * 0.02).as("p50_ok"),
+        (abs(element_at(col("ap"), 2) - element_at(col("ex"), 2))
+          <= element_at(col("ex"), 2) * 0.02).as("p95_ok"))
+      .orderBy(col("l_returnflag"))
+
+  private val q57Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS p50_ok, TRUE AS p95_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- q58: mergeable HLL sketches (DataSketches) ----------------------
+
+  /** The sketch-column warehouse pattern end-to-end: per-(type, day)
+    * DataSketches HLL partials — the table a 100 TB deployment would
+    * PERSIST — then a rollup that unions kilobyte sketches per type,
+    * next to a direct single-pass sketch and the exact count. Both the
+    * merged and the direct estimate are pinned within 5% of exact
+    * (sketch union is not bit-lossless — merged 1488 vs direct 1494 vs
+    * exact 1500 at sf0.1 — which is why the flags, not the estimates,
+    * are the cross-engine contract).
+    */
+  def sketchMerge(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"), col("user_id"), to_date(col("ts")).as("day"))
+    val partials = e.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = partials.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_merged"))
+    val direct = e.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("n_direct"),
+        countDistinct(col("user_id")).as("n_exact"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_merged") - col("n_exact")) <= col("n_exact") * 0.05).as("merged_ok"),
+        (abs(col("n_direct") - col("n_exact")) <= col("n_exact") * 0.05).as("direct_ok"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q58Oracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+      |  TRUE AS merged_ok, TRUE AS direct_ok
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q59: heavy hitters (frequent-items sketch) ----------------------
+
+  /** Top-5 corpus tokens via `approx_top_k` over the exploded token
+    * stream — fixed sketch state instead of a full vocabulary groupBy +
+    * global sort. The corpus vocabulary (31 tokens) fits the sketch's
+    * tracked-item bound, so every count is EXACT and the oracle compares
+    * values directly; above the bound the same query degrades to
+    * guaranteed-error estimates.
+    */
+  def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(expr("approx_top_k(tok, 5)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("token"), col("e.count").as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+
+  private val q59Oracle: String =
+    """SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |WHERE tok <> '' GROUP BY tok
+      |ORDER BY n_occurrences DESC, token LIMIT 5""".stripMargin
+
+  // ---- registry --------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_approx_distinct" -> (approxDistinct _),
+    "q57_approx_quantiles" -> (approxQuantiles _),
+    "q58_sketch_merge" -> (sketchMerge _),
+    "q59_heavy_hitters" -> (heavyHitters _))
+
+  val family: String = "sketches"
+
+  val oracles: Map[String, String] = Map(
+    "q56_approx_distinct" -> q56Oracle,
+    "q57_approx_quantiles" -> q57Oracle,
+    "q58_sketch_merge" -> q58Oracle,
+    "q59_heavy_hitters" -> q59Oracle)
+}
