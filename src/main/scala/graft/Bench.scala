@@ -17,8 +17,11 @@ package graft
   * - A query that throws is reported as -1 in `queries`, listed in
   *   `failed`, and counted in `failed_count` — a broken query must look
   *   broken, not fast.
-  * - `families` holds per-family subtotals (relational / pipeline /
-  *   dataops / streaming) so regressions are visible per family.
+  * - `families` holds per-family subtotals (from each query's
+  *   registering module) so regressions are visible per family.
+  * - `pass_totals` lists each timed pass's full-sweep total, so the
+  *   single JSON line carries the ambient variance band (BASELINE.md
+  *   documents ±20% machine noise) instead of just the best-case sum.
   */
 object Bench {
 
@@ -53,10 +56,12 @@ object Bench {
     queries.foreach { case (n, f) => runOne(n, f) }
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val timings: Map[String, Seq[Double]] =
-      (1 to passes).flatMap { _ =>
+    val passResults: Seq[Seq[(String, Double)]] =
+      (1 to passes).map { _ =>
         queries.map { case (n, f) => n -> runOne(n, f) }
-      }.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
+      }
+    val timings: Map[String, Seq[Double]] =
+      passResults.flatten.groupBy(_._1).map { case (n, ts) => n -> ts.map(_._2) }
 
     def best(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
@@ -72,9 +77,20 @@ object Bench {
       .map { case (fam, xs) => "\"" + fam + "\":" + f"${xs.map(_._2).sum}%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val passTotals = passResults
+      .map(p => f"${p.map(_._2).filter(_ >= 0).sum}%.3f")
+      .mkString("[", ",", "]")
     val total = perQuery.map(_._2).filter(_ >= 0).sum
+    // Streaming drains cancel in-flight jobs at their time/volume limit,
+    // and Spark logs those cancellations as ERROR-level stack traces on
+    // stderr even when every query succeeded. Label the stream so a log
+    // tail is readable: `failed` in the JSON is the ground truth.
+    System.err.println(
+      "[bench] note: any stack traces above are expected streaming-drain/teardown " +
+        s"noise from cancelled jobs, not query failures; ground truth is failed_count=${failed.size} " +
+        "in the JSON line on stdout")
     // The single stdout JSON line the driver parses:
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"families":$familyTotals,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"families":$familyTotals,"pass_totals":$passTotals,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -34,4 +34,22 @@ class BucketingSpec extends SparkSpec {
       }
     }
   }
+
+  describe("Bucketing.ensureBucketed") {
+    it("pays the write once per session and skips (not rewrites) thereafter") {
+      val df = (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      try {
+        Bucketing.ensureBucketed(df, "graft_spec_once", "k", numBuckets = 2)
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), "graft_spec_once")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def newestMtime: Long = fs.listStatus(loc).map(_.getModificationTime).max
+        val written = newestMtime
+        Thread.sleep(50)
+        Bucketing.ensureBucketed(df, "graft_spec_once", "k", numBuckets = 2)
+        assert(newestMtime == written, "second ensureBucketed must not rewrite")
+        assert(spark.table("graft_spec_once").count() == 50)
+      } finally spark.sql("DROP TABLE IF EXISTS graft_spec_once")
+    }
+  }
 }
