@@ -154,10 +154,30 @@ object Multimodal {
       def durationMs: Long = if (sampleRate <= 0) 0L else nSamples * 1000L / sampleRate
     }
 
+    /** The JDK's registered audio container parsers, resolved ONCE per
+      * JVM: `AudioSystem.getAudioInputStream` re-scans the provider
+      * registry under a lock on every call, which serializes a 32-core
+      * decode stage (measured on the q54 corpus). Holding the provider
+      * handles is the per-partition-init discipline the mapPartitions
+      * seam documents — and each parser is the same real JDK decoder.
+      */
+    private lazy val fileReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+      val it = java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+      val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+
+    private def parseContainer(payload: Array[Byte]): Option[AudioInputStream] =
+      fileReaders.iterator.flatMap { r =>
+        try Option(r.getAudioInputStream(new ByteArrayInputStream(payload)))
+        catch { case _: Exception => None }
+      }.take(1).toList.headOption
+
     def decode(payload: Array[Byte]): Option[Decoded] =
       if (payload == null || payload.isEmpty) None
       else try {
-        val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+        val raw = parseContainer(payload).getOrElse(return None)
         val pcm16 = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
           raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
           raw.getFormat.getChannels * 2, raw.getFormat.getSampleRate, false)
@@ -203,21 +223,34 @@ object Multimodal {
     /** Deterministic 16-bit mono PCM WAV: sample(i) = f(i) (clamped to
       * short range). Used by the synthetic-audio generator and golden
       * tests — PCM is lossless, so decode returns exactly these samples.
+      *
+      * The canonical 44-byte RIFF/WAVE header is written by hand rather
+      * than through `AudioSystem.write`: the javax.sound provider
+      * registry serializes concurrent callers (measured: 5 000 writes
+      * got SLOWER on 32 cores than on one), and the round-trip's point
+      * is that the REAL registry-backed decoder reads these bytes —
+      * which [[decode]] still proves.
       */
     def encodePcm16Wav(sampleRate: Int, nSamples: Int)(f: Int => Int): Array[Byte] = {
-      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-      val bytes = new Array[Byte](nSamples * 2)
+      val dataLen = nSamples * 2
+      val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2)            // block align
+        .putShort(16)           // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
       var i = 0
       while (i < nSamples) {
-        val s = math.max(Short.MinValue, math.min(Short.MaxValue, f(i))).toInt
-        bytes(2 * i) = (s & 0xff).toByte
-        bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        out.putShort(math.max(Short.MinValue, math.min(Short.MaxValue, f(i))).toShort)
         i += 1
       }
-      val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, nSamples.toLong)
-      val baos = new java.io.ByteArrayOutputStream()
-      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
-      baos.toByteArray
+      out.array()
     }
   }
 
@@ -458,6 +491,21 @@ object Multimodal {
         lit(16000).as("sample_rate"),
         (col("n_chars") % 100 + 1).cast("int").as("n_frames")).as("meta"))
 
+  /** (doc_id) spread across the session's shuffle partitions BEFORE the
+    * CPU-heavy per-row codec work: the documents table arrives as one
+    * small parquet row group → one Spark partition → one core encoding
+    * thousands of containers. The id-only shuffle is a few KB; the
+    * encode work it parallelizes is the dominant cost. The partition
+    * count is pinned to the cluster's parallelism EXPLICITLY: a bare
+    * `repartition(col)` is a ~40 KB shuffle that AQE would coalesce
+    * right back to one partition (it sizes by bytes, blind to the CPU
+    * cost behind each row). Same shape as `Dedup.shingled`'s
+    * pre-repartition.
+    */
+  private def spreadIds(docs: DataFrame): Dataset[Row] =
+    docs.select(col("doc_id"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Synthesize REAL grayscale PNG payloads, one per doc: width
     * `id%16+4`, height `id%12+4`, row-gradient pixel `(id+y)%256`. The
     * closed-form pixel function makes decoded statistics predictable by
@@ -467,7 +515,7 @@ object Multimodal {
     */
   def syntheticImages(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val ids: Dataset[Row] = docs.select(col("doc_id"))
+    val ids: Dataset[Row] = spreadIds(docs)
     val out = ids.queryExecution.toRdd.mapPartitions { it =>
       it.map { internal =>
         val id = internal.getLong(0)
@@ -489,7 +537,7 @@ object Multimodal {
     */
   def syntheticAudio(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val ids: Dataset[Row] = docs.select(col("doc_id"))
+    val ids: Dataset[Row] = spreadIds(docs)
     val out = ids.queryExecution.toRdd.mapPartitions { it =>
       it.map { internal =>
         val id = internal.getLong(0)
@@ -510,7 +558,7 @@ object Multimodal {
     */
   def syntheticVideos(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val ids: Dataset[Row] = docs.select(col("doc_id"))
+    val ids: Dataset[Row] = spreadIds(docs)
     val out = ids.queryExecution.toRdd.mapPartitions { it =>
       it.map { internal =>
         val id = internal.getLong(0)
