@@ -19,9 +19,11 @@ package graft
   *   broken, not fast.
   * - `families` holds per-family subtotals (from each query's
   *   registering module) so regressions are visible per family.
-  * - `pass_totals` lists each timed pass's full-sweep total, so the
-  *   single JSON line carries the ambient variance band (BASELINE.md
-  *   documents ±20% machine noise) instead of just the best-case sum.
+  * - `pass_totals` lists each timed pass's sweep total over the queries
+  *   that succeeded in EVERY pass (a query that failed in one pass would
+  *   otherwise make that pass look spuriously fast), so the single JSON
+  *   line carries the ambient variance band (BASELINE.md documents ±20%
+  *   machine noise) instead of just the best-case sum.
   */
 object Bench {
 
@@ -77,8 +79,10 @@ object Bench {
       .map { case (fam, xs) => "\"" + fam + "\":" + f"${xs.map(_._2).sum}%.3f" }
       .mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val everyPassOk: Set[String] =
+      timings.collect { case (n, ts) if ts.forall(_ >= 0) => n }.toSet
     val passTotals = passResults
-      .map(p => f"${p.map(_._2).filter(_ >= 0).sum}%.3f")
+      .map(p => f"${p.collect { case (n, t) if everyPassOk(n) => t }.sum}%.3f")
       .mkString("[", ",", "]")
     val total = perQuery.map(_._2).filter(_ >= 0).sum
     // Streaming drains cancel in-flight jobs at their time/volume limit,

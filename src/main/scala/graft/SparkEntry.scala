@@ -31,7 +31,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
 
-  /** query name → bench family, derived from the registering module. */
-  def familyOf: Map[String, String] =
+  /** query name → bench family, derived from the registering module
+    * (cached: Bench looks this up once per query while assembling JSON). */
+  lazy val familyOf: Map[String, String] =
     modules.flatMap(m => m.queries.keys.map(_ -> m.family)).toMap
 }

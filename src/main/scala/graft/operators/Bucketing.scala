@@ -38,14 +38,28 @@ object Bucketing {
   }
 
   /** [[writeBucketed]] only if `table` isn't already in this session's
-    * catalog — the amortization contract made literal: the first caller
-    * pays the bucketed write, every later caller in the session joins
-    * against the existing buckets for free. (Benchmarks get the honest
-    * split for free too: warmup pays the write, timed passes measure
-    * the join — the steady-state cost a warehouse actually sees.) */
-  def ensureBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit =
-    if (!df.sparkSession.catalog.tableExists(table))
-      writeBucketed(df, table, key, numBuckets)
+    * catalog WITH the requested bucket spec — the amortization contract
+    * made literal: the first caller pays the bucketed write, every later
+    * caller in the session joins against the existing buckets for free.
+    * (Benchmarks get the honest split too: warmup pays the write, timed
+    * passes measure the join — the steady-state cost a warehouse sees.)
+    * A same-named table whose bucket key or count differs is REWRITTEN,
+    * not silently reused — a spec mismatch would re-introduce the
+    * Exchange (or join on the wrong layout) with no error. Same-name
+    * same-spec tables are trusted to carry the same data, as a catalog
+    * does; callers generating per-dataset names (q47 tags the sf dir)
+    * keep that assumption honest.
+    */
+  def ensureBucketed(df: DataFrame, table: String, key: String, numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    val specMatches = spark.catalog.tableExists(table) && {
+      val spec = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec
+      spec.exists(b => b.numBuckets == numBuckets && b.bucketColumnNames == Seq(key))
+    }
+    if (!specMatches) writeBucketed(df, table, key, numBuckets)
+  }
 
   /** Equi-join of two same-bucketed tables on the bucket key: plans with
     * zero Exchange nodes (assert with `.explain` — see BucketingSpec). */

@@ -52,7 +52,12 @@ object Multimodal {
     StructField("resized_h", IntegerType, nullable = true),
     // real-decode columns (null when the payload isn't decodable).
     // decoded_w/h + px_* are shared by the image path (whole raster) and
-    // the video path (sampled frames): same meaning, per-modality source.
+    // the video path (sampled frames). Channel contract per modality:
+    // image stats read raster BAND 0 (gray for grayscale, red for RGB);
+    // video stats read the palette-resolved LOW BYTE of getRGB (gray for
+    // grayscale, blue for color) — identical on grayscale media (all
+    // synthetic corpora), divergent on color payloads by design: a GIF
+    // raster's band 0 is a palette index, not a pixel value.
     StructField("decoded_w", IntegerType, nullable = true),
     StructField("decoded_h", IntegerType, nullable = true),
     StructField("px_min", IntegerType, nullable = true),

@@ -49,23 +49,42 @@ object Truncation {
     * (the checkpoint dir is per-context in Spark, so the most recently
     * started policy wins — run one iterative operator per policy
     * instance).
+    *
+    * Storage is bounded over long iterations: persisted intermediates
+    * are explicitly unpersisted once they fall TWO rounds behind (a
+    * caller's convergence check touches at most the current and
+    * previous round; two-rounds-stale frames are unreachable), so
+    * executor disk holds O(`every`) label tables, not O(iterations).
+    * Durable checkpoint FILES in `dir` are owned by Spark's
+    * ContextCleaner: set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to have
+    * superseded roots deleted as they become unreachable, and point
+    * `dir` at a job-scoped location that is removed after the job
+    * either way (never at a shared long-lived path).
     */
   final case class Reliable(dir: String, every: Int = 5) extends Truncation {
     require(every >= 1, s"every must be >= 1, got $every")
 
     @volatile private var dirClaimed = false
+    // persisted intermediates awaiting delayed unpersist: (round, frame)
+    private var pendingUnpersist: List[(Int, DataFrame)] = Nil
 
     private[operators] def truncate(df: DataFrame, round: Int): DataFrame = {
       val sc = df.sparkSession.sparkContext
-      if (round % every == 0) {
+      val out = if (round % every == 0) {
         if (!dirClaimed) { sc.setCheckpointDir(dir); dirClaimed = true }
         df.checkpoint(true)
       } else {
         val p = df.persist(StorageLevel.MEMORY_AND_DISK)
         p.count() // eager, like the checkpoint branches — the round's
         // convergence/assignment action must read a materialized frame
+        pendingUnpersist ::= (round, p)
         p
       }
+      val (stale, keep) = pendingUnpersist.partition(_._1 <= round - 2)
+      stale.foreach(_._2.unpersist(false))
+      pendingUnpersist = keep
+      out
     }
   }
 }

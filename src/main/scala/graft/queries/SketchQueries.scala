@@ -117,21 +117,32 @@ object SketchQueries extends QueryModule {
 
   // ---- q59: heavy hitters (frequent-items sketch) ----------------------
 
-  /** Top-5 corpus tokens via `approx_top_k` over the exploded token
-    * stream — fixed sketch state instead of a full vocabulary groupBy +
-    * global sort. The corpus vocabulary (31 tokens) fits the sketch's
-    * tracked-item bound, so every count is EXACT and the oracle compares
-    * values directly; above the bound the same query degrades to
-    * guaranteed-error estimates.
+  /** Top-5 corpus tokens: `approx_top_k` proposes an 8-candidate set
+    * from fixed sketch state (no full-vocabulary groupBy + global sort),
+    * then exact counting RESTRICTED to the candidates picks the final 5
+    * under a deterministic (count desc, token) order — the two-phase
+    * heavy-hitter shape a warehouse runs, and tie-safe by construction:
+    * the sketch may break a count tie arbitrarily, but with 8 > 5
+    * candidates over a vocabulary (31 tokens) inside the sketch's
+    * tracked-item bound the true top-5 are always among the candidates,
+    * and the exact re-rank resolves boundary ties exactly like the
+    * oracle's ORDER BY.
     */
-  def heavyHitters(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
-      .agg(expr("approx_top_k(tok, 5)").as("tk"))
+    val candidates = toks
+      .agg(expr("approx_top_k(tok, 8)").as("tk"))
       .select(explode(col("tk")).as("e"))
-      .select(col("e.item").as("token"), col("e.count").as("n_occurrences"))
-      .orderBy(col("n_occurrences").desc, col("token"))
+      .select(col("e.item").as("tok"))
+    toks.join(broadcast(candidates), "tok")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("tok"))
+      .limit(5)
+      .select(col("tok").as("token"), col("n_occurrences"))
+  }
 
   private val q59Oracle: String =
     """SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
