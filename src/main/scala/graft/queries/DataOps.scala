@@ -480,6 +480,26 @@ object DataOps extends QueryModule {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
+  // ---- q60: PQ-compressed ANN (rows-only check) ------------------------
+
+  /** The full product-quantization ANN pipeline on the embeddings
+    * corpus: train per-chunk codebooks (Lloyd's, L2), encode every
+    * vector to m codes, then ADC top-k for the first 10 vectors as
+    * queries. Training is iterative k-means (not SQL-expressible — same
+    * precedent as `trainCentroids`), so this query carries no value
+    * oracle: the driver records the rows-only check, and PqSpec pins
+    * exactness on a lossless pattern corpus plus cell-level recall.
+    */
+  def pqAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cb = Pq.trainCodebooks(e, m = 4, ksub = 8, iters = 3)
+    val codes = Pq.encode(e, cb, m = 4)
+    Pq.adcTopK(codes, e.filter(col("vec_id") < 10), cb, m = 4, ksub = 8, k = 3)
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   // ---- q38: rolling-hash document fingerprint --------------------------
 
   /** Karp–Rabin rolling hash over the character stream (mod 1e9+7,
@@ -631,7 +651,8 @@ object DataOps extends QueryModule {
     "q49_salted_join" -> (saltedUserJoin _),
     "q53_dedup_clusters" -> (dedupClusters _),
     "q54_audio_decode" -> (audioDecode _),
-    "q55_video_frames" -> (videoFrames _))
+    "q55_video_frames" -> (videoFrames _),
+    "q60_pq_ann" -> (pqAnn _))
 
   val family: String = "dataops"
 
