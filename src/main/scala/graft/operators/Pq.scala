@@ -101,27 +101,65 @@ object Pq {
       .agg(sort_array(collect_list(struct(col("chunk"), col("best.code").as("code")))).as("cc"))
       .select(col("vec_id"), col("cc.code").as("codes"))
 
-  /** Asymmetric-distance top-k: exact query-to-codeword distances in a
-    * per-query LUT (rows ordered (chunk, code), so entry `chunk·ksub +
-    * code` is a flat-array lookup), approximate query-to-vector
-    * distance = sum of m lookups over the candidate's codes. Ties break
-    * on neighbor id. Output: (query_id, rnk, neighbor_id, adist).
-    */
-  def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
-              m: Int, ksub: Int, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val lut = chunks(queries, m).join(broadcast(codebooks), "chunk")
+  /** Per-query flat ADC lookup table: exact query-to-codeword distances
+    * ordered (chunk, code), so entry `chunk·ksub + code` is a flat-array
+    * lookup. Kilobytes per query — always broadcastable. */
+  private def queryLut(queries: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
+    chunks(queries, m).join(broadcast(codebooks), "chunk")
       .withColumn("d", l2sq(col("sub"), col("centroid")))
       .groupBy(col("vec_id").as("query_id"))
       .agg(sort_array(collect_list(struct(col("chunk"), col("code"), col("d")))).as("l"))
       .select(col("query_id"), col("l.d").as("lut"))
-    val scored = codes.join(broadcast(lut), col("vec_id") =!= col("query_id"))
-      .withColumn("adist", expr(
-        s"aggregate(transform(sequence(0, $m - 1), i -> lut[i * $ksub + codes[i]]), 0D, (acc, x) -> acc + x)"))
+
+  private def adcDistance(m: Int, ksub: Int): Column = expr(
+    s"aggregate(transform(sequence(0, $m - 1), i -> lut[i * $ksub + codes[i]]), 0D, (acc, x) -> acc + x)")
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         round(col("adist"), 6).as("adist"))
+  }
+
+  /** Asymmetric-distance top-k over the WHOLE codes table: approximate
+    * query-to-vector distance = sum of m LUT lookups over the
+    * candidate's codes. Ties break on neighbor id. Output: (query_id,
+    * rnk, neighbor_id, adist).
+    */
+  def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+              m: Int, ksub: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = codes
+      .join(broadcast(queryLut(queries, codebooks, m)), col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adcDistance(m, ksub))
+    topK(scored, k)
+  }
+
+  /** IVF-PQ — the production composition: a coarse quantizer
+    * ([[Similarity.assign]], nearest of `centroids`) routes every
+    * vector to ONE bucket at encode time; at search time the query
+    * probes its `nprobe` nearest buckets and ADC runs only inside them.
+    * The scan shrinks from |corpus| to the probed buckets' share while
+    * each candidate still costs m lookups — IVF prunes, PQ compresses.
+    * Recall rises with `nprobe` and reaches [[adcTopK]] at `nprobe =
+    * numCentroids`. At 100 TB both inputs are persisted tables: (vec,
+    * bucket, codes) and the two codebooks.
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                 codebooks: DataFrame, m: Int, ksub: Int, k: Int,
+                 nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val bucketed = encode(corpus, codebooks, m)
+      .join(Similarity.assign(corpus, centroids).select(col("vec_id"), col("centroid_id")),
+        "vec_id")
+    val probes = Similarity.assignTopN(queries, centroids, nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val lut = queryLut(queries, codebooks, m).join(probes, "query_id")
+    val scored = bucketed
+      .join(broadcast(lut),
+        bucketed("centroid_id") === lut("centroid_id") && col("vec_id") =!= col("query_id"))
+      .withColumn("adist", adcDistance(m, ksub))
+    topK(scored, k)
   }
 }

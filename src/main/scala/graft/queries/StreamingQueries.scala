@@ -402,9 +402,43 @@ object StreamingQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  // ---- q61: streaming sketch (windowed approx-distinct) ----------------
+
+  /** Distinct users per (day, event type) over the STREAM via HLL++ —
+    * the streaming cardinality answer: `COUNT(DISTINCT)` is not
+    * supported in streaming aggregation at all (it would need unbounded
+    * per-key sets in state), while `approx_count_distinct` keeps one
+    * mergeable kilobyte sketch per window in the state store. The
+    * estimate is pinned batch-side after the drain: join the exact
+    * per-window counts and emit within-5% flags — same oracle contract
+    * as q56/q58.
+    */
+  def streamSketch(s: SparkSession, dir: String): DataFrame = {
+    val appx = eventsStream(s, dir)
+      .select(col("ts"), col("event_type"), col("user_id"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+    val drained = drain(s, appx, OutputMode.Complete())
+      .select(col("w.start").as("day"), col("event_type"), col("n_approx"))
+    val exact = graft.Tables(s, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    drained.join(exact, Seq("day", "event_type"))
+      .select(col("day"), col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.05).as("hll_ok"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val q61Oracle: String =
+    """SELECT date_trunc('day', ts) AS day, event_type,
+      |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
+      |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_stream_sketch" -> (streamSketch _),
     "q30_stream_window" -> (windowedAgg _),
     "q31_session_window" -> (sessionWindows _),
     "q32_stream_dedup" -> (streamDedup _),
@@ -418,6 +452,7 @@ object StreamingQueries extends QueryModule {
   val family: String = "streaming"
 
   val oracles: Map[String, String] = Map(
+    "q61_stream_sketch" -> q61Oracle,
     "q30_stream_window" -> q30Oracle,
     "q31_session_window" -> q31Oracle,
     "q32_stream_dedup" -> q32Oracle,

@@ -62,6 +62,23 @@ class PqSpec extends SparkSpec {
       assert(got == bruteL2TopK(rows, Seq(0L, 1L, 2L), k = 3))
     }
 
+    it("IVF-PQ with nprobe = numCentroids equals full ADC; nprobe=1 searches one bucket") {
+      val corpus = losslessCorpus(24)
+      val cb = Pq.trainCodebooks(corpus, m = 4, ksub = 4, iters = 3)
+      val codes = Pq.encode(corpus, cb, m = 4)
+      val centroids = corpus.filter(col("vec_id") < 4) // the 4 pure patterns
+      val queries = corpus.filter(col("vec_id") < 3)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "rnk", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+      val full = rows(Pq.adcTopK(codes, queries, cb, m = 4, ksub = 4, k = 3))
+      val probeAll = rows(Pq.ivfAdcTopK(corpus, queries, centroids, cb,
+        m = 4, ksub = 4, k = 3, nprobe = 4))
+      assert(probeAll == full)
+      // nprobe=1 returns at most k rows per query, all from one bucket
+      val one = Pq.ivfAdcTopK(corpus, queries, centroids, cb, m = 4, ksub = 4, k = 3, nprobe = 1)
+      assert(one.groupBy("query_id").count().select("count").as[Long].collect().forall(_ <= 3))
+    }
+
     it("perturbed clusters: ADC picks a neighbor from the brute winner's quantization cell") {
       // PQ cannot rank WITHIN a cell (all members share codes → equal
       // ADC distance, tie → lowest id), so the honest recall property is
