@@ -37,9 +37,17 @@ object Pq {
   private def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
-  /** (vec_id, chunk, sub) — vector split into m equal slices. */
+  /** (vec_id, chunk, sub) — vector split into m equal slices. The
+    * divisibility requirement is ENFORCED (one first-row probe): silent
+    * truncation of trailing dims would quietly change every distance. */
   private[operators] def chunks(vectors: DataFrame, m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
+    vectors.select(size(col("embedding")).as("d")).take(1).foreach { r =>
+      val d = r.getInt(0)
+      require(d % m == 0,
+        s"vector dimension $d is not divisible by m=$m subvectors — " +
+          "trailing dimensions would be silently dropped from every distance")
+    }
     vectors
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), explode(expr(
@@ -101,9 +109,18 @@ object Pq {
       .agg(sort_array(collect_list(struct(col("chunk"), col("best.code").as("code")))).as("cc"))
       .select(col("vec_id"), col("cc.code").as("codes"))
 
+  /** The codebook's codewords-per-chunk, derived from the data rather
+    * than trusted from a caller parameter: a wrong ksub would misindex
+    * the flat LUT silently (or throw an opaque ANSI array-index error).
+    * The codebook frame is tiny and post-training already materialized,
+    * so the scalar action is cheap. */
+  private def ksubOf(codebooks: DataFrame): Int =
+    codebooks.agg(max(col("code"))).head().getInt(0) + 1
+
   /** Per-query flat ADC lookup table: exact query-to-codeword distances
     * ordered (chunk, code), so entry `chunk·ksub + code` is a flat-array
-    * lookup. Kilobytes per query — always broadcastable. */
+    * lookup (training keeps every (chunk, code) slot populated, so the
+    * layout is dense). Kilobytes per query — always broadcastable. */
   private def queryLut(queries: DataFrame, codebooks: DataFrame, m: Int): DataFrame =
     chunks(queries, m).join(broadcast(codebooks), "chunk")
       .withColumn("d", l2sq(col("sub"), col("centroid")))
@@ -113,6 +130,23 @@ object Pq {
 
   private def adcDistance(m: Int, ksub: Int): Column = expr(
     s"aggregate(transform(sequence(0, $m - 1), i -> lut[i * $ksub + codes[i]]), 0D, (acc, x) -> acc + x)")
+
+  /** L2 nearest-centroid bucket per vector (ties → lowest id) — the
+    * coarse quantizer. Deliberately L2, matching the ADC metric: a
+    * cosine router ([[Similarity.assign]]) would probe the wrong
+    * buckets for non-normalized corpora. */
+  private def assignL2(vectors: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
+    val c = centroids.select(col("vec_id").as("centroid_id"),
+      col("embedding").cast("array<double>").as("centroid"))
+    vectors
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .join(broadcast(c))
+      .withColumn("cd", l2sq(col("emb"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(slice(sort_array(collect_list(
+        struct(col("cd"), col("centroid_id")))), 1, n).as("near"))
+      .select(col("vec_id"), explode(col("near.centroid_id")).as("centroid_id"))
+  }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist").asc, col("vec_id").asc)
@@ -128,37 +162,45 @@ object Pq {
     * rnk, neighbor_id, adist).
     */
   def adcTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
-              m: Int, ksub: Int, k: Int): DataFrame = {
+              m: Int, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val ksub = ksubOf(codebooks)
     val scored = codes
       .join(broadcast(queryLut(queries, codebooks, m)), col("vec_id") =!= col("query_id"))
       .withColumn("adist", adcDistance(m, ksub))
     topK(scored, k)
   }
 
-  /** IVF-PQ — the production composition: a coarse quantizer
-    * ([[Similarity.assign]], nearest of `centroids`) routes every
-    * vector to ONE bucket at encode time; at search time the query
-    * probes its `nprobe` nearest buckets and ADC runs only inside them.
-    * The scan shrinks from |corpus| to the probed buckets' share while
-    * each candidate still costs m lookups — IVF prunes, PQ compresses.
-    * Recall rises with `nprobe` and reaches [[adcTopK]] at `nprobe =
-    * numCentroids`. At 100 TB both inputs are persisted tables: (vec,
-    * bucket, codes) and the two codebooks.
+  /** One-time IVF-PQ index build — THE table a deployment persists in
+    * place of the float vectors: every vector's bucket (L2
+    * nearest-centroid coarse quantizer, matching the ADC metric) plus
+    * its m PQ codes. Output: (vec_id, codes, centroid_id).
     */
-  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-                 codebooks: DataFrame, m: Int, ksub: Int, k: Int,
+  def bucketedEncode(corpus: DataFrame, centroids: DataFrame, codebooks: DataFrame,
+                     m: Int): DataFrame =
+    encode(corpus, codebooks, m)
+      .join(assignL2(corpus, centroids, 1), "vec_id")
+
+  /** IVF-PQ search — the production composition over a PRE-BUILT
+    * [[bucketedEncode]] index (searching must not re-encode the corpus:
+    * the whole point is that only codes and codebooks are read). The
+    * query probes its `nprobe` L2-nearest buckets and ADC runs only
+    * inside them: the scan shrinks from |corpus| to the probed buckets'
+    * share while each candidate still costs m lookups — IVF prunes, PQ
+    * compresses. Recall rises with `nprobe` and reaches [[adcTopK]] at
+    * `nprobe = numCentroids`.
+    */
+  def ivfAdcTopK(index: DataFrame, queries: DataFrame, centroids: DataFrame,
+                 codebooks: DataFrame, m: Int, k: Int,
                  nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val bucketed = encode(corpus, codebooks, m)
-      .join(Similarity.assign(corpus, centroids).select(col("vec_id"), col("centroid_id")),
-        "vec_id")
-    val probes = Similarity.assignTopN(queries, centroids, nprobe)
+    val ksub = ksubOf(codebooks)
+    val probes = assignL2(queries, centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
     val lut = queryLut(queries, codebooks, m).join(probes, "query_id")
-    val scored = bucketed
+    val scored = index
       .join(broadcast(lut),
-        bucketed("centroid_id") === lut("centroid_id") && col("vec_id") =!= col("query_id"))
+        index("centroid_id") === lut("centroid_id") && col("vec_id") =!= col("query_id"))
       .withColumn("adist", adcDistance(m, ksub))
     topK(scored, k)
   }

@@ -496,7 +496,7 @@ object DataOps extends QueryModule {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     val cb = Pq.trainCodebooks(e, m = 4, ksub = 8, iters = 3)
     val codes = Pq.encode(e, cb, m = 4)
-    Pq.adcTopK(codes, e.filter(col("vec_id") < 10), cb, m = 4, ksub = 8, k = 3)
+    Pq.adcTopK(codes, e.filter(col("vec_id") < 10), cb, m = 4, k = 3)
       .orderBy(col("query_id"), col("rnk"))
   }
 

@@ -121,12 +121,12 @@ object SketchQueries extends QueryModule {
     * from fixed sketch state (no full-vocabulary groupBy + global sort),
     * then exact counting RESTRICTED to the candidates picks the final 5
     * under a deterministic (count desc, token) order — the two-phase
-    * heavy-hitter shape a warehouse runs, and tie-safe by construction:
-    * the sketch may break a count tie arbitrarily, but with 8 > 5
-    * candidates over a vocabulary (31 tokens) inside the sketch's
-    * tracked-item bound the true top-5 are always among the candidates,
-    * and the exact re-rank resolves boundary ties exactly like the
-    * oracle's ORDER BY.
+    * heavy-hitter shape a warehouse runs. Tie-safety: the sketch may
+    * break a count tie arbitrarily, but the exact re-rank resolves any
+    * boundary tie exactly like the oracle's ORDER BY as long as fewer
+    * than 4 tokens share the rank-5 boundary count (the 8−5+1 candidate
+    * margin; the shipped corpora have distinct boundary counts at every
+    * SF — widen k_sketch if a future corpus ties wider).
     */
   def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")

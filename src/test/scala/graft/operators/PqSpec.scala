@@ -56,27 +56,33 @@ class PqSpec extends SparkSpec {
       val cb = Pq.trainCodebooks(corpus, m = 4, ksub = 4, iters = 3)
       val codes = Pq.encode(corpus, cb, m = 4)
       val queries = corpus.filter(col("vec_id") < 3)
-      val got = Pq.adcTopK(codes, queries, cb, m = 4, ksub = 4, k = 3)
+      val got = Pq.adcTopK(codes, queries, cb, m = 4, k = 3)
         .select("query_id", "rnk", "neighbor_id").as[(Long, Int, Long)].collect().toSet
       val rows = corpus.as[(Long, Array[Double])].collect().toMap
       assert(got == bruteL2TopK(rows, Seq(0L, 1L, 2L), k = 3))
     }
 
-    it("IVF-PQ with nprobe = numCentroids equals full ADC; nprobe=1 searches one bucket") {
+    it("IVF-PQ: nprobe = numCentroids equals full ADC; nprobe=1 stays in the probed bucket") {
       val corpus = losslessCorpus(24)
       val cb = Pq.trainCodebooks(corpus, m = 4, ksub = 4, iters = 3)
-      val codes = Pq.encode(corpus, cb, m = 4)
       val centroids = corpus.filter(col("vec_id") < 4) // the 4 pure patterns
+      val index = Pq.bucketedEncode(corpus, centroids, cb, m = 4)
       val queries = corpus.filter(col("vec_id") < 3)
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.select("query_id", "rnk", "neighbor_id").as[(Long, Int, Long)].collect().toSet
-      val full = rows(Pq.adcTopK(codes, queries, cb, m = 4, ksub = 4, k = 3))
-      val probeAll = rows(Pq.ivfAdcTopK(corpus, queries, centroids, cb,
-        m = 4, ksub = 4, k = 3, nprobe = 4))
+      val full = rows(Pq.adcTopK(index.select("vec_id", "codes"), queries, cb, m = 4, k = 3))
+      val probeAll = rows(Pq.ivfAdcTopK(index, queries, centroids, cb, m = 4, k = 3, nprobe = 4))
       assert(probeAll == full)
-      // nprobe=1 returns at most k rows per query, all from one bucket
-      val one = Pq.ivfAdcTopK(corpus, queries, centroids, cb, m = 4, ksub = 4, k = 3, nprobe = 1)
-      assert(one.groupBy("query_id").count().select("count").as[Long].collect().forall(_ <= 3))
+      // nprobe=1: every returned neighbor must live in the query's own
+      // L2-nearest bucket (for query q < 3, that is centroid q's bucket
+      // — the query IS pattern q repeated, distance 0 to centroid q)
+      val bucketOf = index.select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+      val one = Pq.ivfAdcTopK(index, queries, centroids, cb, m = 4, k = 3, nprobe = 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      assert(one.nonEmpty)
+      one.foreach { case (q, n) =>
+        assert(bucketOf(n) == q, s"neighbor $n of query $q came from bucket ${bucketOf(n)}")
+      }
     }
 
     it("perturbed clusters: ADC picks a neighbor from the brute winner's quantization cell") {
@@ -96,7 +102,7 @@ class PqSpec extends SparkSpec {
       val codes = Pq.encode(corpus, cb, m = 4)
       val codeOf = codes.select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
       val qIds = (0L until 10L).toSeq
-      val got = Pq.adcTopK(codes, corpus.filter(col("vec_id") < 10), cb, m = 4, ksub = 4, k = 1)
+      val got = Pq.adcTopK(codes, corpus.filter(col("vec_id") < 10), cb, m = 4, k = 1)
         .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
       val brute = bruteL2TopK(rows.toMap.map(identity), qIds, k = 1)
         .map { case (q, _, id) => q -> id }.toMap
