@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators — the write-side discipline that decides what
+  * every later 100 TB scan costs:
+  *
+  *  - [[writeClustered]]: range-cluster on the query keys + sort within
+  *    files + bounded file size. Each output file covers a DISJOINT key
+  *    range (spec-verified from the parquet footers), so range/point
+  *    predicates skip whole row groups via pushed filters today and
+  *    whole files under stats-aware table formats; sorted pages give
+  *    the best min/max granularity either way.
+  *  - [[compact]]: the small-files compactor — streaming emitters and
+  *    per-executor writes leave thousands of KB-sized files whose
+  *    per-file open/footer overhead dominates a scan; rewrite to a
+  *    bounded file count with layout preserved-or-applied.
+  *
+  * Both are one-time (or periodic) write-side costs that amortize over
+  * every subsequent read, like [[Bucketing]] — bucketing co-locates a
+  * JOIN key across tables, clustering orders a FILTER key within one.
+  */
+object Layout {
+
+  /** Write `df` range-clustered on `clusterCols`: rows are range-
+    * partitioned (one task per contiguous key range — ranges are
+    * disjoint by construction), sorted within each partition, and split
+    * into files of at most `maxRecordsPerFile` rows. `numRanges` sizes
+    * the parallelism (≈ cluster cores, or total/maxRecordsPerFile for
+    * size-driven splits).
+    */
+  def writeClustered(df: DataFrame, path: String, clusterCols: Seq[String],
+                     numRanges: Int, maxRecordsPerFile: Long = 1000000L): Unit = {
+    require(clusterCols.nonEmpty, "clusterCols must not be empty")
+    require(numRanges >= 1, s"numRanges must be >= 1, got $numRanges")
+    val cols = clusterCols.map(col)
+    df.repartitionByRange(numRanges, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** Rewrite a directory of (typically many small) parquet files into
+    * ⌈rows / targetRecordsPerFile⌉ files. One narrow job: the rewrite
+    * uses a round-robin repartition (no key shuffle semantics to
+    * preserve in a pure compaction); pass `clusterCols` to apply
+    * [[writeClustered]] layout while compacting — range boundaries are
+    * SAMPLED, so an uneven range may split at `targetRecordsPerFile`
+    * and the clustered file count can slightly exceed the target.
+    * Returns (filesBefore, filesAfter, rows).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetRecordsPerFile: Long,
+              clusterCols: Seq[String] = Nil): (Long, Long, Long) = {
+    require(targetRecordsPerFile >= 1, s"targetRecordsPerFile must be >= 1")
+    val in = spark.read.parquet(inPath)
+    val rows = in.count()
+    val filesBefore = parquetFiles(spark, inPath).size.toLong
+    val nOut = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile).toInt
+    if (clusterCols.nonEmpty)
+      writeClustered(in, outPath, clusterCols, nOut, targetRecordsPerFile)
+    else
+      in.repartition(nOut)
+        .write.mode(SaveMode.Overwrite).parquet(outPath)
+    (filesBefore, parquetFiles(spark, outPath).size.toLong, rows)
+  }
+
+  /** The data files of a parquet directory (no hidden/_SUCCESS). */
+  private[operators] def parquetFiles(spark: SparkSession, path: String): Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq.map(_.getPath)
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+  }
+
+  /** Per-file (min, max) of a long column, read from the parquet FOOTER
+    * statistics — the metadata a stats-aware scan prunes with. Used by
+    * specs to verify the disjoint-range layout contract. */
+  private[operators] def fileRanges(spark: SparkSession, path: String,
+                                    column: String): Seq[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    parquetFiles(spark, path).map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val ranges = reader.getFooter.getBlocks.asScala.flatMap { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .map(c => c.getStatistics)
+        }
+        (ranges.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
+          ranges.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
+      } finally reader.close()
+    }
+  }
+}

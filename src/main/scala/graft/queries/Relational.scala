@@ -202,6 +202,28 @@ object Relational extends QueryModule {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Range-clustered layout round-trip (q62): lineitem written through
+    * `Layout.writeClustered` (disjoint per-file l_orderkey ranges,
+    * sorted within, bounded file size — LayoutSpec verifies the footer
+    * contract), read back with a pushed-down filter, aggregated. The
+    * oracle computes the same aggregate on the ORIGINAL table, proving
+    * the layout rewrite changes scan cost, never data.
+    */
+  def clusteredLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"clustered_$tag").toString
+    Layout.writeClustered(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+      out, Seq("l_orderkey"), numRanges = 8, maxRecordsPerFile = 100000L)
+    s.read.parquet(out)
+      .filter(col("l_orderkey") % 10 === 0)
+      .groupBy((col("l_orderkey") % 100).as("okey_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("okey_bucket"))
+  }
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -319,7 +341,8 @@ object Relational extends QueryModule {
     "q35_pivot_regions" -> (pivotRegions _),
     "q36_date_arith" -> (dateArith _),
     "q41_percentiles" -> (pricePercentiles _),
-    "q47_bucketed_join" -> (bucketedRevenue _))
+    "q47_bucketed_join" -> (bucketedRevenue _),
+    "q62_clustered_layout" -> (clusteredLayout _))
 
   val family: String = "relational"
 
@@ -473,5 +496,10 @@ object Relational extends QueryModule {
         | CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS revenue,
         | COUNT(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q62_clustered_layout" ->
+      """SELECT l_orderkey % 100 AS okey_bucket, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_orderkey % 10 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

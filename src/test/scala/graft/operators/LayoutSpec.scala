@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("Layout.writeClustered") {
+    it("produces files with DISJOINT key ranges, sorted within, data intact") {
+      withTempDir { dir =>
+        val out = s"${dir.getAbsolutePath}/clustered"
+        // shuffled keys so clustering actually has to move rows
+        val df = scala.util.Random.shuffle((1L to 4000L).toList).toDF("k")
+          .withColumn("v", col("k") * 2)
+        Layout.writeClustered(df, out, Seq("k"), numRanges = 4, maxRecordsPerFile = 1500)
+        // ranges from the parquet FOOTERS are pairwise disjoint — the
+        // property a stats-aware scan prunes with
+        val ranges = Layout.fileRanges(spark, out, "k").sortBy(_._1)
+        assert(ranges.size >= 4, s"expected >=4 files, got ${ranges.size}")
+        ranges.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) =>
+            assert(aMax < bMin, s"overlapping file ranges: $ranges")
+          case _ =>
+        }
+        // file size bound held (1500 records max + range split)
+        val back = spark.read.parquet(out)
+        assert(back.count() == 4000)
+        assert(back.agg(sum(col("v"))).head().getLong(0) == (1L to 4000L).map(_ * 2).sum)
+        // a point predicate is pushed down to the scan (row-group skip path)
+        val plan = back.filter(col("k") === 42L).queryExecution.executedPlan.toString
+        assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(k)"), plan)
+      }
+    }
+  }
+
+  describe("Layout.compact") {
+    it("collapses many small files into the target count without losing rows") {
+      withTempDir { dir =>
+        val small = s"${dir.getAbsolutePath}/small"
+        val out = s"${dir.getAbsolutePath}/compacted"
+        (1L to 1000L).toDF("k").repartition(50).write.parquet(small)
+        val (before, after, rows) = Layout.compact(spark, small, out, targetRecordsPerFile = 500)
+        assert(before == 50 && rows == 1000)
+        assert(after == 2, s"expected 2 output files, got $after")
+        assert(spark.read.parquet(out).as[Long].collect().toSet == (1L to 1000L).toSet)
+      }
+    }
+
+    it("compacts WITH clustering when cluster columns are given") {
+      withTempDir { dir =>
+        val small = s"${dir.getAbsolutePath}/small"
+        val out = s"${dir.getAbsolutePath}/compacted"
+        scala.util.Random.shuffle((1L to 900L).toList).toDF("k").repartition(30).write.parquet(small)
+        val (_, after, _) = Layout.compact(spark, small, out,
+          targetRecordsPerFile = 300, clusterCols = Seq("k"))
+        // sampled range boundaries are approximate: an oversized range
+        // splits at the per-file cap, so 3 target files may become a few
+        assert(after >= 3 && after <= 6, s"got $after files")
+        val ranges = Layout.fileRanges(spark, out, "k").sortBy(_._1)
+        ranges.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) => assert(aMax < bMin)
+          case _ =>
+        }
+      }
+    }
+  }
+}
