@@ -102,4 +102,66 @@ class PropertySpec extends AnyFunSpec {
       })
     }
   }
+
+  describe("media codec round-trips on arbitrary content") {
+    import graft.operators.Multimodal.{AudioCodec, ImageCodec, VideoCodec}
+
+    it("WAV: decode(encode(samples)) recovers exact samples, rate, and stats") {
+      val gen = for {
+        rate <- Gen.oneOf(8000, 16000, 44100)
+        samples <- Gen.nonEmptyListOf(Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+      } yield (rate, samples)
+      check(forAll(gen) { case (rate, samples) =>
+        val wav = AudioCodec.encodePcm16Wav(rate, samples.length)(samples(_))
+        val d = AudioCodec.decode(wav).get
+        d.sampleRate == rate && d.nSamples == samples.length &&
+          d.smpMin == samples.min && d.smpMax == samples.max &&
+          d.smpSum == samples.map(_.toLong).sum
+      }, minTests = 30)
+    }
+
+    it("GIF: every sampled frame's pixel stats match the generating function") {
+      val gen = for {
+        w <- Gen.choose(1, 9)
+        h <- Gen.choose(1, 7)
+        frames <- Gen.choose(1, 6)
+        seed <- Gen.choose(0, 1000)
+      } yield (w, h, frames, seed)
+      check(forAll(gen) { case (w, h, frames, seed) =>
+        def px(fr: Int, x: Int, y: Int) = (seed + fr * 31 + y * 7 + x * 3) % 256
+        val gif = VideoCodec.encodeGrayGif(w, h, frames)(px)
+        val d = VideoCodec.decodeFrames(gif, everyK = 1, cap = frames).get
+        val all = for { fr <- 0 until frames; y <- 0 until h; x <- 0 until w } yield px(fr, x, y)
+        d.nFrames == frames && d.framesSampled == frames &&
+          d.width == w && d.height == h &&
+          d.pxMin == all.min && d.pxMax == all.max && d.pxSum == all.map(_.toLong).sum
+      }, minTests = 30)
+    }
+
+    it("PNG: gray encode/decode is lossless for arbitrary pixel functions") {
+      val gen = for {
+        w <- Gen.choose(1, 12)
+        h <- Gen.choose(1, 12)
+        seed <- Gen.choose(0, 1000)
+      } yield (w, h, seed)
+      check(forAll(gen) { case (w, h, seed) =>
+        def px(x: Int, y: Int) = (seed + y * 13 + x * 5) % 256
+        val png = ImageCodec.encodeGrayPng(w, h)(px)
+        val img = ImageCodec.decode(png).get
+        val st = ImageCodec.stats(img)
+        val all = for { y <- 0 until h; x <- 0 until w } yield px(x, y)
+        st.width == w && st.height == h &&
+          st.pxMin == all.min && st.pxMax == all.max && st.pxSum == all.map(_.toLong).sum
+      }, minTests = 30)
+    }
+
+    it("decoders never throw on arbitrary garbage bytes (totality)") {
+      val bytesGen = Gen.listOf(Gen.choose[Byte](Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+      check(forAll(bytesGen) { bytes =>
+        AudioCodec.decode(bytes).forall(_.nSamples >= 0) &&
+          VideoCodec.decodeFrames(bytes, 1, 4).forall(_.nFrames >= 0) &&
+          (ImageCodec.decode(bytes) match { case _ => true })
+      }, minTests = 50)
+    }
+  }
 }
