@@ -42,12 +42,13 @@ object Pq {
     * truncation of trailing dims would quietly change every distance. */
   private[operators] def chunks(vectors: DataFrame, m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
-    vectors.select(size(col("embedding")).as("d")).take(1).foreach { r =>
-      val d = r.getInt(0)
-      require(d % m == 0,
-        s"vector dimension $d is not divisible by m=$m subvectors — " +
-          "trailing dimensions would be silently dropped from every distance")
-    }
+    vectors.select(size(col("embedding")).as("d"))
+      .filter(col("d").isNotNull).take(1).foreach { r =>
+        val d = r.getInt(0)
+        require(d % m == 0,
+          s"vector dimension $d is not divisible by m=$m subvectors — " +
+            "trailing dimensions would be silently dropped from every distance")
+      }
     vectors
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), explode(expr(
@@ -114,8 +115,12 @@ object Pq {
     * the flat LUT silently (or throw an opaque ANSI array-index error).
     * The codebook frame is tiny and post-training already materialized,
     * so the scalar action is cheap. */
-  private def ksubOf(codebooks: DataFrame): Int =
-    codebooks.agg(max(col("code"))).head().getInt(0) + 1
+  private def ksubOf(codebooks: DataFrame): Int = {
+    val r = codebooks.agg(max(col("code"))).head()
+    require(!r.isNullAt(0), "codebooks frame is empty — train codebooks first " +
+      "(or check the index path)")
+    r.getInt(0) + 1
+  }
 
   /** Per-query flat ADC lookup table: exact query-to-codeword distances
     * ordered (chunk, code), so entry `chunk·ksub + code` is a flat-array

@@ -27,9 +27,33 @@ class LayoutSpec extends SparkSpec {
         val back = spark.read.parquet(out)
         assert(back.count() == 4000)
         assert(back.agg(sum(col("v"))).head().getLong(0) == (1L to 4000L).map(_ * 2).sum)
-        // a point predicate is pushed down to the scan (row-group skip path)
+        // the point predicate itself is pushed down to the scan (the
+        // row-group skip path) — not just the implied IsNotNull
         val plan = back.filter(col("k") === 42L).queryExecution.executedPlan.toString
-        assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(k)"), plan)
+        assert(plan.contains("EqualTo(k,42)"), plan)
+      }
+    }
+
+    it("duplicate keys may share a file boundary but ranges never interleave") {
+      withTempDir { dir =>
+        val out = s"${dir.getAbsolutePath}/dupes"
+        // 40 copies of each key: file-size splits land INSIDE key runs
+        val df = scala.util.Random.shuffle(
+          (1L to 100L).flatMap(k => Seq.fill(40)(k)).toList).toDF("k")
+        Layout.writeClustered(df, out, Seq("k"), numRanges = 2, maxRecordsPerFile = 300)
+        val ranges = Layout.fileRanges(spark, out, "k").sortBy(r => (r._1, r._2))
+        assert(ranges.size > 4)
+        ranges.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) =>
+            assert(aMax <= bMin, s"interleaving file ranges: $ranges")
+          case _ =>
+        }
+        // the boundary-sharing case actually occurs on this corpus
+        assert(ranges.sliding(2).exists {
+          case Seq((_, aMax), (bMin, _)) => aMax == bMin
+          case _ => false
+        })
+        assert(spark.read.parquet(out).count() == 4000)
       }
     }
   }
