@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -478,6 +478,32 @@ object Multimodal {
       }
     }
     spark.createDataFrame(out, featureSchema)
+  }
+
+  /** Read a directory of real media files into the [[mediaSchema]]
+    * shape via Spark's `binaryFile` source — the production ingest
+    * path: object-store files arrive as (path, modificationTime,
+    * length, content) rows with predicate pushdown on the metadata
+    * columns (e.g. `pathGlobFilter`, length limits), payload bytes
+    * stay on executors, and [[decodeFeatures]] consumes the result
+    * unchanged. `media_id` = hash of the path (stable, distributed);
+    * `kind` from the extension; envelope metadata starts null — real
+    * values come from decode, which is the trustworthy source anyway.
+    */
+  def readMediaDir(spark: SparkSession, dir: String, globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    val df = globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).load(dir)
+    val ext = lower(regexp_extract(col("path"), "\\.([A-Za-z0-9]+)$", 1))
+    df.select(
+      xxhash64(col("path")).as("media_id"),
+      when(ext.isin("png", "bmp", "jpg", "jpeg"), lit("image"))
+        .when(ext.isin("wav", "au", "aiff"), lit("audio"))
+        // gif routes to the sequence reader: it handles 1-frame GIFs and
+        // reports the true frame count for animated ones
+        .when(ext.isin("gif", "mp4", "webm", "mkv", "avi"), lit("video"))
+        .otherwise(lit("unknown")).as("kind"),
+      col("content").as("payload"),
+      lit(null).cast(mediaSchema("meta").dataType).as("meta"))
   }
 
   /** Synthesize a deterministic media table from the documents corpus

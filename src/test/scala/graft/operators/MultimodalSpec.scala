@@ -117,6 +117,28 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(14) == (0 + 100) * 4L)
     }
 
+    it("ingests a real media directory via binaryFile end-to-end into decoded features") {
+      withTempDir { dir =>
+        val png = Multimodal.ImageCodec.encodeGrayPng(3, 2)((x, y) => 10 * y + x)
+        val wav = Multimodal.AudioCodec.encodePcm16Wav(8000, 3)(i => i * 100)
+        val gif = Multimodal.VideoCodec.encodeGrayGif(2, 2, 3)((fr, _, _) => 40 * fr)
+        java.nio.file.Files.write(dir.toPath.resolve("a.png"), png)
+        java.nio.file.Files.write(dir.toPath.resolve("b.wav"), wav)
+        java.nio.file.Files.write(dir.toPath.resolve("c.gif"), gif)
+        java.nio.file.Files.write(dir.toPath.resolve("d.xyz"), Array[Byte](1, 2, 3))
+        val media = Multimodal.readMediaDir(spark, dir.getAbsolutePath)
+        val out = media.transform(Multimodal.decodeFeatures(_, frameEveryK = 2))
+          .collect().map(r => r.getString(1) -> r).toMap
+        assert(out.keySet == Set("image", "audio", "video", "unknown"))
+        assert(out("image").getInt(10) == 3 && out("image").getLong(14) == 36L) // decoded_w, px_sum
+        assert(out("audio").getLong(16) == 3L && out("audio").getInt(18) == 200) // n_samples, smp_max
+        assert(out("video").getInt(21) == 3 && out("video").getInt(7) == 2) // n_frames, sampled
+        assert(out("unknown").getLong(2) == 3L) // byte-stats fallback
+        // metadata pushdown: glob filter prunes to one file at the source
+        assert(Multimodal.readMediaDir(spark, dir.getAbsolutePath, Some("*.wav")).count() == 1)
+      }
+    }
+
     it("frame cap bounds decoded frames; undecodable video falls back to meta arithmetic") {
       val gif = Multimodal.VideoCodec.encodeGrayGif(2, 1, 10)((fr, _, _) => fr)
       val capped = Multimodal.VideoCodec.decodeFrames(gif, everyK = 1, cap = 4).get
