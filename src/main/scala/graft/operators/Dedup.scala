@@ -299,6 +299,51 @@ object Dedup {
     docs.join(purge, id === col("__purge_id"), "left_anti")
   }
 
+  /** Train/test DECONTAMINATION — the cross-corpus membership check a
+    * training pipeline runs before every eval: which training documents
+    * share at least `minShared` distinct w-shingles with ANY test/eval
+    * document. A bipartite inverted-index join (never a cartesian):
+    * both sides explode to hashed-shingle postings, the equi-join on
+    * the 8-byte shingle key meets exactly the co-occurring pairs, and a
+    * count per (train, test) pair thresholds the evidence. The test
+    * side is typically tiny (an eval set) — Catalyst broadcasts it and
+    * the training corpus streams through map-side.
+    *
+    * `maxDf` caps ubiquitous stop-shingles on the TRAIN side (a
+    * shingle in half the corpus adds quadratic pair rows and no
+    * evidence); dropped shingles are observable via the
+    * `contamination_df_<n>` observe metrics. Exact by default.
+    *
+    * Output: (train_id, test_id, n_shared) for every contaminated pair.
+    */
+  def contaminationPairs(train: DataFrame, trainId: Column, trainText: Column,
+                         test: DataFrame, testId: Column, testText: Column,
+                         w: Int = 3, minShared: Int = 1,
+                         maxDf: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    def postings(docs: DataFrame, id: Column, text: Column, as: String) =
+      shingled(docs, id, text, w)
+        .select(col("doc_id").as(as), explode(col("sh")).as("shingle"))
+        .select(col(as), xxhash64(col("shingle")).as("sid"))
+    val tr = postings(train, trainId, trainText, "train_id")
+    val te = postings(test, testId, testText, "test_id")
+    val trKept =
+      if (maxDf == Int.MaxValue) tr
+      else {
+        val dfc = tr.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+          .observe(s"contamination_df_${bucketMetricSeq.incrementAndGet()}",
+            count(lit(1)).as("n_shingles"),
+            sum(when(col("df") > maxDf, 1).otherwise(0)).as("dropped_shingles"))
+        tr.join(dfc.filter(col("df") <= maxDf).select(col("sid")), "sid")
+      }
+    // per-doc shingle sets are distinct, so each (train, test, sid)
+    // match is one row and the per-pair count IS the shared-set size
+    trKept.join(te, "sid")
+      .groupBy(col("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-duplicate pairs with EXACT recall for
     * `hamming ≤ maxHamming`, via the multi-index pigeonhole scheme
     * (Manku/Jain/Sarma, WWW'07 — public algorithm): split the b-bit

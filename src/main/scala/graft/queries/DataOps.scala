@@ -521,6 +521,36 @@ object DataOps extends QueryModule {
       |   (a, b) -> (a * 257 + b) % 1000000007) AS rhash
       |FROM documents""".stripMargin
 
+  // ---- q63: train/test decontamination ---------------------------------
+
+  /** Decontamination sweep: the corpus split into train (doc_id % 17 ≠
+    * 0) and a small eval set (doc_id % 17 = 0); flag every train doc
+    * sharing ≥ 3 distinct 3-shingles with any eval doc — the bipartite
+    * inverted-index membership check run before every evaluation, so
+    * leaked eval content can be purged from training data.
+    */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.contaminationPairs(
+      d.filter(col("doc_id") % 17 =!= 0), col("doc_id"), col("text"),
+      d.filter(col("doc_id") % 17 === 0), col("doc_id"), col("text"),
+      w = 3, minShared = 3)
+      .orderBy(col("train_id"), col("test_id"))
+  }
+
+  private val q63Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                               for i in range(1, len(t) - 1)])) AS shingle
+      |       FROM toks WHERE len(t) >= 3),
+      |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 17 <> 0),
+      |te AS (SELECT doc_id AS test_id, shingle FROM sh WHERE doc_id % 17 = 0)
+      |SELECT train_id, test_id, COUNT(*) AS n_shared
+      |FROM tr JOIN te USING (shingle)
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |ORDER BY train_id, test_id""".stripMargin
+
   // ---- q53: dedup clusters (connected components) ----------------------
 
   /** Near-dup pairs → dedup clusters: connected components over the
@@ -652,7 +682,8 @@ object DataOps extends QueryModule {
     "q53_dedup_clusters" -> (dedupClusters _),
     "q54_audio_decode" -> (audioDecode _),
     "q55_video_frames" -> (videoFrames _),
-    "q60_pq_ann" -> (pqAnn _))
+    "q60_pq_ann" -> (pqAnn _),
+    "q63_contamination" -> (contamination _))
 
   val family: String = "dataops"
 
@@ -676,5 +707,6 @@ object DataOps extends QueryModule {
     "q49_salted_join" -> q49Oracle,
     "q53_dedup_clusters" -> q53Oracle,
     "q54_audio_decode" -> q54Oracle,
-    "q55_video_frames" -> q55Oracle)
+    "q55_video_frames" -> q55Oracle,
+    "q63_contamination" -> q63Oracle)
 }

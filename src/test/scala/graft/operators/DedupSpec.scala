@@ -145,6 +145,43 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.contaminationPairs") {
+    it("flags cross-corpus shingle overlap above the threshold, bipartite only") {
+      val train = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"), // = test 100 (full leak)
+        (2L, "the quick brown fox sat very still today ok"), // shares 2 shingles w/ 100
+        (3L, "completely unrelated text about spark engines here")).toDF("doc_id", "text")
+      val test = Seq(
+        (100L, "the quick brown fox jumps over the lazy dog"),
+        (101L, "another eval prompt entirely distinct from training")).toDF("doc_id", "text")
+      val pairs = Dedup.contaminationPairs(train, col("doc_id"), col("text"),
+          test, col("doc_id"), col("text"), minShared = 3)
+        .select("train_id", "test_id", "n_shared").as[(Long, Long, Long)].collect().toSet
+      // doc 1 shares all 7 shingles with test 100; doc 2 only 2 (< 3); doc 3 none.
+      // train-train and test-test overlap must never pair.
+      assert(pairs == Set((1L, 100L, 7L)))
+      // threshold 1 admits the partial leak too
+      val loose = Dedup.contaminationPairs(train, col("doc_id"), col("text"),
+          test, col("doc_id"), col("text"), minShared = 1)
+        .select("train_id", "test_id").as[(Long, Long)].collect().toSet
+      assert(loose == Set((1L, 100L), (2L, 100L)))
+    }
+
+    it("maxDf drops ubiquitous stop-shingles from the evidence") {
+      // every train doc starts with the same 3 tokens → that shingle is
+      // in all 20 docs; with maxDf below 20 it stops pairing anything
+      val train = (1L to 20L).map(i => (i, s"common stop shingle unique$i tail$i"))
+        .toDF("doc_id", "text")
+      val test = Seq((100L, "common stop shingle from the eval set")).toDF("doc_id", "text")
+      val all = Dedup.contaminationPairs(train, col("doc_id"), col("text"),
+        test, col("doc_id"), col("text"), minShared = 1)
+      assert(all.count() == 20) // the shared stop-shingle pairs everything
+      val capped = Dedup.contaminationPairs(train, col("doc_id"), col("text"),
+        test, col("doc_id"), col("text"), minShared = 1, maxDf = 5)
+      assert(capped.count() == 0)
+    }
+  }
+
   describe("Dedup.simhashNearDups") {
     it("band candidates recover exactly the brute-force hamming result (pigeonhole)") {
       val fp = Dedup.simhash(corpus, col("doc_id"), col("text"))
