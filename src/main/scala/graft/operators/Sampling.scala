@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deterministic sampling — the subsampling/data-mixing discipline of a
+  * training pipeline, where "random" must mean REPRODUCIBLE:
+  * `df.sample` draws from per-partition RNG streams, so its selection
+  * changes with partitioning, retries, and cluster size, which makes
+  * runs non-replayable and lineage unauditable. These operators decide
+  * membership by a seeded content hash instead — the same row is in or
+  * out on every run, every cluster, and every engine ([[TextFns.hash60]]
+  * is reproducible bit-for-bit in DuckDB, so selections are
+  * oracle-checkable end-to-end).
+  *
+  * All three are narrow or single-shuffle:
+  *  - [[deterministicSample]]: a per-row filter — zero shuffle, fully
+  *    pushdown-friendly;
+  *  - [[stratifiedSample]]: the per-row filter with a per-stratum rate
+  *    (the data-mixing primitive: weight sources/languages/quality
+  *    tiers into a target mixture) — zero shuffle;
+  *  - [[reservoirPerKey]]: exactly n per stratum by hash order — one
+  *    shuffle on the stratum (the window), the deterministic version of
+  *    per-group reservoir sampling.
+  */
+object Sampling {
+
+  /** hash60's range is [0, 2^60). */
+  private[graft] val MaxHash: Long = 1L << 60
+
+  /** The membership threshold for `fraction` — computed once driver-side
+    * so query and oracle compare against the identical literal. */
+  private[graft] def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    if (fraction >= 1.0) MaxHash else (fraction * MaxHash).toLong
+  }
+
+  /** Keep rows with `hash60(seed:key) < fraction·2^60` — a deterministic
+    * Bernoulli sample keyed on content, stable under repartitioning,
+    * retries, and re-runs. `key` must identify the row (duplicates
+    * travel together — often exactly what dedup-aware sampling wants).
+    */
+  def deterministicSample(df: DataFrame, key: Column, fraction: Double,
+                          seed: Int = 0): DataFrame =
+    df.filter(TextFns.seededHash(seed, key) < threshold(fraction))
+
+  /** Per-stratum deterministic sampling — the data-mixing primitive:
+    * each stratum value keeps its own fraction (absent strata keep
+    * `defaultFraction`). The rate table enters the plan as a literal
+    * CASE chain, so the filter stays a zero-shuffle narrow map that
+    * Catalyst can push around.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       seed: Int = 0): DataFrame = {
+    val thr = fractions.foldLeft(lit(threshold(defaultFraction))) {
+      case (acc, (value, frac)) => when(stratum === value, lit(threshold(frac))).otherwise(acc)
+    }
+    df.filter(TextFns.seededHash(seed, key) < thr)
+  }
+
+  /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
+    * chosen by seeded-hash order with the key as tiebreak — the
+    * deterministic equivalent of per-group reservoir sampling. One
+    * shuffle on the stratum; at very hot strata prefer
+    * [[stratifiedSample]] (no per-group sort) and cap downstream.
+    */
+  def reservoirPerKey(df: DataFrame, stratum: Column, key: Column, n: Int,
+                      seed: Int = 0): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum)
+      .orderBy(TextFns.seededHash(seed, key).asc, key.asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+}

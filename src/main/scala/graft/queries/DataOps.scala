@@ -551,6 +551,71 @@ object DataOps extends QueryModule {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
       |ORDER BY train_id, test_id""".stripMargin
 
+  // ---- q64–q66: deterministic sampling ---------------------------------
+
+  /** Deterministic 20% Bernoulli sample of the corpus by content hash —
+    * the replayable subsample a pipeline can audit (same rows in every
+    * run/cluster/engine; `df.sample`'s per-partition RNG cannot promise
+    * that). The oracle re-derives the identical selection in DuckDB
+    * through the shared bit-for-bit hash60.
+    */
+  def deterministicSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicSample(
+        docs(s, dir), col("doc_id"), fraction = 0.2, seed = 7)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  private val q64Oracle: String = {
+    val h = TextFns.hash60Sql("'7:' || CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id FROM documents
+       |WHERE $h < ${graft.operators.Sampling.threshold(0.2)}
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Stratified deterministic sampling — the data-mixing primitive:
+    * per-event-type keep rates (purchases kept whole, clicks 25%,
+    * views 10%, the rest 50%) applied as a zero-shuffle hash filter,
+    * reduced to per-type sampled counts.
+    */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        Tables(s, dir, "events"), col("event_type"), col("event_id"),
+        Map("purchase" -> 1.0, "click" -> 0.25, "view" -> 0.1),
+        defaultFraction = 0.5, seed = 3)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("event_type"))
+
+  private val q65Oracle: String = {
+    import graft.operators.Sampling.threshold
+    val h = TextFns.hash60Sql("'3:' || CAST(event_id AS VARCHAR)")
+    s"""SELECT event_type, COUNT(*) AS n_sampled FROM events
+       |WHERE $h < CASE event_type
+       |  WHEN 'purchase' THEN ${threshold(1.0)}
+       |  WHEN 'click' THEN ${threshold(0.25)}
+       |  WHEN 'view' THEN ${threshold(0.1)}
+       |  ELSE ${threshold(0.5)} END
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** Deterministic per-stratum reservoir: exactly 4 events per type,
+    * chosen by seeded hash order — per-group "random" examples that
+    * stay identical across runs (eval-set construction, debugging
+    * samples).
+    */
+  def reservoirSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.reservoirPerKey(
+        Tables(s, dir, "events"), col("event_type"), col("event_id"), n = 4, seed = 5)
+      .select(col("event_type"), col("event_id"))
+      .orderBy(col("event_type"), col("event_id"))
+
+  private val q66Oracle: String = {
+    val h = TextFns.hash60Sql("'5:' || CAST(event_id AS VARCHAR)")
+    s"""SELECT event_type, event_id FROM events
+       |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY $h, event_id) <= 4
+       |ORDER BY event_type, event_id""".stripMargin
+  }
+
   // ---- q53: dedup clusters (connected components) ----------------------
 
   /** Near-dup pairs → dedup clusters: connected components over the
@@ -683,7 +748,10 @@ object DataOps extends QueryModule {
     "q54_audio_decode" -> (audioDecode _),
     "q55_video_frames" -> (videoFrames _),
     "q60_pq_ann" -> (pqAnn _),
-    "q63_contamination" -> (contamination _))
+    "q63_contamination" -> (contamination _),
+    "q64_deterministic_sample" -> (deterministicSample _),
+    "q65_stratified_sample" -> (stratifiedSample _),
+    "q66_reservoir_sample" -> (reservoirSample _))
 
   val family: String = "dataops"
 
@@ -708,5 +776,8 @@ object DataOps extends QueryModule {
     "q53_dedup_clusters" -> q53Oracle,
     "q54_audio_decode" -> q54Oracle,
     "q55_video_frames" -> q55Oracle,
-    "q63_contamination" -> q63Oracle)
+    "q63_contamination" -> q63Oracle,
+    "q64_deterministic_sample" -> q64Oracle,
+    "q65_stratified_sample" -> q65Oracle,
+    "q66_reservoir_sample" -> q66Oracle)
 }

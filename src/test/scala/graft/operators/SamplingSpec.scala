@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (1L to 2000L).toDF("id")
+
+  describe("Sampling.deterministicSample") {
+    it("selection is identical under any partitioning (the claim df.sample can't make)") {
+      def sel(df: org.apache.spark.sql.DataFrame) =
+        Sampling.deterministicSample(df, col("id"), 0.3, seed = 1)
+          .as[Long].collect().toSet
+      val a = sel(ids)
+      assert(sel(ids.repartition(13)) == a)
+      assert(sel(ids.coalesce(1)) == a)
+      // rate lands near the target on a uniform hash
+      assert(math.abs(a.size - 600) < 80, s"got ${a.size} of 2000 at 0.3")
+    }
+
+    it("seeds give independent selections; fraction 0/1 are exact") {
+      val s1 = Sampling.deterministicSample(ids, col("id"), 0.3, seed = 1).as[Long].collect().toSet
+      val s2 = Sampling.deterministicSample(ids, col("id"), 0.3, seed = 2).as[Long].collect().toSet
+      assert(s1 != s2)
+      val overlap = (s1 & s2).size.toDouble
+      assert(overlap < 0.3 * 0.3 * 2000 * 2.0, s"seeds correlate: overlap $overlap")
+      assert(Sampling.deterministicSample(ids, col("id"), 0.0).count() == 0)
+      assert(Sampling.deterministicSample(ids, col("id"), 1.0).count() == 2000)
+    }
+
+    it("is a narrow zero-shuffle filter") {
+      val plan = Sampling.deterministicSample(ids, col("id"), 0.5)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    }
+  }
+
+  describe("Sampling.stratifiedSample") {
+    it("applies per-stratum rates with the default for absent strata") {
+      val df = ids.withColumn("s",
+        when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
+      val out = Sampling.stratifiedSample(df, col("s"), col("id"),
+          Map("a" -> 1.0, "b" -> 0.0), defaultFraction = 0.5, seed = 4)
+        .groupBy("s").count().as[(String, Long)].collect().toMap
+      assert(out("a") == df.filter(col("s") === "a").count()) // kept whole
+      assert(!out.contains("b"))                              // dropped whole
+      assert(out("c") > 150 && out("c") < 500)                // ~50% of ~667
+    }
+  }
+
+  describe("Sampling.reservoirPerKey") {
+    it("returns exactly n per stratum, deterministically, fewer when small") {
+      val df = ids.withColumn("s", (col("id") % 5).cast("string"))
+        .unionByName(Seq((9999L, "tiny")).toDF("id", "s"))
+      val out = Sampling.reservoirPerKey(df, col("s"), col("id"), n = 7, seed = 2)
+      val counts = out.groupBy("s").count().as[(String, Long)].collect().toMap
+      assert((0 to 4).forall(k => counts(k.toString) == 7))
+      assert(counts("tiny") == 1)
+      // stable across partitioning
+      val again = Sampling.reservoirPerKey(df.repartition(11), col("s"), col("id"), n = 7, seed = 2)
+      assert(out.select("id").as[Long].collect().toSet ==
+        again.select("id").as[Long].collect().toSet)
+    }
+  }
+}
