@@ -325,7 +325,12 @@ object Dedup {
       shingled(docs, id, text, w)
         .select(col("doc_id").as(as), explode(col("sh")).as("shingle"))
         .select(col(as), xxhash64(col("shingle")).as("sid"))
-    val tr = postings(train, trainId, trainText, "train_id")
+    // under a finite maxDf the train postings feed TWO branches (the
+    // df-count and the filtering join) — materialize once, like
+    // nearDupPairs' shingle table, instead of re-shingling the corpus
+    // per branch
+    val trRaw = postings(train, trainId, trainText, "train_id")
+    val tr = if (maxDf == Int.MaxValue) trRaw else trRaw.localCheckpoint(false)
     val te = postings(test, testId, testText, "test_id")
     val trKept =
       if (maxDf == Int.MaxValue) tr

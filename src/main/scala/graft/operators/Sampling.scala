@@ -67,6 +67,12 @@ object Sampling {
     * deterministic equivalent of per-group reservoir sampling. One
     * shuffle on the stratum; at very hot strata prefer
     * [[stratifiedSample]] (no per-group sort) and cap downstream.
+    *
+    * `key` must be UNIQUE within a stratum for the full-row guarantee:
+    * physical duplicates of a (stratum, key) pair have no further order,
+    * so which duplicate's non-key columns are returned at the rank
+    * boundary is partitioning-dependent (the selected KEYS are always
+    * deterministic).
     */
   def reservoirPerKey(df: DataFrame, stratum: Column, key: Column, n: Int,
                       seed: Int = 0): DataFrame = {

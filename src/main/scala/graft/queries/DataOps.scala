@@ -48,13 +48,19 @@ object DataOps extends QueryModule {
     Dedup.nearDupPairs(docs(s, dir), col("doc_id"), col("text"), threshold = 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** Shared oracle CTEs: distinct 3-shingles + per-doc set sizes. */
-  private val shingleCtes: String =
+  /** toks + per-doc distinct 3-shingle CTEs — the SQL rendition of
+    * `WordShingles`, shared by EVERY shingle oracle (q22/q23/q53/q63)
+    * so shingle semantics can never fork between them. */
+  private val shingleBaseCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id,
       |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
       |                               for i in range(1, len(t) - 1)])) AS shingle
-      |       FROM toks WHERE len(t) >= 3),
+      |       FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  /** Shared oracle CTEs: distinct 3-shingles + per-doc set sizes. */
+  private val shingleCtes: String =
+    s"""$shingleBaseCtes,
       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -539,11 +545,7 @@ object DataOps extends QueryModule {
   }
 
   private val q63Oracle: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |sh AS (SELECT doc_id,
-      |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-      |                               for i in range(1, len(t) - 1)])) AS shingle
-      |       FROM toks WHERE len(t) >= 3),
+    s"""WITH $shingleBaseCtes,
       |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 17 <> 0),
       |te AS (SELECT doc_id AS test_id, shingle FROM sh WHERE doc_id % 17 = 0)
       |SELECT train_id, test_id, COUNT(*) AS n_shared
@@ -566,7 +568,7 @@ object DataOps extends QueryModule {
       .orderBy(col("doc_id"))
 
   private val q64Oracle: String = {
-    val h = TextFns.hash60Sql("'7:' || CAST(doc_id AS VARCHAR)")
+    val h = TextFns.seededHashSql(7, "CAST(doc_id AS VARCHAR)")
     s"""SELECT doc_id FROM documents
        |WHERE $h < ${graft.operators.Sampling.threshold(0.2)}
        |ORDER BY doc_id""".stripMargin
@@ -588,7 +590,7 @@ object DataOps extends QueryModule {
 
   private val q65Oracle: String = {
     import graft.operators.Sampling.threshold
-    val h = TextFns.hash60Sql("'3:' || CAST(event_id AS VARCHAR)")
+    val h = TextFns.seededHashSql(3, "CAST(event_id AS VARCHAR)")
     s"""SELECT event_type, COUNT(*) AS n_sampled FROM events
        |WHERE $h < CASE event_type
        |  WHEN 'purchase' THEN ${threshold(1.0)}
@@ -610,7 +612,7 @@ object DataOps extends QueryModule {
       .orderBy(col("event_type"), col("event_id"))
 
   private val q66Oracle: String = {
-    val h = TextFns.hash60Sql("'5:' || CAST(event_id AS VARCHAR)")
+    val h = TextFns.seededHashSql(5, "CAST(event_id AS VARCHAR)")
     s"""SELECT event_type, event_id FROM events
        |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY $h, event_id) <= 4
        |ORDER BY event_type, event_id""".stripMargin
