@@ -618,6 +618,97 @@ object DataOps extends QueryModule {
        |ORDER BY event_type, event_id""".stripMargin
   }
 
+  // ---- q67: the training-data pipeline, end-to-end ---------------------
+
+  /** The whole training-data curation pipeline as ONE declarative
+    * composition — the flagship integration query: train/eval split →
+    * near-dup purge (q22's exact-Jaccard pairs → q53's components →
+    * canonical keep) → decontamination against the eval set (q63) →
+    * quality gate (q26's metrics) → deterministic 50% subsample (q64) —
+    * reported as a per-stage funnel of document and token counts. Each
+    * stage is lazily materialized once (`localCheckpoint(false)`) and
+    * shared by all downstream branches, so the five summaries don't
+    * recompute the chain. The oracle rebuilds the identical funnel in
+    * DuckDB from the shared shingle CTEs, a recursive-CTE closure, and
+    * the bit-identical sampling hash.
+    */
+  def trainingPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = docs(s, dir)
+    val train = d.filter(col("doc_id") % 17 =!= 0).localCheckpoint(false)
+    val evalSet = d.filter(col("doc_id") % 17 === 0)
+    val deduped = Dedup.purgeNearDups(train, col("doc_id"),
+        Dedup.nearDupPairs(train, col("doc_id"), col("text"), threshold = 0.8))
+      .localCheckpoint(false)
+    val contamIds = Dedup.contaminationPairs(train, col("doc_id"), col("text"),
+        evalSet, col("doc_id"), col("text"), minShared = 3)
+      .select(col("train_id").as("__contam_id")).distinct()
+    val decontamed = deduped
+      .join(contamIds, col("doc_id") === col("__contam_id"), "left_anti")
+      .localCheckpoint(false)
+    val toks = TextFns.tokens(col("text"))
+    val quality = decontamed.filter(size(toks) >= 8 &&
+        round(size(array_distinct(toks)).cast("double") / size(toks), 6) >= 0.5)
+      .localCheckpoint(false)
+    val sampled = Sampling.deterministicSample(quality, col("doc_id"), 0.5, seed = 11)
+    def summary(stage: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"))
+        .select(lit(stage).as("stage"), col("n_docs"), col("n_tokens"))
+    summary("1_train_split", train)
+      .unionByName(summary("2_after_dedup", deduped))
+      .unionByName(summary("3_after_decontam", decontamed))
+      .unionByName(summary("4_after_quality", quality))
+      .unionByName(summary("5_after_sample", sampled))
+      .orderBy(col("stage"))
+  }
+
+  private val q67Oracle: String =
+    s"""WITH $shingleBaseCtes,
+       |tsh AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+       |esh AS (SELECT * FROM sh WHERE doc_id % 17 = 0),
+       |tsizes AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY 1),
+       |tpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |           FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |texact AS (SELECT doc_a, doc_b FROM tpairs
+       |           JOIN tsizes sa ON sa.doc_id = doc_a JOIN tsizes sb ON sb.doc_id = doc_b
+       |           WHERE c / (sa.n + sb.n - c) >= 0.8),
+       |nodes AS (SELECT doc_a AS n FROM texact UNION SELECT doc_b FROM texact),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM texact
+       |          UNION SELECT doc_b, doc_a FROM texact),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT n, n FROM nodes
+       |    UNION
+       |    SELECT r.src, e.v FROM r JOIN edges e ON e.u = r.dst)
+       |  SELECT * FROM r),
+       |cc AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY 1),
+       |purge AS (SELECT doc_id FROM cc WHERE doc_id <> component),
+       |contam AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT a.doc_id, b.doc_id AS eid FROM tsh a JOIN esh b ON a.shingle = b.shingle
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)),
+       |s1 AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+       |s2 AS (SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM purge)),
+       |s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |s4 AS (SELECT * FROM s3 WHERE len(string_split(text, ' ')) >= 8
+       |        AND round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 6) >= 0.5),
+       |s5 AS (SELECT * FROM s4
+       |       WHERE ${TextFns.seededHashSql(11, "CAST(doc_id AS VARCHAR)")}
+       |             < ${graft.operators.Sampling.threshold(0.5)})
+       |SELECT * FROM (
+       |  SELECT '1_train_split' AS stage, COUNT(*) AS n_docs,
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM s1
+       |  UNION ALL SELECT '2_after_dedup', COUNT(*),
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s2
+       |  UNION ALL SELECT '3_after_decontam', COUNT(*),
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s3
+       |  UNION ALL SELECT '4_after_quality', COUNT(*),
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s4
+       |  UNION ALL SELECT '5_after_sample', COUNT(*),
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s5
+       |) ORDER BY stage""".stripMargin
+
   // ---- q53: dedup clusters (connected components) ----------------------
 
   /** Near-dup pairs → dedup clusters: connected components over the
@@ -753,7 +844,8 @@ object DataOps extends QueryModule {
     "q63_contamination" -> (contamination _),
     "q64_deterministic_sample" -> (deterministicSample _),
     "q65_stratified_sample" -> (stratifiedSample _),
-    "q66_reservoir_sample" -> (reservoirSample _))
+    "q66_reservoir_sample" -> (reservoirSample _),
+    "q67_training_pipeline" -> (trainingPipeline _))
 
   val family: String = "dataops"
 
@@ -781,5 +873,6 @@ object DataOps extends QueryModule {
     "q63_contamination" -> q63Oracle,
     "q64_deterministic_sample" -> q64Oracle,
     "q65_stratified_sample" -> q65Oracle,
-    "q66_reservoir_sample" -> q66Oracle)
+    "q66_reservoir_sample" -> q66Oracle,
+    "q67_training_pipeline" -> q67Oracle)
 }
