@@ -38,16 +38,24 @@ object Pipeline {
     batches: Seq[Emitter.BatchResult],
     observedMeta: Seq[StatsD.Meta])
 
-  /** Build the per-record frame from a raw line source: `value`, `seq`
-    * (file-source stand-in for the Kinesis sequence number — caller
-    * supplies an expression over `value`, e.g. the first TSV field),
+  /** Build the per-record frame from a line source: `value`, `seq`,
     * `error` (null: the identity transform can't fail, matching
     * IdentityTransformer.scala:25-38).
+    *
+    * `seq` is the Kinesis-sequence-number slot for file naming. A
+    * sequence-numbered source (e.g. [[ShardedSource]], or a real Kinesis
+    * adapter where the number is RECORD METADATA, not payload) provides
+    * its own `seq` column and wins; otherwise the caller's `seqExpr`
+    * over `value` (e.g. the first TSV field) stands in.
     */
-  def records(lines: DataFrame, seqExpr: Option[Column]): DataFrame =
-    lines
-      .withColumn("seq", seqExpr.getOrElse(lit(null)).cast("string"))
+  def records(lines: DataFrame, seqExpr: Option[Column]): DataFrame = {
+    val seqd =
+      if (lines.columns.contains("seq")) lines
+      else lines.withColumn("seq", seqExpr.getOrElse(lit(null)).cast("string"))
+    seqd
+      .withColumn("seq", col("seq").cast("string"))
       .withColumn("error", lit(null).cast("array<string>"))
+  }
 
   /** Run until the source is drained (Trigger.AvailableNow), then return
     * per-batch results + observed meta. The offline equivalent of one

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import java.nio.file.attribute.FileTime
+import java.nio.file.{Files, Path, Paths}
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Kinesis-SHAPED source double (reference
+  * `KinesisSourceExecutor.scala:44-151`, `KinesisS3Emitter.scala:72-73`):
+  * an in-repo [[Source]] that simulates the transport semantics a real
+  * Kinesis adapter must provide — without the connector jar, which does
+  * not exist offline (SURVEY §7.5.3).
+  *
+  * What it simulates, and what a real adapter must therefore supply:
+  *  - **Per-shard sequence numbers as record METADATA**: each record
+  *    carries an opaque, per-shard-monotonic sequence string (zero-padded
+  *    so lexicographic order == numeric order, like Kinesis's fixed-width
+  *    decimal sequence numbers). They surface as the contract's
+  *    `seq: string` column — NOT parsed from the payload — and flow into
+  *    the emitter's `firstSeq-lastSeq` file naming (O15). Divergence from
+  *    the reference, by design: a KCL buffer is per-shard (one record
+  *    processor per lease), so reference object names span one shard's
+  *    range; a Spark micro-batch spans ALL shards, so the name covers the
+  *    union range of the flush. Per-shard naming would reintroduce a
+  *    per-shard coalesce — the exact-naming bottleneck — for no
+  *    correctness gain.
+  *  - **Fetch caps**: `input.maxRecords` is the per-shard GetRecords
+  *    limit. Records are staged one file per (fetch-cycle, shard) chunk
+  *    with strictly increasing modification times per cycle, and the
+  *    stream reads `maxFilesPerTrigger = shardCount` — so each
+  *    micro-batch admits at most `maxRecords` records per shard, in
+  *    sequence order: one simulated fetch cycle across the fleet of
+  *    shard consumers.
+  *  - **Initial position** applied BEFORE admission, like a per-shard
+  *    iterator seek (reference `Config.scala:62-106`): TRIM_HORIZON =
+  *    everything retained; AT_TIMESTAMP(ts) = records with
+  *    `arrival >= ts`; LATEST = the stream tip at source construction —
+  *    for a fixed pre-existing record set that is the EMPTY set (only
+  *    records arriving after startup qualify), which is exactly Kinesis
+  *    LATEST semantics and is pinned by spec.
+  *
+  * The double stages through parquet purely as the local transport; a
+  * real adapter replaces `lines` with the connector's stream and keeps
+  * the same output contract: `value: string` + `seq: string`, positioned
+  * and admission-capped.
+  */
+final class ShardedSource(records: Seq[ShardedSource.Record], stageDir: String) extends Source {
+
+  /** Stream tip at construction — LATEST's cutoff (a real adapter gets
+    * this from the LATEST shard iterator; restart identity would ride the
+    * checkpoint exactly like [[FileSource]]'s persisted cutoff marker). */
+  private val tip: Instant = Instant.now()
+
+  def lines(spark: SparkSession, config: PipelineConfig,
+            checkpointDir: Option[String] = None): DataFrame = {
+    val positioned = config.input.position match {
+      case InitialPosition.TrimHorizon     => records
+      case InitialPosition.Latest          => records.filter(r => !r.arrival.isBefore(tip))
+      case InitialPosition.AtTimestamp(ts) => records.filter(r => !r.arrival.isBefore(ts))
+    }
+    val cap = math.max(1, config.input.maxRecords)
+    val shards = positioned.groupBy(_.shardId).toSeq.sortBy(_._1)
+    val rows = shards.flatMap { case (shard, rs) =>
+      rs.sortBy(_.sequenceNumber).grouped(cap).zipWithIndex.flatMap { case (chunk, cycle) =>
+        chunk.map(r => (r.data, ShardedSource.seqString(r.sequenceNumber), cycle, shard))
+      }
+    }
+
+    import spark.implicits._
+    // One parquet file per (cycle, shard): the repartition puts each
+    // group wholly in one task, so partitionBy emits exactly one file
+    // per group directory.
+    rows.toDF("value", "seq", "cycle", "shard")
+      .repartition(col("cycle"), col("shard"))
+      .write.mode("overwrite").partitionBy("cycle", "shard").parquet(stageDir)
+    ShardedSource.stampCycleTimes(Paths.get(stageDir))
+
+    val schema = StructType(Seq(
+      StructField("value", StringType),
+      StructField("seq", StringType),
+      StructField("cycle", IntegerType),
+      StructField("shard", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", math.max(1, shards.size))
+      .parquet(stageDir)
+      .select(col("value"), col("seq"))
+  }
+}
+
+object ShardedSource {
+
+  /** One stream record: `sequenceNumber` is per-shard monotonic (the
+    * adapter's metadata, never payload); `arrival` is the stream-side
+    * arrival time the initial-position seek filters on. */
+  final case class Record(shardId: String, sequenceNumber: Long, data: String,
+                          arrival: Instant)
+
+  /** Kinesis-style opaque sequence string: fixed-width decimal, so
+    * lexicographic min/max (what the emitter computes over the string
+    * column) equals numeric order. */
+  def seqString(n: Long): String = f"$n%020d"
+
+  /** Make fetch-cycle k strictly older than k+1 so the file stream's
+    * modification-time ordering admits cycles in order. The epoch base is
+    * arbitrary but fixed — determinism over realism. */
+  private def stampCycleTimes(root: Path): Unit = {
+    val base = 1600000000000L
+    def listOf[A](s: java.util.stream.Stream[A]): Seq[A] =
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toSeq }
+      finally s.close()
+    listOf(Files.list(root))
+      .filter(_.getFileName.toString.startsWith("cycle="))
+      .foreach { dir =>
+        val k = dir.getFileName.toString.stripPrefix("cycle=").toLong
+        listOf(Files.walk(dir)).filter(Files.isRegularFile(_)).foreach { f =>
+          Files.setLastModifiedTime(f, FileTime.fromMillis(base + k * 1000L))
+        }
+      }
+  }
+}

@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   * Contract: [[Source.lines]] returns a STREAMING frame with one record
   * per row in a `value: string` column, already positioned per
   * `config.input.position` and admission-limited per the buffer/fetch
-  * config.
+  * config. A source whose transport carries per-record sequence numbers
+  * as metadata (Kinesis does; see [[ShardedSource]]) additionally
+  * returns them in a `seq: string` column, which [[Pipeline.records]]
+  * prefers over any caller-supplied payload expression.
   */
 trait Source {
   /** @param checkpointDir the query's checkpoint location, when known —

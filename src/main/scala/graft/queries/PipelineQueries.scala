@@ -104,8 +104,23 @@ object PipelineQueries extends QueryModule {
     * foreachBatch → gzip text files with seq-range names under a
     * date-decorated dir → read the .gz files back → aggregate.
     */
-  def pipelineRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val work = freshWorkDir("q17", dir)
+  def pipelineRoundtrip(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, q = "q17", exactNaming = true)
+
+  /** q68: the SAME pipeline and read-back aggregate as q17 but with
+    * `exactNaming=false` — the cluster-scale write mode that keeps
+    * Spark's parallel file naming (no per-partition-value coalesce, no
+    * rename pass; Emitter.scala scale notes). Sharing q17's oracle pins
+    * the content contract of the scalable path: whatever file names it
+    * produces, the records that land under the output root are
+    * byte-identical in aggregate to the exact-naming mode's.
+    */
+  def scalableNaming(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, q = "q68", exactNaming = false)
+
+  private def roundtrip(s: SparkSession, dir: String, q: String,
+                        exactNaming: Boolean): DataFrame = {
+    val work = freshWorkDir(q, dir)
     val in = s"$work/in"
     val out = s"$work/out"
 
@@ -117,7 +132,7 @@ object PipelineQueries extends QueryModule {
     val config = PipelineConfig(
       region = None,
       purpose = Purpose.Enriched,
-      input = InputConfig("graft-q17", in, InitialPosition.TrimHorizon, maxRecords = 64),
+      input = InputConfig(s"graft-$q", in, InitialPosition.TrimHorizon, maxRecords = 64),
       output = OutputConfig(
         S3OutputConfig(out, dateFormat = Some("{yyyy}/{MM}"), filenamePrefix = Some("graft"),
           compression = Compression.Gzip, maxTimeout = 10000),
@@ -130,7 +145,8 @@ object PipelineQueries extends QueryModule {
 
     Pipeline.runOnce(s, config,
       seqExpr = Some(split(col("value"), "\t").getItem(0)),
-      checkpointDir = Some(s"$work/checkpoint"))
+      checkpointDir = Some(s"$work/checkpoint"),
+      exactNaming = exactNaming)
 
     // Read back ONLY what the pipeline wrote (gzip text files) and reduce.
     s.read.option("recursiveFileLookup", "true").text(out)
@@ -294,7 +310,8 @@ object PipelineQueries extends QueryModule {
     "q18_schema_key" -> (schemaKeyPartition _),
     "q19_enriched_meta" -> (enrichedMeta _),
     "q20_badrows" -> (badRows _),
-    "q50_enriched_schema" -> (enrichedSchema _))
+    "q50_enriched_schema" -> (enrichedSchema _),
+    "q68_scalable_naming" -> (scalableNaming _))
 
   val family: String = "pipeline"
 
@@ -303,5 +320,6 @@ object PipelineQueries extends QueryModule {
     "q18_schema_key" -> q18Oracle,
     "q19_enriched_meta" -> q19Oracle,
     "q20_badrows" -> q20Oracle,
-    "q50_enriched_schema" -> q50Oracle)
+    "q50_enriched_schema" -> q50Oracle,
+    "q68_scalable_naming" -> q17Oracle)
 }
