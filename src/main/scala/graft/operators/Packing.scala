@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the training-data EXPORT step: a pretraining run
+  * consumes documents as one concatenated token stream cut into
+  * fixed-`budget` sequences, so each document occupies a global token
+  * span `[start_off, end_off)` and lands in training sequences
+  * `floor(start_off/budget) .. floor((end_off-1)/budget)` (concat-and-
+  * chunk packing; a doc whose span crosses a cut is `split` across two
+  * sequences).
+  *
+  * The whole computation is a global running sum over the corpus in a
+  * caller-defined deterministic order — the textbook place a naive
+  * `Window.orderBy(id)` silently collapses 100 TB into ONE reducer
+  * (Spark plans an un-partitioned window as a single partition). This
+  * implementation is the scalable two-phase prefix sum instead:
+  *
+  *  1. bucket rows by a coarse ORDER-ALIGNED key (caller-supplied
+  *     `bucketExpr` monotone in the order key, e.g. `id / 1000`; or
+  *     derived here by range-repartitioning on the key and reading
+  *     `spark_partition_id()` — range partitions are order-aligned by
+  *     construction);
+  *  2. local cumulative sums inside each bucket in parallel
+  *     (`Window.partitionBy(bucket)` — key-partitioned, never global);
+  *  3. per-bucket totals (one tiny row per bucket) get their own
+  *     prefix sum — a global window over BUCKET-COUNT rows, not corpus
+  *     rows — and broadcast-join back as each bucket's starting offset.
+  *
+  * Shuffle ledger: one hash shuffle of the corpus on the bucket key
+  * (plus the range-repartition pass when no `bucketExpr` is given), one
+  * broadcast of the bucket-offset table. Nothing global touches more
+  * rows than there are buckets.
+  */
+object Packing {
+
+  /** Per-document packing offsets and sequence assignment.
+    *
+    * @param df         corpus
+    * @param id         unique order key — packing order is `id` ascending
+    * @param tok        per-document token count (any non-negative numeric)
+    * @param budget     tokens per training sequence (> 0)
+    * @param bucketExpr coarse bucketing expression, MONOTONE in `id`
+    *                   (same `id` order across buckets ⇒ same packing as
+    *                   a single global scan). None → derive buckets by
+    *                   range-repartitioning on `id` into `numRanges`.
+    * @param numRanges  bucket count when deriving (≈ cluster cores)
+    * @return one row per doc: `pack_id, n_tok, start_off, end_off,
+    *         first_seq, last_seq, split`
+    */
+  def packOffsets(df: DataFrame, id: Column, tok: Column, budget: Long,
+                  bucketExpr: Option[Column] = None,
+                  numRanges: Int = 32): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    // bucketExpr resolves against the CALLER's frame (it usually
+    // references the same column as `id`), so project it in the same
+    // select as the rename.
+    val bucketed = bucketExpr match {
+      case Some(b) =>
+        df.select(id.as("pack_id"), tok.cast("long").as("n_tok"), b.cast("long").as("bucket"))
+      case None =>
+        // Range partitions are disjoint and ordered, so the physical
+        // partition index IS an order-aligned bucket id.
+        df.select(id.as("pack_id"), tok.cast("long").as("n_tok"))
+          .repartitionByRange(numRanges, col("pack_id"))
+          .withColumn("bucket", spark_partition_id().cast("long"))
+    }
+
+    // Phase 2: parallel local prefix sums, one window group per bucket.
+    // Materialized ONCE (lazy local checkpoint, the repo's multi-branch
+    // pattern): both the offset aggregate and the final join consume it,
+    // and in the derived-bucket path the bucket ids come from a sampled
+    // range partitioning — two independent evaluations could, in
+    // principle, draw different boundaries and mis-join the offsets.
+    val localW = Window.partitionBy(col("bucket")).orderBy(col("pack_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("local_end", sum(col("n_tok")).over(localW))
+      .localCheckpoint(false)
+
+    // Phase 3: bucket offsets — a prefix sum over bucket-count rows.
+    val offW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("bucket_tok"))
+      .withColumn("bucket_off", coalesce(sum(col("bucket_tok")).over(offW), lit(0L)))
+      .select(col("bucket"), col("bucket_off"))
+
+    local.join(broadcast(offsets), "bucket")
+      .withColumn("end_off", col("local_end") + col("bucket_off"))
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+      .withColumn("first_seq", floor(col("start_off") / budget))
+      // a zero-token doc occupies no slot: it "lands" at its start
+      // position rather than producing last_seq < first_seq
+      .withColumn("last_seq",
+        greatest(col("first_seq"), floor((col("end_off") - 1) / budget)))
+      .withColumn("split", col("last_seq") =!= col("first_seq"))
+      .select("pack_id", "n_tok", "start_off", "end_off",
+        "first_seq", "last_seq", "split")
+  }
+
+  /** The naive single-reducer formulation (global `Window.orderBy`) —
+    * kept PRIVATE as the spec's cross-check oracle for [[packOffsets]];
+    * never the production path. */
+  private[operators] def packOffsetsGlobal(df: DataFrame, id: Column, tok: Column,
+                                           budget: Long): DataFrame = {
+    val w = Window.orderBy(col("pack_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(id.as("pack_id"), tok.cast("long").as("n_tok"))
+      .withColumn("end_off", sum(col("n_tok")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+      .withColumn("first_seq", floor(col("start_off") / budget))
+      .withColumn("last_seq",
+        greatest(col("first_seq"), floor((col("end_off") - 1) / budget)))
+      .withColumn("split", col("last_seq") =!= col("first_seq"))
+      .select("pack_id", "n_tok", "start_off", "end_off",
+        "first_seq", "last_seq", "split")
+  }
+
+  /** Per-sequence packing manifest: for each training sequence, the docs
+    * that contribute to it (in order), how many are boundary-split, and
+    * its filled token count — the writer-side view a packer materializes
+    * before emitting fixed-length examples. One explode (docs appear in
+    * at most `1 + n_tok/budget` sequences) + one agg on `seq`.
+    */
+  def packManifest(offsets: DataFrame, budget: Long): DataFrame = {
+    val withSeqs = offsets.withColumn("seq",
+      explode(sequence(col("first_seq"), col("last_seq"))))
+    withSeqs
+      .withColumn("tok_in_seq",
+        least(col("end_off"), (col("seq") + 1) * budget) -
+          greatest(col("start_off"), col("seq") * budget))
+      .groupBy(col("seq"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("split"), 1L).otherwise(0L)).as("n_split_docs"),
+        sum(col("tok_in_seq")).as("n_tok"),
+        min(col("pack_id")).as("first_doc"),
+        max(col("pack_id")).as("last_doc"))
+  }
+}

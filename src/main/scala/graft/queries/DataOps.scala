@@ -709,6 +709,69 @@ object DataOps extends QueryModule {
        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s5
        |) ORDER BY stage""".stripMargin
 
+  // ---- q69/q70: sequence packing (training-data export) ----------------
+
+  private val PackBudget = 512L
+
+  /** Concat-and-chunk sequence packing over the corpus in doc_id order:
+    * each document's global token span and the training sequence(s) it
+    * lands in, via [[graft.operators.Packing.packOffsets]]'s two-phase
+    * scalable prefix sum (range buckets + local window cumsums + tiny
+    * bucket-offset broadcast — never a single-reducer global window).
+    * The oracle recomputes the spans with DuckDB's global running sum,
+    * so a green run proves the distributed prefix sum equals the
+    * sequential scan.
+    */
+  def seqPacking(s: SparkSession, dir: String): DataFrame =
+    packedOffsets(s, dir).orderBy(col("pack_id"))
+
+  private def packedOffsets(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packOffsets(
+      docs(s, dir), col("doc_id"), size(TextFns.tokens(col("text"))),
+      budget = PackBudget)
+
+  private val packOracleCtes: String =
+    s"""t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+       |       FROM documents),
+       |c AS (SELECT doc_id AS pack_id, n_tok,
+       |        CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |             AS BIGINT) AS end_off
+       |      FROM t),
+       |o AS (SELECT pack_id, n_tok, end_off - n_tok AS start_off, end_off,
+       |        CAST(FLOOR((end_off - n_tok) / $PackBudget) AS BIGINT) AS first_seq,
+       |        GREATEST(CAST(FLOOR((end_off - n_tok) / $PackBudget) AS BIGINT),
+       |                 CAST(FLOOR((end_off - 1) / $PackBudget) AS BIGINT)) AS last_seq
+       |      FROM c)""".stripMargin
+
+  private val q69Oracle: String =
+    s"""WITH $packOracleCtes
+       |SELECT pack_id, n_tok, start_off, end_off, first_seq, last_seq,
+       |       first_seq <> last_seq AS split
+       |FROM o ORDER BY pack_id""".stripMargin
+
+  /** The per-sequence packing manifest (the writer-side view before
+    * emitting fixed-length examples): docs per training sequence,
+    * boundary-split count, filled token count, doc range. The oracle
+    * explodes each doc's `first_seq..last_seq` with generate_series and
+    * re-aggregates — pinning the explode + fill arithmetic exactly.
+    */
+  def packManifest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packManifest(packedOffsets(s, dir), PackBudget)
+      .orderBy(col("seq"))
+
+  private val q70Oracle: String =
+    s"""WITH $packOracleCtes,
+       |e AS (SELECT pack_id, start_off, end_off,
+       |        unnest(generate_series(first_seq, last_seq)) AS seq,
+       |        first_seq <> last_seq AS split
+       |      FROM o)
+       |SELECT seq, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN split THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+       |  CAST(SUM(LEAST(end_off, (seq + 1) * $PackBudget)
+       |         - GREATEST(start_off, seq * $PackBudget)) AS BIGINT) AS n_tok,
+       |  MIN(pack_id) AS first_doc, MAX(pack_id) AS last_doc
+       |FROM e GROUP BY seq ORDER BY seq""".stripMargin
+
   // ---- q53: dedup clusters (connected components) ----------------------
 
   /** Near-dup pairs → dedup clusters: connected components over the
@@ -845,7 +908,9 @@ object DataOps extends QueryModule {
     "q64_deterministic_sample" -> (deterministicSample _),
     "q65_stratified_sample" -> (stratifiedSample _),
     "q66_reservoir_sample" -> (reservoirSample _),
-    "q67_training_pipeline" -> (trainingPipeline _))
+    "q67_training_pipeline" -> (trainingPipeline _),
+    "q69_seq_packing" -> (seqPacking _),
+    "q70_pack_manifest" -> (packManifest _))
 
   val family: String = "dataops"
 
@@ -874,5 +939,7 @@ object DataOps extends QueryModule {
     "q64_deterministic_sample" -> q64Oracle,
     "q65_stratified_sample" -> q65Oracle,
     "q66_reservoir_sample" -> q66Oracle,
-    "q67_training_pipeline" -> q67Oracle)
+    "q67_training_pipeline" -> q67Oracle,
+    "q69_seq_packing" -> q69Oracle,
+    "q70_pack_manifest" -> q70Oracle)
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sequence packing: hand-computed spans, boundary behavior, equivalence
+  * of the two-phase scalable prefix sum with the naive global-window
+  * formulation (under derived AND caller-supplied bucketing), and
+  * manifest token conservation.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def offsetsOf(rows: Seq[(Long, Long)], budget: Long,
+                        bucket: Option[org.apache.spark.sql.Column] = None,
+                        numRanges: Int = 3): Map[Long, (Long, Long, Long, Long, Boolean)] =
+    Packing.packOffsets(rows.toDF("id", "tok"), col("id"), col("tok"), budget,
+        bucketExpr = bucket, numRanges = numRanges)
+      .collect()
+      .map(r => r.getAs[Long]("pack_id") ->
+        ((r.getAs[Long]("start_off"), r.getAs[Long]("end_off"),
+          r.getAs[Long]("first_seq"), r.getAs[Long]("last_seq"),
+          r.getAs[Boolean]("split"))))
+      .toMap
+
+  describe("Packing.packOffsets") {
+    it("assigns concat-and-chunk spans and split flags (hand-computed)") {
+      // budget 10: [0,4) [4,10) [10,22)split [22,22)empty [22,29) [29,34)split
+      val rows = Seq((1L, 4L), (2L, 6L), (3L, 12L), (4L, 0L), (5L, 7L), (6L, 5L))
+      val got = offsetsOf(rows, budget = 10)
+      assert(got(1L) == ((0L, 4L, 0L, 0L, false)))
+      assert(got(2L) == ((4L, 10L, 0L, 0L, false))) // ends exactly at the cut
+      assert(got(3L) == ((10L, 22L, 1L, 2L, true))) // crosses one cut
+      assert(got(4L) == ((22L, 22L, 2L, 2L, false))) // zero-token doc: lands, no slot
+      assert(got(5L) == ((22L, 29L, 2L, 2L, false)))
+      assert(got(6L) == ((29L, 34L, 2L, 3L, true)))
+    }
+
+    it("matches the naive global-window formulation with derived range buckets") {
+      val rows = (1L to 200L).map(i => (i * 7 % 211, (i * i) % 13)) // shuffled ids, varied toks
+      val df = rows.toDF("id", "tok")
+      val fast = Packing.packOffsets(df, col("id"), col("tok"), budget = 17, numRanges = 5)
+      val naive = Packing.packOffsetsGlobal(df, col("id"), col("tok"), budget = 17)
+      assert(fast.orderBy("pack_id").collect().toSeq ==
+        naive.orderBy("pack_id").collect().toSeq)
+    }
+
+    it("matches the naive formulation with a caller-supplied monotone bucketExpr") {
+      val rows = (0L until 150L).map(i => (i, i % 9))
+      val df = rows.toDF("id", "tok")
+      val fast = Packing.packOffsets(df, col("id"), col("tok"), budget = 23,
+        bucketExpr = Some(col("id") / 40)) // monotone coarse buckets
+      val naive = Packing.packOffsetsGlobal(df, col("id"), col("tok"), budget = 23)
+      assert(fast.orderBy("pack_id").collect().toSeq ==
+        naive.orderBy("pack_id").collect().toSeq)
+    }
+  }
+
+  describe("Packing.packManifest") {
+    it("conserves tokens across sequences and fills every sequence to budget except the tail") {
+      val rows = (1L to 60L).map(i => (i, 1L + (i * 13) % 29))
+      val df = rows.toDF("id", "tok")
+      val budget = 50L
+      val offsets = Packing.packOffsets(df, col("id"), col("tok"), budget, numRanges = 4)
+      val manifest = Packing.packManifest(offsets, budget).orderBy("seq").collect()
+
+      val total = rows.map(_._2).sum
+      // every sequence 0..last present exactly once
+      assert(manifest.map(_.getAs[Long]("seq")).toSeq == (0L to (total - 1) / budget))
+      // token conservation, and full budget everywhere but the tail
+      assert(manifest.map(_.getAs[Long]("n_tok")).sum == total)
+      assert(manifest.dropRight(1).forall(_.getAs[Long]("n_tok") == budget))
+      // doc ranges tile in order: first_doc of seq k+1 == last_doc of seq k
+      // when a doc is split across the cut, else the next doc
+      val pairs = manifest.sliding(2).toSeq
+      pairs.foreach { case Array(a, b) =>
+        assert(b.getAs[Long]("first_doc") >= a.getAs[Long]("last_doc"))
+      }
+    }
+  }
+}
