@@ -38,6 +38,15 @@ object TextFns {
     * must project [[tokens]] first and use [[shinglesOf]]. */
   def shingles(text: Column, w: Int = 3): Column = shinglesOf(tokens(text), w)
 
+  /** ALL w-gram word shingles WITH multiplicity (repetition analysis
+    * needs the duplicates [[shinglesOf]] deliberately drops). Same
+    * materialized-token-array contract as [[shinglesOf]]. */
+  def ngramsOf(toks: Column, w: Int): Column =
+    when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)))
+      .otherwise(array())
+
   /** Deterministic 60-bit hash shared bit-for-bit with DuckDB:
     * first 15 hex digits of md5, read as an integer. Spark:
     * `conv(substring(md5(s),1,15),16,10)`; DuckDB:

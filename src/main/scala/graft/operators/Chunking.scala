@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Document chunking — context-length preparation for training and
+  * retrieval: split each document into fixed-size token windows with a
+  * configurable stride (stride < window ⇒ overlapping windows, the
+  * retrieval-embedding shape; stride == window ⇒ disjoint blocks).
+  *
+  * Scale shape: pure per-row codegen — one materialized token-array
+  * projection, one bounded explode (≤ 1 + n_tok/stride rows per doc),
+  * no shuffle. Filters on doc columns still push down past the explode's
+  * parent projection at the scan.
+  */
+object Chunking {
+
+  /** One row per (doc, window): `doc_id, chunk_idx, start_tok, n_tok,
+    * chunk` (the window's text). Windows start at 0, stride, 2·stride, …
+    * while the start lies inside the document, so every doc yields at
+    * least one chunk and the final window may be shorter than `window`.
+    */
+  def slidingWindows(df: DataFrame, id: Column, text: Column,
+                     window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive, got $window/$stride")
+    df.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(window), size(col("toks")) - col("start_tok")).cast("long").as("n_tok"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(window)), " ").as("chunk"))
+  }
+}

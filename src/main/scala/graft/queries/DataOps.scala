@@ -772,6 +772,62 @@ object DataOps extends QueryModule {
        |  MIN(pack_id) AS first_doc, MAX(pack_id) AS last_doc
        |FROM e GROUP BY seq ORDER BY seq""".stripMargin
 
+  // ---- q71: sliding-window chunking ------------------------------------
+
+  /** Context-length preparation: every document split into 16-token
+    * windows at stride 12 (overlapping, the retrieval-embedding shape)
+    * via [[graft.operators.Chunking.slidingWindows]] — a narrow bounded
+    * explode, no shuffle. The oracle recomputes every window with
+    * DuckDB's strided range + list slicing, pinning window starts,
+    * short-tail lengths, and the reassembled chunk text byte-for-byte.
+    */
+  def chunking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.slidingWindows(
+        docs(s, dir), col("doc_id"), col("text"), window = 16, stride = 12)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val q71Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id, t, unnest(range(0, len(t), 12)) AS start_tok FROM toks)
+      |SELECT doc_id, start_tok // 12 AS chunk_idx, start_tok,
+      |  CAST(LEAST(16, len(t) - start_tok) AS BIGINT) AS n_tok,
+      |  array_to_string(t[start_tok + 1:start_tok + 16], ' ') AS chunk
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- q72: within-doc repetition metrics (Gopher-style) ---------------
+
+  /** Gopher-style repetition gates per document: total bigrams, the
+    * most frequent bigram (count ties broken by lexicographically
+    * greatest gram, deterministically), its fraction, and the duplicate
+    * bigram fraction. The oracle rebuilds the same counts from a list
+    * comprehension and re-derives the arg-max with an ordered
+    * row_number.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Repetition.ngramStats(docs(s, dir), col("doc_id"), col("text"), n = 2)
+      .orderBy(col("doc_id"))
+
+  private val q72Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS g
+      |      FROM toks WHERE len(t) >= 2),
+      |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams, MAX(c) AS top_n,
+      |        CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_n
+      |      FROM c GROUP BY 1),
+      |top AS (SELECT doc_id, g AS top_gram FROM (
+      |          SELECT doc_id, g,
+      |            row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn
+      |          FROM c)
+      |        WHERE rn = 1)
+      |SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams, top.top_gram,
+      |  round(a.top_n / a.n_grams, 6) AS top_gram_frac,
+      |  round(a.dup_n / a.n_grams, 6) AS dup_gram_frac
+      |FROM documents d
+      |LEFT JOIN a ON d.doc_id = a.doc_id
+      |LEFT JOIN top ON d.doc_id = top.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---- q53: dedup clusters (connected components) ----------------------
 
   /** Near-dup pairs → dedup clusters: connected components over the
@@ -910,7 +966,9 @@ object DataOps extends QueryModule {
     "q66_reservoir_sample" -> (reservoirSample _),
     "q67_training_pipeline" -> (trainingPipeline _),
     "q69_seq_packing" -> (seqPacking _),
-    "q70_pack_manifest" -> (packManifest _))
+    "q70_pack_manifest" -> (packManifest _),
+    "q71_chunking" -> (chunking _),
+    "q72_repetition" -> (repetition _))
 
   val family: String = "dataops"
 
@@ -941,5 +999,7 @@ object DataOps extends QueryModule {
     "q66_reservoir_sample" -> q66Oracle,
     "q67_training_pipeline" -> q67Oracle,
     "q69_seq_packing" -> q69Oracle,
-    "q70_pack_manifest" -> q70Oracle)
+    "q70_pack_manifest" -> q70Oracle,
+    "q71_chunking" -> q71Oracle,
+    "q72_repetition" -> q72Oracle)
 }
