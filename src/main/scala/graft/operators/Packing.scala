@@ -100,6 +100,44 @@ object Packing {
         "first_seq", "last_seq", "split")
   }
 
+  /** Global 1-based row number in `order`-ascending, carried alongside
+    * ALL of `df`'s columns — "zipWithIndex at scale", the primitive
+    * behind deterministic corpus shuffling (order by a seeded content
+    * hash, then number), stable example ids, and resumable export
+    * manifests. A direct `row_number() OVER (ORDER BY …)` is a
+    * single-reducer global window; this is the same two-phase prefix
+    * sum as [[packOffsets]] with every row weighing 1, so the rank IS
+    * the running count. `order` must be totally ordering (unique —
+    * e.g. a (hash, id) struct to break hash ties).
+    */
+  def globalRowNumber(df: DataFrame, order: Column, posName: String = "pos",
+                      bucketExpr: Option[Column] = None,
+                      numRanges: Int = 32): DataFrame = {
+    val tagged = bucketExpr match {
+      case Some(b) =>
+        df.withColumn("__gr_ord", order).withColumn("__gr_bucket", b.cast("long"))
+      case None =>
+        df.withColumn("__gr_ord", order)
+          .repartitionByRange(numRanges, col("__gr_ord"))
+          .withColumn("__gr_bucket", spark_partition_id().cast("long"))
+    }
+    val localW = Window.partitionBy(col("__gr_bucket")).orderBy(col("__gr_ord"))
+    // materialized once: the offset aggregate and the join both consume
+    // it, and the derived buckets come from a sampled range partitioning
+    // (same single-evaluation reasoning as packOffsets)
+    val local = tagged.withColumn("__gr_local", row_number().over(localW).cast("long"))
+      .localCheckpoint(false)
+    val offW = Window.orderBy(col("__gr_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__gr_bucket"))
+      .agg(count(lit(1)).as("__gr_n"))
+      .withColumn("__gr_off", coalesce(sum(col("__gr_n")).over(offW), lit(0L)))
+      .select(col("__gr_bucket"), col("__gr_off"))
+    local.join(broadcast(offsets), "__gr_bucket")
+      .withColumn(posName, col("__gr_local") + col("__gr_off"))
+      .drop("__gr_bucket", "__gr_ord", "__gr_local")
+  }
+
   /** The naive single-reducer formulation (global `Window.orderBy`) —
     * kept PRIVATE as the spec's cross-check oracle for [[packOffsets]];
     * never the production path. */

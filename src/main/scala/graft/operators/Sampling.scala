@@ -84,4 +84,23 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Deterministic global corpus shuffle: every row gets `shuffle_pos`,
+    * its 1-based position in seeded-content-hash order — the replayable
+    * "random" training order (same position on every run, cluster, and
+    * engine; DuckDB re-derives it bit-for-bit). Hash ties break on the
+    * key, so the order is total even under (astronomically unlikely)
+    * hash collisions. Rank assignment is
+    * [[Packing.globalRowNumber]]'s two-phase prefix sum — never a
+    * single-reducer global window. Writing the result range-clustered
+    * on `shuffle_pos` (see [[Layout.writeClustered]]) materializes the
+    * shuffled corpus for sequential training reads.
+    */
+  def deterministicShuffle(df: DataFrame, key: Column, seed: Int = 0,
+                           numRanges: Int = 32): DataFrame =
+    Packing.globalRowNumber(
+        df.withColumn("__sh_h", TextFns.seededHash(seed, key)),
+        struct(col("__sh_h"), key), posName = "shuffle_pos",
+        numRanges = numRanges)
+      .drop("__sh_h")
 }

@@ -828,6 +828,73 @@ object DataOps extends QueryModule {
       |LEFT JOIN top ON d.doc_id = top.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q73: deterministic corpus shuffle --------------------------------
+
+  /** Replayable "random" training order: every doc's 1-based position in
+    * seeded-hash order, assigned by
+    * [[graft.operators.Sampling.deterministicShuffle]]'s two-phase
+    * distributed rank (range buckets + per-bucket row_number + tiny
+    * offset broadcast — never a single-reducer global window). The
+    * oracle re-derives every position with a sequential `row_number()
+    * OVER (ORDER BY hash, doc_id)` on the bit-identical hash.
+    */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.deterministicShuffle(
+        docs(s, dir).select(col("doc_id")), col("doc_id"), seed = 7)
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy(col("shuffle_pos"))
+
+  private val q73Oracle: String = {
+    val h = TextFns.seededHashSql(7, "CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id,
+       |  CAST(row_number() OVER (ORDER BY $h, doc_id) AS BIGINT) AS shuffle_pos
+       |FROM documents ORDER BY shuffle_pos""".stripMargin
+  }
+
+  // ---- q74: PII redaction ----------------------------------------------
+
+  /** PII scrub over the corpus with injected identifying spans (the
+    * documents table is synthetic prose with no PII, so each doc gets a
+    * deterministic email + URL + long digit run appended — mirrored in
+    * the oracle). [[graft.operators.Redaction.scrub]] applies the
+    * default rules in order; the oracle replays the same sequential
+    * regex passes in DuckDB, so counts AND the scrubbed text itself are
+    * pinned byte-for-byte across the two regex engines.
+    */
+  def piiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val injected = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or https://site"), col("doc_id").cast("string"),
+        lit(".example/path id "),
+        (col("doc_id").cast("long") * 123456789L).cast("string")).as("text"))
+    graft.operators.Redaction.scrub(injected, col("text"))
+      .select(col("doc_id"), col("n_email"), col("n_url"), col("n_number"), col("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q74Oracle: String = {
+    val rules = graft.operators.Redaction.DefaultRules
+    val Seq(email, url, number) = rules.map(_.pattern)
+    s"""WITH base AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |         || '@example.com or https://site' || CAST(doc_id AS VARCHAR)
+       |         || '.example/path id '
+       |         || CAST(CAST(doc_id AS BIGINT) * 123456789 AS VARCHAR) AS t
+       |  FROM documents),
+       |r1 AS (SELECT doc_id,
+       |         CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_email,
+       |         regexp_replace(t, '$email', '<EMAIL>', 'g') AS t FROM base),
+       |r2 AS (SELECT doc_id, n_email,
+       |         CAST(len(regexp_extract_all(t, '$url')) AS BIGINT) AS n_url,
+       |         regexp_replace(t, '$url', '<URL>', 'g') AS t FROM r1),
+       |r3 AS (SELECT doc_id, n_email, n_url,
+       |         CAST(len(regexp_extract_all(t, '$number')) AS BIGINT) AS n_number,
+       |         regexp_replace(t, '$number', '<NUMBER>', 'g') AS t FROM r2)
+       |SELECT doc_id, n_email, n_url, n_number, t AS redacted
+       |FROM r3 ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q53: dedup clusters (connected components) ----------------------
 
   /** Near-dup pairs → dedup clusters: connected components over the
@@ -968,7 +1035,9 @@ object DataOps extends QueryModule {
     "q69_seq_packing" -> (seqPacking _),
     "q70_pack_manifest" -> (packManifest _),
     "q71_chunking" -> (chunking _),
-    "q72_repetition" -> (repetition _))
+    "q72_repetition" -> (repetition _),
+    "q73_corpus_shuffle" -> (corpusShuffle _),
+    "q74_pii_redaction" -> (piiRedaction _))
 
   val family: String = "dataops"
 
@@ -1001,5 +1070,7 @@ object DataOps extends QueryModule {
     "q69_seq_packing" -> q69Oracle,
     "q70_pack_manifest" -> q70Oracle,
     "q71_chunking" -> q71Oracle,
-    "q72_repetition" -> q72Oracle)
+    "q72_repetition" -> q72Oracle,
+    "q73_corpus_shuffle" -> q73Oracle,
+    "q74_pii_redaction" -> q74Oracle)
 }

@@ -57,6 +57,31 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  describe("Packing.globalRowNumber and Sampling.deterministicShuffle") {
+    it("assigns the same ranks as a naive global row_number and carries all columns") {
+      val rows = (1L to 120L).map(i => (i * 31 % 127, s"payload-$i"))
+      val df = rows.toDF("id", "payload").repartition(7) // scrambled physical layout
+      val got = Packing.globalRowNumber(df, col("id"), numRanges = 4)
+        .orderBy("pos").collect()
+      val expected = rows.sortBy(_._1)
+      assert(got.map(_.getAs[Long]("pos")).toSeq == (1L to 120L))
+      assert(got.map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSeq == expected)
+    }
+
+    it("deterministicShuffle is a partitioning-invariant permutation in seeded-hash order") {
+      val rows = (1L to 80L).map(i => (i, s"doc-$i"))
+      def positions(parts: Int): Seq[(Long, Long)] =
+        Sampling.deterministicShuffle(rows.toDF("id", "text").repartition(parts),
+            col("id"), seed = 7, numRanges = 3)
+          .select("id", "shuffle_pos").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      val a = positions(2)
+      assert(a.map(_._2).sorted == (1L to 80L)) // a permutation
+      assert(a == positions(13)) // invariant to physical partitioning
+      assert(a.map(_._2) != (1L to 80L)) // and not the identity order
+    }
+  }
+
   describe("Packing.packManifest") {
     it("conserves tokens across sequences and fills every sequence to budget except the tail") {
       val rows = (1L to 60L).map(i => (i, 1L + (i * 13) % 29))
