@@ -51,7 +51,16 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Several operators materialize a multi-branch frame once via
+      // localCheckpoint and rely on GC + ContextCleaner to release the
+      // blocks. Within one query that is correct; across a 70+-query
+      // sweep the blocks accumulate faster than the cleaner runs,
+      // squeezing execution memory for later queries. Release them
+      // eagerly AFTER the timer stops — inter-query hygiene, not part
+      // of any query's cost.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      elapsed
     }
 
     // Warmup: run everything once, untimed.

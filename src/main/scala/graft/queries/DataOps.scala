@@ -320,9 +320,16 @@ object DataOps extends QueryModule {
     */
   def imageDecode(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Multimodal
+    // materialize the (small) decoded features BEFORE the global sort:
+    // orderBy's range-partitioner SAMPLING pass evaluates its child once
+    // and the sort pass evaluates it again — unmaterialized, that means
+    // encoding + decoding the entire media corpus twice (measured 3-4×
+    // on q55). The decoded stats are a few MB; the decode they guard is
+    // the expensive part. Same reasoning in q54/q55.
     Multimodal.decodeFeatures(Multimodal.syntheticImages(docs(s, dir)))
       .select(col("media_id"), col("decoded_w"), col("decoded_h"), col("n_pixels"),
         col("px_min"), col("px_max"), col("px_sum"), col("resized_w"), col("resized_h"))
+      .localCheckpoint(false)
       .orderBy(col("media_id"))
   }
 
@@ -360,6 +367,7 @@ object DataOps extends QueryModule {
     Multimodal.decodeFeatures(Multimodal.syntheticAudio(docs(s, dir)))
       .select(col("media_id"), col("sample_rate"), col("n_samples"),
         col("smp_min"), col("smp_max"), col("smp_sum"), col("duration_ms"))
+      .localCheckpoint(false) // sort-sampling must not re-decode (see q45)
       .orderBy(col("media_id"))
   }
 
@@ -398,6 +406,7 @@ object DataOps extends QueryModule {
       .select(col("media_id"), col("n_frames"), col("frames_sampled"),
         col("decoded_w"), col("decoded_h"), col("n_pixels"),
         col("px_min"), col("px_max"), col("px_sum"))
+      .localCheckpoint(false) // sort-sampling must not re-decode (see q45)
       .orderBy(col("media_id"))
   }
 
