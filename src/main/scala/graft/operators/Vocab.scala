@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Corpus vocabulary + out-of-vocabulary scoring — the OOV quality gate
+  * of a training pipeline: build the token vocabulary by DOCUMENT
+  * frequency (tokens appearing in at least `minDocFrac` of documents),
+  * then score every document by the fraction of its token occurrences
+  * that fall outside it. High OOV flags garbled text, wrong-language
+  * fragments, and format noise that per-doc heuristics (q26/q27) miss
+  * because they never see corpus-level frequencies.
+  *
+  * Scale shape: one distinct-(doc, token) explode feeding a map-side-
+  * combining token aggregate (the vocabulary build — corpus-wide but
+  * token-keyed, never a global sort or single reducer), one scalar
+  * corpus count, and a BROADCAST of the vocabulary back into a per-doc
+  * aggregate. The broadcast bounds the design: a `minDocFrac` low
+  * enough to admit a web-scale long tail makes the vocab a join table
+  * instead — same plan with `broadcast()` dropped.
+  */
+object Vocab {
+
+  /** Tokens present in at least `minDocFrac` of documents (document
+    * frequency, not occurrence count — repetition inside one doc
+    * doesn't vote). Returns `tok, df`.
+    */
+  def buildByDocFreq(df: DataFrame, id: Column, text: Column,
+                     minDocFrac: Double): DataFrame = {
+    require(minDocFrac > 0.0 && minDocFrac <= 1.0,
+      s"minDocFrac must be in (0,1], got $minDocFrac")
+    val nDocs = df.count()
+    df.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= lit(minDocFrac) * lit(nDocs))
+  }
+
+  /** Per-document OOV stats against `vocab` (a `tok` column, e.g. from
+    * [[buildByDocFreq]]): `doc_id, n_tok, n_oov, oov_frac`. Counts are
+    * over token OCCURRENCES (a doc repeating one junk token scores as
+    * junky as it reads). */
+  def oovStats(df: DataFrame, id: Column, text: Column,
+               vocab: DataFrame): DataFrame = {
+    val marked = vocab.select(col("tok"), lit(1).as("__in_vocab"))
+    df.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(marked), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        round(col("n_oov").cast("double") / col("n_tok"), 6))
+  }
+}

@@ -909,6 +909,41 @@ object DataOps extends QueryModule {
        |FROM r3 ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q76: vocabulary build + OOV scoring -----------------------------
+
+  private val MinDocFrac = 0.78
+
+  /** Corpus-level OOV quality gate: the vocabulary is built from the
+    * corpus itself (tokens in ≥ 78% of documents), then every document
+    * is scored by the fraction of its token occurrences outside it —
+    * [[graft.operators.Vocab]]. The oracle rebuilds the document-
+    * frequency vocabulary and the per-doc join in SQL, so the whole
+    * two-pass build→broadcast→score pipeline is value-pinned, boundary
+    * tokens included (both engines evaluate the identical
+    * `df >= 0.78 · n_docs` comparison).
+    */
+  def vocabOov(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Vocab
+    val d = docs(s, dir)
+    val vocab = Vocab.buildByDocFreq(d, col("doc_id"), col("text"), MinDocFrac)
+    Vocab.oovStats(d, col("doc_id"), col("text"), vocab)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q76Oracle: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |dt AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks),
+       |dfreq AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |vocab AS (SELECT tok FROM dfreq, n WHERE df >= $MinDocFrac * n_docs),
+       |alltok AS (SELECT doc_id, unnest(t) AS tok FROM toks)
+       |SELECT a.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |  round(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) / COUNT(*), 6) AS oov_frac
+       |FROM alltok a LEFT JOIN vocab v ON a.tok = v.tok
+       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+
   // ---- q53: dedup clusters (connected components) ----------------------
 
   /** Near-dup pairs → dedup clusters: connected components over the
@@ -1051,7 +1086,8 @@ object DataOps extends QueryModule {
     "q71_chunking" -> (chunking _),
     "q72_repetition" -> (repetition _),
     "q73_corpus_shuffle" -> (corpusShuffle _),
-    "q74_pii_redaction" -> (piiRedaction _))
+    "q74_pii_redaction" -> (piiRedaction _),
+    "q76_vocab_oov" -> (vocabOov _))
 
   val family: String = "dataops"
 
@@ -1086,5 +1122,6 @@ object DataOps extends QueryModule {
     "q71_chunking" -> q71Oracle,
     "q72_repetition" -> q72Oracle,
     "q73_corpus_shuffle" -> q73Oracle,
-    "q74_pii_redaction" -> q74Oracle)
+    "q74_pii_redaction" -> q74Oracle,
+    "q76_vocab_oov" -> q76Oracle)
 }

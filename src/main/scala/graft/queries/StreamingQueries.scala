@@ -376,6 +376,75 @@ object StreamingQueries extends QueryModule {
       |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q75: streaming incremental dedup vs a static corpus -------------
+
+  /** The daily-increment dedup shape: a stream of NEW documents (the
+    * documents table plus planted duplicate copies, staged as two
+    * parquet files so the drain genuinely reads a multi-file stream)
+    * deduplicated against a STATIC historical corpus — per micro-batch,
+    * a broadcast LEFT ANTI join drops any doc whose content hash already
+    * exists in history (no stream state involved), and a content-hash
+    * aggregation collapses duplicates WITHIN the stream to a canonical
+    * `min(doc_id)` + copy count (deterministic, unlike dropDuplicates'
+    * keep-first-seen). State is one row per distinct new content hash;
+    * an unbounded deployment bounds it with the q32 watermark pattern
+    * or periodically folds survivors into the historical side.
+    */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val history = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 4 === 0)
+      .select(md5(col("text")).as("h"))
+    val survivors = docsStream(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(broadcast(history), Seq("h"), "left_anti")
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    drain(s, survivors, OutputMode.Complete())
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  /** The documents table as a TWO-file stream: the original parquet plus
+    * a planted-duplicates file (every doc_id≡0 (mod 3) re-added under a
+    * shifted id, like q21) staged once per sfDir. */
+  private def docsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stage = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"docstream_$tag")
+    val dest = stage.resolve("documents.parquet")
+    val dups = stage.resolve("dups.parquet")
+    if (!Files.exists(dest) || !Files.exists(dups)) {
+      Files.createDirectories(stage)
+      Files.copy(Paths.get(dir, "documents.parquet"), dest, StandardCopyOption.REPLACE_EXISTING)
+      val tmp = stage.resolve("dups_build")
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().orElseThrow()
+        finally listing.close()
+      Files.move(part, dups, StandardCopyOption.REPLACE_EXISTING)
+      // clean the scratch write dir so the stream dir holds exactly two files
+      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { Files.deleteIfExists(f); () })
+    }
+    val schema = s.read.parquet(dest.toString).schema
+    s.readStream.schema(schema).parquet(stage.toString)
+  }
+
+  private val q75Oracle: String =
+    """WITH stream AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+      |hist AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 = 0)
+      |SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM stream WHERE md5(text) NOT IN (SELECT h FROM hist)
+      |GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
   // ---- q48: state API v2 (transformWithState) --------------------------
 
   /** [[UserStatsProcessor]] driven through `transformWithState` — the
@@ -447,7 +516,8 @@ object StreamingQueries extends QueryModule {
     "q43_session_append" -> (sessionWindowsAppend _),
     "q48_stateful_v2" -> (statefulV2UserStats _),
     "q51_stream_join" -> (streamStreamJoin _),
-    "q52_stream_enrich" -> (streamStaticEnrich _))
+    "q52_stream_enrich" -> (streamStaticEnrich _),
+    "q75_incremental_dedup" -> (incrementalDedup _))
 
   val family: String = "streaming"
 
@@ -461,5 +531,6 @@ object StreamingQueries extends QueryModule {
     "q43_session_append" -> q43Oracle,
     "q48_stateful_v2" -> q33Oracle,
     "q51_stream_join" -> q51Oracle,
-    "q52_stream_enrich" -> q52Oracle)
+    "q52_stream_enrich" -> q52Oracle,
+    "q75_incremental_dedup" -> q75Oracle)
 }
