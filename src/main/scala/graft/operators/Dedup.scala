@@ -299,6 +299,31 @@ object Dedup {
     docs.join(purge, id === col("__purge_id"), "left_anti")
   }
 
+  /** Quality-aware cluster purge: like [[purgeNearDups]] but each
+    * near-dup cluster keeps its HIGHEST-`score` member (ties broken by
+    * greatest id — a total, deterministic order) instead of the min-id
+    * canonical — what a curation pipeline actually keeps when it has a
+    * quality signal. One extra shuffle over [[purgeNearDups]]: the
+    * per-component arg-max aggregate (component-keyed, map-side
+    * combining); cluster membership itself is the same
+    * [[connectedComponents]] plan. Docs in no cluster survive untouched.
+    */
+  def purgeNearDupsBy(docs: DataFrame, id: Column, score: Column, pairs: DataFrame,
+                      maxIter: Int = 20,
+                      truncation: Truncation = Truncation.Local): DataFrame = {
+    val members = connectedComponents(pairs, maxIter, truncation)
+    val scored = docs.select(id.as("__m_id"), score.as("__m_score"))
+      .join(members, col("__m_id") === col("doc_id"))
+    val keepers = scored.groupBy(col("component"))
+      .agg(max(struct(col("__m_score"), col("__m_id"))).as("best"))
+      .select(col("component"), col("best.__m_id").as("__keep_id"))
+    val purge = members
+      .join(keepers, "component")
+      .filter(col("doc_id") =!= col("__keep_id"))
+      .select(col("doc_id").as("__purge_id"))
+    docs.join(purge, id === col("__purge_id"), "left_anti")
+  }
+
   /** Train/test DECONTAMINATION — the cross-corpus membership check a
     * training pipeline runs before every eval: which training documents
     * share at least `minShared` distinct w-shingles with ANY test/eval

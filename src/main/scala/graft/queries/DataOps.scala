@@ -976,6 +976,49 @@ object DataOps extends QueryModule {
        |SELECT component, COUNT(*) AS n_members
        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q77: quality-aware cluster purge --------------------------------
+
+  /** [[Dedup.purgeNearDupsBy]] end-to-end: q22's near-dup pairs →
+    * clusters → each cluster keeps its HIGHEST-quality member
+    * (`n_chars` as the quality signal; ties break on greatest id) —
+    * the curation-pipeline keep rule when a quality score exists,
+    * versus q53's min-id canonical. Output: the surviving member of
+    * every cluster with its score. The oracle re-derives clusters via
+    * the recursive-CTE closure and the keeper via an ordered
+    * row_number, so the per-cluster arg-max is value-pinned.
+    */
+  def qualityPurge(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.nearDupPairs(d, col("doc_id"), col("text"), threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(false) // feeds the purge AND the membership pin
+    val survivors = Dedup.purgeNearDupsBy(d, col("doc_id"), col("n_chars"), pairs)
+    val members = Dedup.connectedComponents(pairs)
+    survivors.join(members, "doc_id")
+      .select(col("component"), col("doc_id").as("keep_id"), col("n_chars"))
+      .sortOnce(col("component"))
+  }
+
+  private val q77Oracle: String =
+    s"""WITH $shingleCtes,
+       |nodes AS (SELECT doc_a AS n FROM exact UNION SELECT doc_b FROM exact),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM exact
+       |          UNION SELECT doc_b, doc_a FROM exact),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT n, n FROM nodes
+       |    UNION
+       |    SELECT r.src, e.v FROM r JOIN edges e ON e.u = r.dst)
+       |  SELECT * FROM r),
+       |cc AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY 1),
+       |scored AS (SELECT cc.doc_id, cc.component, d.n_chars
+       |           FROM cc JOIN documents d ON d.doc_id = cc.doc_id)
+       |SELECT component, doc_id AS keep_id, n_chars FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY component
+       |                               ORDER BY n_chars DESC, doc_id DESC) AS rn
+       |  FROM scored)
+       |WHERE rn = 1 ORDER BY component""".stripMargin
+
   // ---- q49: salted skew join -------------------------------------------
 
   /** The skew-mitigation join through `Joins.saltedJoin` (left side
@@ -1087,7 +1130,8 @@ object DataOps extends QueryModule {
     "q72_repetition" -> (repetition _),
     "q73_corpus_shuffle" -> (corpusShuffle _),
     "q74_pii_redaction" -> (piiRedaction _),
-    "q76_vocab_oov" -> (vocabOov _))
+    "q76_vocab_oov" -> (vocabOov _),
+    "q77_quality_purge" -> (qualityPurge _))
 
   val family: String = "dataops"
 
@@ -1123,5 +1167,6 @@ object DataOps extends QueryModule {
     "q72_repetition" -> q72Oracle,
     "q73_corpus_shuffle" -> q73Oracle,
     "q74_pii_redaction" -> q74Oracle,
-    "q76_vocab_oov" -> q76Oracle)
+    "q76_vocab_oov" -> q76Oracle,
+    "q77_quality_purge" -> q77Oracle)
 }

@@ -107,6 +107,17 @@ class DedupSpec extends SparkSpec {
       assert(kept == Set(1L, 7L, 10L))
     }
 
+    it("purgeNearDupsBy keeps the highest-score member, ties to the greatest id") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+      val all = Seq((1L, 5L), (2L, 9L), (3L, 9L), (7L, 1L), (10L, 4L), (11L, 2L))
+        .toDF("doc_id", "score")
+      val kept = Dedup.purgeNearDupsBy(all, col("doc_id"), col("score"), pairs)
+        .select("doc_id").as[Long].collect().toSet
+      // {1,2,3}: max score 9 shared by 2 and 3 → greatest id 3 wins;
+      // {10,11}: 10 (score 4 > 2); singleton 7 untouched
+      assert(kept == Set(3L, 7L, 10L))
+    }
+
     it("label always reaches the global minimum across a long chain") {
       // worst-case diameter: a path 20 -> 19 -> ... -> 0
       val pairs = (1L to 20L).map(i => (i - 1, i)).toDF("doc_a", "doc_b")
