@@ -310,8 +310,16 @@ object Dedup {
     */
   def purgeNearDupsBy(docs: DataFrame, id: Column, score: Column, pairs: DataFrame,
                       maxIter: Int = 20,
-                      truncation: Truncation = Truncation.Local): DataFrame = {
-    val members = connectedComponents(pairs, maxIter, truncation)
+                      truncation: Truncation = Truncation.Local): DataFrame =
+    purgeNearDupsByMembers(docs, id, score, connectedComponents(pairs, maxIter, truncation))
+
+  /** [[purgeNearDupsBy]] over PRECOMPUTED cluster membership (a
+    * `(doc_id, component)` frame from [[connectedComponents]]) — the
+    * form a pipeline uses when it materializes membership once and
+    * consumes it for both the purge and reporting, instead of paying
+    * the iterative propagation twice. */
+  def purgeNearDupsByMembers(docs: DataFrame, id: Column, score: Column,
+                             members: DataFrame): DataFrame = {
     val scored = docs.select(id.as("__m_id"), score.as("__m_score"))
       .join(members, col("__m_id") === col("doc_id"))
     val keepers = scored.groupBy(col("component"))

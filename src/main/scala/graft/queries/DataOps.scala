@@ -991,9 +991,10 @@ object DataOps extends QueryModule {
     val d = docs(s, dir)
     val pairs = Dedup.nearDupPairs(d, col("doc_id"), col("text"), threshold = 0.8)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(false) // feeds the purge AND the membership pin
-    val survivors = Dedup.purgeNearDupsBy(d, col("doc_id"), col("n_chars"), pairs)
+    // membership computed ONCE and shared by the purge and the pin —
+    // the iterative propagation is the expensive part
     val members = Dedup.connectedComponents(pairs)
+    val survivors = Dedup.purgeNearDupsByMembers(d, col("doc_id"), col("n_chars"), members)
     survivors.join(members, "doc_id")
       .select(col("component"), col("doc_id").as("keep_id"), col("n_chars"))
       .sortOnce(col("component"))
