@@ -25,6 +25,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Same inter-query hygiene as Bench: release lazily
+      // localCheckpointed multi-branch frames eagerly instead of waiting
+      // on GC + ContextCleaner across a 77-query dump.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -865,6 +865,32 @@ object DataOps extends QueryModule {
        |FROM documents ORDER BY shuffle_pos""".stripMargin
   }
 
+  // ---- q78: shuffled-corpus export (shuffle ∘ clustered write) ---------
+
+  /** The training-export materialization end-to-end: deterministic
+    * corpus shuffle (q73's operator) written range-clustered on
+    * `shuffle_pos` ([[graft.operators.Layout.writeClustered]] — the
+    * files a trainer then reads SEQUENTIALLY in shuffle order, each
+    * covering a disjoint position range) and read back from parquet.
+    * Shares q73's oracle: a green run proves the write→read round-trip
+    * preserves every (doc_id, shuffle_pos) assignment; file-range
+    * disjointness itself is LayoutSpec's footer-verified contract.
+    */
+  def shuffledExport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Layout, Sampling}
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"shuffled_$tag").toString
+    val shuffled = Sampling.deterministicShuffle(
+        docs(s, dir).select(col("doc_id"), col("text")), col("doc_id"), seed = 7)
+      .select(col("doc_id"), col("shuffle_pos"), col("text"))
+    Layout.ensureClustered(shuffled, out, Seq("shuffle_pos"),
+      numRanges = 8, maxRecordsPerFile = 100000L)
+    s.read.parquet(out)
+      .select(col("doc_id"), col("shuffle_pos"))
+      .orderBy(col("shuffle_pos"))
+  }
+
   // ---- q74: PII redaction ----------------------------------------------
 
   /** PII scrub over the corpus with injected identifying spans (the
@@ -1132,7 +1158,8 @@ object DataOps extends QueryModule {
     "q73_corpus_shuffle" -> (corpusShuffle _),
     "q74_pii_redaction" -> (piiRedaction _),
     "q76_vocab_oov" -> (vocabOov _),
-    "q77_quality_purge" -> (qualityPurge _))
+    "q77_quality_purge" -> (qualityPurge _),
+    "q78_shuffled_export" -> (shuffledExport _))
 
   val family: String = "dataops"
 
@@ -1169,5 +1196,6 @@ object DataOps extends QueryModule {
     "q73_corpus_shuffle" -> q73Oracle,
     "q74_pii_redaction" -> q74Oracle,
     "q76_vocab_oov" -> q76Oracle,
-    "q77_quality_purge" -> q77Oracle)
+    "q77_quality_purge" -> q77Oracle,
+    "q78_shuffled_export" -> q73Oracle)
 }
