@@ -961,7 +961,8 @@ object DataOps extends QueryModule {
        |dt AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM toks),
        |dfreq AS (SELECT tok, COUNT(*) AS df FROM dt GROUP BY tok),
        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
-       |vocab AS (SELECT tok FROM dfreq, n WHERE df >= $MinDocFrac * n_docs),
+       |vocab AS (SELECT tok FROM dfreq, n
+       |          WHERE df >= CAST($MinDocFrac AS DOUBLE) * n_docs),
        |alltok AS (SELECT doc_id, unnest(t) AS tok FROM toks)
        |SELECT a.doc_id,
        |  CAST(COUNT(*) AS BIGINT) AS n_tok,
