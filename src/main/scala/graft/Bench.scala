@@ -46,21 +46,23 @@ object Bench {
 
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      val elapsed = (System.nanoTime() - t0) / 1e9
       // Several operators materialize a multi-branch frame once via
       // localCheckpoint and rely on GC + ContextCleaner to release the
       // blocks. Within one query that is correct; across a 70+-query
       // sweep the blocks accumulate faster than the cleaner runs,
       // squeezing execution memory for later queries. Release them
       // eagerly AFTER the timer stops — inter-query hygiene, not part
-      // of any query's cost.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      elapsed
+      // of any query's cost. try/finally so a FAILED query's blocks are
+      // released too, not just a successful one's.
+      try {
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          return -1.0
+        }
+        (System.nanoTime() - t0) / 1e9
+      } finally
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
 
     // Warmup: run everything once, untimed.

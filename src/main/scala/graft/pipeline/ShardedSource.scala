@@ -28,12 +28,13 @@ import org.apache.spark.sql.types._
   *    per-shard coalesce — the exact-naming bottleneck — for no
   *    correctness gain.
   *  - **Fetch caps**: `input.maxRecords` is the per-shard GetRecords
-  *    limit. Records are staged one file per (fetch-cycle, shard) chunk
-  *    with strictly increasing modification times per cycle, and the
-  *    stream reads `maxFilesPerTrigger = shardCount` — so each
-  *    micro-batch admits at most `maxRecords` records per shard, in
-  *    sequence order: one simulated fetch cycle across the fleet of
-  *    shard consumers.
+  *    limit. Each fetch CYCLE (≤ `maxRecords` next-in-sequence records
+  *    from every shard that still has any) is staged as ONE file with
+  *    strictly increasing modification times per cycle, and the stream
+  *    reads `maxFilesPerTrigger = 1` — so each micro-batch IS exactly
+  *    one fetch cycle, honoring the per-shard cap by construction even
+  *    when shards drain unevenly (a shard with more records keeps
+  *    producing cycles after shorter shards run dry).
   *  - **Initial position** applied BEFORE admission, like a per-shard
   *    iterator seek (reference `Config.scala:62-106`): TRIM_HORIZON =
   *    everything retained; AT_TIMESTAMP(ts) = records with
@@ -65,27 +66,28 @@ final class ShardedSource(records: Seq[ShardedSource.Record], stageDir: String) 
     val shards = positioned.groupBy(_.shardId).toSeq.sortBy(_._1)
     val rows = shards.flatMap { case (shard, rs) =>
       rs.sortBy(_.sequenceNumber).grouped(cap).zipWithIndex.flatMap { case (chunk, cycle) =>
-        chunk.map(r => (r.data, ShardedSource.seqString(r.sequenceNumber), cycle, shard))
+        chunk.map(r => (r.data, ShardedSource.seqString(r.sequenceNumber), cycle))
       }
     }
 
     import spark.implicits._
-    // One parquet file per (cycle, shard): the repartition puts each
-    // group wholly in one task, so partitionBy emits exactly one file
-    // per group directory.
-    rows.toDF("value", "seq", "cycle", "shard")
-      .repartition(col("cycle"), col("shard"))
-      .write.mode("overwrite").partitionBy("cycle", "shard").parquet(stageDir)
+    // One parquet file per fetch cycle (all shards' chunk for that
+    // cycle together): the repartition puts each cycle wholly in one
+    // task, so partitionBy emits exactly one file per cycle directory —
+    // and maxFilesPerTrigger=1 below makes each micro-batch exactly one
+    // cycle, even when shards have different cycle counts.
+    rows.toDF("value", "seq", "cycle")
+      .repartition(col("cycle"))
+      .write.mode("overwrite").partitionBy("cycle").parquet(stageDir)
     ShardedSource.stampCycleTimes(Paths.get(stageDir))
 
     val schema = StructType(Seq(
       StructField("value", StringType),
       StructField("seq", StringType),
-      StructField("cycle", IntegerType),
-      StructField("shard", StringType)))
+      StructField("cycle", IntegerType)))
     spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", math.max(1, shards.size))
+      .option("maxFilesPerTrigger", 1)
       .parquet(stageDir)
       .select(col("value"), col("seq"))
   }

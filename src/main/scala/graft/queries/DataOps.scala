@@ -884,7 +884,12 @@ object DataOps extends QueryModule {
     val shuffled = Sampling.deterministicShuffle(
         docs(s, dir).select(col("doc_id"), col("text")), col("doc_id"), seed = 7)
       .select(col("doc_id"), col("shuffle_pos"), col("text"))
-    Layout.ensureClustered(shuffled, out, Seq("shuffle_pos"),
+    // writeClustered, not ensureClustered: the export WRITE is part of
+    // what this query demonstrates (and times), and an _SUCCESS-gated
+    // reuse would silently serve stale assignments if the corpus or
+    // shuffle seed ever changed under the fixed tmp path (q62's reuse
+    // is deliberate — amortized layout — this one must be fresh).
+    Layout.writeClustered(shuffled, out, Seq("shuffle_pos"),
       numRanges = 8, maxRecordsPerFile = 100000L)
     s.read.parquet(out)
       .select(col("doc_id"), col("shuffle_pos"))

@@ -413,7 +413,10 @@ object StreamingQueries extends QueryModule {
     val stage = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"docstream_$tag")
     val dest = stage.resolve("documents.parquet")
     val dups = stage.resolve("dups.parquet")
-    if (!Files.exists(dest) || !Files.exists(dups)) {
+    // restaged on EVERY call (cheap: one copy + one small write), never
+    // reused from a previous run — an exists-check here would silently
+    // serve stale planted duplicates if the corpus under `dir` changed
+    locally {
       Files.createDirectories(stage)
       Files.copy(Paths.get(dir, "documents.parquet"), dest, StandardCopyOption.REPLACE_EXISTING)
       val tmp = stage.resolve("dups_build")

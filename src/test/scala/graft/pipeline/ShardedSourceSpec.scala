@@ -92,6 +92,32 @@ class ShardedSourceSpec extends SparkSpec {
       }
     }
 
+    it("unevenly-sized shards never exceed the per-shard cap in any micro-batch") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        val now = Instant.parse("2021-04-30T12:00:00Z")
+        // shard A: 6 records, shard B: 2 — B drains after cycle 0 while
+        // A keeps producing cycles; each micro-batch is exactly one cycle
+        val records =
+          (1 to 6).map(i => ShardedSource.Record("shardId-000000000000", 300L + i, s"a-$i", arrival)) ++
+          (1 to 2).map(i => ShardedSource.Record("shardId-000000000001", 400L + i, s"b-$i", arrival))
+        val source = new ShardedSource(records, s"$work/stage")
+
+        val result = Pipeline.runOnce(spark, config(work, maxRecords = 2),
+          checkpointDir = Some(s"$work/checkpoint"),
+          now = Some(now), source = source)
+
+        // cycle0 = {a1,a2,b1,b2}, cycle1 = {a3,a4}, cycle2 = {a5,a6}
+        assert(result.batches.map(_.count).sorted == Seq(2L, 2L, 4L))
+        val files = listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+        val ranges = files.map(_.getName.stripSuffix(".gz").split("-").takeRight(2).toSeq)
+          .map { case Seq(a, b) => (a.toLong, b.toLong) }.sorted
+        assert(ranges == Seq((301L, 402L), (303L, 304L), (305L, 306L)))
+        assert(files.flatMap(gunzip).sorted ==
+          ((1 to 6).map(i => s"a-$i") ++ (1 to 2).map(i => s"b-$i")).sorted)
+      }
+    }
+
     it("initial position seeks: TRIM_HORIZON all, AT_TIMESTAMP from the seek point, LATEST = tip (empty)") {
       withTempDir { tmp =>
         val work = tmp.getAbsolutePath
