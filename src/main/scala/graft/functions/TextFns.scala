@@ -28,19 +28,16 @@ object TextFns {
     * slowdown).
     */
   def shinglesOf(toks: Column, w: Int = 3): Column =
-    array_distinct(
-      when(size(toks) >= w,
-        transform(sequence(lit(0), size(toks) - w),
-          i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)))
-        .otherwise(array()))
+    array_distinct(ngramsOf(toks, w))
 
   /** Convenience one-shot form — only for small inputs/tests; hot paths
     * must project [[tokens]] first and use [[shinglesOf]]. */
   def shingles(text: Column, w: Int = 3): Column = shinglesOf(tokens(text), w)
 
-  /** ALL w-gram word shingles WITH multiplicity (repetition analysis
-    * needs the duplicates [[shinglesOf]] deliberately drops). Same
-    * materialized-token-array contract as [[shinglesOf]]. */
+  /** ALL w-gram word shingles WITH multiplicity — the single w-gram
+    * construction ([[shinglesOf]] is its array_distinct; repetition
+    * analysis needs the duplicates that drops). Materialized-token-array
+    * contract as documented on [[shinglesOf]]. */
   def ngramsOf(toks: Column, w: Int): Column =
     when(size(toks) >= w,
       transform(sequence(lit(0), size(toks) - w),

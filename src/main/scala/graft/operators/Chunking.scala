@@ -25,7 +25,10 @@ object Chunking {
   def slidingWindows(df: DataFrame, id: Column, text: Column,
                      window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, s"window/stride must be positive, got $window/$stride")
-    df.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
+    // null text behaves like "" (one empty token → one empty chunk):
+    // an unguarded null would make the sequence() bounds null and the
+    // doc silently vanish from the explode — a totality break
+    df.select(id.as("doc_id"), TextFns.tokens(coalesce(text, lit(""))).as("toks"))
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
           .as(Seq("chunk_idx", "start_tok")))

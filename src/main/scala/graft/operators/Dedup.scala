@@ -280,7 +280,8 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxIter label-propagation " +
           "rounds (a component's diameter exceeds maxIter); raise maxIter")
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
+    truncation.finish(labels)
+      .select(col("node").as("doc_id"), col("label").as("component"))
   }
 
   /** End-to-end near-dup purge: keep one canonical document per

@@ -416,7 +416,8 @@ object Multimodal {
   def decodeFeatures(media: DataFrame, frameEveryK: Int = 10, frameCap: Int = 16,
                      resizeTargetW: Int = 32): DataFrame = {
     val spark = media.sparkSession
-    val rows: Dataset[Row] = media.select("media_id", "kind", "payload", "meta.width", "meta.height", "meta.n_frames")
+    val rows: Dataset[Row] = media.select("media_id", "kind", "payload",
+      "meta.width", "meta.height", "meta.n_frames", "meta.sample_rate")
     val out = rows.queryExecution.toRdd.mapPartitions { it =>
       // per-partition init would go here (native codec handles, buffers)
       it.map { internal =>
@@ -426,6 +427,7 @@ object Multimodal {
         val width = if (internal.isNullAt(3)) None else Some(internal.getInt(3))
         val height = if (internal.isNullAt(4)) None else Some(internal.getInt(4))
         val nFrames = if (internal.isNullAt(5)) None else Some(internal.getInt(5))
+        val metaRate = if (internal.isNullAt(6)) None else Some(internal.getInt(6))
         val (n, sum, mn, mx) = ByteStats.decode(payload)
         val decoded = kind match {
           case "image" => ImageCodec.decode(payload).map { img =>
@@ -471,7 +473,12 @@ object Multimodal {
           resized.map(_._1).orNull, resized.map(_._2).orNull,
           decodedDims.map(_._1).orNull, decodedDims.map(_._2).orNull,
           px.map(_._1).orNull, px.map(_._2).orNull, px.map(_._3).orNull,
-          audio.map(_.sampleRate).orNull, audio.map(_.nSamples).orNull,
+          // undecodable audio keeps its envelope sample rate — the same
+          // metadata fallback the image (dims/resize) and video
+          // (frames_sampled) paths already have
+          audio.map(_.sampleRate)
+            .orElse(if (kind == "audio") metaRate else None).orNull,
+          audio.map(_.nSamples).orNull,
           audio.map(_.smpMin).orNull, audio.map(_.smpMax).orNull,
           audio.map(_.smpSum).orNull, audio.map(_.durationMs).orNull,
           video.map(_.nFrames).orNull)

@@ -38,24 +38,22 @@ object Pq {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
   /** (vec_id, chunk, sub) — vector split into m equal slices. The
-    * divisibility requirement is ENFORCED (one first-row probe): silent
+    * divisibility requirement is ENFORCED, in-plan (`raise_error` on the
+    * first offending row, no extra driver probe job per call): silent
     * truncation of trailing dims would quietly change every distance. */
   private[operators] def chunks(vectors: DataFrame, m: Int): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
-    vectors.select(size(col("embedding")).as("d"))
-      .filter(col("d").isNotNull).take(1).foreach { r =>
-        val d = r.getInt(0)
-        require(d % m == 0,
-          s"vector dimension $d is not divisible by m=$m subvectors — " +
-            "trailing dimensions would be silently dropped from every distance")
-      }
     vectors
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .select(col("vec_id"), explode(expr(
-        s"""transform(sequence(0, $m - 1),
+        s"""CASE WHEN size(emb) % $m != 0 THEN
+           |  raise_error(concat('vector dimension ', CAST(size(emb) AS STRING),
+           |    ' is not divisible by m=$m subvectors - trailing dimensions',
+           |    ' would be silently dropped from every distance'))
+           |ELSE transform(sequence(0, $m - 1),
            |  i -> struct(i AS chunk,
-           |              slice(emb, i * (size(emb) div $m) + 1, size(emb) div $m) AS sub))"""
-          .stripMargin)).as("c"))
+           |              slice(emb, i * (size(emb) div $m) + 1, size(emb) div $m) AS sub))
+           |END""".stripMargin)).as("c"))
       .select(col("vec_id"), col("c.chunk").as("chunk"), col("c.sub").as("sub"))
   }
 
@@ -94,7 +92,7 @@ object Pq {
         means.unionByName(cb.join(means, Seq("chunk", "code"), "left_anti")),
         i)
     }
-    cb
+    truncation.finish(cb)
   }
 
   /** Quantize every corpus vector to its m nearest codewords. Output:

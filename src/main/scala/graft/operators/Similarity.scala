@@ -208,7 +208,7 @@ object Similarity {
         means.unionByName(centroids.join(means, Seq("vec_id"), "left_anti")),
         i + 1)
     }
-    centroids
+    truncation.finish(centroids)
   }
 
   /** IVF-style ANN: search the query's `nprobe` nearest centroid buckets

@@ -30,6 +30,14 @@ sealed trait Truncation {
   /** Materialize `df` for round `round` (0 = the pre-iteration base
     * tables) and return the frame downstream rounds should build on. */
   private[operators] def truncate(df: DataFrame, round: Int): DataFrame
+
+  /** Called ONCE by the iterative operator when its loop completes,
+    * with the frame it is about to return: the policy releases every
+    * intermediate it still holds and returns the frame consumers should
+    * use. Without this, the last rounds' materializations would stay
+    * pinned for the policy instance's lifetime — a per-run storage leak
+    * in any long-lived session. Default: nothing held, pass through. */
+  private[operators] def finish(result: DataFrame): DataFrame = result
 }
 
 object Truncation {
@@ -84,6 +92,21 @@ object Truncation {
       val (stale, keep) = pendingUnpersist.partition(_._1 <= round - 2)
       stale.foreach(_._2.unpersist(false))
       pendingUnpersist = keep
+      out
+    }
+
+    /** Release every still-held intermediate. If the final frame is
+      * itself a persisted (non-checkpoint-round) intermediate, root it
+      * durably first — consumers then read the reliable copy and the
+      * persisted blocks are releasable; its lineage-intact alternative
+      * would silently recompute from the last checkpoint on every
+      * downstream read. */
+    override private[operators] def finish(result: DataFrame): DataFrame = {
+      val out =
+        if (pendingUnpersist.exists(_._2 eq result)) result.checkpoint(true)
+        else result
+      pendingUnpersist.foreach(_._2.unpersist(false))
+      pendingUnpersist = Nil
       out
     }
   }

@@ -35,5 +35,14 @@ class ChunkingSpec extends SparkSpec {
     it("a doc shorter than the window yields exactly one full-doc chunk") {
       assert(chunksOf("only", window = 16, stride = 12) == Seq((0L, 0L, 1L, "only")))
     }
+
+    it("is total: a null-text doc behaves like empty text and still yields one chunk") {
+      val got = Chunking.slidingWindows(
+          Seq((1L, Option.empty[String]), (2L, Some("a b"))).toDF("id", "text"),
+          col("id"), col("text"), window = 4, stride = 4)
+        .orderBy("doc_id", "chunk_idx").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("chunk")))
+      assert(got.toSeq == Seq((1L, ""), (2L, "a b")))
+    }
   }
 }

@@ -37,6 +37,14 @@ class PqSpec extends SparkSpec {
     }.toSet
 
   describe("Pq") {
+    it("rejects a vector dimension not divisible by m at execution, in-plan") {
+      val bad = Seq((1L, Array(1.0, 2.0, 3.0))).toDF("vec_id", "embedding")
+      val e = intercept[Exception] {
+        Pq.chunks(bad, m = 2).collect()
+      }
+      assert(e.getMessage.contains("not divisible by m=2"))
+    }
+
     it("codes have m entries in [0, ksub) and equal vectors get equal codes") {
       val corpus = losslessCorpus(24)
       val cb = Pq.trainCodebooks(corpus, m = 4, ksub = 4, iters = 2)
