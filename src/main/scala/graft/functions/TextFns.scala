@@ -44,6 +44,24 @@ object TextFns {
         i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o + 1)): _*)))
       .otherwise(array())
 
+  /** Canonical text for dedup/fingerprinting — the normalization pass
+    * that makes near-identical bytes identical BEFORE content hashing:
+    * case-fold, control characters (incl. tab/newline/CR) to spaces,
+    * whitespace runs collapsed to one space, ends trimmed. Regex
+    * deliberately uses explicit hex ranges, not \\p classes — the
+    * subset Java (Spark) and RE2-style (DuckDB) engines agree on, so
+    * the oracle reproduces the canonical text byte-for-byte.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\x00-\\x1f\\x7f]", " "),
+      "  +", " "))
+
+  /** DuckDB rendition of [[normalize]] over a SQL expression string. */
+  def normalizeSql(expr: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($expr), " +
+      "'[\\x00-\\x1f\\x7f]', ' ', 'g'), '  +', ' ', 'g'))"
+
   /** Deterministic 60-bit hash shared bit-for-bit with DuckDB:
     * first 15 hex digits of md5, read as an integer. Spark:
     * `conv(substring(md5(s),1,15),16,10)`; DuckDB:

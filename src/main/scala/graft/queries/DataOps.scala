@@ -896,6 +896,32 @@ object DataOps extends QueryModule {
       .orderBy(col("shuffle_pos"))
   }
 
+  // ---- q79: text normalization -----------------------------------------
+
+  /** Canonicalization round-trip ([[TextFns.normalize]]): each document
+    * is wrapped in realistic noise — leading tab+spaces, CASE flipped to
+    * upper, trailing space+CRLF — and normalized back; `ok` proves the
+    * result equals the canonical corpus text byte-for-byte in BOTH
+    * engines (the normalization a dedup pass runs before content
+    * hashing, where one stray \\r is a different md5).
+    */
+  def normalizeText(s: SparkSession, dir: String): DataFrame = {
+    val raw = concat(lit("\t  "), upper(col("text")), lit(" \r\n "))
+    docs(s, dir).select(
+      col("doc_id"),
+      (TextFns.normalize(raw) === col("text")).as("ok"),
+      length(TextFns.normalize(raw)).cast("long").as("n_chars_norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q79Oracle: String = {
+    val rawSql = "chr(9) || '  ' || upper(text) || ' ' || chr(13) || chr(10) || ' '"
+    s"""SELECT doc_id,
+       |  ${TextFns.normalizeSql(rawSql)} = text AS ok,
+       |  LENGTH(${TextFns.normalizeSql(rawSql)}) AS n_chars_norm
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q74: PII redaction ----------------------------------------------
 
   /** PII scrub over the corpus with injected identifying spans (the
@@ -1165,7 +1191,8 @@ object DataOps extends QueryModule {
     "q74_pii_redaction" -> (piiRedaction _),
     "q76_vocab_oov" -> (vocabOov _),
     "q77_quality_purge" -> (qualityPurge _),
-    "q78_shuffled_export" -> (shuffledExport _))
+    "q78_shuffled_export" -> (shuffledExport _),
+    "q79_normalize" -> (normalizeText _))
 
   val family: String = "dataops"
 
@@ -1203,5 +1230,6 @@ object DataOps extends QueryModule {
     "q74_pii_redaction" -> q74Oracle,
     "q76_vocab_oov" -> q76Oracle,
     "q77_quality_purge" -> q77Oracle,
-    "q78_shuffled_export" -> q73Oracle)
+    "q78_shuffled_export" -> q73Oracle,
+    "q79_normalize" -> q79Oracle)
 }
