@@ -355,10 +355,15 @@ object Dedup {
                          w: Int = 3, minShared: Int = 1,
                          maxDf: Int = Int.MaxValue): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // sids deduped WITHIN the doc's array before the explode (narrow, no
+    // extra shuffle): per-doc shingles are already distinct, but two
+    // distinct shingles could collide under xxhash64 — without this, a
+    // within-doc collision would emit two rows for one (pair, sid) match
+    // and double-count n_shared at the minShared boundary
     def postings(docs: DataFrame, id: Column, text: Column, as: String) =
       shingled(docs, id, text, w)
-        .select(col("doc_id").as(as), explode(col("sh")).as("shingle"))
-        .select(col(as), xxhash64(col("shingle")).as("sid"))
+        .select(col("doc_id").as(as),
+          explode(array_distinct(transform(col("sh"), s => xxhash64(s)))).as("sid"))
     // under a finite maxDf the train postings feed TWO branches (the
     // df-count and the filtering join) — materialize once, like
     // nearDupPairs' shingle table, instead of re-shingling the corpus
@@ -375,8 +380,9 @@ object Dedup {
             sum(when(col("df") > maxDf, 1).otherwise(0)).as("dropped_shingles"))
         tr.join(dfc.filter(col("df") <= maxDf).select(col("sid")), "sid")
       }
-    // per-doc shingle sets are distinct, so each (train, test, sid)
-    // match is one row and the per-pair count IS the shared-set size
+    // per-doc sid sets are distinct (array_distinct above), so each
+    // (train, test, sid) match is one row and the per-pair count IS the
+    // shared-set size
     trKept.join(te, "sid")
       .groupBy(col("train_id"), col("test_id"))
       .agg(count(lit(1)).as("n_shared"))

@@ -117,6 +117,11 @@ object Layout {
         require(ranges.nonEmpty,
           s"no footer statistics for column '$column' in $f (wrong column name, " +
             "or a zero-row file)")
+        // a stats object with no values (all-null column) would NPE on
+        // genericGetMin with no hint of the cause — name it instead
+        require(ranges.forall(_.hasNonNullValue),
+          s"column '$column' in $f has footer statistics but no values " +
+            "(entirely null column) — cannot derive a clustering range")
         (ranges.map(_.genericGetMin.asInstanceOf[Number].longValue).min,
           ranges.map(_.genericGetMax.asInstanceOf[Number].longValue).max)
       } finally reader.close()

@@ -276,6 +276,10 @@ object Multimodal {
 
     def decodeFrames(payload: Array[Byte], everyK: Int, cap: Int): Option[Decoded] = {
       require(everyK >= 1, s"everyK must be >= 1, got $everyK")
+      // cap <= 0 would skip the sampling loop entirely and return a
+      // Decoded full of sentinel stats (pxMin=MaxValue…) masquerading
+      // as real values — fail loudly instead
+      require(cap >= 1, s"cap must be >= 1, got $cap")
       if (payload == null || payload.isEmpty) return None
       var iis: javax.imageio.stream.ImageInputStream = null
       try {
@@ -415,6 +419,8 @@ object Multimodal {
     */
   def decodeFeatures(media: DataFrame, frameEveryK: Int = 10, frameCap: Int = 16,
                      resizeTargetW: Int = 32): DataFrame = {
+    require(frameEveryK >= 1 && frameCap >= 1 && resizeTargetW >= 1,
+      s"frameEveryK/frameCap/resizeTargetW must be >= 1, got $frameEveryK/$frameCap/$resizeTargetW")
     val spark = media.sparkSession
     val rows: Dataset[Row] = media.select("media_id", "kind", "payload",
       "meta.width", "meta.height", "meta.n_frames", "meta.sample_rate")

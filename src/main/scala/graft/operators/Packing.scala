@@ -90,9 +90,13 @@ object Packing {
     local.join(broadcast(offsets), "bucket")
       .withColumn("end_off", col("local_end") + col("bucket_off"))
       .withColumn("start_off", col("end_off") - col("n_tok"))
-      .withColumn("first_seq", floor(col("start_off") / budget))
-      // a zero-token doc occupies no slot: it "lands" at its start
-      // position rather than producing last_seq < first_seq
+      // a zero-token doc occupies no slot: anchor it at position
+      // start-1 (clamped at 0), so one sitting exactly ON a cut —
+      // including at the corpus end — attaches to the PRECEDING
+      // sequence instead of fabricating a phantom empty one past it
+      .withColumn("__anchor", when(col("n_tok") === 0,
+        greatest(col("start_off") - 1, lit(0L))).otherwise(col("start_off")))
+      .withColumn("first_seq", floor(col("__anchor") / budget))
       .withColumn("last_seq",
         greatest(col("first_seq"), floor((col("end_off") - 1) / budget)))
       .withColumn("split", col("last_seq") =!= col("first_seq"))
@@ -113,6 +117,9 @@ object Packing {
   def globalRowNumber(df: DataFrame, order: Column, posName: String = "pos",
                       bucketExpr: Option[Column] = None,
                       numRanges: Int = 32): DataFrame = {
+    val reserved = df.columns.filter(_.startsWith("__gr_"))
+    require(reserved.isEmpty,
+      s"input frame already has reserved __gr_* working columns (${reserved.mkString(", ")}) — rename them first")
     val tagged = bucketExpr match {
       case Some(b) =>
         df.withColumn("__gr_ord", order).withColumn("__gr_bucket", b.cast("long"))
@@ -148,7 +155,9 @@ object Packing {
     df.select(id.as("pack_id"), tok.cast("long").as("n_tok"))
       .withColumn("end_off", sum(col("n_tok")).over(w))
       .withColumn("start_off", col("end_off") - col("n_tok"))
-      .withColumn("first_seq", floor(col("start_off") / budget))
+      .withColumn("__anchor", when(col("n_tok") === 0,
+        greatest(col("start_off") - 1, lit(0L))).otherwise(col("start_off")))
+      .withColumn("first_seq", floor(col("__anchor") / budget))
       .withColumn("last_seq",
         greatest(col("first_seq"), floor((col("end_off") - 1) / budget)))
       .withColumn("split", col("last_seq") =!= col("first_seq"))

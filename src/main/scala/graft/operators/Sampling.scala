@@ -77,6 +77,9 @@ object Sampling {
   def reservoirPerKey(df: DataFrame, stratum: Column, key: Column, n: Int,
                       seed: Int = 0): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.contains("__rk"),
+      "input frame already has a __rk column (reserved working name) — " +
+        "it would be silently clobbered and dropped; rename it first")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(stratum)
       .orderBy(TextFns.seededHash(seed, key).asc, key.asc)
@@ -97,10 +100,13 @@ object Sampling {
     * shuffled corpus for sequential training reads.
     */
   def deterministicShuffle(df: DataFrame, key: Column, seed: Int = 0,
-                           numRanges: Int = 32): DataFrame =
+                           numRanges: Int = 32): DataFrame = {
+    require(!df.columns.contains("__sh_h"),
+      "input frame already has a __sh_h column (reserved working name) — rename it first")
     Packing.globalRowNumber(
         df.withColumn("__sh_h", TextFns.seededHash(seed, key)),
         struct(col("__sh_h"), key), posName = "shuffle_pos",
         numRanges = numRanges)
       .drop("__sh_h")
+  }
 }

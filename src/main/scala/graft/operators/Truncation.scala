@@ -77,7 +77,12 @@ object Truncation {
     // persisted intermediates awaiting delayed unpersist: (round, frame)
     private var pendingUnpersist: List[(Int, DataFrame)] = Nil
 
-    private[operators] def truncate(df: DataFrame, round: Int): DataFrame = {
+    // truncate/finish are synchronized: one policy instance belongs to
+    // ONE iterative operator (the round-indexed ledger assumes a single
+    // loop), but if an instance IS accidentally shared across threads,
+    // serialization degrades misuse to early unpersists (recompute from
+    // lineage) rather than a corrupted ledger leaking blocks.
+    private[operators] def truncate(df: DataFrame, round: Int): DataFrame = synchronized {
       val sc = df.sparkSession.sparkContext
       val out = if (round % every == 0) {
         if (!dirClaimed) { sc.setCheckpointDir(dir); dirClaimed = true }
@@ -101,7 +106,7 @@ object Truncation {
       * persisted blocks are releasable; its lineage-intact alternative
       * would silently recompute from the last checkpoint on every
       * downstream read. */
-    override private[operators] def finish(result: DataFrame): DataFrame = {
+    override private[operators] def finish(result: DataFrame): DataFrame = synchronized {
       val out =
         if (pendingUnpersist.exists(_._2 eq result)) result.checkpoint(true)
         else result

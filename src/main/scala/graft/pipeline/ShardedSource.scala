@@ -103,8 +103,13 @@ object ShardedSource {
 
   /** Kinesis-style opaque sequence string: fixed-width decimal, so
     * lexicographic min/max (what the emitter computes over the string
-    * column) equals numeric order. */
-  def seqString(n: Long): String = f"$n%020d"
+    * column) equals numeric order. Non-negative only — a '-' sign would
+    * sort BEFORE digits and silently break that contract (real Kinesis
+    * sequence numbers are unsigned). */
+  def seqString(n: Long): String = {
+    require(n >= 0, s"sequence numbers must be non-negative, got $n")
+    f"$n%020d"
+  }
 
   /** Make fetch-cycle k strictly older than k+1 so the file stream's
     * modification-time ordering admits cycles in order. The epoch base is

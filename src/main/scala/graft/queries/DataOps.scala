@@ -555,7 +555,7 @@ object DataOps extends QueryModule {
       d.filter(col("doc_id") % 17 =!= 0), col("doc_id"), col("text"),
       d.filter(col("doc_id") % 17 === 0), col("doc_id"), col("text"),
       w = 3, minShared = 3)
-      .orderBy(col("train_id"), col("test_id"))
+      .sortOnce(col("train_id"), col("test_id"))
   }
 
   private val q63Oracle: String =

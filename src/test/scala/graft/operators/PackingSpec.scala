@@ -37,6 +37,18 @@ class PackingSpec extends SparkSpec {
       assert(got(6L) == ((29L, 34L, 2L, 3L, true)))
     }
 
+    it("a zero-token doc on an exact cut attaches to the preceding sequence (no phantom)") {
+      val rows = Seq((1L, 10L), (2L, 0L))
+      val got = offsetsOf(rows, budget = 10)
+      // start_off 10 sits exactly on the cut; anchoring at 9 keeps the
+      // doc in sequence 0 instead of opening an empty sequence 1
+      assert(got(2L) == ((10L, 10L, 0L, 0L, false)))
+      val manifest = Packing.packManifest(
+        Packing.packOffsets(rows.toDF("id", "tok"), col("id"), col("tok"), budget = 10),
+        budget = 10).collect()
+      assert(manifest.map(_.getAs[Long]("seq")).toSeq == Seq(0L))
+    }
+
     it("matches the naive global-window formulation with derived range buckets") {
       val rows = (1L to 200L).map(i => (i * 7 % 211, (i * i) % 13)) // shuffled ids, varied toks
       val df = rows.toDF("id", "tok")
