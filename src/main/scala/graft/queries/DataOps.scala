@@ -129,7 +129,7 @@ object DataOps extends QueryModule {
     val e = emb(s, dir)
     Similarity.bruteTopK(e, e.filter(col("vec_id") < NumQueries), TopK)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
-      .orderBy(col("query_id"), col("rnk"))
+      .sortOnce(col("query_id"), col("rnk"))
   }
 
   private val q24Oracle: String = {
@@ -147,7 +147,7 @@ object DataOps extends QueryModule {
     Similarity.ivfTopK(e, e.filter(col("vec_id") < NumQueries),
       e.filter(col("vec_id") < NumCentroids), TopK)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("sim"), 6).as("sim_r"))
-      .orderBy(col("query_id"), col("rnk"))
+      .sortOnce(col("query_id"), col("rnk"))
   }
 
   private val q25Oracle: String = {
