@@ -143,6 +143,10 @@ class MultimodalSpec extends SparkSpec {
       val gif = Multimodal.VideoCodec.encodeGrayGif(2, 1, 10)((fr, _, _) => fr)
       val capped = Multimodal.VideoCodec.decodeFrames(gif, everyK = 1, cap = 4).get
       assert(capped.nFrames == 10 && capped.framesSampled == 4 && capped.pxMax == 3)
+      // cap <= 0 would return sentinel stats as real values — must throw
+      intercept[IllegalArgumentException] {
+        Multimodal.VideoCodec.decodeFrames(gif, everyK = 1, cap = 0)
+      }
       val df = mediaDf(Seq(Row(5L, "video", Array[Byte](1, 2, 3), meta(2, 2, null, Int.box(25)))))
       val r = df.transform(Multimodal.decodeFeatures(_, frameEveryK = 10, frameCap = 16))
         .collect().head

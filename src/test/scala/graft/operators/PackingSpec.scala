@@ -80,6 +80,14 @@ class PackingSpec extends SparkSpec {
       assert(got.map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSeq == expected)
     }
 
+    it("rejects an input frame carrying reserved __gr_* working columns") {
+      val df = Seq((1L, 2L)).toDF("id", "__gr_ord")
+      val e = intercept[IllegalArgumentException] {
+        Packing.globalRowNumber(df, col("id"))
+      }
+      assert(e.getMessage.contains("__gr_ord"))
+    }
+
     it("deterministicShuffle is a partitioning-invariant permutation in seeded-hash order") {
       val rows = (1L to 80L).map(i => (i, s"doc-$i"))
       def positions(parts: Int): Seq[(Long, Long)] =

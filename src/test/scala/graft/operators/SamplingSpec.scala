@@ -51,6 +51,18 @@ class SamplingSpec extends SparkSpec {
   }
 
   describe("Sampling.reservoirPerKey") {
+    it("rejects an input frame that already carries the reserved __rk column") {
+      val df = ids.withColumn("__rk", lit(1))
+      val e = intercept[IllegalArgumentException] {
+        Sampling.reservoirPerKey(df, col("id") % 2, col("id"), n = 1)
+      }
+      assert(e.getMessage.contains("__rk"))
+      val e2 = intercept[IllegalArgumentException] {
+        Sampling.deterministicShuffle(ids.withColumn("__sh_h", lit(1)), col("id"))
+      }
+      assert(e2.getMessage.contains("__sh_h"))
+    }
+
     it("returns exactly n per stratum, deterministically, fewer when small") {
       val df = ids.withColumn("s", (col("id") % 5).cast("string"))
         .unionByName(Seq((9999L, "tiny")).toDF("id", "s"))

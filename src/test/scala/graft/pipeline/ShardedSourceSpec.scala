@@ -47,6 +47,14 @@ class ShardedSourceSpec extends SparkSpec {
   private def gunzip(f: File): Seq[String] =
     s"gunzip -c ${f.getAbsolutePath}".!!.split("\n", -1).dropRight(1).toSeq
 
+  describe("ShardedSource.seqString") {
+    it("rejects negative sequence numbers (the '-' would break lexicographic order)") {
+      assert(ShardedSource.seqString(0L) == "0" * 20)
+      val e = intercept[IllegalArgumentException] { ShardedSource.seqString(-1L) }
+      assert(e.getMessage.contains("non-negative"))
+    }
+  }
+
   describe("ShardedSource through Pipeline.runOnce") {
     it("names objects with the batch's metadata seq range (golden reference-style name)") {
       withTempDir { tmp =>
