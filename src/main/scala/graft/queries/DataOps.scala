@@ -500,25 +500,125 @@ object DataOps extends QueryModule {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  // ---- q60: PQ-compressed ANN (rows-only check) ------------------------
+  // ---- q60: PQ ADC search over fixed codebooks -------------------------
 
-  /** The full product-quantization ANN pipeline on the embeddings
-    * corpus: train per-chunk codebooks (Lloyd's, L2), encode every
-    * vector to m codes, then ADC top-k for the first 10 vectors as
-    * queries. Training is iterative k-means (not SQL-expressible — same
-    * precedent as `trainCentroids`), so this query carries no value
-    * oracle: the driver records the rows-only check, and PqSpec pins
-    * exactness on a lossless pattern corpus plus cell-level recall.
+  /** PQ-compressed ANN, the SEARCH half under a full value oracle:
+    * codebooks are the deterministic Lloyd's INIT (`iters = 0` — the
+    * ksub lowest-id vectors' chunks, code = id rank), which DuckDB can
+    * reconstruct in pure SQL, so encode → LUT → ADC → top-k is pinned
+    * rows+schema+hash. Lloyd's refinement itself is iterative k-means
+    * (not SQL-expressible — same precedent as `trainCentroids`) and
+    * stays spec-pinned: PqSpec proves ADC ≡ brute L2 on a lossless
+    * corpus and IVF-PQ ≡ full ADC at nprobe = numCentroids, with
+    * trained codebooks. Both engines fold floats in the same
+    * left-to-right order (per-chunk fold, then chunk-ordered fold), so
+    * the hash comparison is exact, not tolerance-based.
     */
   def pqAnn(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pq
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    val cb = Pq.trainCodebooks(e, m = 4, ksub = 8, iters = 3)
+    val cb = Pq.trainCodebooks(e, m = 4, ksub = 8, iters = 0)
     val codes = Pq.encode(e, cb, m = 4)
     Pq.adcTopK(codes, e.filter(col("vec_id") < 10), cb, m = 4, k = 3)
       .sortOnce(col("query_id"), col("rnk"))
   }
+
+  /** DuckDB left-to-right squared-L2 fold — same association as
+    * [[graft.operators.Pq]]'s `aggregate(zip_with(...))` (init 0 + x₁
+    * ≡ x₁ exactly, so a no-init list_reduce matches bit-for-bit). */
+  private def l2FoldSql(a: String, b: String): String =
+    s"list_reduce([($a[i] - $b[i]) * ($a[i] - $b[i]) for i in range(1, len($a) + 1)], (x, y) -> x + y)"
+
+  /** Shared PQ oracle CTEs: double-cast corpus, m=4 chunk slices, the
+    * iters=0 init codebook (8 lowest ids, code = rank), per-(vec,chunk)
+    * argmin encoding, and the vec_id<10 query LUT. Mirrors
+    * `Pq.chunks`/`trainCodebooks(iters=0)`/`encode`/`queryLut`. */
+  private val pqBaseCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |chunks AS (
+       |  SELECT vec_id, ch.chunk,
+       |         emb[ch.chunk * (len(emb) // 4) + 1 : (ch.chunk + 1) * (len(emb) // 4)] AS sub
+       |  FROM e, (SELECT unnest(range(4)) AS chunk) ch),
+       |ids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+       |        FROM e ORDER BY vec_id LIMIT 8),
+       |cb AS (SELECT c.chunk, i.code, c.sub AS centroid
+       |       FROM chunks c JOIN ids i USING (vec_id)),
+       |enc AS (
+       |  SELECT vec_id, chunk, code FROM (
+       |    SELECT c.vec_id, c.chunk, cb.code,
+       |           row_number() OVER (PARTITION BY c.vec_id, c.chunk
+       |             ORDER BY ${l2FoldSql("c.sub", "cb.centroid")}, cb.code) AS rn
+       |    FROM chunks c JOIN cb ON c.chunk = cb.chunk) WHERE rn = 1),
+       |qd AS (SELECT c.vec_id AS query_id, c.chunk, cb.code,
+       |              ${l2FoldSql("c.sub", "cb.centroid")} AS d
+       |       FROM chunks c JOIN cb ON c.chunk = cb.chunk
+       |       WHERE c.vec_id < 10)""".stripMargin
+
+  private val q60Oracle: String =
+    s"""WITH $pqBaseCtes,
+       |scored AS (
+       |  SELECT q.query_id, en.vec_id,
+       |         list_reduce(list(q.d ORDER BY q.chunk), (x, y) -> x + y) AS adist
+       |  FROM enc en JOIN qd q ON en.chunk = q.chunk AND en.code = q.code
+       |  WHERE en.vec_id <> q.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rnk, vec_id AS neighbor_id, round(adist, 6) AS adist
+       |FROM (SELECT query_id, vec_id, adist,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+       |      FROM scored)
+       |WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+
+  // ---- q80: IVF-PQ routed search over fixed codebooks ------------------
+
+  /** IVF-PQ search under a full value oracle — the bucket-ROUTING half
+    * that q60 doesn't cover: every vector is assigned its L2-nearest
+    * coarse centroid (10 corpus vectors, ids ≡ 0 mod 50), each query
+    * probes its nprobe=2 nearest buckets, and ADC runs only inside
+    * them. Same fixed iters=0 codebooks as q60 so DuckDB replays
+    * assignment, probing, and ADC arithmetic exactly; tie-breaks
+    * (distance, then centroid/neighbor id) are pinned on both sides.
+    */
+  def ivfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cb = Pq.trainCodebooks(e, m = 4, ksub = 8, iters = 0)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+    val index = Pq.bucketedEncode(e, cents, cb, m = 4)
+    Pq.ivfAdcTopK(index, e.filter(col("vec_id") < 10), cents, cb, m = 4, k = 3, nprobe = 2)
+      .sortOnce(col("query_id"), col("rnk"))
+  }
+
+  private val q80Oracle: String =
+    s"""WITH $pqBaseCtes,
+       |cents AS (SELECT vec_id AS centroid_id, emb AS cent FROM e WHERE vec_id % 50 = 0),
+       |assign AS (SELECT vec_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${l2FoldSql("e.emb", "c.cent")}, c.centroid_id) AS rn
+       |    FROM e, cents c) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, centroid_id FROM (
+       |    SELECT e.vec_id, c.centroid_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${l2FoldSql("e.emb", "c.cent")}, c.centroid_id) AS rn
+       |    FROM e, cents c WHERE e.vec_id < 10) WHERE rn <= 2),
+       |scored AS (
+       |  SELECT q.query_id, en.vec_id,
+       |         list_reduce(list(q.d ORDER BY q.chunk), (x, y) -> x + y) AS adist
+       |  FROM enc en
+       |  JOIN assign a ON en.vec_id = a.vec_id
+       |  JOIN probes p ON a.centroid_id = p.centroid_id
+       |  JOIN qd q ON q.query_id = p.query_id AND en.chunk = q.chunk AND en.code = q.code
+       |  WHERE en.vec_id <> p.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rnk, vec_id AS neighbor_id, round(adist, 6) AS adist
+       |FROM (SELECT query_id, vec_id, adist,
+       |             row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rnk
+       |      FROM scored)
+       |WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
 
   // ---- q38: rolling-hash document fingerprint --------------------------
 
@@ -1178,6 +1278,7 @@ object DataOps extends QueryModule {
     "q54_audio_decode" -> (audioDecode _),
     "q55_video_frames" -> (videoFrames _),
     "q60_pq_ann" -> (pqAnn _),
+    "q80_ivfpq_ann" -> (ivfPqAnn _),
     "q63_contamination" -> (contamination _),
     "q64_deterministic_sample" -> (deterministicSample _),
     "q65_stratified_sample" -> (stratifiedSample _),
@@ -1217,6 +1318,8 @@ object DataOps extends QueryModule {
     "q53_dedup_clusters" -> q53Oracle,
     "q54_audio_decode" -> q54Oracle,
     "q55_video_frames" -> q55Oracle,
+    "q60_pq_ann" -> q60Oracle,
+    "q80_ivfpq_ann" -> q80Oracle,
     "q63_contamination" -> q63Oracle,
     "q64_deterministic_sample" -> q64Oracle,
     "q65_stratified_sample" -> q65Oracle,
