@@ -27,6 +27,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed cache file per input stream — a
+  // temp-file create+delete for every payload, including every failed
+  // decode probe on non-image bytes (q29's totality path pays it for
+  // all rows). Payloads here are always in-memory byte arrays, so the
+  // memory cache is strictly better at any scale. Set once per JVM, at
+  // the object level so both ImageCodec and VideoCodec (which also
+  // calls createImageInputStream) see it regardless of init order.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** media row schema: payload + typed metadata (the pattern: keep bytes
     * opaque, type the envelope). */
   val mediaSchema: StructType = StructType(Seq(
