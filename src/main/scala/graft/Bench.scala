@@ -24,6 +24,14 @@ package graft
   *   otherwise make that pass look spuriously fast), so the single JSON
   *   line carries the ambient variance band (BASELINE.md documents ±20%
   *   machine noise) instead of just the best-case sum.
+  * - Load legibility (BASELINE.md's r4 lesson: this host's external load
+  *   is time-varying within single runs, so a sweep-level band can't
+  *   adjudicate a single query's regression): `pass_queries` records
+  *   EVERY per-query per-pass timing, `loadavg` the 1-min system load
+  *   sampled before warmup and before each timed pass, and a bounded
+  *   load gate (SPARK_GRAFT_LOAD_GATE=threshold:maxWaitSec, default
+  *   3.0:60) sleeps before a timed pass while load exceeds the
+  *   threshold — waits land in `gate_waits_sec`, never unbounded.
   */
 object Bench {
 
@@ -45,6 +53,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
 
     def runOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // Snapshot persistent RDD ids BEFORE the query so the inter-query
+      // cleanup below releases only blocks this query created — a frame
+      // intentionally cached across queries (none today) would survive.
+      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       // Several operators materialize a multi-branch frame once via
       // localCheckpoint and rely on GC + ContextCleaner to release the
@@ -62,15 +74,39 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       } finally
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+        }
+    }
+
+    def loadavg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+    // Bounded pre-pass load gate: threshold:maxWaitSec (gate off via
+    // SPARK_GRAFT_LOAD_GATE=off). Bounded so a persistently-loaded host
+    // delays the sweep by at most maxWait per pass instead of stalling
+    // the driver's budget.
+    val (gateThreshold, gateMaxWait) = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "3.0:60") match {
+      case "off" => (Double.MaxValue, 0)
+      case s => val Array(t, w) = s.split(':'); (t.toDouble, w.toInt)
+    }
+    def gate(): Double = {
+      val t0 = System.nanoTime()
+      while (loadavg() > gateThreshold && (System.nanoTime() - t0) / 1e9 < gateMaxWait)
+        Thread.sleep(5000)
+      (System.nanoTime() - t0) / 1e9
     }
 
     // Warmup: run everything once, untimed.
+    val loads = collection.mutable.ArrayBuffer(loadavg())
     queries.foreach { case (n, f) => runOne(n, f) }
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val gateWaits = collection.mutable.ArrayBuffer.empty[Double]
     val passResults: Seq[Seq[(String, Double)]] =
       (1 to passes).map { _ =>
+        gateWaits += gate()
+        loads += loadavg()
         queries.map { case (n, f) => n -> runOne(n, f) }
       }
     val timings: Map[String, Seq[Double]] =
@@ -95,6 +131,13 @@ object Bench {
     val passTotals = passResults
       .map(p => f"${p.collect { case (n, t) if everyPassOk(n) => t }.sum}%.3f")
       .mkString("[", ",", "]")
+    // Per-query per-pass record: the per-query variance band that lets a
+    // regression be adjudicated against ambient load without re-runs.
+    val passQueries = passResults
+      .map(_.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
+    val loadsJson = loads.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val gateJson = gateWaits.map(w => f"$w%.1f").mkString("[", ",", "]")
     val total = perQuery.map(_._2).filter(_ >= 0).sum
     // Streaming drains cancel in-flight jobs at their time/volume limit,
     // and Spark logs those cancellations as ERROR-level stack traces on
@@ -105,7 +148,7 @@ object Bench {
         s"noise from cancelled jobs, not query failures; ground truth is failed_count=${failed.size} " +
         "in the JSON line on stdout")
     // The single stdout JSON line the driver parses:
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"families":$familyTotals,"pass_totals":$passTotals,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"families":$familyTotals,"pass_totals":$passTotals,"pass_queries":$passQueries,"loadavg":$loadsJson,"gate_waits_sec":$gateJson,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
