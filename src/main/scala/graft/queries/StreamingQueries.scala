@@ -90,6 +90,115 @@ object StreamingQueries extends QueryModule {
   private val StreamShufflePartitions: String =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8")
 
+  /** Recursive scratch-dir delete with the walk stream CLOSED (an
+    * unclosed Files.walk leaks a directory handle per call). */
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val walk = java.nio.file.Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+      finally walk.close()
+    }
+
+  /** The events table staged as `nFiles` TIME-ORDERED parquet chunks
+    * (total order (ts, event_id), equal-count split, strictly increasing
+    * file modification times) and streamed ONE FILE PER MICRO-BATCH
+    * (`maxFilesPerTrigger=1` under AvailableNow). This is the 100×-scale
+    * execution shape: the watermark advances BETWEEN micro-batches
+    * (after batch i it is maxTs(files 0..i) − delay), so stateful
+    * operators genuinely evict / emit / hand state across batch
+    * boundaries instead of doing all the work in one batch. The chunk
+    * assignment is pure integer arithmetic both engines replicate:
+    * chunk = (rank0 · nFiles) div n over the (ts, event_id) order.
+    *
+    * Staged once per (dir, nFiles) per JVM — the single-partition
+    * row_number sort is harness staging for a ~100k-row local corpus,
+    * not an engine path (the engine's scalable global ordering is
+    * Packing.globalRowNumber's two-phase prefix sum).
+    */
+  private val chunkStaged = collection.mutable.Set.empty[(String, Int)]
+  private def eventsChunkedStream(s: SparkSession, dir: String, nFiles: Int): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stage = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"chunkstream_${nFiles}_$tag")
+    val raw = s.read.parquet(Paths.get(dir, "events.parquet").toString)
+    chunkStaged.synchronized {
+      if (!chunkStaged((dir, nFiles))) {
+        deleteRecursively(stage)
+        Files.createDirectories(stage)
+        val n = raw.count()
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+        val chunked = raw
+          .withColumn("__rn", row_number().over(w) - 1)
+          .withColumn("__f", expr(s"CAST((CAST(__rn AS BIGINT) * $nFiles) DIV ${n}L AS INT)"))
+          .localCheckpoint()
+        for (c <- 0 until nFiles) {
+          val tmp = stage.resolve(s"build_$c")
+          chunked.filter(col("__f") === c).drop("__rn", "__f")
+            .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val listing = Files.list(tmp)
+          val part =
+            try listing.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().orElseThrow()
+            finally listing.close()
+          val destFile = stage.resolve(f"chunk_$c%02d.parquet")
+          Files.move(part, destFile, StandardCopyOption.REPLACE_EXISTING)
+          deleteRecursively(tmp)
+          // distinct, increasing mtimes: the file source's batch order is
+          // modification-time order, so batch i == chunk i, deterministically
+          Files.setLastModifiedTime(destFile,
+            java.nio.file.attribute.FileTime.fromMillis(1600000000000L + c * 60000L))
+        }
+        chunked.unpersist(blocking = false)
+        chunkStaged += ((dir, nFiles))
+      }
+    }
+    s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1").parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Drain a chunked stream one micro-batch at a time, tagging every
+    * emitted row with the micro-batch id that produced it (`emit_batch`)
+    * — the cross-batch observability a memory-sink drain can't give: a
+    * green oracle over emit_batch FAILS if state is lost between
+    * batches or evicted at the wrong watermark. foreachBatch appends
+    * each batch's rows to a scratch parquet dir; payload rows stay on
+    * executors.
+    */
+  private def drainBatches(s: SparkSession, streamDf: DataFrame, mode: OutputMode): DataFrame = {
+    import java.nio.file.Paths
+    val out = Paths.get(sys.props("java.io.tmpdir"), "graft_work",
+      s"mb_out_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = streamDf.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          df.withColumn("emit_batch", lit(id)).write.mode("append").parquet(out.toString)
+          ()
+        }
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val res = s.read.parquet(out.toString).localCheckpoint(true)
+    deleteRecursively(out)
+    res
+  }
+
+  /** Shared DuckDB CTEs for the multi-batch oracles: the chunk
+    * assignment (same integer arithmetic as [[eventsChunkedStream]])
+    * and the cumulative per-chunk max event time `cmx` — the watermark
+    * BEFORE batch i+1 is `cmx(f=i) − delay`, so "emitted in batch b" is
+    * `b = min f+1 with cmx(f) ≥ end + delay` (the final no-data batch
+    * is f+1 = nFiles for whatever closes only under the last watermark).
+    */
+  private def mbCtes(nFiles: Int): String =
+    s"""ev AS (SELECT *, CAST(((row_number() OVER (ORDER BY ts, event_id) - 1) * $nFiles)
+       |        // (SELECT COUNT(*) FROM events) AS INT) AS f FROM events),
+       |fmax AS (SELECT f, max(ts) AS mx FROM ev GROUP BY f),
+       |wm AS (SELECT f, max(mx) OVER (ORDER BY f) AS cmx FROM fmax)""".stripMargin
+
   /** Run a streaming frame to completion into a memory sink, return the
     * collected result detached from the stream. */
   private def drain(s: SparkSession, streamDf: DataFrame, mode: OutputMode): DataFrame = {
@@ -430,9 +539,9 @@ object StreamingQueries extends QueryModule {
         try listing.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().orElseThrow()
         finally listing.close()
       Files.move(part, dups, StandardCopyOption.REPLACE_EXISTING)
-      // clean the scratch write dir so the stream dir holds exactly two files
-      Files.walk(tmp).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => { Files.deleteIfExists(f); () })
+      // clean the scratch write dir so the stream dir holds exactly two
+      // files (walk-stream closed inside the helper)
+      deleteRecursively(tmp)
     }
     val schema = s.read.parquet(dest.toString).schema
     s.readStream.schema(schema).parquet(stage.toString)
@@ -507,6 +616,152 @@ object StreamingQueries extends QueryModule {
       |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  // ---- q81–q84: multi-batch drains (state across batch boundaries) ----
+
+  /** q81: the q42 append-mode daily windows, but over the 5-chunk
+    * one-file-per-trigger stream — each window is emitted in the FIRST
+    * micro-batch whose start-of-batch watermark has passed its end, and
+    * the oracle pins that emission batch per window. A green row proves
+    * window state survives batch handoff, eviction fires at exactly the
+    * watermark (not earlier: counts would be partial; not later: the
+    * batch id would differ), and late-row handling never drops data in
+    * the time-ordered arrival order.
+    */
+  def mbWindowedAgg(s: SparkSession, dir: String): DataFrame = {
+    val windows = eventsChunkedStream(s, dir, 5)
+      .select(col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    drainBatches(s, windows, OutputMode.Append())
+      .select(col("emit_batch"), col("w.start").as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("emit_batch"), col("day"), col("event_type"))
+  }
+
+  private val q81Oracle: String =
+    s"""WITH ${mbCtes(5)},
+       |win AS (
+       |  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+       |    CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT CAST((SELECT min(f) + 1 FROM wm
+       |             WHERE cmx >= day + INTERVAL 1 DAY + INTERVAL 2 DAY) AS BIGINT) AS emit_batch,
+       |  day, event_type, n, sum_value
+       |FROM win
+       |WHERE emit_batch IS NOT NULL
+       |ORDER BY emit_batch, day, event_type""".stripMargin
+
+  /** q82: append-mode session windows over the chunked stream, emission
+    * batch pinned per (batch, user) — sessions whose fragments span a
+    * file boundary must MERGE in state before the watermark closes them
+    * (time-ordered arrival + 1 h delay ≫ 30 min gap makes
+    * emit-then-extend impossible, so the merged session is what emits).
+    */
+  def mbSessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val sessions = eventsChunkedStream(s, dir, 5)
+      .select(col("ts"), col("user_id"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    drainBatches(s, sessions, OutputMode.Append())
+      .groupBy(col("emit_batch"), col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy(col("emit_batch"), col("user_id"))
+  }
+
+  private val q82Oracle: String =
+    s"""WITH ${mbCtes(5)},
+       |x AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |y AS (
+       |  SELECT user_id, ts,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM x),
+       |sess AS (SELECT user_id, sid, COUNT(*) AS n, MAX(ts) AS last_ts
+       |         FROM y GROUP BY 1, 2),
+       |emitted AS (
+       |  SELECT user_id, n,
+       |    (SELECT min(f) + 1 FROM wm
+       |     WHERE cmx >= last_ts + INTERVAL 30 MINUTE + INTERVAL 1 HOUR) AS eb
+       |  FROM sess)
+       |SELECT CAST(eb AS BIGINT) AS emit_batch, user_id,
+       |  COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events
+       |FROM emitted WHERE eb IS NOT NULL
+       |GROUP BY 1, 2 ORDER BY emit_batch, user_id""".stripMargin
+
+  /** q83: the q33 custom per-user state machine over the chunked stream
+    * — update-mode emissions per batch expose the RUNNING state, so the
+    * oracle's per-(user, batch) cumulative aggregates fail if state is
+    * lost (counts reset) or double-applied (counts inflate) anywhere
+    * across the five batch handoffs.
+    */
+  def mbStatefulUserStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = eventsChunkedStream(s, dir, 5)
+      .select(col("user_id").cast("long").as("user"),
+        round(col("value") * 100).cast("long").as("cents"),
+        col("value"))
+      .as[(Long, Long, Double)]
+    val updated: Dataset[(Long, Long, Long, Double)] =
+      stream.groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[UserState]) =>
+            val prev = state.getOption.getOrElse(UserState(0L, 0L, Double.NegativeInfinity))
+            val next = rows.foldLeft(prev) { (acc, r) =>
+              UserState(acc.n + 1, acc.sumCents + r._2, math.max(acc.maxValue, r._3))
+            }
+            state.update(next)
+            (user, next.n, next.sumCents, next.maxValue)
+        }
+    drainBatches(s, updated.toDF("user_id", "n_events", "sum_cents", "max_value"),
+      OutputMode.Update())
+      .select(col("user_id"), col("emit_batch"), col("n_events"),
+        col("sum_cents"), col("max_value"))
+      .orderBy(col("user_id"), col("emit_batch"))
+  }
+
+  private val q83Oracle: String =
+    s"""WITH ${mbCtes(5)},
+       |per AS (
+       |  SELECT user_id, f, COUNT(*) AS n,
+       |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sc,
+       |    MAX(value) AS mv
+       |  FROM ev GROUP BY 1, 2)
+       |SELECT user_id, CAST(f AS BIGINT) AS emit_batch,
+       |  CAST(SUM(n) OVER u AS BIGINT) AS n_events,
+       |  CAST(SUM(sc) OVER u AS BIGINT) AS sum_cents,
+       |  MAX(mv) OVER u AS max_value
+       |FROM per WINDOW u AS (PARTITION BY user_id ORDER BY f)
+       |ORDER BY user_id, emit_batch""".stripMargin
+
+  /** q84: the q32 watermark-bounded dedup over the chunked stream — the
+    * delay exceeds the corpus span so nothing evicts mid-drain, and each
+    * key must be emitted EXACTLY ONCE, in the batch holding its earliest
+    * occurrence: a later re-emission (state lost between batches) lands
+    * in a higher emit_batch and breaks the oracle's per-batch key
+    * counts.
+    */
+  def mbStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsChunkedStream(s, dir, 5)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", "45 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    drainBatches(s, deduped, OutputMode.Append())
+      .groupBy(col("emit_batch"), col("event_type"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("emit_batch"), col("event_type"))
+  }
+
+  private val q84Oracle: String =
+    s"""WITH ${mbCtes(5)},
+       |k AS (SELECT user_id, event_type, MIN(f) AS fb FROM ev GROUP BY 1, 2)
+       |SELECT CAST(fb AS BIGINT) AS emit_batch, event_type, COUNT(*) AS n_keys
+       |FROM k GROUP BY 1, 2 ORDER BY emit_batch, event_type""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -520,7 +775,11 @@ object StreamingQueries extends QueryModule {
     "q48_stateful_v2" -> (statefulV2UserStats _),
     "q51_stream_join" -> (streamStreamJoin _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
-    "q75_incremental_dedup" -> (incrementalDedup _))
+    "q75_incremental_dedup" -> (incrementalDedup _),
+    "q81_mb_window" -> (mbWindowedAgg _),
+    "q82_mb_session" -> (mbSessionWindows _),
+    "q83_mb_state" -> (mbStatefulUserStats _),
+    "q84_mb_dedup" -> (mbStreamDedup _))
 
   val family: String = "streaming"
 
@@ -535,5 +794,9 @@ object StreamingQueries extends QueryModule {
     "q48_stateful_v2" -> q33Oracle,
     "q51_stream_join" -> q51Oracle,
     "q52_stream_enrich" -> q52Oracle,
-    "q75_incremental_dedup" -> q75Oracle)
+    "q75_incremental_dedup" -> q75Oracle,
+    "q81_mb_window" -> q81Oracle,
+    "q82_mb_session" -> q82Oracle,
+    "q83_mb_state" -> q83Oracle,
+    "q84_mb_dedup" -> q84Oracle)
 }
