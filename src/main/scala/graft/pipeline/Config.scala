@@ -82,10 +82,18 @@ sealed trait Compression extends Product with Serializable
 object Compression {
   case object Gzip extends Compression
   case object Lzo extends Compression
+
+  /** Splittable codec the reference lacks: Hadoop's built-in pure-Java
+    * bzip2. Fills indexed LZO's role (parallel re-reads of one object)
+    * with zero extra dependencies, and proves the [[Serializers]] seam
+    * with a second REAL codec next to the fake SerializersSpec drives. */
+  case object Bzip2 extends Compression
+
   def parse(s: String): Either[String, Compression] = s.toLowerCase match {
-    case "gzip" => Right(Gzip)
-    case "lzo"  => Right(Lzo)
-    case other  => Left(s"Cannot parse '$other' into supported compression (GZIP, LZO)")
+    case "gzip"  => Right(Gzip)
+    case "lzo"   => Right(Lzo)
+    case "bzip2" => Right(Bzip2)
+    case other   => Left(s"Cannot parse '$other' into supported compression (GZIP, LZO, BZIP2)")
   }
 }
 

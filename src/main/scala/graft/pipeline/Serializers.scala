@@ -30,7 +30,11 @@ object Serializers {
     postCommit: Option[(org.apache.hadoop.conf.Configuration, org.apache.hadoop.fs.Path) => Unit] = None)
 
   private val registry = TrieMap[Compression, Codec](
-    Compression.Gzip -> Codec("gzip", ".gz"))
+    Compression.Gzip -> Codec("gzip", ".gz"),
+    // Hadoop's built-in pure-Java bzip2 — SPLITTABLE like indexed LZO
+    // (a 100 TB re-read parallelizes over blocks of one object without
+    // a sidecar index), and a second real codec through this registry.
+    Compression.Bzip2 -> Codec("bzip2", ".bz2"))
 
   /** Register (or replace) the codec for a compression mode. */
   def register(compression: Compression, codec: Codec): Unit =

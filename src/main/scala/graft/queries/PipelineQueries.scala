@@ -118,8 +118,21 @@ object PipelineQueries extends QueryModule {
   def scalableNaming(s: SparkSession, dir: String): DataFrame =
     roundtrip(s, dir, q = "q68", exactNaming = false)
 
+  /** q85: q17's exact pipeline but through the SECOND real codec in the
+    * Serializers registry — Hadoop's built-in splittable bzip2. Sharing
+    * q17's oracle pins that the registry seam (codec value, extension,
+    * read-back) carries a non-gzip codec end-to-end: `.bz2` objects
+    * land under the decorated layout and decompress to byte-identical
+    * content. This is the offline proof of the LZO plug-in path
+    * (reference S3Loader.scala:41-44 codec selection) with a codec that
+    * shares indexed LZO's defining property, block-splittable re-reads.
+    */
+  def bzip2Roundtrip(s: SparkSession, dir: String): DataFrame =
+    roundtrip(s, dir, q = "q85", exactNaming = true, compression = Compression.Bzip2)
+
   private def roundtrip(s: SparkSession, dir: String, q: String,
-                        exactNaming: Boolean): DataFrame = {
+                        exactNaming: Boolean,
+                        compression: Compression = Compression.Gzip): DataFrame = {
     val work = freshWorkDir(q, dir)
     val in = s"$work/in"
     val out = s"$work/out"
@@ -135,7 +148,7 @@ object PipelineQueries extends QueryModule {
       input = InputConfig(s"graft-$q", in, InitialPosition.TrimHorizon, maxRecords = 64),
       output = OutputConfig(
         S3OutputConfig(out, dateFormat = Some("{yyyy}/{MM}"), filenamePrefix = Some("graft"),
-          compression = Compression.Gzip, maxTimeout = 10000),
+          compression = compression, maxTimeout = 10000),
         BadOutputConfig(s"$work/bad")),
       // byteLimit sized above the staged input (≈10 MB at sf0.1) so the
       // AvailableNow drain stays one flush, like the old files-based
@@ -311,7 +324,8 @@ object PipelineQueries extends QueryModule {
     "q19_enriched_meta" -> (enrichedMeta _),
     "q20_badrows" -> (badRows _),
     "q50_enriched_schema" -> (enrichedSchema _),
-    "q68_scalable_naming" -> (scalableNaming _))
+    "q68_scalable_naming" -> (scalableNaming _),
+    "q85_bzip2_roundtrip" -> (bzip2Roundtrip _))
 
   val family: String = "pipeline"
 
@@ -321,5 +335,6 @@ object PipelineQueries extends QueryModule {
     "q19_enriched_meta" -> q19Oracle,
     "q20_badrows" -> q20Oracle,
     "q50_enriched_schema" -> q50Oracle,
-    "q68_scalable_naming" -> q17Oracle)
+    "q68_scalable_naming" -> q17Oracle,
+    "q85_bzip2_roundtrip" -> q17Oracle)
 }
