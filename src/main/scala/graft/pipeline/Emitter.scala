@@ -182,33 +182,62 @@ object Emitter {
     // split (KinesisS3Emitter.scala:208-220,226-244).
     val root = new Path(PipelinePaths.stripScheme(s3.path))
 
+    // Plan the rename fan-out on the driver (pure metadata: names are a
+    // function of listing order + seq range), then EXECUTE the per-file
+    // mkdirs/delete/rename/postCommit on executors when the batch has
+    // many part files — at 100× with exactNaming=false this loop is
+    // otherwise the per-batch serial section. Small batches stay on the
+    // driver: a Spark job costs more than a handful of local FS ops.
     val dirs = fs.listStatus(stagingPath).filter(_.isDirectory)
-    val out = scala.collection.mutable.ListBuffer.empty[String]
-    dirs.foreach { d =>
+    val moves: Seq[(String, String)] = dirs.toSeq.flatMap { d =>
       val dirName = d.getPath.getName // row_type=<escaped value>
       val value = unescapePartitionValue(dirName.stripPrefix("row_type="))
       val partition = if (value == RowTypes.UnpartitionedName) None else Some(value)
       val parts = fs.listStatus(d.getPath)
         .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
         .sortBy(_.getPath.getName)
-      parts.zipWithIndex.foreach { case (f, i) =>
+      parts.zipWithIndex.map { case (f, i) =>
         val key = DynamicPath.relativeKey(s3, firstSeq, lastSeq, partition, now)
         val suffix = if (parts.length > 1) f"-part$i%05d" else ""
         val decorated = DynamicPath.decorateDirectoryWithTime(s"$key$suffix${codec.extension}", now)
-        val dest = new Path(root, decorated)
-        fs.mkdirs(dest.getParent)
-        if (fs.exists(dest)) fs.delete(dest, false) // idempotent batch retry
-        fs.rename(f.getPath, dest)
-        codec.postCommit.foreach(hook => hook(conf, dest))
-        out += dest.toString
+        (f.getPath.toString, new Path(root, decorated).toString)
       }
+    }
+
+    // Serializes only the hook + conf into the executor closure; a
+    // user-registered postCommit that fans out must therefore be
+    // serializable (the built-in codecs' hooks are None).
+    val hook = codec.postCommit
+    def moveOne(c: org.apache.hadoop.conf.Configuration)(srcS: String, destS: String): Unit = {
+      val src = new Path(srcS)
+      val dest = new Path(destS)
+      val f = dest.getFileSystem(c)
+      f.mkdirs(dest.getParent)
+      if (f.exists(dest)) f.delete(dest, false) // idempotent batch retry
+      f.rename(src, dest)
+      hook.foreach(h => h(c, dest))
+    }
+
+    val FanOutThreshold = 16
+    if (moves.length <= FanOutThreshold)
+      moves.foreach { case (s, d) => moveOne(conf)(s, d) }
+    else {
+      val confBc = spark.sparkContext.broadcast(
+        new org.apache.spark.SerializableWritable(conf))
+      try
+        spark.sparkContext
+          .parallelize(moves, math.min(moves.length, spark.sparkContext.defaultParallelism))
+          .foreachPartition { it =>
+            it.foreach { case (s, d) => moveOne(confBc.value.value)(s, d) }
+          }
+      finally confBc.destroy()
     }
     fs.delete(stagingPath, true)
     // Clean empty _staging parent if this was the last batch dir.
     val stagingParent = stagingPath.getParent
     if (fs.exists(stagingParent) && fs.listStatus(stagingParent).isEmpty)
       fs.delete(stagingParent, true)
-    out.toSeq
+    moves.map(_._2)
   }
 
   /** Spark escapes partition values in dir names (e.g. '/' → '%2F'). */

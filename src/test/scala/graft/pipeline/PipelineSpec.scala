@@ -127,6 +127,31 @@ class PipelineSpec extends SparkSpec {
         assert(contents.sorted.toSeq == lines.sorted)
       }
     }
+
+    it("a many-part-file batch commits through the executor-side rename fan-out") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        import spark.implicits._
+        val lines = (1 to 240).map(i => s"$i\tapp\tweb\t2020-11-26 00:01:05\tu$i")
+        // a 24-partition batch frame stages 24 part files > the
+        // emitter's 16-file driver threshold → the commit's
+        // mkdirs/delete/rename runs distributed (the 100× path);
+        // content and naming contract must be unchanged
+        val df = lines.toDF("value").repartition(24)
+          .withColumn("seq", split(col("value"), "\t").getItem(0).cast("long"))
+          .withColumn("error", lit(null).cast("array<string>"))
+        val result = Emitter.emitBatch(df, config(work, Purpose.Raw, dateFormat = None),
+          batchId = 0, now = Instant.parse("2021-04-30T12:00:00Z"), exactNaming = false)
+        assert(result.count == 240)
+        assert(result.files.size == 24)
+
+        val files = listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+        assert(files.size == 24)
+        assert(files.forall(_.getName.matches("pre-2021-04-30-120000-.*-part\\d{5}\\.gz")))
+        val contents = files.flatMap(f => s"gunzip -c ${f.getAbsolutePath}".!!.split("\n", -1).dropRight(1))
+        assert(contents.sorted.toSeq == lines.sorted)
+      }
+    }
   }
 
   describe("FileSource initial position") {
