@@ -1134,6 +1134,45 @@ object DataOps extends QueryModule {
        |SELECT component, COUNT(*) AS n_members
        |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q86: deep-diameter clusters via star contraction ----------------
+
+  /** Connected components on a HIGH-DIAMETER graph — 200-hop chains of
+    * consecutive doc ids — via [[Dedup.connectedComponentsStar]]'s
+    * alternating star contraction. Min-label propagation would need
+    * ~200 shuffle rounds here (its default maxIter=20 throws); star
+    * contraction converges in ~log² rounds. The oracle recomputes the
+    * same components with a recursive-CTE transitive closure, so a
+    * green row pins the contraction's labels on exactly the graph
+    * shape the diameter-bound variant cannot handle.
+    */
+  def dedupClustersDeep(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"))
+    val pairs = d.filter(col("doc_id") % 200 =!= 199)
+      .select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      .join(d.select(col("doc_id").as("doc_b")), "doc_b") // endpoint must exist
+    Dedup.connectedComponentsStar(pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("component"))
+  }
+
+  private val q86Oracle: String =
+    """WITH d AS (SELECT doc_id FROM documents),
+      |e0 AS (SELECT a.doc_id AS u, a.doc_id + 1 AS v
+      |       FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+      |       WHERE a.doc_id % 200 <> 199),
+      |nodes AS (SELECT u AS n FROM e0 UNION SELECT v FROM e0),
+      |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+      |reach AS (
+      |  WITH RECURSIVE r(src, dst) AS (
+      |    SELECT n, n FROM nodes
+      |    UNION
+      |    SELECT r.src, e.v FROM r JOIN edges e ON e.u = r.dst)
+      |  SELECT * FROM r),
+      |cc AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY 1)
+      |SELECT component, COUNT(*) AS n_members
+      |FROM cc GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q77: quality-aware cluster purge --------------------------------
 
   /** [[Dedup.purgeNearDupsBy]] end-to-end: q22's near-dup pairs →
@@ -1275,6 +1314,7 @@ object DataOps extends QueryModule {
     "q46_simhash_neardup" -> (simhashNearDup _),
     "q49_salted_join" -> (saltedUserJoin _),
     "q53_dedup_clusters" -> (dedupClusters _),
+    "q86_deep_clusters" -> (dedupClustersDeep _),
     "q54_audio_decode" -> (audioDecode _),
     "q55_video_frames" -> (videoFrames _),
     "q60_pq_ann" -> (pqAnn _),
@@ -1316,6 +1356,7 @@ object DataOps extends QueryModule {
     "q46_simhash_neardup" -> q46Oracle,
     "q49_salted_join" -> q49Oracle,
     "q53_dedup_clusters" -> q53Oracle,
+    "q86_deep_clusters" -> q86Oracle,
     "q54_audio_decode" -> q54Oracle,
     "q55_video_frames" -> q55Oracle,
     "q60_pq_ann" -> q60Oracle,

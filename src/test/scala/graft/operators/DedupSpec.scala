@@ -156,6 +156,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.connectedComponentsStar") {
+    it("matches label propagation on chains, islands, self-pairs and singleton contracts") {
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+        .toDF("doc_a", "doc_b")
+      val star = Dedup.connectedComponentsStar(pairs)
+        .select("doc_id", "component").as[(Long, Long)].collect().toMap
+      val prop = Dedup.connectedComponents(pairs)
+        .select("doc_id", "component").as[(Long, Long)].collect().toMap
+      assert(star == prop)
+      assert(star(20L) == 20L) // self-paired singleton labels itself
+    }
+
+    it("converges on a 200-hop chain within the logarithmic round budget") {
+      // diameter 200 ≫ label propagation's default maxIter=20 — the
+      // graph shape this variant exists for; maxIter=15 bounds the
+      // round count at ~log² scale (15 rounds would NOT converge under
+      // diameter-bound propagation, which needs 200)
+      val pairs = (1L to 200L).map(i => (i - 1, i)).toDF("doc_a", "doc_b")
+      val cc = Dedup.connectedComponentsStar(pairs, maxIter = 15)
+        .select("doc_id", "component").as[(Long, Long)].collect().toMap
+      assert(cc.size == 201)
+      assert(cc.values.toSet == Set(0L))
+    }
+
+    it("fails loudly instead of returning un-converged labels") {
+      val pairs = (1L to 200L).map(i => (i - 1, i)).toDF("doc_a", "doc_b")
+      val e = intercept[IllegalStateException] {
+        Dedup.connectedComponentsStar(pairs, maxIter = 1).collect()
+      }
+      assert(e.getMessage.contains("did not converge"))
+    }
+  }
+
   describe("Dedup.contaminationPairs") {
     it("flags cross-corpus shingle overlap above the threshold, bipartite only") {
       val train = Seq(
