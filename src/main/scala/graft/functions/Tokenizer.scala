@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Pluggable tokenizer seam for every token-budget operator (sequence
+  * packing, chunking, vocab/OOV, token stats): budgets in a real
+  * training-data pipeline are TOKENIZER tokens (BPE/WordPiece), not
+  * whitespace words, but whitespace is the oracle-checkable default the
+  * driver pins. Operators take token counts/arrays as plain `Column`s,
+  * so any `Tokenizer` threads through them unchanged —
+  * `Packing.packOffsets(df, id, tok = myTokenizer.count(col("text")), …)`.
+  *
+  * Both implementations are pure column expressions (codegen'd, no
+  * UDFs, no driver round-trips), so they run inside whole-stage codegen
+  * next to the operators that consume them.
+  */
+trait Tokenizer extends Serializable {
+  /** `array<string>` of tokens for a text column. */
+  def tokenize(text: Column): Column
+  /** Token count — the budget unit packing/chunking consume. */
+  def count(text: Column): Column = size(tokenize(text))
+}
+
+object Tokenizer {
+
+  /** Whitespace words — [[TextFns.tokens]], the driver-oracle default
+    * (`string_split(text, ' ')` on the DuckDB side). */
+  case object Whitespace extends Tokenizer {
+    override def tokenize(text: Column): Column = TextFns.tokens(text)
+  }
+
+  /** Greedy longest-match subword segmentation over a fixed vocabulary
+    * — the WordPiece/BPE-inference shape: pre-split on whitespace, then
+    * repeatedly take the longest vocabulary piece prefixing the
+    * remaining word; a character with no covering piece falls back to
+    * itself (char-level totality, so segmentation never fails and the
+    * piece stream always reassembles the word exactly).
+    *
+    * The vocabulary ships as a LITERAL array inside the expression
+    * (sorted longest-first so the first prefix hit IS the longest
+    * match) — the broadcast-lookup shape at kilobyte vocab sizes; each
+    * fold step scans the piece list, so keep `vocab` ≲ 10³ pieces. A
+    * production 32k-piece vocab swaps in a trie-backed custom
+    * `Expression` behind this same trait without touching any operator.
+    */
+  final case class LongestMatch(vocab: Seq[String]) extends Tokenizer {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    require(vocab.forall(_.nonEmpty), "vocab pieces must be non-empty")
+    private val sorted = vocab.distinct.sortBy(p => (-p.length, p))
+
+    override def tokenize(text: Column): Column = {
+      val pieces = array(sorted.map(lit): _*)
+      flatten(transform(TextFns.tokens(text), w =>
+        aggregate(
+          // each step consumes ≥ 1 char, so |word| steps always finish
+          sequence(lit(1), greatest(length(w), lit(1))),
+          struct(lit(1).as("pos"), array().cast("array<string>").as("out")),
+          (st, _) => {
+            val pos = st.getField("pos")
+            val out = st.getField("out")
+            // try_element_at: no hit → null → char fallback (ANSI-safe)
+            val hits = filter(pieces, p => w.substr(pos, length(p)) === p)
+            val best = coalesce(try_element_at(hits, lit(1)), w.substr(pos, lit(1)))
+            when(pos > length(w), st)
+              .otherwise(struct((pos + length(best)).as("pos"),
+                concat(out, array(best)).as("out")))
+          },
+          st => st.getField("out"))))
+    }
+  }
+}

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The tokenizer seam: whitespace default ≡ TextFns.tokens (the oracle
+  * contract), and the greedy longest-match subword tokenizer segments
+  * against a non-trivial vocabulary with char-level fallback — then
+  * threads through the packing/chunking budget parameters unchanged.
+  */
+class TokenizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  describe("Tokenizer.Whitespace") {
+    it("is exactly TextFns.tokens — the driver-oracle default") {
+      val df = Seq("a b c", "single", "x y").toDF("text")
+      val got = df.select(
+        Tokenizer.Whitespace.tokenize(col("text")).as("a"),
+        TextFns.tokens(col("text")).as("b"))
+        .filter(not(col("a") === col("b")))
+      assert(got.isEmpty)
+    }
+  }
+
+  describe("Tokenizer.LongestMatch") {
+    val vocab = Seq("un", "relate", "related", "ed", "token", "iz", "at", "ation", "s")
+    val bpe = Tokenizer.LongestMatch(vocab)
+
+    it("segments each word greedily by LONGEST vocabulary piece") {
+      val got = Seq("unrelated tokenizations").toDF("text")
+        .select(bpe.tokenize(col("text")).as("t")).as[Seq[String]].head()
+      // "unrelated" → un + related (longest, not relate+ed);
+      // "tokenizations" → token + iz + ation + s
+      assert(got == Seq("un", "related", "token", "iz", "ation", "s"))
+    }
+
+    it("falls back to single characters for uncovered spans (totality)") {
+      val got = Seq("unqxu").toDF("text")
+        .select(bpe.tokenize(col("text")).as("t")).as[Seq[String]].head()
+      assert(got == Seq("un", "q", "x", "u"))
+    }
+
+    it("pieces always reassemble the word exactly") {
+      val words = Seq("unrelated", "tokenization", "zzz", "united", "a")
+      val got = words.toDF("text")
+        .select(col("text"), array_join(bpe.tokenize(col("text")), "").as("joined"))
+        .filter(col("text") =!= col("joined"))
+      assert(got.isEmpty)
+    }
+
+    it("threads through packOffsets as the budget unit") {
+      // piece counts: "unrelated"=2, "unq"=2 (un+q), "ed ed"=2
+      val df = Seq((1L, "unrelated"), (2L, "unq"), (3L, "ed ed")).toDF("id", "text")
+      val packed = graft.operators.Packing
+        .packOffsets(df, col("id"), bpe.count(col("text")), budget = 3L)
+        .select("pack_id", "n_tok", "start_off", "end_off", "first_seq", "last_seq")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(packed.toSeq == Seq(
+        (1L, 2L, 0L, 2L, 0L, 0L),
+        (2L, 2L, 2L, 4L, 0L, 1L), // crosses the 3-token cut → split
+        (3L, 2L, 4L, 6L, 1L, 1L)))
+    }
+
+    it("threads through chunking windows as the budget unit") {
+      // "unrelated tokenizations" = 6 pieces; window 4 stride 2 →
+      // starts 0,2,4 with lengths 4,4,2
+      val got = graft.operators.Chunking
+        .slidingWindows(Seq((7L, "unrelated tokenizations")).toDF("id", "text"),
+          col("id"), col("text"), window = 4, stride = 2, tokenizer = bpe)
+        .select("chunk_idx", "start_tok", "n_tok", "chunk")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+      assert(got.toSeq == Seq(
+        (0L, 0L, 4L, "un related token iz"),
+        (1L, 2L, 4L, "token iz ation s"),
+        (2L, 4L, 2L, "ation s")))
+    }
+  }
+}
