@@ -120,6 +120,10 @@ object Packing {
     val reserved = df.columns.filter(_.startsWith("__gr_"))
     require(reserved.isEmpty,
       s"input frame already has reserved __gr_* working columns (${reserved.mkString(", ")}) — rename them first")
+    // withColumn would silently OVERWRITE an existing column of the
+    // same name (e.g. an input that already carries `pos`)
+    require(!df.columns.contains(posName),
+      s"input frame already has a column named '$posName' — pass a different posName")
     val tagged = bucketExpr match {
       case Some(b) =>
         df.withColumn("__gr_ord", order).withColumn("__gr_bucket", b.cast("long"))

@@ -35,6 +35,12 @@ object Redaction {
   /** `df` plus `redacted` (fully scrubbed text) and one `n_<rule>` hit
     * count per rule. */
   def scrub(df: DataFrame, text: Column, rules: Seq[Rule] = DefaultRules): DataFrame = {
+    // select(col("*"), …) would emit DUPLICATE columns if the input
+    // already carries any output name — ambiguous downstream references
+    val taken = df.columns.toSet
+    val clashes = ("redacted" +: rules.map(r => s"n_${r.name}")).filter(taken)
+    require(clashes.isEmpty,
+      s"input frame already has output column(s) ${clashes.mkString(", ")} — rename them first")
     val (redacted, counts) = rules.foldLeft((text, Seq.empty[Column])) {
       case ((t, cs), r) =>
         val hits = size(regexp_extract_all(t, lit(r.pattern), lit(0)))

@@ -31,12 +31,20 @@ object Vocab {
                      minDocFrac: Double): DataFrame = {
     require(minDocFrac > 0.0 && minDocFrac <= 1.0,
       s"minDocFrac must be in (0,1], got $minDocFrac")
-    val nDocs = df.count()
+    // n_docs computed IN-PLAN (one-row aggregate cross-joined onto the
+    // token counts — a broadcast of a single row): no eager driver
+    // action at call time, and both the threshold and the df counts
+    // evaluate inside ONE job/plan instead of an earlier count() job
+    // that a non-deterministic input frame could contradict. The input
+    // is still scanned twice (column-pruned to `id` for the count).
+    val nDocs = df.select(id.as("doc_id")).agg(count(lit(1)).as("__n_docs"))
     df.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") >= lit(minDocFrac) * lit(nDocs))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= lit(minDocFrac) * col("__n_docs"))
+      .drop("__n_docs")
   }
 
   /** Per-document OOV stats against `vocab` (a `tok` column, e.g. from

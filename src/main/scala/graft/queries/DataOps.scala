@@ -844,7 +844,14 @@ object DataOps extends QueryModule {
       docs(s, dir), col("doc_id"), size(TextFns.tokens(col("text"))),
       budget = PackBudget)
 
-  private val packOracleCtes: String =
+  private val packOracleCtes: String = {
+    // mirrors packOffsets' zero-token anchor rule: an n_tok=0 doc
+    // (start_off == end_off) anchors at start_off-1 clamped to 0, so a
+    // doc sitting exactly on a cut attaches to the PRECEDING sequence.
+    // Untriggerable on this corpus (split(text,' ') never yields an
+    // empty array) but mirrored anyway so operator and oracle cannot
+    // silently disagree on a future zero-token input.
+    val anchor = "CASE WHEN n_tok = 0 THEN GREATEST(end_off - 1, 0) ELSE end_off - n_tok END"
     s"""t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
        |       FROM documents),
        |c AS (SELECT doc_id AS pack_id, n_tok,
@@ -852,10 +859,11 @@ object DataOps extends QueryModule {
        |             AS BIGINT) AS end_off
        |      FROM t),
        |o AS (SELECT pack_id, n_tok, end_off - n_tok AS start_off, end_off,
-       |        CAST(FLOOR((end_off - n_tok) / $PackBudget) AS BIGINT) AS first_seq,
-       |        GREATEST(CAST(FLOOR((end_off - n_tok) / $PackBudget) AS BIGINT),
+       |        CAST(FLOOR(($anchor) / $PackBudget) AS BIGINT) AS first_seq,
+       |        GREATEST(CAST(FLOOR(($anchor) / $PackBudget) AS BIGINT),
        |                 CAST(FLOOR((end_off - 1) / $PackBudget) AS BIGINT)) AS last_seq
        |      FROM c)""".stripMargin
+  }
 
   private val q69Oracle: String =
     s"""WITH $packOracleCtes

@@ -88,6 +88,14 @@ class PackingSpec extends SparkSpec {
       assert(e.getMessage.contains("__gr_ord"))
     }
 
+    it("rejects an input frame already carrying the output posName") {
+      val df = Seq((1L, 9L)).toDF("id", "pos")
+      val e = intercept[IllegalArgumentException] {
+        Packing.globalRowNumber(df, col("id"))
+      }
+      assert(e.getMessage.contains("'pos'"))
+    }
+
     it("deterministicShuffle is a partitioning-invariant permutation in seeded-hash order") {
       val rows = (1L to 80L).map(i => (i, s"doc-$i"))
       def positions(parts: Int): Seq[(Long, Long)] =

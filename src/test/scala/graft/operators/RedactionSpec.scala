@@ -35,5 +35,13 @@ class RedactionSpec extends SparkSpec {
       assert((e, u, n) == ((0L, 0L, 0L)))
       assert(red == "call 1234567 rooms at the plaza")
     }
+
+    it("rejects an input frame already carrying an output column name") {
+      val df = Seq(("x", 1L)).toDF("text", "n_email")
+      val e = intercept[IllegalArgumentException] {
+        Redaction.scrub(df, col("text"))
+      }
+      assert(e.getMessage.contains("n_email"))
+    }
   }
 }
