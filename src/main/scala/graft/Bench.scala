@@ -88,7 +88,17 @@ object Bench {
     // the driver's budget.
     val (gateThreshold, gateMaxWait) = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "3.0:60") match {
       case "off" => (Double.MaxValue, 0)
-      case s => val Array(t, w) = s.split(':'); (t.toDouble, w.toInt)
+      case s =>
+        // fail FAST and CLEARLY on a malformed knob — an obscure
+        // MatchError after session spin-up would lose the whole run
+        try s.split(':') match {
+          case Array(t)    => (t.toDouble, 60)
+          case Array(t, w) => (t.toDouble, w.toInt)
+          case _           => throw new NumberFormatException(s)
+        } catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_LOAD_GATE must be 'off', '<threshold>', or '<threshold>:<maxWaitSec>', got '$s'")
+        }
     }
     def gate(): Double = {
       val t0 = System.nanoTime()

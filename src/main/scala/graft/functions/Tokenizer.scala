@@ -43,15 +43,24 @@ object Tokenizer {
     * fold step scans the piece list, so keep `vocab` ≲ 10³ pieces. A
     * production 32k-piece vocab swaps in a trie-backed custom
     * `Expression` behind this same trait without touching any operator.
+    *
+    * Segmentation work is O(|word|·|vocab|) per word, so words longer
+    * than `maxWordChars` (default 100 — WordPiece's own cap) skip the
+    * fold and pass through as ONE piece: a single MB-sized
+    * whitespace-free blob (base64, minified JS) must not cost 10⁹
+    * string ops or a giant intermediate struct per row. Reassembly
+    * stays exact either way.
     */
-  final case class LongestMatch(vocab: Seq[String]) extends Tokenizer {
+  final case class LongestMatch(vocab: Seq[String], maxWordChars: Int = 100) extends Tokenizer {
     require(vocab.nonEmpty, "vocab must not be empty")
     require(vocab.forall(_.nonEmpty), "vocab pieces must be non-empty")
+    require(maxWordChars >= 1, s"maxWordChars must be >= 1, got $maxWordChars")
     private val sorted = vocab.distinct.sortBy(p => (-p.length, p))
 
     override def tokenize(text: Column): Column = {
       val pieces = array(sorted.map(lit): _*)
       flatten(transform(TextFns.tokens(text), w =>
+        when(length(w) > maxWordChars, array(w)).otherwise(
         aggregate(
           // each step consumes ≥ 1 char, so |word| steps always finish
           sequence(lit(1), greatest(length(w), lit(1))),
@@ -66,7 +75,7 @@ object Tokenizer {
               .otherwise(struct((pos + length(best)).as("pos"),
                 concat(out, array(best)).as("out")))
           },
-          st => st.getField("out"))))
+          st => st.getField("out")))))
     }
   }
 }

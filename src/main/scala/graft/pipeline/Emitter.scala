@@ -206,15 +206,28 @@ object Emitter {
 
     // Serializes only the hook + conf into the executor closure; a
     // user-registered postCommit that fans out must therefore be
-    // serializable (the built-in codecs' hooks are None).
+    // serializable AND idempotent (it re-runs on task retry — the
+    // built-in codecs' hooks are None).
     val hook = codec.postCommit
     def moveOne(c: org.apache.hadoop.conf.Configuration)(srcS: String, destS: String): Unit = {
       val src = new Path(srcS)
       val dest = new Path(destS)
       val f = dest.getFileSystem(c)
+      // TASK-RETRY idempotence (the executor path re-executes on retry
+      // or speculation, unlike the old driver-sequential loop): a prior
+      // attempt that already moved src → dest must be a no-op, NOT a
+      // delete-then-failed-rename that destroys the committed object.
+      if (!f.exists(src)) {
+        if (f.exists(dest)) { hook.foreach(h => h(c, dest)); return }
+        throw new java.io.IOException(
+          s"staged file $srcS is gone and $destS does not exist — commit state lost")
+      }
       f.mkdirs(dest.getParent)
       if (f.exists(dest)) f.delete(dest, false) // idempotent batch retry
-      f.rename(src, dest)
+      if (!f.rename(src, dest))
+        // rename reports failure as `false`, not an exception — surface
+        // it so the batch-level retry/maxTimeout budget actually fires
+        throw new java.io.IOException(s"rename $srcS -> $destS failed")
       hook.foreach(h => h(c, dest))
     }
 

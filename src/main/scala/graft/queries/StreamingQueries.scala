@@ -181,7 +181,17 @@ object StreamingQueries extends QueryModule {
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    val res = s.read.parquet(out.toString).localCheckpoint(true)
+    // zero emitted rows (legitimate: e.g. no window ever closes) never
+    // creates the output dir — that is an EMPTY result, not an error
+    val res =
+      if (java.nio.file.Files.exists(out))
+        s.read.parquet(out.toString).localCheckpoint(true)
+      else {
+        val schema = org.apache.spark.sql.types.StructType(
+          streamDf.schema :+ org.apache.spark.sql.types.StructField(
+            "emit_batch", org.apache.spark.sql.types.LongType, nullable = false))
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
     deleteRecursively(out)
     res
   }

@@ -41,6 +41,14 @@ class TokenizerSpec extends SparkSpec {
       assert(got == Seq("un", "q", "x", "u"))
     }
 
+    it("words past maxWordChars bypass segmentation as one piece (cost cap)") {
+      val capped = Tokenizer.LongestMatch(vocab, maxWordChars = 8)
+      val got = Seq("unrelated un").toDF("text")
+        .select(capped.tokenize(col("text")).as("t")).as[Seq[String]].head()
+      // "unrelated" is 9 chars > 8 → passes through whole; "un" segments
+      assert(got == Seq("unrelated", "un"))
+    }
+
     it("pieces always reassemble the word exactly") {
       val words = Seq("unrelated", "tokenization", "zzz", "united", "a")
       val got = words.toDF("text")
