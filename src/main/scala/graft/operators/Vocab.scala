@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextFns
+import graft.functions.Tokenizer
 
 /** Corpus vocabulary + out-of-vocabulary scoring — the OOV quality gate
   * of a training pipeline: build the token vocabulary by DOCUMENT
@@ -28,7 +28,8 @@ object Vocab {
     * doesn't vote). Returns `tok, df`.
     */
   def buildByDocFreq(df: DataFrame, id: Column, text: Column,
-                     minDocFrac: Double): DataFrame = {
+                     minDocFrac: Double,
+                     tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     require(minDocFrac > 0.0 && minDocFrac <= 1.0,
       s"minDocFrac must be in (0,1], got $minDocFrac")
     // n_docs computed IN-PLAN (one-row aggregate cross-joined onto the
@@ -38,7 +39,7 @@ object Vocab {
     // that a non-deterministic input frame could contradict. The input
     // is still scanned twice (column-pruned to `id` for the count).
     val nDocs = df.select(id.as("doc_id")).agg(count(lit(1)).as("__n_docs"))
-    df.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
+    df.select(id.as("doc_id"), tokenizer.tokenize(text).as("toks"))
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
@@ -52,9 +53,10 @@ object Vocab {
     * over token OCCURRENCES (a doc repeating one junk token scores as
     * junky as it reads). */
   def oovStats(df: DataFrame, id: Column, text: Column,
-               vocab: DataFrame): DataFrame = {
+               vocab: DataFrame,
+               tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
     val marked = vocab.select(col("tok"), lit(1).as("__in_vocab"))
-    df.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
+    df.select(id.as("doc_id"), tokenizer.tokenize(text).as("toks"))
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .join(broadcast(marked), Seq("tok"), "left")
       .groupBy(col("doc_id"))
