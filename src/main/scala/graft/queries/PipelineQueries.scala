@@ -130,6 +130,69 @@ object PipelineQueries extends QueryModule {
   def bzip2Roundtrip(s: SparkSession, dir: String): DataFrame =
     roundtrip(s, dir, q = "q85", exactNaming = true, compression = Compression.Bzip2)
 
+  /** q87: the Kinesis-shaped transport contract, driver-checked across
+    * MULTIPLE fetch cycles: 2 000 events (lowest ids — deterministic)
+    * spread over 4 shards with per-shard monotone sequence numbers,
+    * drained through [[ShardedSource]] at `maxRecords = 100` per shard
+    * per GetRecords cycle. Each micro-batch is exactly one cycle and
+    * flushes one object named with the cycle's union seq range, so
+    * parsing `first-last` back out of the emitted object NAMES and
+    * counting each object's lines reconstructs the entire cycle
+    * structure. The oracle recomputes the per-shard capped chunking in
+    * SQL — a green row pins admission caps, per-shard ordering, cycle
+    * union ranges, and the metadata-seq naming path end-to-end.
+    * (Cycle first_seqs strictly increase — each shard's chunk minima
+    * do — so ordering by first_seq IS cycle order.)
+    */
+  def shardedCycles(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.ShardedSource
+    val work = freshWorkDir("q87", dir)
+    val arrival = Instant.parse("2020-01-01T00:00:00Z")
+    // driver-side record list: the transport double's constructor takes
+    // in-memory records (it IS the simulated stream) — bounded at 2 000
+    val recs = Tables(s, dir, "events")
+      .orderBy(col("event_id")).limit(2000)
+      .select(col("event_id").cast("long"), (col("user_id") % 4).cast("string"))
+      .collect()
+      .map(r => ShardedSource.Record(shardId = r.getString(1),
+        sequenceNumber = r.getLong(0), data = s"line-${r.getLong(0)}",
+        arrival = arrival))
+      .toSeq
+    val source = new ShardedSource(recs, s"$work/stage")
+    val config = PipelineConfig(
+      region = None,
+      purpose = Purpose.Raw,
+      input = InputConfig("graft-q87", s"$work/stage", InitialPosition.TrimHorizon,
+        maxRecords = 100),
+      output = OutputConfig(
+        S3OutputConfig(s"$work/out", dateFormat = None, filenamePrefix = Some("graft"),
+          compression = Compression.Gzip, maxTimeout = 10000),
+        BadOutputConfig(s"$work/bad")),
+      buffer = BufferConfig(256L << 20, 1000000, 0),
+      monitoring = None)
+    Pipeline.runOnce(s, config, checkpointDir = Some(s"$work/checkpoint"), source = source)
+    val seqRange = "-(\\d{20})-(\\d{20})\\.gz$"
+    s.read.option("recursiveFileLookup", "true").text(s"$work/out")
+      .select(input_file_name().as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("n"))
+      .select(
+        regexp_extract(col("f"), seqRange, 1).as("first_seq"),
+        regexp_extract(col("f"), seqRange, 2).as("last_seq"),
+        col("n"))
+      .orderBy(col("first_seq"))
+  }
+
+  private val q87Oracle: String =
+    """WITH r AS (SELECT event_id, user_id % 4 AS shard
+      |           FROM events ORDER BY event_id LIMIT 2000),
+      |rk AS (SELECT event_id, shard,
+      |         (row_number() OVER (PARTITION BY shard ORDER BY event_id) - 1) // 100 AS cycle
+      |       FROM r)
+      |SELECT lpad(CAST(MIN(event_id) AS VARCHAR), 20, '0') AS first_seq,
+      |       lpad(CAST(MAX(event_id) AS VARCHAR), 20, '0') AS last_seq,
+      |       COUNT(*) AS n
+      |FROM rk GROUP BY cycle ORDER BY first_seq""".stripMargin
+
   private def roundtrip(s: SparkSession, dir: String, q: String,
                         exactNaming: Boolean,
                         compression: Compression = Compression.Gzip): DataFrame = {
@@ -325,7 +388,8 @@ object PipelineQueries extends QueryModule {
     "q20_badrows" -> (badRows _),
     "q50_enriched_schema" -> (enrichedSchema _),
     "q68_scalable_naming" -> (scalableNaming _),
-    "q85_bzip2_roundtrip" -> (bzip2Roundtrip _))
+    "q85_bzip2_roundtrip" -> (bzip2Roundtrip _),
+    "q87_sharded_cycles" -> (shardedCycles _))
 
   val family: String = "pipeline"
 
@@ -336,5 +400,6 @@ object PipelineQueries extends QueryModule {
     "q20_badrows" -> q20Oracle,
     "q50_enriched_schema" -> q50Oracle,
     "q68_scalable_naming" -> q17Oracle,
-    "q85_bzip2_roundtrip" -> q17Oracle)
+    "q85_bzip2_roundtrip" -> q17Oracle,
+    "q87_sharded_cycles" -> q87Oracle)
 }
