@@ -30,6 +30,18 @@ object Tokenizer {
     override def tokenize(text: Column): Column = TextFns.tokens(text)
   }
 
+  /** [[LongestMatch]]'s semantics behind a TRIE-backed custom Catalyst
+    * expression — the PRODUCTION-vocab path: per character position the
+    * trie walk costs O(longest piece) instead of a full piece-list scan,
+    * so a 32k-piece vocabulary is fine. Spec-pinned equivalent to
+    * [[LongestMatch]] on any input.
+    */
+  final case class TrieLongestMatch(vocab: Seq[String], maxWordChars: Int = 100)
+      extends Tokenizer {
+    override def tokenize(text: Column): Column =
+      graft.catalyst.TrieTokenize(text, vocab, maxWordChars)
+  }
+
   /** Greedy longest-match subword segmentation over a fixed vocabulary
     * — the WordPiece/BPE-inference shape: pre-split on whitespace, then
     * repeatedly take the longest vocabulary piece prefixing the

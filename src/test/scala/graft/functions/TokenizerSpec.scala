@@ -57,6 +57,25 @@ class TokenizerSpec extends SparkSpec {
       assert(got.isEmpty)
     }
 
+    it("TrieLongestMatch is piece-for-piece equivalent to the HOF form") {
+      val trie = Tokenizer.TrieLongestMatch(vocab)
+      val texts = Seq(
+        "unrelated tokenizations", "unqxu", "", "a", "zz zz zz",
+        "relate related relateded", "s s s", "ationation unun",
+        "tokens of unrelated ation" )
+      val got = texts.toDF("text")
+        .select(trie.tokenize(col("text")).as("a"), bpe.tokenize(col("text")).as("b"))
+        .filter(not(col("a") === col("b")))
+      assert(got.isEmpty)
+    }
+
+    it("TrieLongestMatch honors the maxWordChars pass-through cap") {
+      val trie = Tokenizer.TrieLongestMatch(vocab, maxWordChars = 8)
+      val got = Seq("unrelated un").toDF("text")
+        .select(trie.tokenize(col("text")).as("t")).as[Seq[String]].head()
+      assert(got == Seq("unrelated", "un"))
+    }
+
     it("threads through packOffsets as the budget unit") {
       // piece counts: "unrelated"=2, "unq"=2 (un+q), "ed ed"=2
       val df = Seq((1L, "unrelated"), (2L, "unq"), (3L, "ed ed")).toDF("id", "text")
