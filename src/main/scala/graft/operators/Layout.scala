@@ -37,16 +37,21 @@ object Layout {
     * two files for that key — never more.
     */
   def writeClustered(df: DataFrame, path: String, clusterCols: Seq[String],
-                     numRanges: Int, maxRecordsPerFile: Long = 1000000L): Unit = {
+                     numRanges: Int, maxRecordsPerFile: Long = 1000000L,
+                     format: String = "parquet"): Unit = {
     require(clusterCols.nonEmpty, "clusterCols must not be empty")
     require(numRanges >= 1, s"numRanges must be >= 1, got $numRanges")
     val cols = clusterCols.map(col)
+    // format-agnostic: the clustering discipline (disjoint ranges,
+    // in-file sort, bounded size) pays off under any columnar sink with
+    // min/max statistics — parquet and ORC both prune on it
     df.repartitionByRange(numRanges, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode(SaveMode.Overwrite)
-      .parquet(path)
+      .format(format)
+      .save(path)
   }
 
   /** [[writeClustered]] only if `path` doesn't already hold a committed
@@ -55,10 +60,11 @@ object Layout {
     * reads measure the clustered scan. Same-path same-data is the
     * caller's contract, as with any materialized table. */
   def ensureClustered(df: DataFrame, path: String, clusterCols: Seq[String],
-                      numRanges: Int, maxRecordsPerFile: Long = 1000000L): Unit = {
+                      numRanges: Int, maxRecordsPerFile: Long = 1000000L,
+                      format: String = "parquet"): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) writeClustered(df, path, clusterCols, numRanges, maxRecordsPerFile)
+    if (!fs.exists(p)) writeClustered(df, path, clusterCols, numRanges, maxRecordsPerFile, format)
   }
 
   /** Rewrite a directory of (typically many small) parquet files into

@@ -225,6 +225,30 @@ object Relational extends QueryModule {
       .orderBy(col("okey_bucket"))
   }
 
+  /** q88: the q62 clustered-layout round-trip through the ORC sink —
+    * the second columnar format (built into Spark, no extra deps).
+    * Sharing q62's oracle pins that the layout discipline (disjoint
+    * ranges, in-file sort, bounded file size) is format-agnostic: the
+    * same data comes back through `spark.read.orc` with ORC's own
+    * min/max stripe statistics serving the pruning role parquet
+    * footers play in q62.
+    */
+  def orcLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"orc_clustered_$tag").toString
+    Layout.ensureClustered(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+      out, Seq("l_orderkey"), numRanges = 8, maxRecordsPerFile = 100000L,
+      format = "orc")
+    s.read.orc(out)
+      .filter(col("l_orderkey") % 10 === 0)
+      .groupBy((col("l_orderkey") % 100).as("okey_bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("okey_bucket"))
+  }
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -343,7 +367,8 @@ object Relational extends QueryModule {
     "q36_date_arith" -> (dateArith _),
     "q41_percentiles" -> (pricePercentiles _),
     "q47_bucketed_join" -> (bucketedRevenue _),
-    "q62_clustered_layout" -> (clusteredLayout _))
+    "q62_clustered_layout" -> (clusteredLayout _),
+    "q88_orc_layout" -> (orcLayout _))
 
   val family: String = "relational"
 
@@ -498,9 +523,12 @@ object Relational extends QueryModule {
         | COUNT(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-    "q62_clustered_layout" ->
-      """SELECT l_orderkey % 100 AS okey_bucket, COUNT(*) AS n,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem WHERE l_orderkey % 10 = 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+    "q62_clustered_layout" -> q62Sql,
+    "q88_orc_layout" -> q62Sql)
+
+  private lazy val q62Sql: String =
+    """SELECT l_orderkey % 100 AS okey_bucket, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_orderkey % 10 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }
