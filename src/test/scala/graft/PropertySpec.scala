@@ -164,4 +164,37 @@ class PropertySpec extends AnyFunSpec {
       }, minTests = 50)
     }
   }
+
+  describe("TrieTokenize greedy segmentation (production tokenizer path)") {
+    it("equals a sorted-scan reference and reassembles exactly, on arbitrary vocab/text") {
+      import graft.catalyst.TrieTokenize
+      import org.apache.spark.unsafe.types.UTF8String
+      // tight alphabet so vocab pieces actually collide with the text
+      val pieceGen = Gen.choose(1, 3)
+        .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+      val gen = for {
+        vocab <- Gen.nonEmptyListOf(pieceGen).map(_.distinct)
+        text <- Gen.listOf(Gen.oneOf(Gen.oneOf('a', 'b', 'c', 'd'), Gen.const(' ')))
+          .map(_.mkString)
+      } yield (vocab, text)
+      check(forAll(gen) { case (vocab, text) =>
+        val trie = TrieTokenize.build(vocab)
+        val got = TrieTokenize.compute(UTF8String.fromString(text), trie, 100)
+          .array.map(_.asInstanceOf[UTF8String].toString).toSeq
+        val sorted = vocab.sortBy(p => (-p.length, p))
+        val expected = text.split(" ", -1).toSeq.flatMap { w =>
+          val out = scala.collection.mutable.Buffer[String]()
+          var pos = 0
+          while (pos < w.length) {
+            val piece = sorted.find(p => w.startsWith(p, pos))
+              .getOrElse(w.substring(pos, pos + 1))
+            out += piece
+            pos += piece.length
+          }
+          out.toSeq
+        }
+        got == expected && got.mkString == text.replace(" ", "")
+      }, minTests = 200)
+    }
+  }
 }
