@@ -65,7 +65,7 @@ object DataOps extends QueryModule {
   /** toks + per-doc distinct 3-shingle CTEs — the SQL rendition of
     * `WordShingles`, shared by EVERY shingle oracle (q22/q23/q53/q63)
     * so shingle semantics can never fork between them. */
-  private val shingleBaseCtes: String =
+  private[queries] val shingleBaseCtes: String =
     """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |sh AS (SELECT doc_id,
       |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]

@@ -567,6 +567,74 @@ object StreamingQueries extends QueryModule {
       |FROM stream WHERE md5(text) NOT IN (SELECT h FROM hist)
       |GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  // ---- q89: streaming decontamination filter ---------------------------
+
+  /** Per-micro-batch train/test decontamination — the STREAMING form of
+    * q63's gate: new documents arrive as a multi-file stream and each
+    * micro-batch is checked against the STATIC eval set's shingle
+    * inverted index ([[graft.operators.Dedup.contaminationPairs]] runs
+    * on the batch frame inside foreachBatch; the tiny eval side
+    * broadcasts per batch). Documents sharing ≥ 3 distinct 3-shingles
+    * with any eval doc are dropped; survivors append to the output.
+    * This is the ingest-time shape: contamination is filtered as data
+    * lands, not in a later sweep. The oracle recomputes the survivor
+    * set with the shared shingle CTEs — green proves the per-batch
+    * filter composes to exactly the global answer (membership checks
+    * are batch-local, so batch boundaries cannot change the result).
+    */
+  def streamDecontam(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val docs = Tables(s, dir, "documents")
+    val eval = docs.filter(col("doc_id") % 17 === 0).select(col("doc_id"), col("text"))
+      .localCheckpoint(false) // one materialization, joined per micro-batch
+    val out = Paths.get(sys.props("java.io.tmpdir"), "graft_work",
+      s"q89_out_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val stream = docsStream(s, dir).filter(col("doc_id") % 17 =!= 0)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val flagged = graft.operators.Dedup.contaminationPairs(
+            batch, col("doc_id"), col("text"),
+            eval, col("doc_id"), col("text"),
+            w = 3, minShared = 3)
+            .select(col("train_id").as("doc_id")).distinct()
+          batch.join(flagged, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"))
+            .write.mode("append").parquet(out.toString)
+          ()
+        }
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val res = s.read.parquet(out.toString).localCheckpoint(true)
+    deleteRecursively(out)
+    res.orderBy(col("doc_id"))
+  }
+
+  private val q89Oracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |sh AS (SELECT doc_id,
+       |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                               for i in range(1, len(t) - 1)])) AS shingle
+       |       FROM toks WHERE len(t) >= 3),
+       |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 17 <> 0),
+       |te AS (SELECT doc_id AS test_id, shingle FROM sh
+       |       WHERE doc_id % 17 = 0 AND doc_id < 1000000),
+       |flag AS (SELECT DISTINCT train_id FROM (
+       |  SELECT train_id, test_id FROM tr JOIN te USING (shingle)
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 3))
+       |SELECT doc_id FROM corpus
+       |WHERE doc_id % 17 <> 0 AND doc_id NOT IN (SELECT train_id FROM flag)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- q48: state API v2 (transformWithState) --------------------------
 
   /** [[UserStatsProcessor]] driven through `transformWithState` — the
@@ -789,7 +857,8 @@ object StreamingQueries extends QueryModule {
     "q81_mb_window" -> (mbWindowedAgg _),
     "q82_mb_session" -> (mbSessionWindows _),
     "q83_mb_state" -> (mbStatefulUserStats _),
-    "q84_mb_dedup" -> (mbStreamDedup _))
+    "q84_mb_dedup" -> (mbStreamDedup _),
+    "q89_stream_decontam" -> (streamDecontam _))
 
   val family: String = "streaming"
 
@@ -808,5 +877,6 @@ object StreamingQueries extends QueryModule {
     "q81_mb_window" -> q81Oracle,
     "q82_mb_session" -> q82Oracle,
     "q83_mb_state" -> q83Oracle,
-    "q84_mb_dedup" -> q84Oracle)
+    "q84_mb_dedup" -> q84Oracle,
+    "q89_stream_decontam" -> q89Oracle)
 }
