@@ -567,6 +567,103 @@ object StreamingQueries extends QueryModule {
       |FROM stream WHERE md5(text) NOT IN (SELECT h FROM hist)
       |GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  // ---- q90: windowed aggregation across a stop/resume boundary ---------
+
+  /** The q81 multi-batch windows run as TWO drains sharing one
+    * checkpoint — the daily-restart production shape: files 0–1 arrive
+    * and drain (wave 1), the query STOPS, files 2–3 arrive, and a new
+    * query resumes from the same checkpoint (wave 2). Every window is
+    * tagged with the wave that emitted it; the oracle derives the wave
+    * from the watermark schedule (emitted in wave 1 iff the wave-1
+    * watermark — cmx(file 1) − 2 days — passed its end). A green row
+    * therefore proves, driver-visibly: window state SURVIVES the
+    * restart (partial counts complete correctly in wave 2), nothing
+    * emits twice across the boundary (exactly-once via the commit
+    * log), and eviction timing is unchanged by the restart.
+    */
+  def mbResumeWindow(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val work = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"q90_$tag")
+    deleteRecursively(work)
+    val stage = work.resolve("stage")
+    val out = work.resolve("out")
+    Files.createDirectories(stage)
+
+    val raw = s.read.parquet(Paths.get(dir, "events.parquet").toString)
+    val n = raw.count()
+    // same 4-chunk (ts, event_id) split as eventsChunkedStream, staged
+    // PROGRESSIVELY (two files per wave) — the memoized all-at-once
+    // staging can't model files arriving between drains
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+    val chunked = raw
+      .withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("__f", expr(s"CAST((CAST(__rn AS BIGINT) * 4) DIV ${n}L AS INT)"))
+      .localCheckpoint()
+    def writeChunk(c: Int): Unit = {
+      val tmp = stage.resolve(s"build_$c")
+      chunked.filter(col("__f") === c).drop("__rn", "__f")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().orElseThrow()
+        finally listing.close()
+      val destFile = stage.resolve(f"chunk_$c%02d.parquet")
+      Files.move(part, destFile, StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(tmp)
+      Files.setLastModifiedTime(destFile,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + c * 60000L))
+    }
+
+    def drainWave(wave: Long): Unit = {
+      val windows = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(col("ts"), col("event_type"), col("value"))
+        .withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+      try {
+        val q = windows.writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.withColumn("wave", lit(wave)).write.mode("append").parquet(out.toString)
+            ()
+          }
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+
+    writeChunk(0); writeChunk(1); drainWave(1L)
+    writeChunk(2); writeChunk(3); drainWave(2L)
+
+    val res = s.read.parquet(out.toString).localCheckpoint(true)
+    deleteRecursively(work)
+    res.select(col("wave"), col("w.start").as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("wave"), col("day"), col("event_type"))
+  }
+
+  private val q90Oracle: String =
+    s"""WITH ${mbCtes(4)},
+       |win AS (
+       |  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+       |    CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT CASE WHEN (SELECT cmx FROM wm WHERE f = 1)
+       |              >= day + INTERVAL 1 DAY + INTERVAL 2 DAY
+       |            THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS wave,
+       |  day, event_type, n, sum_value
+       |FROM win
+       |WHERE (SELECT cmx FROM wm WHERE f = 3)
+       |      >= day + INTERVAL 1 DAY + INTERVAL 2 DAY
+       |ORDER BY wave, day, event_type""".stripMargin
+
   // ---- q89: streaming decontamination filter ---------------------------
 
   /** Per-micro-batch train/test decontamination — the STREAMING form of
@@ -858,7 +955,8 @@ object StreamingQueries extends QueryModule {
     "q82_mb_session" -> (mbSessionWindows _),
     "q83_mb_state" -> (mbStatefulUserStats _),
     "q84_mb_dedup" -> (mbStreamDedup _),
-    "q89_stream_decontam" -> (streamDecontam _))
+    "q89_stream_decontam" -> (streamDecontam _),
+    "q90_mb_resume" -> (mbResumeWindow _))
 
   val family: String = "streaming"
 
@@ -878,5 +976,6 @@ object StreamingQueries extends QueryModule {
     "q82_mb_session" -> q82Oracle,
     "q83_mb_state" -> q83Oracle,
     "q84_mb_dedup" -> q84Oracle,
-    "q89_stream_decontam" -> q89Oracle)
+    "q89_stream_decontam" -> q89Oracle,
+    "q90_mb_resume" -> q90Oracle)
 }
