@@ -74,6 +74,15 @@ object TextFns {
   def hash60Sql(expr: String): String =
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
 
+  /** Plain-JVM rendition of [[hash60]] — driver-side reference for specs
+    * that re-derive a selection without Spark. */
+  def hash60Value(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** Seeded hash family for MinHash: h_i(x) = hash60(i || ':' || x). */
   def seededHash(seed: Int, c: Column): Column =
     hash60(concat(lit(seed.toString), lit(":"), c))

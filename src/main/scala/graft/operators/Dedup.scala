@@ -515,6 +515,56 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Bloom-prefiltered incremental exact dedup — "which of today's crawl
+    * is genuinely new?" at the scale where the history side can never be
+    * shuffled: a bloom sketch of the history's content hashes (built in
+    * ONE distributed pass, `DataFrameStatFunctions.bloomFilter`'s
+    * mergeable tree-aggregate) prunes the new batch to its tiny
+    * maybe-duplicate fraction BEFORE any join. Bloom filters have no
+    * false negatives, so a NOT-might-contain row is provably new and
+    * skips verification entirely; the (fpp-bounded) positives are
+    * verified exactly with two broadcast probes:
+    *
+    *  1. semi-join HISTORY against the broadcast candidate hashes — a
+    *     narrow scan of history, no history shuffle — extracting the few
+    *     hash keys that really exist;
+    *  2. anti-join the candidates against that (broadcast) hit set.
+    *
+    * Result is EXACTLY the plain `newDocs ANTI JOIN history` on content
+    * hash — the sketch changes the cost, never the answer. Shuffle
+    * ledger at 100 TB: two narrow history scans (sketch build + probe),
+    * zero history shuffles; the new batch is scanned once (materialized
+    * after tagging) and only its candidate fraction joins.
+    *
+    * Contract: the candidate set (≈ fpp·|new| + true duplicates) must be
+    * broadcast-sized — pick `fpp` accordingly (1% of a batch, not 1% of
+    * history). `expectedItems` sizes the sketch for the HISTORY
+    * cardinality.
+    */
+  def bloomNewDocs(newDocs: DataFrame, history: DataFrame, id: Column, text: Column,
+                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val reserved = newDocs.columns.filter(_.startsWith("__bf_"))
+    require(reserved.isEmpty,
+      s"new-docs frame already has reserved __bf_* working columns (${reserved.mkString(", ")}) — rename them first")
+    val sketch = history.select(xxhash64(text).as("__bf_h"))
+      .stat.bloomFilter(col("__bf_h"), expectedItems, fpp)
+    // tagged feeds both branches (definitely-new + candidates) —
+    // materialize once so the new batch is scanned once
+    val tagged = newDocs
+      .withColumn("__bf_maybe",
+        graft.catalyst.BloomMightContain.contains(xxhash64(text), sketch))
+      .localCheckpoint(false)
+    val definitelyNew = tagged.filter(!col("__bf_maybe"))
+    val candidates = tagged.filter(col("__bf_maybe"))
+    val candKeys = candidates.select(md5(text).as("__bf_key")).distinct()
+    val hitKeys = history.select(md5(text).as("__bf_key"))
+      .join(broadcast(candKeys), Seq("__bf_key"), "left_semi")
+      .distinct()
+    val verifiedNew = candidates
+      .join(broadcast(hitKeys), md5(text) === col("__bf_key"), "left_anti")
+    definitelyNew.unionByName(verifiedNew).drop("__bf_maybe")
+  }
+
   /** 32-bit SimHash over distinct tokens with the shared 60-bit hash's
     * low 32 bits: bit b of the fingerprint is set iff more than half the
     * tokens have bit b set. Computed as 32 conditional-sum aggregates —

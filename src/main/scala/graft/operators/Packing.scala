@@ -149,6 +149,54 @@ object Packing {
       .drop("__gr_bucket", "__gr_ord", "__gr_local")
   }
 
+  /** Generic scalable running total: every row gets the inclusive sum of
+    * `value` over all rows at-or-before it in `order`-ascending, carried
+    * alongside ALL of `df`'s columns — the third member of the prefix-sum
+    * family ([[packOffsets]] sums token counts into spans,
+    * [[globalRowNumber]] is this with every row weighing 1). Same
+    * two-phase shape: order-aligned buckets → parallel per-bucket window
+    * sums → a bucket-count-sized offset table broadcast back. Never a
+    * single-reducer global window.
+    *
+    * `order` must be totally ordering (unique) for a deterministic
+    * result; `value` is cast to long.
+    */
+  def runningTotal(df: DataFrame, order: Column, value: Column,
+                   totalName: String = "running_total",
+                   bucketExpr: Option[Column] = None,
+                   numRanges: Int = 32): DataFrame = {
+    val reserved = df.columns.filter(_.startsWith("__rt_"))
+    require(reserved.isEmpty,
+      s"input frame already has reserved __rt_* working columns (${reserved.mkString(", ")}) — rename them first")
+    require(!df.columns.contains(totalName),
+      s"input frame already has a column named '$totalName' — pass a different totalName")
+    val tagged = bucketExpr match {
+      case Some(b) =>
+        df.withColumn("__rt_ord", order).withColumn("__rt_val", value.cast("long"))
+          .withColumn("__rt_bucket", b.cast("long"))
+      case None =>
+        df.withColumn("__rt_ord", order).withColumn("__rt_val", value.cast("long"))
+          .repartitionByRange(numRanges, col("__rt_ord"))
+          .withColumn("__rt_bucket", spark_partition_id().cast("long"))
+    }
+    val localW = Window.partitionBy(col("__rt_bucket")).orderBy(col("__rt_ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // materialized once: the offset aggregate and the join both consume
+    // it, and the derived buckets come from a sampled range partitioning
+    // (same single-evaluation reasoning as packOffsets)
+    val local = tagged.withColumn("__rt_local", sum(col("__rt_val")).over(localW))
+      .localCheckpoint(false)
+    val offW = Window.orderBy(col("__rt_bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__rt_bucket"))
+      .agg(sum(col("__rt_val")).as("__rt_n"))
+      .withColumn("__rt_off", coalesce(sum(col("__rt_n")).over(offW), lit(0L)))
+      .select(col("__rt_bucket"), col("__rt_off"))
+    local.join(broadcast(offsets), "__rt_bucket")
+      .withColumn(totalName, col("__rt_local") + col("__rt_off"))
+      .drop("__rt_bucket", "__rt_ord", "__rt_val", "__rt_local")
+  }
+
   /** The naive single-reducer formulation (global `Window.orderBy`) —
     * kept PRIVATE as the spec's cross-check oracle for [[packOffsets]];
     * never the production path. */

@@ -88,6 +88,62 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Self-calibrating balanced mixture — data mixing to a TARGET: keep
+    * ~`targetPerStratum` rows from every stratum, deriving each
+    * stratum's keep rate `min(1, target/n)` from the data itself (one
+    * tiny counts aggregate broadcast back), instead of requiring the
+    * caller to know per-stratum rates up front like
+    * [[stratifiedSample]]. Strata smaller than the target keep
+    * everything.
+    *
+    * Membership stays deterministic AND engine-exact: the naive form
+    * `hash < (target/n)·2^60` computes a double threshold whose
+    * rounding DuckDB and Spark disagree on; this keeps the comparison
+    * in exact integer arithmetic instead —
+    * `hash·n < target·2^60` (38-digit decimals here, HUGEINT in the
+    * oracle) — so the selection replays bit-for-bit in both engines.
+    *
+    * Shuffle ledger: one map-side-combined counts aggregate (stratum
+    * cardinality rows), one broadcast join back, then a narrow filter.
+    */
+  def balancedSample(df: DataFrame, stratum: Column, key: Column,
+                     targetPerStratum: Long, seed: Int = 0): DataFrame = {
+    require(targetPerStratum >= 0, s"targetPerStratum must be >= 0, got $targetPerStratum")
+    val reserved = df.columns.filter(_.startsWith("__bs_"))
+    require(reserved.isEmpty,
+      s"input frame already has reserved __bs_* working columns (${reserved.mkString(", ")}) — rename them first")
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(stratum.as("__bs_stratum"))
+      .agg(count(lit(1)).cast(dec).as("__bs_n"))
+    val rhs = lit(new java.math.BigDecimal(targetPerStratum)
+        .multiply(new java.math.BigDecimal(MaxHash))).cast(dec)
+    df.join(broadcast(counts), stratum === col("__bs_stratum"))
+      .filter(TextFns.seededHash(seed, key).cast(dec) * col("__bs_n") < rhs)
+      .drop("__bs_stratum", "__bs_n")
+  }
+
+  /** Token-budget corpus selection: keep the maximal prefix of `order`-
+    * ascending rows whose running `tok` total fits `budget` — "take the
+    * best documents until the token budget is spent", the curation cut
+    * that turns a scored corpus into a right-sized training set (order
+    * by quality descending and the prefix IS the best-first selection).
+    * A row straddling the boundary is dropped: only whole documents
+    * that fit are kept. Carries all input columns plus the running
+    * total as `cum_tok`.
+    *
+    * The running total is [[Packing.runningTotal]]'s two-phase prefix
+    * sum — never a single-reducer global window — and the budget test
+    * is a narrow filter on top, so the whole selection is one range
+    * shuffle + one broadcast regardless of corpus size. `order` must
+    * be totally ordering (unique).
+    */
+  def selectByTokenBudget(df: DataFrame, order: Column, tok: Column,
+                          budget: Long, numRanges: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    Packing.runningTotal(df, order, tok, totalName = "cum_tok", numRanges = numRanges)
+      .filter(col("cum_tok") <= budget)
+  }
+
   /** Deterministic global corpus shuffle: every row gets `shuffle_pos`,
     * its 1-based position in seeded-content-hash order — the replayable
     * "random" training order (same position on every run, cluster, and

@@ -1301,6 +1301,156 @@ object DataOps extends QueryModule {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin
 
+  // ---- q91: bloom-prefiltered incremental exact dedup ------------------
+
+  /** Today's-crawl-vs-history at the no-history-shuffle scale: history =
+    * the corpus; the new batch replants every 7th doc verbatim (true
+    * duplicates the bloom must catch) and every 9th≡4 doc with fresh
+    * content appended (genuinely new docs the bloom must not lose).
+    * [[Dedup.bloomNewDocs]] prunes with the sketch, verifies positives
+    * with two broadcast probes, and must return EXACTLY the plain
+    * anti-join answer — which is what the oracle computes.
+    */
+  def bloomIncrement(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val newBatch = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 2000000).as("new_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + 3000000).as("new_id"),
+          concat(col("text"), lit(" fresh crawl content")).as("text")))
+    Dedup.bloomNewDocs(newBatch, d, col("new_id"), col("text"),
+        expectedItems = 100000, fpp = 0.01)
+      .select(col("new_id"))
+      .orderBy(col("new_id"))
+  }
+
+  private val q91Oracle: String =
+    """WITH newbatch AS (
+      |  SELECT doc_id + 2000000 AS new_id, text FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' fresh crawl content' FROM documents WHERE doc_id % 9 = 4)
+      |SELECT new_id FROM newbatch
+      |WHERE md5(text) NOT IN (SELECT md5(text) FROM documents)
+      |ORDER BY new_id""".stripMargin
+
+  // ---- q92: token-budget corpus selection ------------------------------
+
+  private val SelectBudget = 5000L
+
+  /** Best-documents-first curation cut: score docs by type-token ratio,
+    * order quality-descending (doc_id tiebreak), and keep the maximal
+    * prefix whose token total fits a 5000-token budget — the running
+    * total coming from the two-phase prefix sum, never a single-reducer
+    * window. The oracle replays the identical cut with a plain window
+    * sum (total order ⇒ RANGE/ROWS frames agree).
+    */
+  def budgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFns.tokens(col("text"))
+    val scored = docs(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      (size(array_distinct(toks)) / size(toks)).as("ttr"))
+    graft.operators.Sampling.selectByTokenBudget(
+        scored, struct((-col("ttr")).as("nttr"), col("doc_id")), col("n_tok"),
+        budget = SelectBudget)
+      .select(col("doc_id"), col("n_tok"), round(col("ttr"), 6).as("ttr"), col("cum_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q92Oracle: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+       |         len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS ttr
+       |  FROM documents),
+       |cum AS (
+       |  SELECT *, CAST(SUM(n_tok) OVER (ORDER BY ttr DESC, doc_id) AS BIGINT) AS cum_tok
+       |  FROM scored)
+       |SELECT doc_id, n_tok, round(ttr, 6) AS ttr, cum_tok FROM cum
+       |WHERE cum_tok <= $SelectBudget ORDER BY doc_id""".stripMargin
+
+  // ---- q93: self-calibrating balanced mixture --------------------------
+
+  private val MixTarget = 12L
+
+  /** Data mixing to a target: ~12 docs from EVERY source, the keep rate
+    * derived in-plan from each source's own cardinality (q65's
+    * stratified sampling needs the rates handed in). Selection stays
+    * engine-exact through the rational-arithmetic membership rule
+    * `hash·n < target·2^60` — no floating-point threshold to disagree
+    * on — which the oracle replays in HUGEINT.
+    */
+  def balancedMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.balancedSample(
+        docs(s, dir), col("source"), col("doc_id"),
+        targetPerStratum = MixTarget, seed = 11)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("source"))
+
+  private val q93Oracle: String = {
+    val h = TextFns.seededHashSql(11, "CAST(doc_id AS VARCHAR)")
+    s"""WITH n AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source)
+       |SELECT source, COUNT(*) AS n_sampled
+       |FROM documents JOIN n USING (source)
+       |WHERE CAST($h AS HUGEINT) * n_src
+       |      < CAST($MixTarget AS HUGEINT) * CAST(${graft.operators.Sampling.MaxHash} AS HUGEINT)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---- q94: corpus-level boilerplate-line removal ----------------------
+
+  private val BoilerMaxDocs = 50L
+
+  /** C4-style cleanup: the corpus is re-rendered as multi-line pages
+    * with injected chrome — every even doc gets a cookie banner, every
+    * third doc a subscription prompt — and
+    * [[graft.operators.Boilerplate.removeFrequentLines]] must strip
+    * exactly the lines occurring in more than 50 distinct docs while
+    * preserving content-line order. The oracle rebuilds the identical
+    * pages and replays the frequency rule with a window-free
+    * unnest + string_agg.
+    */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val pages = docs(s, dir).select(
+      col("doc_id"),
+      concat_ws("\n",
+        array_join(slice(t, 1, 12), " "),
+        when(col("doc_id") % 2 === 0, lit("accept all cookies to continue")),
+        // guard the second content line explicitly: an out-of-range
+        // slice is [] (→ '' line) in Spark but NULL (→ no line) in
+        // DuckDB, so neither engine's default is portable
+        when(size(t) >= 13, array_join(slice(t, 13, 12), " ")),
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter"))).as("page"))
+    graft.operators.Boilerplate.removeFrequentLines(
+        pages, col("doc_id"), col("page"), maxDocs = BoilerMaxDocs)
+      .orderBy(col("bp_id"))
+  }
+
+  private val q94Oracle: String =
+    s"""WITH pages AS (
+       |  SELECT doc_id AS bp_id,
+       |    concat_ws(chr(10),
+       |      array_to_string(t[1:12], ' '),
+       |      CASE WHEN doc_id % 2 = 0 THEN 'accept all cookies to continue' END,
+       |      CASE WHEN len(t) >= 13 THEN array_to_string(t[13:24], ' ') END,
+       |      CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' END) AS page
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+       |lines AS (
+       |  SELECT bp_id, unnest(range(1, len(ls) + 1)) AS pos, unnest(ls) AS line
+       |  FROM (SELECT bp_id, string_split(page, chr(10)) AS ls FROM pages)),
+       |bp AS (
+       |  SELECT line FROM lines GROUP BY line
+       |  HAVING COUNT(DISTINCT bp_id) > $BoilerMaxDocs),
+       |tagged AS (
+       |  SELECT l.bp_id, l.pos, l.line, (b.line IS NOT NULL) AS is_bp
+       |  FROM lines l LEFT JOIN bp b USING (line))
+       |SELECT bp_id,
+       |  COALESCE(string_agg(CASE WHEN NOT is_bp THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+       |  COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+       |FROM tagged GROUP BY bp_id ORDER BY bp_id""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1341,7 +1491,11 @@ object DataOps extends QueryModule {
     "q76_vocab_oov" -> (vocabOov _),
     "q77_quality_purge" -> (qualityPurge _),
     "q78_shuffled_export" -> (shuffledExport _),
-    "q79_normalize" -> (normalizeText _))
+    "q79_normalize" -> (normalizeText _),
+    "q91_bloom_increment" -> (bloomIncrement _),
+    "q92_budget_select" -> (budgetSelect _),
+    "q93_balanced_mix" -> (balancedMix _),
+    "q94_boilerplate" -> (boilerplate _))
 
   val family: String = "dataops"
 
@@ -1383,5 +1537,9 @@ object DataOps extends QueryModule {
     "q76_vocab_oov" -> q76Oracle,
     "q77_quality_purge" -> q77Oracle,
     "q78_shuffled_export" -> q73Oracle,
-    "q79_normalize" -> q79Oracle)
+    "q79_normalize" -> q79Oracle,
+    "q91_bloom_increment" -> q91Oracle,
+    "q92_budget_select" -> q92Oracle,
+    "q93_balanced_mix" -> q93Oracle,
+    "q94_boilerplate" -> q94Oracle)
 }

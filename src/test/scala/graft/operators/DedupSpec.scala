@@ -226,6 +226,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.bloomNewDocs") {
+    it("returns exactly the plain anti-join answer: every new doc, no duplicate survives") {
+      val history = (1L to 500L).map(i => (i, s"hist doc number $i body")).toDF("id", "text")
+      // new batch: 40 verbatim duplicates of history + 60 genuinely new
+      val newBatch = (1L to 40L).map(i => (1000L + i, s"hist doc number ${i * 3} body"))
+        .++((1L to 60L).map(i => (2000L + i, s"fresh doc $i never seen")))
+        .toDF("id", "text")
+      val got = Dedup.bloomNewDocs(newBatch, history, col("id"), col("text"),
+          expectedItems = 1000, fpp = 0.05)
+        .select("id").as[Long].collect().toSet
+      val expected = newBatch.join(history.select(col("text")), Seq("text"), "left_anti")
+        .select("id").as[Long].collect().toSet
+      assert(got == expected)
+      assert(got == (2001L to 2060L).toSet) // and that IS the fresh set
+    }
+
+    it("survives an aggressively small sketch (many false positives, still exact)") {
+      val history = (1L to 300L).map(i => (i, s"h-$i")).toDF("id", "text")
+      val newBatch = (1L to 200L).map(i => (9000L + i, if (i % 2 == 0) s"h-$i" else s"n-$i"))
+        .toDF("id", "text")
+      // 8 expected items for 300 actual → saturated filter, fpp ≈ 1:
+      // everything routes through exact verification and still comes
+      // back exact (the sketch changes cost, never the answer)
+      val got = Dedup.bloomNewDocs(newBatch, history, col("id"), col("text"),
+          expectedItems = 8, fpp = 0.5)
+        .select("id").as[Long].collect().toSet
+      assert(got == (1L to 200L).filter(_ % 2 == 1).map(9000L + _).toSet)
+    }
+
+    it("rejects reserved __bf_* columns") {
+      val df = Seq((1L, "a")).toDF("id", "text").withColumn("__bf_h", lit(1L))
+      val e = intercept[IllegalArgumentException] {
+        Dedup.bloomNewDocs(df, df, col("id"), col("text"), expectedItems = 10)
+      }
+      assert(e.getMessage.contains("__bf_h"))
+    }
+  }
+
   describe("Dedup.simhashNearDups") {
     it("band candidates recover exactly the brute-force hamming result (pigeonhole)") {
       val fp = Dedup.simhash(corpus, col("doc_id"), col("text"))

@@ -110,6 +110,43 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  describe("Packing.runningTotal") {
+    it("matches a naive global window sum, carries all columns, invariant to partitioning") {
+      val rows = (1L to 130L).map(i => (i * 29 % 131, 1L + i % 17, s"p-$i"))
+      val df = rows.toDF("id", "v", "payload")
+      def totals(parts: Int): Seq[(Long, Long, String, Long)] =
+        Packing.runningTotal(df.repartition(parts), col("id"), col("v"),
+            totalName = "cum", numRanges = 5)
+          .select("id", "v", "payload", "cum").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+          .toSeq.sortBy(_._1)
+      val got = totals(7)
+      // naive reference: running sum in id order
+      val expected = rows.sortBy(_._1)
+        .scanLeft((0L, 0L, "", 0L)) { case ((_, _, _, acc), (id, v, p)) => (id, v, p, acc + v) }
+        .drop(1)
+      assert(got == expected)
+      assert(got == totals(2)) // partitioning-invariant
+      // explicit monotone bucketExpr path agrees too
+      val bucketed = Packing.runningTotal(df, col("id"), col("v"), totalName = "cum",
+          bucketExpr = Some(col("id") / 25), numRanges = 5)
+        .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      assert(bucketed == expected.map(e => (e._1, e._4)))
+    }
+
+    it("rejects reserved __rt_* columns and a totalName collision") {
+      val e = intercept[IllegalArgumentException] {
+        Packing.runningTotal(Seq((1L, 2L)).toDF("id", "__rt_val"), col("id"), col("id"))
+      }
+      assert(e.getMessage.contains("__rt_val"))
+      val e2 = intercept[IllegalArgumentException] {
+        Packing.runningTotal(Seq((1L, 2L)).toDF("id", "cum"), col("id"), col("id"),
+          totalName = "cum")
+      }
+      assert(e2.getMessage.contains("'cum'"))
+    }
+  }
+
   describe("Packing.packManifest") {
     it("conserves tokens across sequences and fills every sequence to budget except the tail") {
       val rows = (1L to 60L).map(i => (i, 1L + (i * 13) % 29))

@@ -50,6 +50,67 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  describe("Sampling.balancedSample") {
+    it("derives min(1, target/n) keep rates from the data: small strata whole, big strata near target") {
+      val df = ids.withColumn("s",
+        when(col("id") <= 8, lit("tiny")).otherwise((col("id") % 2).cast("string")))
+      val out = Sampling.balancedSample(df, col("s"), col("id"),
+        targetPerStratum = 100, seed = 4)
+      val counts = out.groupBy("s").count().as[(String, Long)].collect().toMap
+      assert(counts("tiny") == 8) // n <= target: everything kept
+      // ~996 rows per big stratum at rate 100/996: binomial around 100
+      assert(math.abs(counts("0") - 100) < 40, s"got ${counts("0")}")
+      assert(math.abs(counts("1") - 100) < 40, s"got ${counts("1")}")
+    }
+
+    it("selection is deterministic and partitioning-invariant") {
+      val df = ids.withColumn("s", (col("id") % 3).cast("string"))
+      def sel(d: org.apache.spark.sql.DataFrame) =
+        Sampling.balancedSample(d, col("s"), col("id"), targetPerStratum = 50, seed = 9)
+          .select("id").as[Long].collect().toSet
+      val a = sel(df)
+      assert(sel(df.repartition(17)) == a)
+      assert(a == sel(df)) // re-run identical
+    }
+
+    it("replays the exact rational membership rule hash·n < target·2^60") {
+      val df = ids.withColumn("s", lit("one"))
+      val kept = Sampling.balancedSample(df, col("s"), col("id"),
+        targetPerStratum = 300, seed = 2).select("id").as[Long].collect().toSet
+      val expected = (1L to 2000L).filter { id =>
+        val h = BigInt(graft.functions.TextFns.hash60Value(s"2:$id"))
+        h * 2000 < BigInt(300) * BigInt(Sampling.MaxHash)
+      }.toSet
+      assert(kept == expected)
+    }
+
+    it("rejects reserved __bs_* columns") {
+      val e = intercept[IllegalArgumentException] {
+        Sampling.balancedSample(ids.withColumn("__bs_n", lit(1)), col("id"), col("id"), 5)
+      }
+      assert(e.getMessage.contains("__bs_n"))
+    }
+  }
+
+  describe("Sampling.selectByTokenBudget") {
+    it("keeps exactly the maximal order-prefix whose token total fits the budget") {
+      val rows = (1L to 100L).map(i => (i, 1L + (i * 7) % 13))
+      val df = rows.toDF("id", "tok").repartition(9)
+      val budget = 150L
+      val got = Sampling.selectByTokenBudget(df, col("id"), col("tok"), budget,
+          numRanges = 4)
+        .select("id", "cum_tok").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+      // naive reference prefix
+      val cums = rows.scanLeft((0L, 0L)) { case ((_, acc), (id, t)) => (id, acc + t) }.drop(1)
+      val expected = cums.takeWhile(_._2 <= budget)
+      assert(got == expected)
+      assert(got.nonEmpty && got.size < 100) // the cut is non-trivial
+      // the next doc would have burst the budget (maximality)
+      assert(cums(got.size)._2 > budget)
+    }
+  }
+
   describe("Sampling.reservoirPerKey") {
     it("rejects an input frame that already carries the reserved __rk column") {
       val df = ids.withColumn("__rk", lit(1))
