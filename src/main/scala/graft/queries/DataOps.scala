@@ -1451,6 +1451,65 @@ object DataOps extends QueryModule {
        |  CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
        |FROM tagged GROUP BY bp_id ORDER BY bp_id""".stripMargin
 
+  // ---- q97: curation export, end-to-end --------------------------------
+
+  /** The curation counterpart to q67's cleaning funnel, composing the
+    * round-5 operators end-to-end: balanced source mixture (~8 docs per
+    * source, rates self-calibrated) → quality scoring → token-budget cut
+    * (best docs first until 4 000 tokens) → deterministic corpus shuffle
+    * → range-clustered export on `shuffle_pos` → read back. Every stage
+    * is engine-exact (rational mixture rule, window-free prefix sums,
+    * seeded-hash shuffle order), so the oracle replays the WHOLE chain —
+    * selection, cut, and every shuffle position — through the parquet
+    * round-trip.
+    */
+  def curationExport(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Layout, Sampling}
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"curation_$tag").toString
+    val toks = TextFns.tokens(col("text"))
+    val picked = Sampling.balancedSample(docs(s, dir), col("source"), col("doc_id"),
+      targetPerStratum = 8, seed = 13)
+    val scored = picked.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tok"),
+      (size(array_distinct(toks)) / size(toks)).as("ttr"))
+    val cut = Sampling.selectByTokenBudget(
+      scored, struct((-col("ttr")).as("nttr"), col("doc_id")), col("n_tok"), budget = 4000)
+    val shuffled = Sampling.deterministicShuffle(
+      cut.select(col("doc_id"), col("n_tok"), col("cum_tok")), col("doc_id"),
+      seed = 5, numRanges = 8)
+    // fresh write on purpose (same reasoning as q78): a reused export
+    // would silently serve stale positions if corpus or seeds changed
+    Layout.writeClustered(shuffled, out, Seq("shuffle_pos"),
+      numRanges = 4, maxRecordsPerFile = 100000L)
+    s.read.parquet(out)
+      .select(col("shuffle_pos"), col("doc_id"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("shuffle_pos"))
+  }
+
+  private val q97Oracle: String = {
+    val hMix = TextFns.seededHashSql(13, "CAST(doc_id AS VARCHAR)")
+    val hShuf = TextFns.seededHashSql(5, "CAST(doc_id AS VARCHAR)")
+    s"""WITH picked AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source) n USING (source)
+       |  WHERE CAST($hMix AS HUGEINT) * n_src
+       |        < CAST(8 AS HUGEINT) * CAST(${graft.operators.Sampling.MaxHash} AS HUGEINT)),
+       |scored AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+       |         len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS ttr
+       |  FROM picked),
+       |cum AS (
+       |  SELECT *, CAST(SUM(n_tok) OVER (ORDER BY ttr DESC, doc_id) AS BIGINT) AS cum_tok
+       |  FROM scored),
+       |cut AS (SELECT * FROM cum WHERE cum_tok <= 4000)
+       |SELECT CAST(row_number() OVER (ORDER BY $hShuf, doc_id) AS BIGINT) AS shuffle_pos,
+       |       doc_id, n_tok, cum_tok
+       |FROM cut ORDER BY shuffle_pos""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1495,7 +1554,8 @@ object DataOps extends QueryModule {
     "q91_bloom_increment" -> (bloomIncrement _),
     "q92_budget_select" -> (budgetSelect _),
     "q93_balanced_mix" -> (balancedMix _),
-    "q94_boilerplate" -> (boilerplate _))
+    "q94_boilerplate" -> (boilerplate _),
+    "q97_curation_export" -> (curationExport _))
 
   val family: String = "dataops"
 
@@ -1541,5 +1601,6 @@ object DataOps extends QueryModule {
     "q91_bloom_increment" -> q91Oracle,
     "q92_budget_select" -> q92Oracle,
     "q93_balanced_mix" -> q93Oracle,
-    "q94_boilerplate" -> q94Oracle)
+    "q94_boilerplate" -> q94Oracle,
+    "q97_curation_export" -> q97Oracle)
 }

@@ -364,6 +364,83 @@ object PipelineQueries extends QueryModule {
        | to_base64(encode(${lineSql(TsSql)})) AS payload
        |FROM events WHERE event_id % 11 = 0 ORDER BY payload""".stripMargin
 
+  // ---- q95/q96: CSV and JSON source round-trips ------------------------
+
+  /** The documents table re-rendered with the characters that break
+    * naive delimited-text handling — commas, embedded double quotes,
+    * embedded NEWLINES (multi-line CSV records), backslashes, leading/
+    * trailing whitespace, and the empty string — shared by the CSV and
+    * JSON round-trips. Synthesized identically in [[edgePayloadSql]]
+    * for the oracle, which fingerprints the ORIGINAL strings: a green
+    * row proves the write→read cycle is byte-lossless for every case.
+    */
+  private def edgeCorpus(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 6
+    val edge = when(m === 0, lit("a,b,\"c\" d"))
+      .when(m === 1, lit("x\ny"))
+      .when(m === 2, lit(" lead and trail "))
+      .when(m === 3, lit("back\\slash"))
+      .when(m === 4, lit(""))
+      .otherwise(lit("plain"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), concat(substring(col("text"), 1, 20), lit("|"), edge).as("payload"))
+  }
+
+  private val edgePayloadSql: String =
+    """(substr(text, 1, 20) || '|' || CASE doc_id % 6
+      |  WHEN 0 THEN 'a,b,"c" d'
+      |  WHEN 1 THEN 'x' || chr(10) || 'y'
+      |  WHEN 2 THEN ' lead and trail '
+      |  WHEN 3 THEN 'back\slash'
+      |  WHEN 4 THEN ''
+      |  ELSE 'plain' END)""".stripMargin
+
+  /** Per-doc fingerprint of the re-read corpus — length + the shared
+    * 60-bit hash pin every byte. */
+  private def fingerprints(back: DataFrame): DataFrame =
+    back.select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_chars"),
+        graft.functions.TextFns.hash60(col("payload")).as("h"))
+      .orderBy(col("doc_id"))
+
+  /** q95: CSV source/sink round-trip over the edge-case corpus. Writer
+    * keeps whitespace verbatim (the CSV writer TRIMS by default);
+    * reader needs `multiLine` for quoted embedded newlines and a
+    * never-occurring `nullValue` sentinel so a quoted empty string
+    * comes back as `''`, not null (the reader's default maps both the
+    * unquoted AND quoted empty field to null).
+    */
+  def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = freshWorkDir("q95", dir)
+    val corpus = edgeCorpus(s, dir)
+    corpus.write.mode("overwrite")
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(out)
+    fingerprints(
+      s.read.option("header", "true").option("multiLine", "true")
+        .option("nullValue", "\\N")
+        .schema(corpus.schema).csv(out))
+  }
+
+  /** q96: JSON-lines source/sink round-trip over the same corpus (string
+    * escaping instead of quoting rules — newlines travel as `\n`, so no
+    * multi-line mode involved). Shares q95's oracle: both sources must
+    * reproduce the identical original bytes.
+    */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = freshWorkDir("q96", dir)
+    val corpus = edgeCorpus(s, dir)
+    corpus.write.mode("overwrite").json(out)
+    fingerprints(s.read.schema(corpus.schema).json(out))
+  }
+
+  private val q95Oracle: String =
+    s"""SELECT doc_id, LENGTH($edgePayloadSql) AS n_chars,
+       | ${graft.functions.TextFns.hash60Sql(edgePayloadSql)} AS h
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- plumbing --------------------------------------------------------
 
   /** Deterministic per-(query,sfDir) scratch dir, wiped before each run. */
@@ -377,8 +454,11 @@ object PipelineQueries extends QueryModule {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.deleteIfExists(f))
+      // walk returns a lazily-populated stream backed by open directory
+      // handles — close it (same fix as StreamingQueries.deleteRecursively)
+      val walk = Files.walk(p)
+      try walk.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -389,7 +469,9 @@ object PipelineQueries extends QueryModule {
     "q50_enriched_schema" -> (enrichedSchema _),
     "q68_scalable_naming" -> (scalableNaming _),
     "q85_bzip2_roundtrip" -> (bzip2Roundtrip _),
-    "q87_sharded_cycles" -> (shardedCycles _))
+    "q87_sharded_cycles" -> (shardedCycles _),
+    "q95_csv_roundtrip" -> (csvRoundtrip _),
+    "q96_json_roundtrip" -> (jsonRoundtrip _))
 
   val family: String = "pipeline"
 
@@ -401,5 +483,7 @@ object PipelineQueries extends QueryModule {
     "q50_enriched_schema" -> q50Oracle,
     "q68_scalable_naming" -> q17Oracle,
     "q85_bzip2_roundtrip" -> q17Oracle,
-    "q87_sharded_cycles" -> q87Oracle)
+    "q87_sharded_cycles" -> q87Oracle,
+    "q95_csv_roundtrip" -> q95Oracle,
+    "q96_json_roundtrip" -> q95Oracle)
 }
