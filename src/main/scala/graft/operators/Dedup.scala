@@ -565,6 +565,46 @@ object Dedup {
     definitelyNew.unionByName(verifiedNew).drop("__bf_maybe")
   }
 
+  /** All DISTINCT-string pairs at edit distance exactly 1 — fuzzy
+    * vocabulary matching (typo clustering, spell-variant folding,
+    * entity-alias detection) via the symmetric-delete scheme (the
+    * SymSpell idea): every string s emits itself plus its |s|
+    * single-character deletions as candidate keys; two strings within
+    * one edit MUST share a key (substitution x→y: deleting the edited
+    * position from both yields the same string; insertion/deletion:
+    * the shorter string IS a deletion variant of the longer), so an
+    * equi-join on the key finds every true pair and `levenshtein`
+    * verification inside candidates removes the false ones (shared-key
+    * pairs can be distance 2, e.g. "ab"/"ba").
+    *
+    * Scale shape: one narrow variant explode (|s|+1 rows per string),
+    * one group-by on the variant key with the shared bucket-cap/observe
+    * machinery (`pairsFromBuckets`), one distinct on the pair — never
+    * an all-pairs product over the vocabulary. `maxBucket` bounds a
+    * pathological key (e.g. the empty-string variant shared by every
+    * single-character string) exactly like the shingle caps.
+    */
+  def editDistOnePairs(strings: DataFrame, str: Column,
+                       maxBucket: Int = Int.MaxValue): DataFrame = {
+    val vocab = strings.select(str.cast("string").as("s")).distinct()
+    // sequence(0, -1) DESCENDS in Spark, so the empty string needs its
+    // own branch (it has no deletions — only itself as a key)
+    val dels = when(length(col("s")) === 0, array(col("s")))
+      .otherwise(array_distinct(concat(
+        array(col("s")),
+        expr("""transform(sequence(0, length(s) - 1),
+               |  i -> concat(substring(s, 1, i), substring(s, i + 2, length(s))))""".stripMargin))))
+    val variants = vocab.select(col("s"), explode(dels).as("v"))
+    val buckets = variants
+      .groupBy(col("v"))
+      .agg(sort_array(collect_list(struct(col("s").as("doc_id"), lit(0L).as("n")))).as("ds"))
+    pairsFromBuckets(buckets, maxBucket)
+      .select(col("doc_a").as("tok_a"), col("doc_b").as("tok_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")).cast("long"))
+      .filter(col("dist") === 1)
+  }
+
   /** 32-bit SimHash over distinct tokens with the shared 60-bit hash's
     * low 32 bits: bit b of the fingerprint is set iff more than half the
     * tokens have bit b set. Computed as 32 conditional-sum aggregates —

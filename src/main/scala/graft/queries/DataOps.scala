@@ -1510,6 +1510,39 @@ object DataOps extends QueryModule {
        |FROM cut ORDER BY shuffle_pos""".stripMargin
   }
 
+  // ---- q98: symmetric-delete fuzzy vocabulary matching -----------------
+
+  /** Typo clustering over the corpus vocabulary: distinct tokens plus
+    * planted last-char-dropped typos of every token of length ≥ 5, then
+    * [[Dedup.editDistOnePairs]] finds every pair at edit distance
+    * exactly 1 through deletion-neighborhood equi-joins (never an
+    * all-pairs product). The oracle brute-forces the same vocabulary
+    * with DuckDB's `levenshtein` — both engines implement the classic
+    * DP distance, so candidate-generation completeness is what a green
+    * row proves.
+    */
+  def fuzzyVocab(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(explode(TextFns.distinctTokens(col("text"))).as("s"))
+      .distinct()
+    val vocab = toks.unionByName(
+      toks.filter(length(col("s")) >= 5)
+        .select(expr("substring(s, 1, length(s) - 1)").as("s")))
+    graft.operators.Dedup.editDistOnePairs(vocab, col("s"))
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
+  private val q98Oracle: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT unnest(string_split(text, ' ')) AS s FROM documents),
+      |vocab AS (
+      |  SELECT s FROM toks
+      |  UNION
+      |  SELECT substr(s, 1, len(s) - 1) FROM toks WHERE len(s) >= 5)
+      |SELECT a.s AS tok_a, b.s AS tok_b, CAST(1 AS BIGINT) AS dist
+      |FROM vocab a JOIN vocab b ON a.s < b.s AND levenshtein(a.s, b.s) = 1
+      |ORDER BY tok_a, tok_b""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1555,7 +1588,8 @@ object DataOps extends QueryModule {
     "q92_budget_select" -> (budgetSelect _),
     "q93_balanced_mix" -> (balancedMix _),
     "q94_boilerplate" -> (boilerplate _),
-    "q97_curation_export" -> (curationExport _))
+    "q97_curation_export" -> (curationExport _),
+    "q98_fuzzy_vocab" -> (fuzzyVocab _))
 
   val family: String = "dataops"
 
@@ -1602,5 +1636,6 @@ object DataOps extends QueryModule {
     "q92_budget_select" -> q92Oracle,
     "q93_balanced_mix" -> q93Oracle,
     "q94_boilerplate" -> q94Oracle,
-    "q97_curation_export" -> q97Oracle)
+    "q97_curation_export" -> q97Oracle,
+    "q98_fuzzy_vocab" -> q98Oracle)
 }

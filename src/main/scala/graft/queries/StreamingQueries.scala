@@ -567,6 +567,41 @@ object StreamingQueries extends QueryModule {
       |FROM stream WHERE md5(text) NOT IN (SELECT h FROM hist)
       |GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  // ---- q99: bloom-prefiltered streaming incremental dedup --------------
+
+  /** q75's daily-increment dedup through the INGEST-TIME scale path: a
+    * bloom sketch of the historical content hashes is built ONCE before
+    * the stream starts (one distributed pass) and applied as a narrow
+    * codegen'd prefilter inside every micro-batch — rows the sketch
+    * proves new (no false negatives) skip the history join entirely;
+    * only the fpp-bounded maybe-duplicate fraction reaches the
+    * broadcast anti-join. At 100 TB of history this is the difference
+    * between probing a hash relation per row and probing a few-MB
+    * bitset per row. Sharing q75's oracle pins that the sketch changes
+    * COST, never the answer: survivors and copy counts are identical.
+    */
+  def bloomIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val history = Tables(s, dir, "documents")
+      .filter(col("doc_id") % 4 === 0)
+      .select(md5(col("text")).as("h"))
+      .localCheckpoint(false) // feeds sketch build AND the verify join
+    val sketch = history.select(xxhash64(col("h")).as("hh"))
+      .stat.bloomFilter(col("hh"), expectedNumItems = 100000, fpp = 0.01)
+    val tagged = docsStream(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("maybe",
+        graft.catalyst.BloomMightContain.contains(xxhash64(col("h")), sketch))
+    // definitely-new rows bypass the join; candidates verify exactly
+    val survivors = tagged.filter(!col("maybe"))
+      .unionByName(
+        tagged.filter(col("maybe")).join(broadcast(history), Seq("h"), "left_anti"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    drain(s, survivors, OutputMode.Complete())
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
   // ---- q90: windowed aggregation across a stop/resume boundary ---------
 
   /** The q81 multi-batch windows run as TWO drains sharing one
@@ -956,7 +991,8 @@ object StreamingQueries extends QueryModule {
     "q83_mb_state" -> (mbStatefulUserStats _),
     "q84_mb_dedup" -> (mbStreamDedup _),
     "q89_stream_decontam" -> (streamDecontam _),
-    "q90_mb_resume" -> (mbResumeWindow _))
+    "q90_mb_resume" -> (mbResumeWindow _),
+    "q99_stream_bloom_dedup" -> (bloomIncrementalDedup _))
 
   val family: String = "streaming"
 
@@ -977,5 +1013,6 @@ object StreamingQueries extends QueryModule {
     "q83_mb_state" -> q83Oracle,
     "q84_mb_dedup" -> q84Oracle,
     "q89_stream_decontam" -> q89Oracle,
-    "q90_mb_resume" -> q90Oracle)
+    "q90_mb_resume" -> q90Oracle,
+    "q99_stream_bloom_dedup" -> q75Oracle)
 }

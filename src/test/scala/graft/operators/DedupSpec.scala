@@ -264,6 +264,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.editDistOnePairs") {
+    it("finds exactly the distance-1 pairs a brute-force scan finds (all three edit kinds)") {
+      val vocab = Seq("table", "tble" /* deletion */, "tablet" /* insertion */,
+        "cable" /* substitution */, "ab", "ba" /* distance-2 shared-key trap */,
+        "zebra" /* isolated */).toDF("s")
+      val got = Dedup.editDistOnePairs(vocab, col("s"))
+        .select("tok_a", "tok_b").as[(String, String)].collect().toSet
+      // brute force over the same vocabulary
+      val words = Seq("table", "tble", "tablet", "cable", "ab", "ba", "zebra")
+      def lev(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val expected = (for {
+        a <- words; b <- words if a < b && lev(a, b) == 1
+      } yield (a, b)).toSet
+      assert(got == expected)
+      assert(expected.contains(("table", "tble")) && expected.contains(("table", "tablet"))
+        && expected.contains(("cable", "table")))
+      assert(!got.contains(("ab", "ba"))) // shared deletion key but distance 2 — verified away
+    }
+
+    it("is total over empty and single-character strings") {
+      val vocab = Seq("", "a", "b", "ab").toDF("s")
+      val got = Dedup.editDistOnePairs(vocab, col("s"))
+        .select("tok_a", "tok_b").as[(String, String)].collect().toSet
+      assert(got == Set(("", "a"), ("", "b"), ("a", "b"), ("a", "ab"), ("ab", "b")))
+    }
+  }
+
   describe("Dedup.simhashNearDups") {
     it("band candidates recover exactly the brute-force hamming result (pigeonhole)") {
       val fp = Dedup.simhash(corpus, col("doc_id"), col("text"))
