@@ -1543,6 +1543,61 @@ object DataOps extends QueryModule {
       |FROM vocab a JOIN vocab b ON a.s < b.s AND levenshtein(a.s, b.s) = 1
       |ORDER BY tok_a, tok_b""".stripMargin
 
+  // ---- q100: trie tokenizer, driver-pinned -----------------------------
+
+  /** The production subword tokenizer gets DRIVER-VISIBLE evidence (its
+    * equivalence to the HOF form was spec-only until now): greedy
+    * longest-match segmentation of every document against a fixed
+    * 21-piece vocabulary through the codegen'd [[graft.catalyst
+    * .TrieTokenize]] trie walk, words longer than 6 chars passing
+    * through whole. The oracle re-implements greedy longest-match as a
+    * DuckDB RECURSIVE CTE (per word: the longest vocab piece prefixing
+    * the remainder, single-char fallback) and fingerprints the full
+    * piece sequence — a green row pins every piece boundary of every
+    * word of every doc.
+    */
+  private val TrieVocab = Seq(
+    "table", "tab", "le", "scan", "sc", "an", "row", "val", "value",
+    "batch", "bat", "ch", "win", "dow", "window", "stream", "str", "eam",
+    "er", "key", "ey")
+  private val TrieMaxWord = 6
+
+  def trieTokens(s: SparkSession, dir: String): DataFrame = {
+    val pieces = graft.catalyst.TrieTokenize(col("text"), TrieVocab, TrieMaxWord)
+    docs(s, dir).select(
+        col("doc_id"),
+        size(pieces).cast("long").as("n_pieces"),
+        md5(array_join(pieces, "|")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q100Oracle: String = {
+    val vocabValues = TrieVocab.map(v => s"('$v')").mkString(",")
+    s"""WITH RECURSIVE
+       |vocab(v) AS (SELECT * FROM (VALUES $vocabValues) t(v)),
+       |words AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS w_ord, unnest(ws) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |seg AS (
+       |  SELECT doc_id, w_ord, w, 1 AS pos, '' AS tok, 0 AS step
+       |  FROM words WHERE len(w) > 0 AND len(w) <= $TrieMaxWord
+       |  UNION ALL
+       |  SELECT doc_id, w_ord, w, pos + len(tok2), tok2, step + 1
+       |  FROM (
+       |    SELECT doc_id, w_ord, w, pos, step,
+       |      COALESCE((SELECT v FROM vocab WHERE v = substr(w, pos, len(v))
+       |                ORDER BY len(v) DESC LIMIT 1),
+       |               substr(w, pos, 1)) AS tok2
+       |    FROM seg WHERE pos <= len(w)) t),
+       |pieces AS (
+       |  SELECT doc_id, w_ord, step, tok FROM seg WHERE step >= 1
+       |  UNION ALL
+       |  SELECT doc_id, w_ord, 1 AS step, w AS tok FROM words WHERE len(w) > $TrieMaxWord)
+       |SELECT doc_id, COUNT(*) AS n_pieces,
+       |       md5(string_agg(tok, '|' ORDER BY w_ord, step)) AS fp
+       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1589,7 +1644,8 @@ object DataOps extends QueryModule {
     "q93_balanced_mix" -> (balancedMix _),
     "q94_boilerplate" -> (boilerplate _),
     "q97_curation_export" -> (curationExport _),
-    "q98_fuzzy_vocab" -> (fuzzyVocab _))
+    "q98_fuzzy_vocab" -> (fuzzyVocab _),
+    "q100_trie_tokenize" -> (trieTokens _))
 
   val family: String = "dataops"
 
@@ -1637,5 +1693,6 @@ object DataOps extends QueryModule {
     "q93_balanced_mix" -> q93Oracle,
     "q94_boilerplate" -> q94Oracle,
     "q97_curation_export" -> q97Oracle,
-    "q98_fuzzy_vocab" -> q98Oracle)
+    "q98_fuzzy_vocab" -> q98Oracle,
+    "q100_trie_tokenize" -> q100Oracle)
 }
