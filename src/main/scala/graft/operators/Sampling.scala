@@ -105,6 +105,11 @@ object Sampling {
     *
     * Shuffle ledger: one map-side-combined counts aggregate (stratum
     * cardinality rows), one broadcast join back, then a narrow filter.
+    *
+    * Rows with a NULL stratum are dropped (the equi-join back never
+    * matches null) — coalesce the stratum to a sentinel first if null
+    * should be its own mixture bucket. Applies to
+    * [[balancedSampleTargets]] too.
     */
   def balancedSample(df: DataFrame, stratum: Column, key: Column,
                      targetPerStratum: Long, seed: Int = 0): DataFrame = {
@@ -119,6 +124,37 @@ object Sampling {
         .multiply(new java.math.BigDecimal(MaxHash))).cast(dec)
     df.join(broadcast(counts), stratum === col("__bs_stratum"))
       .filter(TextFns.seededHash(seed, key).cast(dec) * col("__bs_n") < rhs)
+      .drop("__bs_stratum", "__bs_n")
+  }
+
+  /** [[balancedSample]] with PER-STRATUM targets — the mixture-recipe
+    * form ("12k web docs, 6k code docs, everything from the rare
+    * sources"): each stratum keeps `min(1, target(stratum)/n)` of its
+    * rows, targets supplied as a map (absent strata get
+    * `defaultTarget`), rates still derived in-plan from the stratum
+    * cardinalities and membership still decided by the exact rational
+    * rule, so the selection replays bit-for-bit in DuckDB. Same
+    * shuffle ledger as [[balancedSample]].
+    */
+  def balancedSampleTargets(df: DataFrame, stratum: Column, key: Column,
+                            targets: Map[String, Long], defaultTarget: Long = 0L,
+                            seed: Int = 0): DataFrame = {
+    require((targets.values.toSeq :+ defaultTarget).forall(_ >= 0),
+      "targets must be >= 0")
+    val reserved = df.columns.filter(_.startsWith("__bs_"))
+    require(reserved.isEmpty,
+      s"input frame already has reserved __bs_* working columns (${reserved.mkString(", ")}) — rename them first")
+    val dec = "decimal(38,0)"
+    val counts = df.groupBy(stratum.as("__bs_stratum"))
+      .agg(count(lit(1)).cast(dec).as("__bs_n"))
+    def rhs(target: Long): Column =
+      lit(new java.math.BigDecimal(target)
+        .multiply(new java.math.BigDecimal(MaxHash))).cast(dec)
+    val targetCol = targets.foldLeft(rhs(defaultTarget)) {
+      case (acc, (value, t)) => when(col("__bs_stratum") === value, rhs(t)).otherwise(acc)
+    }
+    df.join(broadcast(counts), stratum === col("__bs_stratum"))
+      .filter(TextFns.seededHash(seed, key).cast(dec) * col("__bs_n") < targetCol)
       .drop("__bs_stratum", "__bs_n")
   }
 

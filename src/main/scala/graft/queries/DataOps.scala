@@ -1543,6 +1543,35 @@ object DataOps extends QueryModule {
       |FROM vocab a JOIN vocab b ON a.s < b.s AND levenshtein(a.s, b.s) = 1
       |ORDER BY tok_a, tok_b""".stripMargin
 
+  // ---- q101: mixture-recipe sampling (per-stratum targets) -------------
+
+  /** The mixture-recipe form of q93: explicit per-source targets (src0
+    * capped hard at 3, src1 oversubscribed at 1 000 000 → kept whole,
+    * src2 excluded with target 0, every other source at the default 6),
+    * rates derived in-plan and membership decided by the exact rational
+    * rule. The oracle replays the identical CASE-table in HUGEINT.
+    */
+  def mixtureRecipe(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.balancedSampleTargets(
+        docs(s, dir), col("source"), col("doc_id"),
+        targets = Map("src0" -> 3L, "src1" -> 1000000L, "src2" -> 0L),
+        defaultTarget = 6L, seed = 17)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("source"))
+
+  private val q101Oracle: String = {
+    val h = TextFns.seededHashSql(17, "CAST(doc_id AS VARCHAR)")
+    val max = graft.operators.Sampling.MaxHash
+    s"""WITH n AS (SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source)
+       |SELECT source, COUNT(*) AS n_sampled
+       |FROM documents JOIN n USING (source)
+       |WHERE CAST($h AS HUGEINT) * n_src <
+       |  CAST(CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1000000
+       |       WHEN 'src2' THEN 0 ELSE 6 END AS HUGEINT) * CAST($max AS HUGEINT)
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---- q100: trie tokenizer, driver-pinned -----------------------------
 
   /** The production subword tokenizer gets DRIVER-VISIBLE evidence (its
@@ -1645,7 +1674,8 @@ object DataOps extends QueryModule {
     "q94_boilerplate" -> (boilerplate _),
     "q97_curation_export" -> (curationExport _),
     "q98_fuzzy_vocab" -> (fuzzyVocab _),
-    "q100_trie_tokenize" -> (trieTokens _))
+    "q100_trie_tokenize" -> (trieTokens _),
+    "q101_mixture_recipe" -> (mixtureRecipe _))
 
   val family: String = "dataops"
 
@@ -1694,5 +1724,6 @@ object DataOps extends QueryModule {
     "q94_boilerplate" -> q94Oracle,
     "q97_curation_export" -> q97Oracle,
     "q98_fuzzy_vocab" -> q98Oracle,
-    "q100_trie_tokenize" -> q100Oracle)
+    "q100_trie_tokenize" -> q100Oracle,
+    "q101_mixture_recipe" -> q101Oracle)
 }

@@ -90,6 +90,17 @@ class SamplingSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("__bs_n"))
     }
+
+    it("per-stratum targets: zero excludes, oversubscribed keeps whole, default fills the rest") {
+      val df = ids.withColumn("s", (col("id") % 4).cast("string"))
+      val counts = Sampling.balancedSampleTargets(df, col("s"), col("id"),
+          targets = Map("0" -> 0L, "1" -> 1000000L, "2" -> 50L), defaultTarget = 100L, seed = 6)
+        .groupBy("s").count().as[(String, Long)].collect().toMap
+      assert(!counts.contains("0")) // target 0: excluded entirely
+      assert(counts("1") == 500L) // oversubscribed: whole stratum kept
+      assert(math.abs(counts("2") - 50) < 30, s"got ${counts("2")}") // ~target
+      assert(math.abs(counts("3") - 100) < 40, s"got ${counts("3")}") // ~default
+    }
   }
 
   describe("Sampling.selectByTokenBudget") {
