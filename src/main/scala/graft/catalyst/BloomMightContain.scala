@@ -28,8 +28,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * Input is the 64-bit hash of the probed value (pair it with the SAME
   * hash used to populate the sketch — `xxhash64` here); null in → null
   * out.
+  *
+  * The bytes travel as an immutable `ArraySeq`, not a raw array: case-
+  * class equality on `Array[Byte]` is reference equality, which would
+  * make semantically identical probes compare unequal and silently
+  * defeat subexpression elimination / plan canonicalization.
   */
-case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
+case class BloomMightContain(child: Expression,
+                             bloomBytes: scala.collection.immutable.ArraySeq[Byte])
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -39,8 +45,10 @@ case class BloomMightContain(child: Expression, bloomBytes: Array[Byte])
     else TypeCheckResult.TypeCheckFailure(
       s"bloom_might_contain needs a long (64-bit hash) input, got ${child.dataType.catalogString}")
 
+  // toArray copies once per JVM at first deserialization — negligible
+  // next to shipping the sketch, and avoids unsafeArray's erased type
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes.toArray))
 
   override def nullSafeEval(input: Any): Any =
     bloom.mightContainLong(input.asInstanceOf[Long])
@@ -64,6 +72,7 @@ object BloomMightContain {
     val bos = new java.io.ByteArrayOutputStream()
     bloom.writeTo(bos)
     ExpressionShims.column(
-      BloomMightContain(ExpressionShims.expression(hash64), bos.toByteArray))
+      BloomMightContain(ExpressionShims.expression(hash64),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(bos.toByteArray)))
   }
 }

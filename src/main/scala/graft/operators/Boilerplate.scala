@@ -46,7 +46,12 @@ object Boilerplate {
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
     val lines = df
       .select(id.as("bp_id"),
-        posexplode(split(text, Pattern.quote(sep))).as(Seq("pos", "line")))
+        // coalesce keeps the totality promise for null text: split(null)
+        // is null and posexplode(null) emits NOTHING, which would drop
+        // the document from the output entirely; '' yields one empty
+        // line instead, so the doc comes back (possibly empty) like
+        // every other
+        posexplode(split(coalesce(text, lit("")), Pattern.quote(sep))).as(Seq("pos", "line")))
       // feeds the frequency aggregate AND the tag join — one scan
       .localCheckpoint(false)
     val boiler = lines.groupBy(col("line"))

@@ -541,7 +541,7 @@ object Dedup {
     * history). `expectedItems` sizes the sketch for the HISTORY
     * cardinality.
     */
-  def bloomNewDocs(newDocs: DataFrame, history: DataFrame, id: Column, text: Column,
+  def bloomNewDocs(newDocs: DataFrame, history: DataFrame, text: Column,
                    expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val reserved = newDocs.columns.filter(_.startsWith("__bf_"))
     require(reserved.isEmpty,

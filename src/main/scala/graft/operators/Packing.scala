@@ -159,7 +159,10 @@ object Packing {
     * single-reducer global window.
     *
     * `order` must be totally ordering (unique) for a deterministic
-    * result; `value` is cast to long.
+    * result; `value` is cast to long. A caller-supplied `bucketExpr`
+    * must evaluate NON-NULL on every row (like [[packOffsets]]'s and
+    * [[globalRowNumber]]'s): a null bucket cannot be placed in the
+    * bucket order, and the equi-join back would drop the row.
     */
   def runningTotal(df: DataFrame, order: Column, value: Column,
                    totalName: String = "running_total",

@@ -112,20 +112,9 @@ object Sampling {
     * [[balancedSampleTargets]] too.
     */
   def balancedSample(df: DataFrame, stratum: Column, key: Column,
-                     targetPerStratum: Long, seed: Int = 0): DataFrame = {
-    require(targetPerStratum >= 0, s"targetPerStratum must be >= 0, got $targetPerStratum")
-    val reserved = df.columns.filter(_.startsWith("__bs_"))
-    require(reserved.isEmpty,
-      s"input frame already has reserved __bs_* working columns (${reserved.mkString(", ")}) — rename them first")
-    val dec = "decimal(38,0)"
-    val counts = df.groupBy(stratum.as("__bs_stratum"))
-      .agg(count(lit(1)).cast(dec).as("__bs_n"))
-    val rhs = lit(new java.math.BigDecimal(targetPerStratum)
-        .multiply(new java.math.BigDecimal(MaxHash))).cast(dec)
-    df.join(broadcast(counts), stratum === col("__bs_stratum"))
-      .filter(TextFns.seededHash(seed, key).cast(dec) * col("__bs_n") < rhs)
-      .drop("__bs_stratum", "__bs_n")
-  }
+                     targetPerStratum: Long, seed: Int = 0): DataFrame =
+    balancedSampleTargets(df, stratum, key, Map.empty,
+      defaultTarget = targetPerStratum, seed = seed)
 
   /** [[balancedSample]] with PER-STRATUM targets — the mixture-recipe
     * form ("12k web docs, 6k code docs, everything from the rare
@@ -134,7 +123,8 @@ object Sampling {
     * `defaultTarget`), rates still derived in-plan from the stratum
     * cardinalities and membership still decided by the exact rational
     * rule, so the selection replays bit-for-bit in DuckDB. Same
-    * shuffle ledger as [[balancedSample]].
+    * shuffle ledger as [[balancedSample]] (which IS this with an empty
+    * map — one shared implementation of the membership rule).
     */
   def balancedSampleTargets(df: DataFrame, stratum: Column, key: Column,
                             targets: Map[String, Long], defaultTarget: Long = 0L,
@@ -171,7 +161,9 @@ object Sampling {
     * sum — never a single-reducer global window — and the budget test
     * is a narrow filter on top, so the whole selection is one range
     * shuffle + one broadcast regardless of corpus size. `order` must
-    * be totally ordering (unique).
+    * be totally ordering (unique), and `tok` NON-NEGATIVE — a negative
+    * count would make the running total non-monotone and the kept set
+    * non-contiguous (garbage in, garbage out; not validated in-plan).
     */
   def selectByTokenBudget(df: DataFrame, order: Column, tok: Column,
                           budget: Long, numRanges: Int = 32): DataFrame = {

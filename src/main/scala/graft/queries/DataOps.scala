@@ -31,6 +31,15 @@ object DataOps extends QueryModule {
     def sortOnce(cols: Column*): DataFrame = df.localCheckpoint(false).orderBy(cols: _*)
   }
 
+  /** Deterministic per-(name, sfDir) scratch path under the shared
+    * graft_work root — one sanitizer for every export query, so the
+    * scheme can't fork between call sites. */
+  private def workDir(name: String, sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"${name}_$tag").toString
+  }
+
   // ---- q21: exact dedup ------------------------------------------------
 
   /** Exact dedup over a corpus with planted duplicates (the test corpus
@@ -986,9 +995,7 @@ object DataOps extends QueryModule {
     */
   def shuffledExport(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Layout, Sampling}
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_work", s"shuffled_$tag").toString
+    val out = workDir("shuffled", dir)
     val shuffled = Sampling.deterministicShuffle(
         docs(s, dir).select(col("doc_id"), col("text")), col("doc_id"), seed = 7)
       .select(col("doc_id"), col("shuffle_pos"), col("text"))
@@ -1318,7 +1325,7 @@ object DataOps extends QueryModule {
       .unionAll(d.filter(col("doc_id") % 9 === 4)
         .select((col("doc_id") + 3000000).as("new_id"),
           concat(col("text"), lit(" fresh crawl content")).as("text")))
-    Dedup.bloomNewDocs(newBatch, d, col("new_id"), col("text"),
+    Dedup.bloomNewDocs(newBatch, d, col("text"),
         expectedItems = 100000, fpp = 0.01)
       .select(col("new_id"))
       .orderBy(col("new_id"))
@@ -1465,9 +1472,7 @@ object DataOps extends QueryModule {
     */
   def curationExport(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.{Layout, Sampling}
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_work", s"curation_$tag").toString
+    val out = workDir("curation", dir)
     val toks = TextFns.tokens(col("text"))
     val picked = Sampling.balancedSample(docs(s, dir), col("source"), col("doc_id"),
       targetPerStratum = 8, seed = 13)

@@ -206,21 +206,13 @@ class PropertySpec extends AnyFunSpec {
       // step must reject
       val wordGen = Gen.choose(0, 4)
         .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
-      def lev(a: String, b: String): Int = {
-        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
-          if (i == 0) j else if (j == 0) i else 0)
-        for (i <- 1 to a.length; j <- 1 to b.length)
-          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-        d(a.length)(b.length)
-      }
       check(Prop.forAllNoShrink(Gen.listOfN(12, wordGen)) { words =>
         import spark.implicits._
         val vocab = words.distinct
         val got = Dedup.editDistOnePairs(vocab.toDF("s"), col("s"))
           .select("tok_a", "tok_b").as[(String, String)].collect().toSet
         val expected = (for {
-          a <- vocab; b <- vocab if a < b && lev(a, b) == 1
+          a <- vocab; b <- vocab if a < b && TestOracles.levenshtein(a, b) == 1
         } yield (a, b)).toSet
         got == expected
       }, minTests = 12)

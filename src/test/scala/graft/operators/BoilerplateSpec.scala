@@ -45,6 +45,15 @@ class BoilerplateSpec extends SparkSpec {
       assert(out(3).getAs[String]("clean_text") == "real content")
     }
 
+    it("null text comes back as an empty-text row, not a missing one") {
+      val docs = Seq((1L, null.asInstanceOf[String]), (2L, "real line")).toDF("id", "text")
+      val out = Boilerplate.removeFrequentLines(docs, col("id"), col("text"), maxDocs = 2)
+        .orderBy("bp_id").collect()
+      assert(out.length == 2)
+      assert(out(0).getAs[String]("clean_text") == "")
+      assert(out(0).getAs[Long]("n_removed") == 0L)
+    }
+
     it("supports a custom separator and regex metacharacters in it") {
       val docs = Seq(
         (1L, "a||BP||b"), (2L, "BP||c"), (3L, "BP")).toDF("id", "text")

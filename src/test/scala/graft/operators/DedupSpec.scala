@@ -233,7 +233,7 @@ class DedupSpec extends SparkSpec {
       val newBatch = (1L to 40L).map(i => (1000L + i, s"hist doc number ${i * 3} body"))
         .++((1L to 60L).map(i => (2000L + i, s"fresh doc $i never seen")))
         .toDF("id", "text")
-      val got = Dedup.bloomNewDocs(newBatch, history, col("id"), col("text"),
+      val got = Dedup.bloomNewDocs(newBatch, history, col("text"),
           expectedItems = 1000, fpp = 0.05)
         .select("id").as[Long].collect().toSet
       val expected = newBatch.join(history.select(col("text")), Seq("text"), "left_anti")
@@ -249,7 +249,7 @@ class DedupSpec extends SparkSpec {
       // 8 expected items for 300 actual → saturated filter, fpp ≈ 1:
       // everything routes through exact verification and still comes
       // back exact (the sketch changes cost, never the answer)
-      val got = Dedup.bloomNewDocs(newBatch, history, col("id"), col("text"),
+      val got = Dedup.bloomNewDocs(newBatch, history, col("text"),
           expectedItems = 8, fpp = 0.5)
         .select("id").as[Long].collect().toSet
       assert(got == (1L to 200L).filter(_ % 2 == 1).map(9000L + _).toSet)
@@ -258,7 +258,7 @@ class DedupSpec extends SparkSpec {
     it("rejects reserved __bf_* columns") {
       val df = Seq((1L, "a")).toDF("id", "text").withColumn("__bf_h", lit(1L))
       val e = intercept[IllegalArgumentException] {
-        Dedup.bloomNewDocs(df, df, col("id"), col("text"), expectedItems = 10)
+        Dedup.bloomNewDocs(df, df, col("text"), expectedItems = 10)
       }
       assert(e.getMessage.contains("__bf_h"))
     }
@@ -273,15 +273,8 @@ class DedupSpec extends SparkSpec {
         .select("tok_a", "tok_b").as[(String, String)].collect().toSet
       // brute force over the same vocabulary
       val words = Seq("table", "tble", "tablet", "cable", "ab", "ba", "zebra")
-      def lev(a: String, b: String): Int = {
-        val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
-        for (i <- 1 to a.length; j <- 1 to b.length)
-          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
-            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
-        d(a.length)(b.length)
-      }
       val expected = (for {
-        a <- words; b <- words if a < b && lev(a, b) == 1
+        a <- words; b <- words if a < b && graft.TestOracles.levenshtein(a, b) == 1
       } yield (a, b)).toSet
       assert(got == expected)
       assert(expected.contains(("table", "tble")) && expected.contains(("table", "tablet"))
