@@ -565,6 +565,60 @@ object Dedup {
     definitelyNew.unionByName(verifiedNew).drop("__bf_maybe")
   }
 
+  /** Cross-document EXACT substring duplication — the span-level member
+    * of the dedup taxonomy (doc-level exact/Jaccard/MinHash/SimHash
+    * catch whole-document copies; THIS catches a 200-token quote pasted
+    * into an otherwise-unique page, the signal suffix-array dedup
+    * exists for). Token-granular and exact for spans ≥ `n` tokens: a
+    * shared span of L tokens yields L−n+1 positional n-gram matches on
+    * one (doc_a, doc_b, pos_a−pos_b) DIAGONAL, so maximal shared spans
+    * are exactly the maximal consecutive runs on a diagonal —
+    * recovered with gaps-and-islands (`pos_a − row_number` per
+    * diagonal), never a suffix array and never an all-pairs product.
+    *
+    * Shuffle ledger at 100 TB: one narrow positional-gram explode, one
+    * group-by on the gram hash (stop-grams above `maxDf` dropped BY
+    * RULE — the cap is part of the semantics, identically applied by
+    * the oracle, not a silent truncation), pair expansion inside
+    * buckets (bounded by the cap), one window over (pair, diagonal) —
+    * all key-partitioned.
+    *
+    * Grams are matched by their 60-bit hash; a collision could merge
+    * two diagonals, but the probability at corpus scale is ~|grams|²/2⁶⁰
+    * and the ORACLE hashes identically, so verification is unaffected.
+    *
+    * @return one row per document pair sharing a span of ≥ `minTokens`
+    *         tokens: `doc_a, doc_b, max_span` (longest shared span in
+    *         tokens), `n_spans` (how many distinct qualifying spans)
+    */
+  def sharedSpans(docs: DataFrame, id: Column, text: Column,
+                  n: Int = 5, minTokens: Int = 10, maxDf: Int = 1000): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(minTokens >= n, s"minTokens must be >= n=$n, got $minTokens")
+    import org.apache.spark.sql.expressions.Window
+    // tokens → attribute BEFORE the gram lambda (HOF subexpression rule)
+    val grams = docs.repartition(id)
+      .select(id.as("doc_id"), TextFns.tokens(text).as("t"))
+      .select(col("doc_id"), posexplode(TextFns.ngramsOf(col("t"), n)).as(Seq("pos", "gram")))
+      .select(col("doc_id"), col("pos"), TextFns.hash60(col("gram")).as("h"))
+    val buckets = grams.groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos").cast("long").as("n")))).as("ds"))
+      .filter(size(col("ds")) <= maxDf) // deterministic stop-gram rule
+    val matches = pairsFromBuckets(buckets)
+      .filter(col("doc_a") =!= col("doc_b")) // in-doc repetition is Repetition's domain
+      .select(col("doc_a"), col("doc_b"), col("na").as("pos_a"), col("nb").as("pos_b"))
+      .distinct()
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pos_a"))
+    val spans = matches
+      .withColumn("island", col("pos_a") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg((count(lit(1)) + (n - 1)).as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+    spans.groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_tokens")).as("max_span"), count(lit(1)).as("n_spans"))
+  }
+
   /** All DISTINCT-string pairs at edit distance exactly 1 — fuzzy
     * vocabulary matching (typo clustering, spell-variant folding,
     * entity-alias detection) via the symmetric-delete scheme (the

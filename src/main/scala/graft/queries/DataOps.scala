@@ -1548,6 +1548,63 @@ object DataOps extends QueryModule {
       |FROM vocab a JOIN vocab b ON a.s < b.s AND levenshtein(a.s, b.s) = 1
       |ORDER BY tok_a, tok_b""".stripMargin
 
+  // ---- q102: exact shared-span (substring) dedup -----------------------
+
+  /** Span-level exact duplication across documents: every 9th≡2 doc is
+    * replanted with its first 25 tokens plus a unique tail, so each
+    * (original, plant) pair shares an exactly-25-token span (shorter
+    * docs share their whole prefix) while random word-soup pairs can
+    * collide on a 5-gram but essentially never sustain a 10-token run.
+    * [[Dedup.sharedSpans]] must report exactly the qualifying pairs
+    * with exact maximal span lengths; the oracle replays the full
+    * construction — positional gram hashes, the maxDf stop-gram rule,
+    * diagonals, gaps-and-islands — in DuckDB.
+    */
+  def sharedSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val t = TextFns.tokens(col("text"))
+    val planted = d.filter(col("doc_id") % 9 === 2)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(array_join(slice(t, 1, 25), " "),
+          lit(" unique tail marker "), col("doc_id").cast("string")).as("text"))
+    Dedup.sharedSpans(d.unionAll(planted), col("doc_id"), col("text"),
+        n = 5, minTokens = 10, maxDf = 1000)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q102Oracle: String = {
+    val gramHash = TextFns.hash60Sql("array_to_string(t[i+1:i+5], ' ')")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 500000,
+       |         array_to_string(t[1:25], ' ') || ' unique tail marker ' || CAST(doc_id AS VARCHAR)
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE doc_id % 9 = 2),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |grams AS (
+       |  SELECT doc_id, unnest(range(0, len(t) - 4)) AS pos,
+       |         unnest([$gramHash for i in range(0, len(t) - 4)]) AS h
+       |  FROM toks WHERE len(t) >= 5),
+       |keep AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) <= 1000),
+       |g2 AS (SELECT doc_id, pos, h FROM grams JOIN keep USING (h)),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+       |         a.pos - b.pos AS diag
+       |  FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, diag, pa,
+       |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+       |  FROM m),
+       |sp AS (
+       |  SELECT doc_a, doc_b, CAST(COUNT(*) + 4 AS BIGINT) AS span_tokens
+       |  FROM isl GROUP BY doc_a, doc_b, diag, island
+       |  HAVING COUNT(*) + 4 >= 10)
+       |SELECT doc_a, doc_b, CAST(MAX(span_tokens) AS BIGINT) AS max_span,
+       |       COUNT(*) AS n_spans
+       |FROM sp GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // ---- q101: mixture-recipe sampling (per-stratum targets) -------------
 
   /** The mixture-recipe form of q93: explicit per-source targets (src0
@@ -1680,7 +1737,8 @@ object DataOps extends QueryModule {
     "q97_curation_export" -> (curationExport _),
     "q98_fuzzy_vocab" -> (fuzzyVocab _),
     "q100_trie_tokenize" -> (trieTokens _),
-    "q101_mixture_recipe" -> (mixtureRecipe _))
+    "q101_mixture_recipe" -> (mixtureRecipe _),
+    "q102_shared_spans" -> (sharedSpanDedup _))
 
   val family: String = "dataops"
 
@@ -1730,5 +1788,6 @@ object DataOps extends QueryModule {
     "q97_curation_export" -> q97Oracle,
     "q98_fuzzy_vocab" -> q98Oracle,
     "q100_trie_tokenize" -> q100Oracle,
-    "q101_mixture_recipe" -> q101Oracle)
+    "q101_mixture_recipe" -> q101Oracle,
+    "q102_shared_spans" -> q102Oracle)
 }

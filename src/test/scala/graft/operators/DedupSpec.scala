@@ -264,6 +264,42 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.sharedSpans") {
+    it("recovers exact maximal shared spans, multiple spans, and the min-length filter") {
+      def words(range: Range, p: String) = range.map(i => s"$p$i").mkString(" ")
+      // A and B share tokens a5..a16 (12 tokens) AND a30..a36 (7 tokens);
+      // C shares nothing long with anyone
+      val a = words(1 to 40, "a")
+      val b = s"${words(1 to 3, "b")} ${words(5 to 16, "a")} ${words(1 to 5, "c")} ${words(30 to 36, "a")} end"
+      val docs = Seq((1L, a), (2L, b), (3L, words(1 to 40, "z"))).toDF("doc_id", "text")
+      val out = Dedup.sharedSpans(docs, col("doc_id"), col("text"), n = 3, minTokens = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(out.toSeq == Seq((1L, 2L, 12L, 2L))) // both spans qualify, max is the 12-token one
+      // raising the floor above the second span drops it from the count
+      val strict = Dedup.sharedSpans(docs, col("doc_id"), col("text"), n = 3, minTokens = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(strict.toSeq == Seq((1L, 2L, 12L, 1L)))
+    }
+
+    it("ignores in-document repetition and applies the stop-gram cap deterministically") {
+      val phrase = "one two three four five six"
+      // doc 1 repeats the phrase internally — no self-pair; docs 2 and 3
+      // each contain it once — they pair with 1 and with each other
+      val docs = Seq(
+        (1L, s"$phrase filler $phrase"),
+        (2L, s"x y $phrase z"),
+        (3L, s"$phrase tail words here")).toDF("doc_id", "text")
+      val out = Dedup.sharedSpans(docs, col("doc_id"), col("text"), n = 3, minTokens = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(out == Set((1L, 2L, 6L), (1L, 3L, 6L), (2L, 3L, 6L)))
+      // a cap below the posting count of the phrase grams drops ALL pairs
+      // (the rule is part of the semantics, applied identically everywhere)
+      val capped = Dedup.sharedSpans(docs, col("doc_id"), col("text"), n = 3,
+        minTokens = 6, maxDf = 3)
+      assert(capped.count() == 0)
+    }
+  }
+
   describe("Dedup.editDistOnePairs") {
     it("finds exactly the distance-1 pairs a brute-force scan finds (all three edit kinds)") {
       val vocab = Seq("table", "tble" /* deletion */, "tablet" /* insertion */,
