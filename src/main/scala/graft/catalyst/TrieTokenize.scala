@@ -63,11 +63,15 @@ object TrieTokenize {
       TrieTokenize(ExpressionShims.expression(text), vocab, maxWordChars))
 
   /** Prefix-trie node: terminal marks a vocabulary piece ending here.
+    * Keys are Unicode CODE POINTS, not UTF-16 chars — the HOF form it is
+    * spec-pinned against (`Tokenizer.LongestMatch`) counts in Spark's
+    * code-point semantics, and a char-keyed walk would split surrogate
+    * pairs on non-BMP text (emitting invalid half-surrogate pieces).
     * HashMap children keep construction simple and lookups O(1); the
     * trie is built once per plan and read-only afterwards. */
   final class Node extends Serializable {
     var terminal: Boolean = false
-    val children = new java.util.HashMap[Character, Node]()
+    val children = new java.util.HashMap[Integer, Node]()
   }
 
   final class Trie(val root: Node) extends Serializable
@@ -78,10 +82,11 @@ object TrieTokenize {
       var node = root
       var i = 0
       while (i < piece.length) {
-        var next = node.children.get(piece.charAt(i))
-        if (next == null) { next = new Node; node.children.put(piece.charAt(i), next) }
+        val cp = piece.codePointAt(i)
+        var next = node.children.get(cp)
+        if (next == null) { next = new Node; node.children.put(cp, next) }
         node = next
-        i += 1
+        i += Character.charCount(cp)
       }
       node.terminal = true
     }
@@ -89,33 +94,35 @@ object TrieTokenize {
   }
 
   /** One pass per word: walk the trie from each position, remember the
-    * deepest terminal, emit that piece (or one char), advance. */
+    * deepest terminal, emit that piece (or one code point), advance.
+    * Positions are char indices (for cheap substring) but every step
+    * advances by one CODE POINT, so surrogate pairs never split and
+    * maxWordChars counts code points exactly like the HOF form. */
   def compute(text: UTF8String, trie: Trie, maxWordChars: Int): GenericArrayData = {
     val words = text.toString.split(" ", -1)
     val out = new java.util.ArrayList[Any]()
     var wi = 0
     while (wi < words.length) {
       val w = words(wi)
-      if (w.length > maxWordChars) out.add(UTF8String.fromString(w))
+      if (w.codePointCount(0, w.length) > maxWordChars) out.add(UTF8String.fromString(w))
       else {
         var pos = 0
         while (pos < w.length) {
           var node = trie.root
-          var depth = 0
-          var best = 0
+          var best = 0 // char length of the deepest terminal match from pos
           var i = pos
           var walking = true
           while (walking && i < w.length) {
-            val next = node.children.get(w.charAt(i))
+            val cp = w.codePointAt(i)
+            val next = node.children.get(cp)
             if (next == null) walking = false
             else {
               node = next
-              depth += 1
-              i += 1
-              if (node.terminal) best = depth
+              i += Character.charCount(cp)
+              if (node.terminal) best = i - pos
             }
           }
-          val len = if (best > 0) best else 1
+          val len = if (best > 0) best else Character.charCount(w.codePointAt(pos))
           out.add(UTF8String.fromString(w.substring(pos, pos + len)))
           pos += len
         }

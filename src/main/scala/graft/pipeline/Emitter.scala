@@ -213,26 +213,48 @@ object Emitter {
       val src = new Path(srcS)
       val dest = new Path(destS)
       val f = dest.getFileSystem(c)
-      // TASK-RETRY idempotence (the executor path re-executes on retry
-      // or speculation, unlike the old driver-sequential loop): a prior
-      // attempt that already moved src → dest must be a no-op, NOT a
-      // delete-then-failed-rename that destroys the committed object.
-      if (!f.exists(src)) {
-        if (f.exists(dest)) { hook.foreach(h => h(c, dest)); return }
+      // CONCURRENT-ATTEMPT safety (the executor path can run the same
+      // move twice IN PARALLEL — task retry racing a zombie/speculative
+      // attempt — unlike the old driver-sequential loop): dest content
+      // is a deterministic function of (src, dest) for this batch, so a
+      // dest that exists was committed by a completed rename of the same
+      // bytes and must NEVER be deleted. The losing attempt's job is
+      // only to drop the staged copy. (The old exists(src)/delete(dest)/
+      // rename sequence let a stale attempt delete the winner's dest and
+      // then fail its own rename — both copies gone.)
+      if (f.exists(dest)) {
+        if (f.exists(src)) f.delete(src, false)
+        hook.foreach(h => h(c, dest))
+        return
+      }
+      if (!f.exists(src))
         throw new java.io.IOException(
           s"staged file $srcS is gone and $destS does not exist — commit state lost")
-      }
       f.mkdirs(dest.getParent)
-      if (f.exists(dest)) f.delete(dest, false) // idempotent batch retry
-      if (!f.rename(src, dest))
-        // rename reports failure as `false`, not an exception — surface
-        // it so the batch-level retry/maxTimeout budget actually fires
-        throw new java.io.IOException(s"rename $srcS -> $destS failed")
+      if (!f.rename(src, dest)) {
+        // rename reports failure as `false`, not an exception. One
+        // legitimate false: a concurrent duplicate attempt renamed src
+        // first — then dest now holds the committed object and this
+        // attempt is a success. Anything else must surface so the
+        // batch-level retry/maxTimeout budget actually fires.
+        if (!f.exists(dest))
+          throw new java.io.IOException(s"rename $srcS -> $destS failed")
+      }
       hook.foreach(h => h(c, dest))
     }
 
-    val FanOutThreshold = 16
-    if (moves.length <= FanOutThreshold)
+    // Fan-out pays one scheduler round-trip per batch to buy parallel
+    // renames — worth it exactly when a rename is a REMOTE call (s3a
+    // copy+delete ~50-200 ms, hdfs namenode RPC ~ms) and the move count
+    // amortizes the job. On a LOCAL filesystem a rename is microseconds,
+    // so the job overhead can never win at realistic batch sizes —
+    // measured at sf0.1 the executor path cost q68 ~0.6 s/run over the
+    // driver loop. Hence a scheme-aware default (remote: 16, local:
+    // 512) with an explicit conf override for tuning and tests.
+    val fanOutThreshold = spark.conf.getOption("spark.graft.commit.fanOutThreshold")
+      .map(_.toInt)
+      .getOrElse(if (fs.getScheme == "file") 512 else 16)
+    if (moves.length <= fanOutThreshold)
       moves.foreach { case (s, d) => moveOne(conf)(s, d) }
     else {
       val confBc = spark.sparkContext.broadcast(

@@ -1684,9 +1684,10 @@ object DataOps extends QueryModule {
        |  SELECT doc_id, w_ord, step, tok FROM seg WHERE step >= 1
        |  UNION ALL
        |  SELECT doc_id, w_ord, 1 AS step, w AS tok FROM words WHERE len(w) > $TrieMaxWord)
-       |SELECT doc_id, COUNT(*) AS n_pieces,
-       |       md5(string_agg(tok, '|' ORDER BY w_ord, step)) AS fp
-       |FROM pieces GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |SELECT d.doc_id, COUNT(p.doc_id) AS n_pieces,
+       |       md5(COALESCE(string_agg(p.tok, '|' ORDER BY p.w_ord, p.step), '')) AS fp
+       |FROM documents d LEFT JOIN pieces p USING (doc_id)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
   // ---- registry --------------------------------------------------------

@@ -69,6 +69,33 @@ class TokenizerSpec extends SparkSpec {
       assert(got.isEmpty)
     }
 
+    it("TrieLongestMatch matches the HOF form on non-BMP text (code points, not chars)") {
+      // Supplementary-plane pieces (each 2 UTF-16 chars): the trie must
+      // walk code points — a char-keyed walk would split the surrogate
+      // pair on fallback and emit invalid half-surrogate pieces.
+      val cpVocab = Seq("𝕏", "𝕏y", "un", "🌍🌍")
+      val trie = Tokenizer.TrieLongestMatch(cpVocab)
+      val hof = Tokenizer.LongestMatch(cpVocab)
+      val texts = Seq(
+        "𝕏y un𝕏", // vocab pieces incl. longest-match across a pair
+        "🌍🌍🌍", // 3 globes: vocab pair + single-cp fallback
+        "😀abc", // non-vocab non-BMP: fallback must take the WHOLE pair
+        "")
+      val rows = texts.toDF("text")
+        .select(trie.tokenize(col("text")).as("a"), hof.tokenize(col("text")).as("b"))
+        .as[(Seq[String], Seq[String])].collect()
+      rows.foreach { case (a, b) => assert(a == b) }
+      // no piece may start or end with an unpaired surrogate
+      rows.flatMap(_._1).foreach { p =>
+        assert(!Character.isLowSurrogate(p.head) && !Character.isHighSurrogate(p.last))
+      }
+      // maxWordChars counts code points: 3 globes = 3 code points ≤ 3 → segments
+      val capped = Tokenizer.TrieLongestMatch(cpVocab, maxWordChars = 3)
+      val got = Seq("🌍🌍🌍").toDF("text")
+        .select(capped.tokenize(col("text")).as("t")).as[Seq[String]].head()
+      assert(got == Seq("🌍🌍", "🌍"))
+    }
+
     it("TrieLongestMatch honors the maxWordChars pass-through cap") {
       val trie = Tokenizer.TrieLongestMatch(vocab, maxWordChars = 8)
       val got = Seq("unrelated un").toDF("text")

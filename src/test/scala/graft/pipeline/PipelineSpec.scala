@@ -133,15 +133,19 @@ class PipelineSpec extends SparkSpec {
         val work = tmp.getAbsolutePath
         import spark.implicits._
         val lines = (1 to 240).map(i => s"$i\tapp\tweb\t2020-11-26 00:01:05\tu$i")
-        // a 24-partition batch frame stages 24 part files > the
-        // emitter's 16-file driver threshold → the commit's
-        // mkdirs/delete/rename runs distributed (the 100× path);
-        // content and naming contract must be unchanged
+        // a 24-partition batch frame stages 24 part files; forcing the
+        // conf threshold to 16 (the local-FS default is 512 — a local
+        // rename never amortizes a scheduler round-trip) sends the
+        // commit's mkdirs/rename through the distributed path (the 100×
+        // path); content and naming contract must be unchanged
         val df = lines.toDF("value").repartition(24)
           .withColumn("seq", split(col("value"), "\t").getItem(0).cast("long"))
           .withColumn("error", lit(null).cast("array<string>"))
-        val result = Emitter.emitBatch(df, config(work, Purpose.Raw, dateFormat = None),
-          batchId = 0, now = Instant.parse("2021-04-30T12:00:00Z"), exactNaming = false)
+        spark.conf.set("spark.graft.commit.fanOutThreshold", "16")
+        val result =
+          try Emitter.emitBatch(df, config(work, Purpose.Raw, dateFormat = None),
+            batchId = 0, now = Instant.parse("2021-04-30T12:00:00Z"), exactNaming = false)
+          finally spark.conf.unset("spark.graft.commit.fanOutThreshold")
         assert(result.count == 240)
         assert(result.files.size == 24)
 
@@ -150,6 +154,35 @@ class PipelineSpec extends SparkSpec {
         assert(files.forall(_.getName.matches("pre-2021-04-30-120000-.*-part\\d{5}\\.gz")))
         val contents = files.flatMap(f => s"gunzip -c ${f.getAbsolutePath}".!!.split("\n", -1).dropRight(1))
         assert(contents.sorted.toSeq == lines.sorted)
+      }
+    }
+
+    it("a replayed batch commit keeps already-committed objects untouched") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        import spark.implicits._
+        val lines = (1 to 40).map(i => s"$i\tapp\tweb\t2020-11-26 00:01:05\tu$i")
+        val df = lines.toDF("value").repartition(4)
+          .withColumn("seq", split(col("value"), "\t").getItem(0).cast("long"))
+          .withColumn("error", lit(null).cast("array<string>"))
+        def emit() = Emitter.emitBatch(df, config(work, Purpose.Raw, dateFormat = None),
+          batchId = 0, now = Instant.parse("2021-04-30T12:00:00Z"), exactNaming = false)
+
+        val first = emit()
+        val committed = listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+          .map(f => f.getAbsolutePath -> f.lastModified).toMap
+        // Replay the same batch (checkpoint recovery re-runs emitBatch
+        // with identical inputs): every dest already exists, so the
+        // move must KEEP the committed object — never a delete+rename
+        // that a concurrent duplicate attempt could turn into data loss.
+        val second = emit()
+        assert(second.files.toSet == first.files.toSet)
+        val after = listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+          .map(f => f.getAbsolutePath -> f.lastModified).toMap
+        assert(after == committed) // same paths, same mtimes: kept, not rewritten
+        val contents = after.keys.toSeq
+          .flatMap(p => s"gunzip -c $p".!!.split("\n", -1).dropRight(1))
+        assert(contents.sorted == lines.sorted)
       }
     }
   }
