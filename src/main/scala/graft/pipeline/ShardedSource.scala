@@ -42,13 +42,25 @@ import org.apache.spark.sql.types._
   *    for a fixed pre-existing record set that is the EMPTY set (only
   *    records arriving after startup qualify), which is exactly Kinesis
   *    LATEST semantics and is pinned by spec.
+  *  - **Resharding with parent-before-child ordering**: `parents` maps a
+  *    child shard to the shard(s) it was split or merged from. The KCL
+  *    contract (reference `KinesisSourceExecutor.scala:63-93` lease
+  *    semantics) is that a child shard's lease is not processed until
+  *    every parent shard is fully consumed and checkpointed — otherwise
+  *    per-key ordering breaks across the reshard boundary. The double
+  *    enforces exactly that: a child contributes NOTHING to any fetch
+  *    cycle before the cycle in which its last parent drains completely
+  *    (a split's two children share one parent; a merge's one child
+  *    waits on BOTH parents). Within a shard, admission stays
+  *    sequence-ordered and fetch-capped as before.
   *
   * The double stages through parquet purely as the local transport; a
   * real adapter replaces `lines` with the connector's stream and keeps
   * the same output contract: `value: string` + `seq: string`, positioned
   * and admission-capped.
   */
-final class ShardedSource(records: Seq[ShardedSource.Record], stageDir: String) extends Source {
+final class ShardedSource(records: Seq[ShardedSource.Record], stageDir: String,
+                          parents: Map[String, Seq[String]] = Map.empty) extends Source {
 
   /** Stream tip at construction — LATEST's cutoff (a real adapter gets
     * this from the LATEST shard iterator; restart identity would ride the
@@ -64,9 +76,12 @@ final class ShardedSource(records: Seq[ShardedSource.Record], stageDir: String) 
     }
     val cap = math.max(1, config.input.maxRecords)
     val shards = positioned.groupBy(_.shardId).toSeq.sortBy(_._1)
+    val startCycle = ShardedSource.startCycles(
+      shards.map { case (s, rs) => s -> rs.size }.toMap, parents, cap)
     val rows = shards.flatMap { case (shard, rs) =>
-      rs.sortBy(_.sequenceNumber).grouped(cap).zipWithIndex.flatMap { case (chunk, cycle) =>
-        chunk.map(r => (r.data, ShardedSource.seqString(r.sequenceNumber), cycle))
+      val base = startCycle(shard)
+      rs.sortBy(_.sequenceNumber).grouped(cap).zipWithIndex.flatMap { case (chunk, i) =>
+        chunk.map(r => (r.data, ShardedSource.seqString(r.sequenceNumber), base + i))
       }
     }
 
@@ -100,6 +115,38 @@ object ShardedSource {
     * arrival time the initial-position seek filters on. */
   final case class Record(shardId: String, sequenceNumber: Long, data: String,
                           arrival: Instant)
+
+  /** First fetch cycle each shard may contribute to, under the
+    * parent-before-child reshard contract: a parentless shard starts at
+    * cycle 0; a child starts at the max FINISH cycle of its parents,
+    * where finish(s) = start(s) + ceil(records(s)/cap) — the first cycle
+    * after the parent's last chunk. A parent named only in the topology
+    * is a drained, recordless shard (real Kinesis enumerates closed
+    * shards via ListShards) and finishes at its own start. Cyclic
+    * topologies fail fast rather than deadlocking the simulated stream.
+    */
+  private[pipeline] def startCycles(counts: Map[String, Int],
+                                    parents: Map[String, Seq[String]],
+                                    cap: Int): Map[String, Int] = {
+    val known = counts.keySet ++ parents.keySet ++ parents.values.flatten
+    val start = collection.mutable.Map.empty[String, Int]
+    def finish(shard: String, path: List[String]): Int = {
+      require(!path.contains(shard),
+        s"cyclic shard topology through '$shard' (${path.reverse.mkString(" -> ")})")
+      val st = start.get(shard) match {
+        case Some(v) => v
+        case None =>
+          val v = parents.get(shard).filter(_.nonEmpty)
+            .map(_.map(p => finish(p, shard :: path)).max).getOrElse(0)
+          start(shard) = v
+          v
+      }
+      val n = counts.getOrElse(shard, 0)
+      st + (n + cap - 1) / cap
+    }
+    known.foreach(s => finish(s, Nil))
+    start.toMap
+  }
 
   /** Kinesis-style opaque sequence string: fixed-width decimal, so
     * lexicographic min/max (what the emitter computes over the string

@@ -193,6 +193,84 @@ object PipelineQueries extends QueryModule {
       |       COUNT(*) AS n
       |FROM rk GROUP BY cycle ORDER BY first_seq""".stripMargin
 
+  /** q103: q87's transport contract ACROSS A RESHARD — the hardest part
+    * of the real KCL contract (reference `KinesisSourceExecutor.scala:
+    * 63-93` lease semantics): shard `a` SPLITS into `a1`/`a2`, and
+    * `b1`+`b2` MERGE into `bm`, with parent-before-child ordering — a
+    * child shard contributes nothing to any fetch cycle until its last
+    * parent fully drains. 2 000 events spread over the six shards by
+    * `user_id % 6`, drained at `maxRecords = 100`; each micro-batch is
+    * one global fetch cycle and flushes one object named with the
+    * cycle's union seq range. The oracle recomputes the start-cycle
+    * algebra in SQL — parentless shards start at 0, `a1`/`a2` at
+    * finish(`a`), `bm` at max(finish(`b1`), finish(`b2`)) — so a green
+    * row pins that no child record ever rides before its parents drain.
+    * (Unlike q87, cycle order is NOT first_seq order — a child's low
+    * sequence numbers appear in late cycles — so both sides order by
+    * first_seq, which is unique across objects: cycles partition the
+    * records, so each object's min is distinct.)
+    */
+  def reshardedCycles(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.ShardedSource
+    val work = freshWorkDir("q103", dir)
+    val arrival = Instant.parse("2020-01-01T00:00:00Z")
+    val shardNames = Seq("a", "a1", "a2", "b1", "b2", "bm")
+    val recs = Tables(s, dir, "events")
+      .orderBy(col("event_id")).limit(2000)
+      .select(col("event_id").cast("long"), (col("user_id") % 6).cast("int"))
+      .collect()
+      .map(r => ShardedSource.Record(shardId = shardNames(r.getInt(1)),
+        sequenceNumber = r.getLong(0), data = s"line-${r.getLong(0)}",
+        arrival = arrival))
+      .toSeq
+    val source = new ShardedSource(recs, s"$work/stage",
+      parents = Map("a1" -> Seq("a"), "a2" -> Seq("a"), "bm" -> Seq("b1", "b2")))
+    val config = PipelineConfig(
+      region = None,
+      purpose = Purpose.Raw,
+      input = InputConfig("graft-q103", s"$work/stage", InitialPosition.TrimHorizon,
+        maxRecords = 100),
+      output = OutputConfig(
+        S3OutputConfig(s"$work/out", dateFormat = None, filenamePrefix = Some("graft"),
+          compression = Compression.Gzip, maxTimeout = 10000),
+        BadOutputConfig(s"$work/bad")),
+      buffer = BufferConfig(256L << 20, 1000000, 0),
+      monitoring = None)
+    Pipeline.runOnce(s, config, checkpointDir = Some(s"$work/checkpoint"), source = source)
+    val seqRange = "-(\\d{20})-(\\d{20})\\.gz$"
+    s.read.option("recursiveFileLookup", "true").text(s"$work/out")
+      .select(input_file_name().as("f"))
+      .groupBy(col("f")).agg(count(lit(1)).as("n"))
+      .select(
+        regexp_extract(col("f"), seqRange, 1).as("first_seq"),
+        regexp_extract(col("f"), seqRange, 2).as("last_seq"),
+        col("n"))
+      .orderBy(col("first_seq"))
+  }
+
+  private val q103Oracle: String =
+    """WITH r AS (SELECT event_id,
+      |             CASE user_id % 6 WHEN 0 THEN 'a' WHEN 1 THEN 'a1'
+      |                  WHEN 2 THEN 'a2' WHEN 3 THEN 'b1' WHEN 4 THEN 'b2'
+      |                  ELSE 'bm' END AS shard
+      |           FROM events ORDER BY event_id LIMIT 2000),
+      |c AS (SELECT shard, COUNT(*) AS n FROM r GROUP BY shard),
+      |f AS (SELECT shard, CAST(CEIL(n / 100.0) AS BIGINT) AS fin
+      |      FROM c WHERE shard IN ('a', 'b1', 'b2')),
+      |st AS (SELECT shard,
+      |         CASE WHEN shard IN ('a', 'b1', 'b2') THEN 0
+      |              WHEN shard IN ('a1', 'a2') THEN (SELECT fin FROM f WHERE shard = 'a')
+      |              ELSE (SELECT MAX(fin) FROM f WHERE shard IN ('b1', 'b2')) END AS s0
+      |       FROM c),
+      |rk AS (SELECT event_id, r.shard,
+      |         s0 + (row_number() OVER (PARTITION BY r.shard ORDER BY event_id) - 1) // 100
+      |           AS cycle
+      |       FROM r JOIN st ON r.shard = st.shard)
+      |SELECT lpad(CAST(MIN(event_id) AS VARCHAR), 20, '0') AS first_seq,
+      |       lpad(CAST(MAX(event_id) AS VARCHAR), 20, '0') AS last_seq,
+      |       COUNT(*) AS n
+      |FROM rk GROUP BY cycle ORDER BY first_seq""".stripMargin
+
   private def roundtrip(s: SparkSession, dir: String, q: String,
                         exactNaming: Boolean,
                         compression: Compression = Compression.Gzip): DataFrame = {
@@ -471,7 +549,8 @@ object PipelineQueries extends QueryModule {
     "q85_bzip2_roundtrip" -> (bzip2Roundtrip _),
     "q87_sharded_cycles" -> (shardedCycles _),
     "q95_csv_roundtrip" -> (csvRoundtrip _),
-    "q96_json_roundtrip" -> (jsonRoundtrip _))
+    "q96_json_roundtrip" -> (jsonRoundtrip _),
+    "q103_resharded_cycles" -> (reshardedCycles _))
 
   val family: String = "pipeline"
 
@@ -485,5 +564,6 @@ object PipelineQueries extends QueryModule {
     "q85_bzip2_roundtrip" -> q17Oracle,
     "q87_sharded_cycles" -> q87Oracle,
     "q95_csv_roundtrip" -> q95Oracle,
-    "q96_json_roundtrip" -> q95Oracle)
+    "q96_json_roundtrip" -> q95Oracle,
+    "q103_resharded_cycles" -> q103Oracle)
 }

@@ -126,6 +126,85 @@ class ShardedSourceSpec extends SparkSpec {
       }
     }
 
+    it("a shard SPLIT holds both children until the parent drains (parent-before-child)") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        val now = Instant.parse("2021-04-30T12:00:00Z")
+        // parent P: 4 records (cap 2 → cycles 0,1); children C1 (3) and
+        // C2 (2) may only start at cycle 2 — the first cycle after P's
+        // last chunk — even though their records are all present
+        val records =
+          (1 to 4).map(i => ShardedSource.Record("P", 100L + i, s"p-$i", arrival)) ++
+          (1 to 3).map(i => ShardedSource.Record("C1", 500L + i, s"c1-$i", arrival)) ++
+          (1 to 2).map(i => ShardedSource.Record("C2", 600L + i, s"c2-$i", arrival))
+        val source = new ShardedSource(records, s"$work/stage",
+          parents = Map("C1" -> Seq("P"), "C2" -> Seq("P")))
+
+        val result = Pipeline.runOnce(spark, config(work, maxRecords = 2),
+          checkpointDir = Some(s"$work/checkpoint"),
+          now = Some(now), source = source)
+
+        // cycle0={p1,p2} cycle1={p3,p4} cycle2={c1-1,c1-2,c2-1,c2-2} cycle3={c1-3}
+        assert(result.batches.map(_.count).sorted == Seq(1L, 2L, 2L, 4L))
+        val files = listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+        val ranges = files.map(_.getName.stripSuffix(".gz").split("-").takeRight(2).toSeq)
+          .map { case Seq(a, b) => (a.toLong, b.toLong) }.sorted
+        assert(ranges == Seq((101L, 102L), (103L, 104L), (501L, 602L), (503L, 503L)))
+      }
+    }
+
+    it("a shard MERGE holds the child until BOTH parents drain") {
+      withTempDir { tmp =>
+        val work = tmp.getAbsolutePath
+        val now = Instant.parse("2021-04-30T12:00:00Z")
+        // M1: 3 records (cycles 0,1); M2: 1 record (cycle 0); merged
+        // child MM waits for the LATER parent → starts at cycle 2
+        val records =
+          (1 to 3).map(i => ShardedSource.Record("M1", 200L + i, s"m1-$i", arrival)) ++
+          Seq(ShardedSource.Record("M2", 301L, "m2-1", arrival)) ++
+          (1 to 3).map(i => ShardedSource.Record("MM", 400L + i, s"mm-$i", arrival))
+        val source = new ShardedSource(records, s"$work/stage",
+          parents = Map("MM" -> Seq("M1", "M2")))
+
+        val result = Pipeline.runOnce(spark, config(work, maxRecords = 2),
+          checkpointDir = Some(s"$work/checkpoint"),
+          now = Some(now), source = source)
+
+        // cycle0={m1-1,m1-2,m2-1} cycle1={m1-3} cycle2={mm-1,mm-2} cycle3={mm-3}
+        assert(result.batches.map(_.count).sorted == Seq(1L, 1L, 2L, 3L))
+        val files = listFilesRec(new File(s"$work/out")).filter(_.getName.endsWith(".gz"))
+        val ranges = files.map(_.getName.stripSuffix(".gz").split("-").takeRight(2).toSeq)
+          .map { case Seq(a, b) => (a.toLong, b.toLong) }.sorted
+        assert(ranges == Seq((201L, 301L), (203L, 203L), (401L, 402L), (403L, 403L)))
+      }
+    }
+  }
+
+  describe("ShardedSource.startCycles") {
+    it("chains depth-2 topologies and tolerates recordless parents") {
+      // a → b → c with a empty: b starts at a's start (0), c after b
+      val start = ShardedSource.startCycles(
+        counts = Map("b" -> 3, "c" -> 1),
+        parents = Map("b" -> Seq("a"), "c" -> Seq("b")), cap = 2)
+      assert(start == Map("a" -> 0, "b" -> 0, "c" -> 2))
+    }
+
+    it("treats a topology-only parent as drained and rejects cyclic topologies") {
+      // a parent named only in the topology is a closed, recordless
+      // shard (Kinesis ListShards still enumerates it): child starts
+      // immediately rather than deadlocking on a shard that never fetches
+      val start = ShardedSource.startCycles(
+        Map("a" -> 2), Map("a" -> Seq("ghost")), cap = 1)
+      assert(start == Map("ghost" -> 0, "a" -> 0))
+      val e = intercept[IllegalArgumentException] {
+        ShardedSource.startCycles(Map("a" -> 1, "b" -> 1),
+          Map("a" -> Seq("b"), "b" -> Seq("a")), cap = 1)
+      }
+      assert(e.getMessage.contains("cyclic"))
+    }
+  }
+
+  describe("ShardedSource initial position") {
     it("initial position seeks: TRIM_HORIZON all, AT_TIMESTAMP from the seek point, LATEST = tip (empty)") {
       withTempDir { tmp =>
         val work = tmp.getAbsolutePath
