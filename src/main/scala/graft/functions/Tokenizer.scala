@@ -42,6 +42,19 @@ object Tokenizer {
       graft.catalyst.TrieTokenize(text, vocab, maxWordChars)
   }
 
+  /** Byte-pair-encoding merge-rank segmentation behind the seam — the
+    * GPT-style production shape ([[graft.catalyst.BpeTokenize]]): each
+    * word explodes to code points, then the lowest-ranked adjacent pair
+    * merges (leftmost occurrence) until no pair is in the table. Same
+    * word framing as the other tokenizers: whitespace pre-split,
+    * `maxWordChars` code-point pass-through cap, empty words contribute
+    * nothing. */
+  final case class MergeRank(merges: Seq[(String, String)], maxWordChars: Int = 100)
+      extends Tokenizer {
+    override def tokenize(text: Column): Column =
+      graft.catalyst.BpeTokenize(text, merges, maxWordChars)
+  }
+
   /** Greedy longest-match subword segmentation over a fixed vocabulary
     * — the WordPiece/BPE-inference shape: pre-split on whitespace, then
     * repeatedly take the longest vocabulary piece prefixing the

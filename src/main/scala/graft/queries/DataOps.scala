@@ -1690,6 +1690,81 @@ object DataOps extends QueryModule {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- q104: BPE merge-rank tokenizer, driver-pinned -------------------
+
+  /** The second production tokenizer shape gets the q100 treatment: BPE
+    * merge-rank segmentation ([[graft.catalyst.BpeTokenize]] behind the
+    * `Tokenizer` seam) of every document against a fixed creation-
+    * ordered 23-merge table — each word explodes to single characters,
+    * then the lowest-ranked adjacent pair merges (leftmost occurrence)
+    * until no pair is ranked. The oracle replays the merge loop as a
+    * DuckDB RECURSIVE CTE over piece LISTS — per step it finds the
+    * lowest-ranked pair present (correlated subquery over the rank
+    * VALUES), merges it at its leftmost position with list slices, and
+    * stops at the fixed point — then fingerprints the full piece
+    * sequence, anchored on ALL documents (q100's totality lesson). A
+    * green row pins every merge decision of every word of every doc.
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "a", "ta" -> "b", "l" -> "e", "tab" -> "le", "s" -> "c",
+    "sc" -> "a", "sca" -> "n", "e" -> "r", "i" -> "n", "in" -> "d",
+    "w" -> "ind", "o" -> "w", "wind" -> "ow", "a" -> "l", "v" -> "al",
+    "u" -> "e", "val" -> "ue", "s" -> "t", "st" -> "r", "r" -> "e",
+    "a" -> "m", "e" -> "am", "str" -> "eam")
+  private val BpeMaxWord = 12
+
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val bpe = graft.functions.Tokenizer.MergeRank(BpeMerges, BpeMaxWord)
+    val pieces = bpe.tokenize(col("text"))
+    docs(s, dir).select(
+        col("doc_id"),
+        size(pieces).cast("long").as("n_pieces"),
+        md5(array_join(pieces, "|")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q104Oracle: String = {
+    val rankValues = BpeMerges.zipWithIndex
+      .map { case ((a, b), i) => s"('$a|$b', $i)" }.mkString(",")
+    s"""WITH RECURSIVE
+       |ranks(pair, rnk) AS (SELECT * FROM (VALUES $rankValues) t(pair, rnk)),
+       |words AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS w_ord, unnest(ws) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |init AS (
+       |  SELECT doc_id, w_ord, list_transform(range(1, len(w) + 1), i -> w[i]) AS p
+       |  FROM words WHERE len(w) > 0 AND len(w) <= $BpeMaxWord),
+       |seg AS (
+       |  SELECT doc_id, w_ord, p, 0 AS step FROM init
+       |  UNION ALL
+       |  SELECT doc_id, w_ord,
+       |    COALESCE(p[1:bi-1], []) || [p[bi] || p[bi+1]] || COALESCE(p[bi+2:], []) AS p,
+       |    step + 1
+       |  FROM (
+       |    SELECT doc_id, w_ord, p, step,
+       |      list_position(pr,
+       |        (SELECT r.pair FROM ranks r WHERE list_contains(pr, r.pair)
+       |         ORDER BY r.rnk LIMIT 1)) AS bi
+       |    FROM (SELECT doc_id, w_ord, p, step,
+       |            list_transform(range(1, len(p)), i -> p[i] || '|' || p[i+1]) AS pr
+       |          FROM seg) t) u
+       |  WHERE bi IS NOT NULL),
+       |fin AS (
+       |  SELECT doc_id, w_ord, p FROM seg s
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM ranks r WHERE list_contains(
+       |      list_transform(range(1, len(s.p)), i -> s.p[i] || '|' || s.p[i+1]), r.pair))),
+       |allw AS (
+       |  SELECT doc_id, w_ord, p FROM fin
+       |  UNION ALL
+       |  SELECT doc_id, w_ord, [w] AS p FROM words WHERE len(w) > $BpeMaxWord)
+       |SELECT d.doc_id, CAST(COALESCE(SUM(len(p)), 0) AS BIGINT) AS n_pieces,
+       |       md5(COALESCE(string_agg(array_to_string(p, '|'), '|' ORDER BY w_ord), ''))
+       |         AS fp
+       |FROM documents d LEFT JOIN allw USING (doc_id)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1738,6 +1813,7 @@ object DataOps extends QueryModule {
     "q97_curation_export" -> (curationExport _),
     "q98_fuzzy_vocab" -> (fuzzyVocab _),
     "q100_trie_tokenize" -> (trieTokens _),
+    "q104_bpe_tokenize" -> (bpeTokens _),
     "q101_mixture_recipe" -> (mixtureRecipe _),
     "q102_shared_spans" -> (sharedSpanDedup _))
 
@@ -1789,6 +1865,7 @@ object DataOps extends QueryModule {
     "q97_curation_export" -> q97Oracle,
     "q98_fuzzy_vocab" -> q98Oracle,
     "q100_trie_tokenize" -> q100Oracle,
+    "q104_bpe_tokenize" -> q104Oracle,
     "q101_mixture_recipe" -> q101Oracle,
     "q102_shared_spans" -> q102Oracle)
 }

@@ -23,6 +23,56 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  describe("Tokenizer.MergeRank (BPE)") {
+    // creation-ordered: (l,o)=0 then (lo,w)=1 chains; (o,w)=2 ranks after
+    val merges = Seq("l" -> "o", "lo" -> "w", "o" -> "w", "e" -> "r", "w" -> "er")
+    val bpe = Tokenizer.MergeRank(merges)
+
+    it("applies merges lowest-rank-first, not left-to-right") {
+      // "lower": pairs at start (l,o)=0,(o,w)=2,(e,r)=3 → lo; then
+      // (lo,w)=1 → low; (e,r)=3 → er; (low,er)? unranked → [low, er]
+      val got = Seq("lower").toDF("text")
+        .select(bpe.tokenize(col("text")).as("t")).as[Seq[String]].head()
+      assert(got == Seq("low", "er"))
+    }
+
+    it("merges the LEFTMOST occurrence when a pair repeats") {
+      // "werwer": (e,r)=3 twice → leftmost first; then (w,er)=4 twice →
+      // leftmost first → [wer, wer]
+      val got = Seq("werwer").toDF("text")
+        .select(bpe.tokenize(col("text")).as("t")).as[Seq[String]].head()
+      assert(got == Seq("wer", "wer"))
+    }
+
+    it("unmergeable characters stay single code points (totality) and reassemble exactly") {
+      val got = Seq("xlox y🌍w", "").toDF("text")
+        .select(col("text"), bpe.tokenize(col("text")).as("t"),
+          array_join(bpe.tokenize(col("text")), "").as("joined"))
+        .as[(String, Seq[String], String)].collect()
+      assert(got(0)._2 == Seq("x", "lo", "x", "y", "🌍", "w"))
+      got.foreach { case (text, _, joined) => assert(joined == text.replace(" ", "")) }
+    }
+
+    it("words past maxWordChars pass through whole (code points)") {
+      val capped = Tokenizer.MergeRank(merges, maxWordChars = 3)
+      val got = Seq("lower low").toDF("text")
+        .select(capped.tokenize(col("text")).as("t")).as[Seq[String]].head()
+      assert(got == Seq("lower", "low"))
+    }
+
+    it("threads through packing budgets like any other tokenizer") {
+      import graft.operators.Packing
+      val df = Seq((1L, "low lower"), (2L, "wer")).toDF("id", "text")
+      val packed = Packing.packOffsets(df, col("id"), bpe.count(col("text")),
+        budget = 3)
+      val spans = packed.orderBy(col("pack_id"))
+        .select(col("first_seq"), col("last_seq")).as[(Long, Long)].collect()
+      // doc1 = 3 pieces [low, low, er] → fills seq 0 exactly; doc2 = 1
+      // piece [wer] → seq 1: budgets are counted in BPE pieces
+      assert(spans.toSeq == Seq((0L, 0L), (1L, 1L)))
+    }
+  }
+
   describe("Tokenizer.LongestMatch") {
     val vocab = Seq("un", "relate", "related", "ed", "token", "iz", "at", "ation", "s")
     val bpe = Tokenizer.LongestMatch(vocab)
