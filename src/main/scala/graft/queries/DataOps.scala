@@ -1765,6 +1765,52 @@ object DataOps extends QueryModule {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- q105: fixed-weights quality classifier --------------------------
+
+  /** Model-based quality scoring with a FIXED fastText-shaped linear
+    * model ([[graft.operators.QualityClassifier]]): every token hashes
+    * to one of 64 buckets, the document's feature sum adds the buckets'
+    * fixed-point micro-weights, and the keep gate is the exact integer
+    * inequality `bias*max(n,1) + feat_sum >= 0` (⇔ sigmoid ≥ 0.5).
+    * Weights are literal values (a deterministic Weyl-sequence table —
+    * the VALUES the oracle joins are generated from the same Scala
+    * array), so the oracle replays scoring as pure arithmetic: unnest
+    * tokens, bucket by the shared hash60 family, join the weight table,
+    * integer-sum — no float ever decides a row. Training stays
+    * spec-pinned (k-means precedent); this pins the SCORING contract a
+    * trained model runs under.
+    */
+  private val QcDim = 64
+  private val QcWeights: IndexedSeq[Long] =
+    (0 until QcDim).map(b => (b * 2654435761L) % 2000001L - 1000000L)
+  private val QcBias = 250000L
+
+  def qualityClassify(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val model = QualityClassifier.Model(QcWeights, QcBias)
+    QualityClassifier.score(docs(s, dir), col("text"), model)
+      .select(col("doc_id"), col("n_tok"), col("feat_sum"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q105Oracle: String = {
+    val weightValues = QcWeights.zipWithIndex
+      .map { case (w, b) => s"($b, $w)" }.mkString(",")
+    s"""WITH w(b, wt) AS (SELECT * FROM (VALUES $weightValues) t(b, wt)),
+       |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |f AS (SELECT doc_id, COUNT(*) AS n_tok, CAST(SUM(wt) AS BIGINT) AS feat_sum
+       |      FROM (SELECT doc_id, ${graft.functions.TextFns.hash60Sql("tok")} % $QcDim
+       |              AS bkt FROM t) bk
+       |      JOIN w ON bk.bkt = w.b GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       COALESCE(f.n_tok, 0) AS n_tok,
+       |       COALESCE(f.feat_sum, 0) AS feat_sum,
+       |       $QcBias * GREATEST(COALESCE(f.n_tok, 0), 1)
+       |         + COALESCE(f.feat_sum, 0) >= 0 AS keep
+       |FROM documents d LEFT JOIN f USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1814,6 +1860,7 @@ object DataOps extends QueryModule {
     "q98_fuzzy_vocab" -> (fuzzyVocab _),
     "q100_trie_tokenize" -> (trieTokens _),
     "q104_bpe_tokenize" -> (bpeTokens _),
+    "q105_quality_classifier" -> (qualityClassify _),
     "q101_mixture_recipe" -> (mixtureRecipe _),
     "q102_shared_spans" -> (sharedSpanDedup _))
 
@@ -1866,6 +1913,7 @@ object DataOps extends QueryModule {
     "q98_fuzzy_vocab" -> q98Oracle,
     "q100_trie_tokenize" -> q100Oracle,
     "q104_bpe_tokenize" -> q104Oracle,
+    "q105_quality_classifier" -> q105Oracle,
     "q101_mixture_recipe" -> q101Oracle,
     "q102_shared_spans" -> q102Oracle)
 }
