@@ -592,7 +592,19 @@ object Dedup {
     *         tokens), `n_spans` (how many distinct qualifying spans)
     */
   def sharedSpans(docs: DataFrame, id: Column, text: Column,
-                  n: Int = 5, minTokens: Int = 10, maxDf: Int = 1000): DataFrame = {
+                  n: Int = 5, minTokens: Int = 10, maxDf: Int = 1000): DataFrame =
+    spanIslands(docs, id, text, n, minTokens, maxDf)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span_tokens")).as("max_span"), count(lit(1)).as("n_spans"))
+
+  /** The qualifying maximal spans behind [[sharedSpans]] and
+    * [[removeSharedSpans]], one row per (doc_a, doc_b, diagonal,
+    * island): `start_a` (first n-gram position of the run in doc_a),
+    * `diag` (pos_a − pos_b), `span_tokens` (run length in TOKENS,
+    * ≥ minTokens). doc_a < doc_b always (pair expansion is ordered).
+    */
+  private def spanIslands(docs: DataFrame, id: Column, text: Column,
+                          n: Int, minTokens: Int, maxDf: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(minTokens >= n, s"minTokens must be >= n=$n, got $minTokens")
     import org.apache.spark.sql.expressions.Window
@@ -610,13 +622,61 @@ object Dedup {
       .distinct()
       .withColumn("diag", col("pos_a") - col("pos_b"))
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pos_a"))
-    val spans = matches
+    matches
       .withColumn("island", col("pos_a") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
-      .agg((count(lit(1)) + (n - 1)).as("span_tokens"))
+      .agg(min(col("pos_a")).as("start_a"), (count(lit(1)) + (n - 1)).as("span_tokens"))
       .filter(col("span_tokens") >= minTokens)
-    spans.groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("span_tokens")).as("max_span"), count(lit(1)).as("n_spans"))
+  }
+
+  /** [[sharedSpans]]' curation ACTION: excise every qualifying shared
+    * span from the doc on the LOSING side of each pair — the higher id
+    * (the lower id is the canonical keeper and survives untouched, the
+    * same keep-earliest rule the doc-level dedups use). A doc that
+    * shares spans with several earlier docs loses the UNION of those
+    * spans; tokens outside every losing span survive in order and
+    * reassemble with single spaces (order-preserving removal, like
+    * Boilerplate's line filter). The rule is one-shot and
+    * order-independent — losing intervals are decided against the
+    * ORIGINAL corpus, never against already-excised text — so the
+    * result is deterministic regardless of partitioning or evaluation
+    * order.
+    *
+    * Scale shape: [[spanIslands]]' key-partitioned ledger plus ONE
+    * doc-keyed equi-join of the per-doc interval lists back onto the
+    * corpus; the excision itself is a per-row higher-order filter
+    * (O(tokens × intervals)), no extra shuffle, no explode of the
+    * surviving corpus.
+    *
+    * @return `doc_id, text` for EVERY input doc (untouched docs pass
+    *         through with their original text)
+    */
+  def removeSharedSpans(docs: DataFrame, id: Column, text: Column,
+                        n: Int = 5, minTokens: Int = 10, maxDf: Int = 1000): DataFrame = {
+    val islands = spanIslands(docs, id, text, n, minTokens, maxDf)
+    // loser-side interval: pos_b = pos_a - diag, token span
+    // [start_b, start_b + span_tokens - 1]
+    val ivs = islands
+      .select(col("doc_b").as("doc_id"),
+        (col("start_a") - col("diag")).as("s"),
+        (col("start_a") - col("diag") + col("span_tokens") - 1).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__sp_ivs"))
+    docs.select(id.as("doc_id"), TextFns.tokens(text).as("__sp_t"))
+      .join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__sp_ivs").isNull, array_join(col("__sp_t"), " "))
+          .otherwise(array_join(
+            transform(
+              filter(
+                // index the tokens: HOF filter has no index argument
+                transform(sequence(lit(0), size(col("__sp_t")) - 1),
+                  i => struct(i.as("pos"), get(col("__sp_t"), i).as("tok"))),
+                st => !exists(col("__sp_ivs"), iv =>
+                  st.getField("pos") >= iv.getField("s") &&
+                    st.getField("pos") <= iv.getField("e"))),
+              st => st.getField("tok")),
+            " ")).as("text"))
   }
 
   /** All DISTINCT-string pairs at edit distance exactly 1 — fuzzy

@@ -1605,6 +1605,74 @@ object DataOps extends QueryModule {
        |FROM sp GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q106: shared-span EXCISION --------------------------------------
+
+  /** q102's curation ACTION: the same planted corpus, but instead of
+    * reporting shared spans, [[Dedup.removeSharedSpans]] excises every
+    * qualifying span from the higher-id doc of each pair (keep-earliest)
+    * and reassembles the survivors order-preserving. The oracle replays
+    * q102's whole span ledger in DuckDB, converts each island to the
+    * loser-side token interval, anti-filters positions, and rebuilds
+    * every document's text byte-for-byte — fingerprint plus length, so
+    * an off-by-one at either span edge or a dropped/duplicated token
+    * anywhere in any doc flips the row.
+    */
+  def spanExcision(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val t = TextFns.tokens(col("text"))
+    val planted = d.filter(col("doc_id") % 9 === 2)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(array_join(slice(t, 1, 25), " "),
+          lit(" unique tail marker "), col("doc_id").cast("string")).as("text"))
+    Dedup.removeSharedSpans(d.unionAll(planted), col("doc_id"), col("text"),
+        n = 5, minTokens = 10, maxDf = 1000)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        md5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q106Oracle: String = {
+    val gramHash = TextFns.hash60Sql("array_to_string(t[i+1:i+5], ' ')")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 500000,
+       |         array_to_string(t[1:25], ' ') || ' unique tail marker ' || CAST(doc_id AS VARCHAR)
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  WHERE doc_id % 9 = 2),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |grams AS (
+       |  SELECT doc_id, unnest(range(0, len(t) - 4)) AS pos,
+       |         unnest([$gramHash for i in range(0, len(t) - 4)]) AS h
+       |  FROM toks WHERE len(t) >= 5),
+       |keep AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) <= 1000),
+       |g2 AS (SELECT doc_id, pos, h FROM grams JOIN keep USING (h)),
+       |m AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa,
+       |         a.pos - b.pos AS diag
+       |  FROM g2 a JOIN g2 b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |isl AS (
+       |  SELECT doc_a, doc_b, diag, pa,
+       |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS island
+       |  FROM m),
+       |sp2 AS (
+       |  SELECT doc_b AS doc_id, MIN(pa) - diag AS s,
+       |         MIN(pa) - diag + COUNT(*) + 4 - 1 AS e
+       |  FROM isl GROUP BY doc_a, doc_b, diag, island
+       |  HAVING COUNT(*) + 4 >= 10),
+       |tk AS (SELECT doc_id, unnest(range(0, len(t))) AS pos, unnest(t) AS tok FROM toks),
+       |kept AS (
+       |  SELECT tk.doc_id, tk.pos, tk.tok FROM tk
+       |  WHERE NOT EXISTS (SELECT 1 FROM sp2
+       |                    WHERE sp2.doc_id = tk.doc_id AND tk.pos BETWEEN sp2.s AND sp2.e)),
+       |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS sa
+       |        FROM kept GROUP BY doc_id)
+       |SELECT c.doc_id, CAST(LENGTH(COALESCE(a.sa, '')) AS BIGINT) AS n_chars,
+       |       md5(COALESCE(a.sa, '')) AS fp
+       |FROM corpus c LEFT JOIN agg a USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   // ---- q101: mixture-recipe sampling (per-stratum targets) -------------
 
   /** The mixture-recipe form of q93: explicit per-source targets (src0
@@ -1861,6 +1929,7 @@ object DataOps extends QueryModule {
     "q100_trie_tokenize" -> (trieTokens _),
     "q104_bpe_tokenize" -> (bpeTokens _),
     "q105_quality_classifier" -> (qualityClassify _),
+    "q106_span_excision" -> (spanExcision _),
     "q101_mixture_recipe" -> (mixtureRecipe _),
     "q102_shared_spans" -> (sharedSpanDedup _))
 
@@ -1914,6 +1983,7 @@ object DataOps extends QueryModule {
     "q100_trie_tokenize" -> q100Oracle,
     "q104_bpe_tokenize" -> q104Oracle,
     "q105_quality_classifier" -> q105Oracle,
+    "q106_span_excision" -> q106Oracle,
     "q101_mixture_recipe" -> q101Oracle,
     "q102_shared_spans" -> q102Oracle)
 }

@@ -300,6 +300,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.removeSharedSpans") {
+    it("excises losing spans token-exactly, keeps the canonical doc and bystanders intact") {
+      def words(range: Range, p: String) = range.map(i => s"$p$i").mkString(" ")
+      // doc 2 shares a5..a16 with doc 1 (lower id wins) in the MIDDLE of
+      // its text; doc 3 is untouched
+      val a = words(1 to 40, "a")
+      val shared = words(5 to 16, "a")
+      val b = s"${words(1 to 3, "b")} $shared ${words(1 to 5, "c")}"
+      val docs = Seq((1L, a), (2L, b), (3L, words(1 to 9, "z"))).toDF("doc_id", "text")
+      val out = Dedup.removeSharedSpans(docs, col("doc_id"), col("text"),
+          n = 3, minTokens = 5)
+        .as[(Long, String)].collect().toMap
+      assert(out(1L) == a) // keeper untouched
+      assert(out(2L) == s"${words(1 to 3, "b")} ${words(1 to 5, "c")}") // span gone, order kept
+      assert(out(3L) == words(1 to 9, "z")) // bystander untouched
+    }
+
+    it("removes the UNION of spans lost to several earlier docs") {
+      def words(range: Range, p: String) = range.map(i => s"$p$i").mkString(" ")
+      val s1 = words(1 to 6, "p") // shared with doc 1
+      val s2 = words(1 to 6, "q") // shared with doc 2
+      val docs = Seq(
+        (1L, s"$s1 ${words(1 to 10, "x")}"),
+        (2L, s"${words(1 to 10, "y")} $s2"),
+        (3L, s"head $s1 mid $s2 tail")).toDF("doc_id", "text")
+      val out = Dedup.removeSharedSpans(docs, col("doc_id"), col("text"),
+          n = 3, minTokens = 5)
+        .as[(Long, String)].collect().toMap
+      assert(out(3L) == "head mid tail")
+      assert(out(1L) == s"$s1 ${words(1 to 10, "x")}")
+      assert(out(2L) == s"${words(1 to 10, "y")} $s2")
+    }
+  }
+
   describe("Dedup.editDistOnePairs") {
     it("finds exactly the distance-1 pairs a brute-force scan finds (all three edit kinds)") {
       val vocab = Seq("table", "tble" /* deletion */, "tablet" /* insertion */,
