@@ -146,6 +146,14 @@ object Pipeline {
       spark.streams.addListener(l)
       l
     }
+    // Per-micro-batch lag/health metrics on the same StatsD channel as
+    // the batch-meta report: rows/s, trigger time, watermark lag, state
+    // size — the continuous-mode observability surface.
+    val healthListener = config.monitoring.flatMap(_.statsd).map { sd =>
+      val l = new StreamingMetrics(sd, StreamingMetrics.udpSink(sd))
+      spark.streams.addListener(l)
+      l
+    }
     val continuousCheckpoint = PipelinePaths.stripScheme(config.output.s3.path) + "/_checkpoint"
     val query = records(source.lines(spark, config, Some(continuousCheckpoint)), None).writeStream
       .trigger(Trigger.ProcessingTime(math.max(1000L, config.buffer.timeLimit)))
@@ -165,6 +173,7 @@ object Pipeline {
       .start()
     try query.awaitTermination()
     finally {
+      healthListener.foreach(spark.streams.removeListener)
       crashListener.foreach(spark.streams.removeListener)
       lifecycle.foreach(_.shutdown())
     }
