@@ -30,8 +30,11 @@ package graft
   *   EVERY per-query per-pass timing, `loadavg` the 1-min system load
   *   sampled before warmup and before each timed pass, and a bounded
   *   load gate (SPARK_GRAFT_LOAD_GATE=threshold:maxWaitSec, default
-  *   3.0:60) sleeps before a timed pass while load exceeds the
+  *   2.0:300) sleeps before a timed pass while load exceeds the
   *   threshold — waits land in `gate_waits_sec`, never unbounded.
+  * - The full JSON line also lands in SPARK_GRAFT_BENCH_OUT (default
+  *   ./BENCH_FULL.json, committed per round) because the driver's
+  *   archived snapshot keeps only a ~2000-char tail of stdout.
   */
 object Bench {
 
@@ -86,7 +89,11 @@ object Bench {
     // SPARK_GRAFT_LOAD_GATE=off). Bounded so a persistently-loaded host
     // delays the sweep by at most maxWait per pass instead of stalling
     // the driver's budget.
-    val (gateThreshold, gateMaxWait) = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "3.0:60") match {
+    // Default tightened 3.0:60 → 2.0:300 (round-5 lesson: the official
+    // run recorded loadavg 2.65-2.79 without the gate ever engaging —
+    // a sub-2.5 threshold with a longer bounded wait holds the sweep to
+    // a quieter window instead of recording weather).
+    val (gateThreshold, gateMaxWait) = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0:300") match {
       case "off" => (Double.MaxValue, 0)
       case s =>
         // fail FAST and CLEARLY on a malformed knob — an obscure
@@ -157,8 +164,24 @@ object Bench {
       "[bench] note: any stack traces above are expected streaming-drain/teardown " +
         s"noise from cancelled jobs, not query failures; ground truth is failed_count=${failed.size} " +
         "in the JSON line on stdout")
-    // The single stdout JSON line the driver parses:
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"families":$familyTotals,"pass_totals":$passTotals,"pass_queries":$passQueries,"loadavg":$loadsJson,"gate_waits_sec":$gateJson,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir"}""")
+    // The single stdout JSON line the driver parses. Key ORDER is
+    // deliberate: the archived artifact preserves only a ~2000-char
+    // TAIL of this line (BENCH_r05 lost q01-q28's values that way), so
+    // the bulky per-pass record leads and the load-bearing summary —
+    // per-query bests, loadavg, pass totals — sits at the END where
+    // truncation can't reach it. JSON semantics are order-free; the
+    // live driver parse is unaffected.
+    val line = f"""{"metric":"total","pass_queries":$passQueries,"queries":$qs,"families":$familyTotals,"pass_totals":$passTotals,"loadavg":$loadsJson,"gate_waits_sec":$gateJson,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir","unit":"sec","value":$total%.3f}"""
+    println(line)
+    // Belt and braces: the COMPLETE artifact also lands in a repo file
+    // that gets committed whole (BASELINE.md points at it), immune to
+    // any stdout snapshot truncation.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
