@@ -30,7 +30,7 @@ package graft
   *   EVERY per-query per-pass timing, `loadavg` the 1-min system load
   *   sampled before warmup and before each timed pass, and a bounded
   *   load gate (SPARK_GRAFT_LOAD_GATE=threshold:maxWaitSec, default
-  *   2.0:300) sleeps before a timed pass while load exceeds the
+  *   2.5:240) sleeps before a timed pass while load exceeds the
   *   threshold — waits land in `gate_waits_sec`, never unbounded.
   * - The full JSON line also lands in SPARK_GRAFT_BENCH_OUT (default
   *   ./BENCH_FULL.json, committed per round) because the driver's
@@ -89,11 +89,12 @@ object Bench {
     // SPARK_GRAFT_LOAD_GATE=off). Bounded so a persistently-loaded host
     // delays the sweep by at most maxWait per pass instead of stalling
     // the driver's budget.
-    // Default tightened 3.0:60 → 2.0:300 (round-5 lesson: the official
-    // run recorded loadavg 2.65-2.79 without the gate ever engaging —
-    // a sub-2.5 threshold with a longer bounded wait holds the sweep to
-    // a quieter window instead of recording weather).
-    val (gateThreshold, gateMaxWait) = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.0:300") match {
+    // Default tightened 3.0:60 → 2.5:240 (round-5 lesson: the official
+    // run recorded loadavg 2.65-2.79 without the gate ever engaging).
+    // Not lower: the sweep's OWN 1-min load tail decays through ~2.0-2.3
+    // between passes, and a threshold under that would gate on our own
+    // wake instead of ambient load.
+    val (gateThreshold, gateMaxWait) = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "2.5:240") match {
       case "off" => (Double.MaxValue, 0)
       case s =>
         // fail FAST and CLEARLY on a malformed knob — an obscure
