@@ -55,6 +55,55 @@ object Tokenizer {
       graft.catalyst.BpeTokenize(text, merges, maxWordChars)
   }
 
+  /** Learn a BPE merge table from a corpus — classic BPE training
+    * re-expressed on DataFrames: segment the WORD-FREQUENCY table (the
+    * vocabulary, orders of magnitude smaller than the corpus — built
+    * once, materialized once) under the merges learned so far, count
+    * adjacent piece pairs weighted by word frequency, adopt the most
+    * frequent pair (deterministic lexicographic tie-break), repeat.
+    * One key-partitioned aggregation plus a single-row collect per
+    * merge — the Lloyd's-iteration shape, control flow on the driver,
+    * data flow distributed. Stops early when no pair repeats
+    * (`minPairCount`). The result is creation-ordered BY CONSTRUCTION
+    * (a pair mentioning a merged piece can only be counted after the
+    * merge that created it), which is exactly the precondition under
+    * which [[MergeRank]]'s leftmost-lowest inference equals batch BPE.
+    *
+    * Words longer than `maxWordChars` code points pass through
+    * segmentation whole (the [[MergeRank]] cap) and therefore
+    * contribute no pairs — training and inference see the same corpus.
+    */
+  def learnMerges(docs: org.apache.spark.sql.DataFrame, text: Column,
+                  numMerges: Int, maxWordChars: Int = 100,
+                  minPairCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val words = docs.select(explode(TextFns.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // vocabulary-sized; every iteration re-reads it
+    val merges = collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val pieces = graft.catalyst.BpeTokenize(col("w"), merges.toSeq, maxWordChars)
+      val top = words
+        .select(col("n"), pieces.as("p"))
+        .filter(size(col("p")) >= 2)
+        .select(col("n"), explode(
+          transform(sequence(lit(0), size(col("p")) - 2),
+            i => struct(get(col("p"), i).as("a"), get(col("p"), i + 1).as("b")))).as("pr"))
+        .groupBy(col("pr.a"), col("pr.b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      top.headOption.filter(_.getLong(2) >= minPairCount) match {
+        case Some(r) => merges += (r.getString(0) -> r.getString(1))
+        case None    => exhausted = true
+      }
+    }
+    merges.toSeq
+  }
+
   /** Greedy longest-match subword segmentation over a fixed vocabulary
     * — the WordPiece/BPE-inference shape: pre-split on whitespace, then
     * repeatedly take the longest vocabulary piece prefixing the

@@ -73,6 +73,31 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  describe("Tokenizer.learnMerges (BPE training)") {
+    it("learns the classic frequency-ordered merge sequence, deterministically") {
+      // word frequencies: low×5, lower×2, newest×6, widest×3 — the
+      // textbook BPE corpus. Hand-derived merge order with the
+      // lexicographic tie-break:
+      //   (e,s)9 → (es,t)9 → (l,o)7 → (lo,w)7 → (e,w)6 → (ew,est)6
+      val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+        .grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+      val merges = Tokenizer.learnMerges(docs, col("text"), numMerges = 6)
+      assert(merges == Seq("e" -> "s", "es" -> "t", "l" -> "o",
+        "lo" -> "w", "e" -> "w", "ew" -> "est"))
+      // the learned table segments an UNSEEN word into learned units
+      val got = Seq("lowest").toDF("text")
+        .select(Tokenizer.MergeRank(merges).tokenize(col("text")).as("t"))
+        .as[Seq[String]].head()
+      assert(got == Seq("low", "est"))
+    }
+
+    it("stops early when no pair repeats") {
+      val docs = Seq("a b c d").toDF("text")
+      assert(Tokenizer.learnMerges(docs, col("text"), numMerges = 5) == Nil)
+    }
+  }
+
   describe("Tokenizer.LongestMatch") {
     val vocab = Seq("un", "relate", "related", "ed", "token", "iz", "at", "ation", "s")
     val bpe = Tokenizer.LongestMatch(vocab)
