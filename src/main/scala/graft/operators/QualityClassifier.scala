@@ -99,18 +99,22 @@ object QualityClassifier {
         .withColumn("__qc_p",
           lit(1.0) / (lit(1.0) + exp(-(lit(bias) + col("__qc_s") / col("__qc_n")))))
         .withColumn("__qc_err", col("__qc_p") - col("__qc_y"))
-      // d(loss)/d(w_b) = sum over docs containing bucket b of err/n —
-      // dim-bounded result: the collect is the centroid-update shape
+      // d(loss)/d(w_b) = sum over docs containing bucket b of err/n;
+      // d(loss)/d(bias) = sum of err. A sentinel bucket (-1) appended
+      // per doc rides the SAME explode + aggregation so each epoch is
+      // ONE job, not two passes over the scored frame. The collect is
+      // dim-bounded — the centroid-update shape.
       val grads = scored
-        .select(col("__qc_err"), col("__qc_n"), explode(col("__qc_buckets")).as("__qc_b"))
+        .select(col("__qc_err"), col("__qc_n"),
+          explode(concat(col("__qc_buckets"), array(lit(-1)))).as("__qc_b"))
         .groupBy(col("__qc_b"))
-        .agg(sum(col("__qc_err") / col("__qc_n")).as("__qc_g"))
+        .agg(sum(when(col("__qc_b") === -1, col("__qc_err"))
+          .otherwise(col("__qc_err") / col("__qc_n"))).as("__qc_g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val biasGrad = scored.agg(avg(col("__qc_err"))).head().getDouble(0)
       weights = weights.zipWithIndex.map { case (wv, b) =>
         wv - lr * grads.getOrElse(b, 0.0) / total
       }
-      bias = bias - lr * biasGrad
+      bias = bias - lr * grads.getOrElse(-1, 0.0) / total
     }
     Model(weights.toIndexedSeq.map(wv => math.round(wv * 1e6)), math.round(bias * 1e6))
   }

@@ -227,9 +227,14 @@ object Emitter {
         hook.foreach(h => h(c, dest))
         return
       }
-      if (!f.exists(src))
+      if (!f.exists(src)) {
+        // the same race as the rename-false path below: a concurrent
+        // duplicate attempt can complete the rename between our dest
+        // check and this src check — re-check dest before crying loss
+        if (f.exists(dest)) { hook.foreach(h => h(c, dest)); return }
         throw new java.io.IOException(
           s"staged file $srcS is gone and $destS does not exist — commit state lost")
+      }
       f.mkdirs(dest.getParent)
       if (!f.rename(src, dest)) {
         // rename reports failure as `false`, not an exception. One
@@ -252,7 +257,14 @@ object Emitter {
     // driver loop. Hence a scheme-aware default (remote: 16, local:
     // 512) with an explicit conf override for tuning and tests.
     val fanOutThreshold = spark.conf.getOption("spark.graft.commit.fanOutThreshold")
-      .map(_.toInt)
+      .map { s =>
+        // fail FAST and CLEARLY on a malformed knob (the load-gate
+        // parsing precedent): a bare NumberFormatException deep in a
+        // batch commit would not name the conf key
+        try s.trim.toInt
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.commit.fanOutThreshold must be an integer, got '$s'") }
+      }
       .getOrElse(if (fs.getScheme == "file") 512 else 16)
     if (moves.length <= fanOutThreshold)
       moves.foreach { case (s, d) => moveOne(conf)(s, d) }

@@ -27,15 +27,17 @@ import org.apache.spark.sql.streaming.StreamingQueryProgress
   * delivery is async and off the hot path: a slow sink delays metric
   * lines, never a micro-batch.
   */
-final class StreamingMetrics(config: StatsDConfig, sink: String => Unit,
+final class StreamingMetrics(config: StatsDConfig, sink: Seq[String] => Unit,
                              now: () => Instant = () => Instant.now())
     extends StreamingQueryListener {
 
   override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
-  override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit =
-    StreamingMetrics.metrics(StreamingMetrics.health(event.progress), now())
-      .foreach(m => sink(StatsD.format(config, m)))
+  override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val lines = StreamingMetrics.metrics(StreamingMetrics.health(event.progress), now())
+      .map(m => StatsD.format(config, m))
+    if (lines.nonEmpty) sink(lines)
+  }
 
   override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
 }
@@ -58,7 +60,10 @@ object StreamingMetrics {
   def health(p: StreamingQueryProgress): BatchHealth = {
     val watermark = Option(p.eventTime.get("watermark")).flatMap { w =>
       try Some(Instant.parse(w)) catch { case _: Exception => None }
-    }
+    // Spark reports the epoch as a PLACEHOLDER until the watermark
+    // first advances — key presence is not advancement, and a
+    // ~1.77-billion-second "lag" gauge would trip any alert
+    }.filter(_.getEpochSecond > 0L)
     val state = p.stateOperators.toSeq
     BatchHealth(
       batchId = p.batchId,
@@ -97,14 +102,19 @@ object StreamingMetrics {
     base ++ lag.toList ++ state
   }
 
-  /** Best-effort UDP transport (same stance as [[StatsD.report]]). */
-  def udpSink(config: StatsDConfig): String => Unit = { line =>
+  /** Best-effort UDP transport, one socket + one hostname resolution
+    * per metric GROUP (≤ 7 lines per micro-batch — the per-line shape
+    * would pay socket create/close and DNS seven times per batch,
+    * forever; same one-socket-per-report stance as [[StatsD.report]]). */
+  def udpSink(config: StatsDConfig): Seq[String] => Unit = { lines =>
     try {
       val socket = new java.net.DatagramSocket()
       try {
         val ip = java.net.InetAddress.getByName(config.hostname)
-        val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        socket.send(new java.net.DatagramPacket(bytes, bytes.length, ip, config.port))
+        lines.foreach { line =>
+          val bytes = line.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          socket.send(new java.net.DatagramPacket(bytes, bytes.length, ip, config.port))
+        }
       } finally socket.close()
     } catch { case scala.util.control.NonFatal(_) => () }
   }

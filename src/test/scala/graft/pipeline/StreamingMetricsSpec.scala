@@ -54,7 +54,7 @@ class StreamingMetricsSpec extends SparkSpec {
           (1 to n).map(j => s"b$i-$j").mkString("", "\n", "\n").getBytes("UTF-8"))
       }
       val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-      val listener = new StreamingMetrics(config, s => { captured.add(s); () },
+      val listener = new StreamingMetrics(config, ls => { ls.foreach(captured.add); () },
         now = () => Instant.parse("2021-04-30T12:00:00Z"))
       spark.streams.addListener(listener)
       try {
