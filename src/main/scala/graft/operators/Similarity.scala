@@ -175,6 +175,43 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), explode(col("probes.centroid_id")).as("centroid_id"))
   }
 
+  /** SemDeDup — cluster-scoped semantic deduplication (Abbas et al.
+    * 2023, arXiv:2303.09540): assign every embedding to its nearest
+    * centroid, then dedup ONLY within each cluster — a vector is
+    * dropped when an earlier-id vector in the SAME cluster sits at
+    * cosine ≥ `threshold` (keep-earliest, the engine's standard
+    * canonical rule). Cross-cluster near-dups are deliberately out of
+    * scope: that approximation is what makes semantic dedup tractable —
+    * pairwise work is Σ|cluster|², bounded by growing k with the
+    * corpus so cluster sizes stay flat, instead of N² (the 100 TB
+    * story; [[cosineNearDupPairs]] is the exact fallback when N is
+    * small enough to afford it).
+    *
+    * Plan shape: one broadcast-centroid assignment pass, one
+    * key-partitioned self-join on `centroid_id` (never a cartesian),
+    * one distinct on the losers, one left join back. Centroids come
+    * from [[trainCentroids]] in production; any (vec_id, embedding)
+    * frame works (deterministic slices make the whole operator
+    * SQL-oracle-checkable).
+    *
+    * Output: (vec_id, centroid_id, kept) — total over the corpus, so a
+    * caller can keep, purge, or audit.
+    */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = assign(corpus, centroids)
+    val a = assigned.select(col("centroid_id"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(col("centroid_id"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val losers = a.join(b, "centroid_id")
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(VectorFns.cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned
+      .join(losers.withColumn("__dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("__dup").isNull.as("kept"))
+  }
+
   /** Lloyd's k-means over the embedding column — trains the IVF centroid
     * codebook (at warehouse scale centroids come from training, not from
     * the first K rows). Pure DataFrame ops per iteration: one broadcast

@@ -1879,6 +1879,164 @@ object DataOps extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- q107: markup → text extraction ----------------------------------
+
+  /** WET-style extraction: the corpus re-rendered as HTML-ish pages —
+    * head/style chrome, entity-encoded punctuation, a script block on
+    * every even doc (whose body contains literal `<`/`>` that would
+    * corrupt a naive tag strip), a multi-line comment — and
+    * [[graft.operators.Extraction.extract]] must recover exactly the
+    * text a WET extractor would. The oracle rebuilds the identical
+    * pages and replays the rule chain byte-for-byte via
+    * [[graft.operators.Extraction.stripMarkupSql]].
+    */
+  def markupStrip(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val pages = docs(s, dir).select(
+      col("doc_id"),
+      concat(
+        lit("<html><head><title>page</title><style>p { margin: 0 }</style></head>\n<body><p class=\"lead\">"),
+        array_join(slice(t, 1, 12), " "),
+        lit(" &lt;3 &amp; more &#39;quoted&#39;</p>"),
+        when(col("doc_id") % 2 === 0,
+          lit("<script>var x = \"1 < 2 > 0\";\nalert(x);</script>")).otherwise(lit("")),
+        lit("<div>"),
+        when(size(t) >= 13, array_join(slice(t, 13, 12), " ")).otherwise(lit("")),
+        lit("</div><!-- generated\nfooter -->\n</body></html>")).as("page"))
+    graft.operators.Extraction.extract(pages, col("doc_id"), col("page"))
+      .select(col("ex_id").as("doc_id"), col("n_raw"), col("clean_text"), col("n_clean"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q107Oracle: String = {
+    val clean = graft.operators.Extraction.stripMarkupSql("page")
+    s"""WITH pages AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>page</title><style>p { margin: 0 }</style></head>' || chr(10) ||
+       |    '<body><p class="lead">' || array_to_string(t[1:12], ' ') ||
+       |    ' &lt;3 &amp; more &#39;quoted&#39;</p>' ||
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN '<script>var x = "1 < 2 > 0";' || chr(10) || 'alert(x);</script>' ELSE '' END ||
+       |    '<div>' || CASE WHEN len(t) >= 13 THEN array_to_string(t[13:24], ' ') ELSE '' END ||
+       |    '</div><!-- generated' || chr(10) || 'footer -->' || chr(10) || '</body></html>' AS page
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+       |SELECT doc_id, CAST(length(page) AS BIGINT) AS n_raw,
+       |  $clean AS clean_text, CAST(length($clean) AS BIGINT) AS n_clean
+       |FROM pages ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q108: n-gram LM fluency gate ------------------------------------
+
+  private val LmN = 2
+  private val FluentNum = 2L
+  private val FluentDen = 1L
+
+  /** CCNet-shaped model-based filtering: a bigram LM is trained on the
+    * reference corpus (the documents table as-is), then a SCORED corpus
+    * — the same table with every 5th doc rewritten to gibberish
+    * (`tok#<id>` suffixes, guaranteed out-of-vocabulary) — is gated on
+    * mean integer-log2 gram frequency ≥ 2. Clean docs sit at mean ≥ 4
+    * at every SF (corpus growth only raises counts); gibberish docs
+    * score exactly −1 per gram through the OOV penalty and fail at any
+    * scale. Integer arithmetic end-to-end (see
+    * [[graft.operators.NgramLm]]), replayed by the oracle with the
+    * identical hash-gram construction.
+    */
+  def ngramFluency(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.NgramLm
+    val d = docs(s, dir)
+    val counts = NgramLm.train(d, col("text"), LmN)
+    val t = TextFns.tokens(col("text"))
+    val scoredCorpus = d.select(
+      col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        array_join(transform(t, x => concat(x, lit("#"), col("doc_id").cast("string"))), " "))
+        .otherwise(col("text")).as("text2"))
+    NgramLm.score(scoredCorpus, col("doc_id"), col("text2"), counts, LmN)
+      .select(col("lm_id").as("doc_id"), col("n_grams"), col("ilog_sum"),
+        NgramLm.fluent(col("n_grams"), col("ilog_sum"), FluentNum, FluentDen).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q108Oracle: String = {
+    def gram(toks: String) = TextFns.hash60Sql(s"$toks[i] || ' ' || $toks[i+1]")
+    s"""WITH ref AS (SELECT string_split(text, ' ') AS toks FROM documents),
+       |ridx AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM ref),
+       |c AS (SELECT ${gram("toks")} AS gram, COUNT(*) AS cnt FROM ridx GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+       |    THEN array_to_string(list_transform(string_split(text, ' '),
+       |           x -> x || '#' || CAST(doc_id AS VARCHAR)), ' ')
+       |    ELSE text END AS text2
+       |  FROM documents),
+       |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+       |        FROM (SELECT doc_id, string_split(text2, ' ') AS toks FROM scored)),
+       |g AS (SELECT doc_id, ${gram("toks")} AS gram FROM idx),
+       |sc AS (SELECT doc_id, COUNT(*) AS n_grams,
+       |         CAST(SUM(COALESCE(length(format('{:b}', cnt)) - 1, -1)) AS BIGINT) AS ilog_sum
+       |       FROM g LEFT JOIN c USING (gram) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+       |  COALESCE(ilog_sum, 0) AS ilog_sum,
+       |  COALESCE(ilog_sum, 0) * $FluentDen >= COALESCE(n_grams, 0) * $FluentNum AS keep
+       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---- q109: SemDeDup (cluster-scoped semantic dedup) ------------------
+
+  private val SemK = 8
+  private val SemThreshold = 0.9
+
+  /** SemDeDup under a full value oracle: the embeddings table unioned
+    * with a perturbed copy of itself (q44's planted-duplicate corpus,
+    * cosine ≈ 0.995 vs a ≤ 0.61 background), clustered onto the first
+    * 8 vectors as deterministic centroids (q25's IVF construction —
+    * production trains them, [[graft.operators.Similarity.trainCentroids]]),
+    * then deduped WITHIN clusters at 0.9: each planted copy lands in
+    * its original's cluster and drops (keep-earliest), every original
+    * survives. The oracle replays assignment (argmax cosine,
+    * lowest-centroid tie-break) and the within-cluster keep rule
+    * exactly.
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    // planted ids start past max(vec_id), derived from the corpus (see q44)
+    val off = e.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1L
+    val planted = e.select((col("vec_id") + lit(off)).as("vec_id"),
+      concat(array(element_at(col("embedding"), 1) + lit(0.1)),
+        slice(col("embedding"), 2, 10000)).as("embedding"))
+    graft.operators.Similarity.semanticDedup(
+        e.unionByName(planted), e.filter(col("vec_id") < SemK), SemThreshold)
+      .sortOnce(col("vec_id"))
+  }
+
+  private val q109Oracle: String = {
+    val vcos = VectorFns.cosineSql("v.embedding", "c.embedding")
+    val pcos = VectorFns.cosineSql("a.embedding", "b.embedding")
+    s"""WITH c2 AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+       |    list_prepend(embedding[1] + CAST(0.1 AS DOUBLE), CAST(embedding[2:] AS DOUBLE[]))
+       |  FROM embeddings),
+       |cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS embedding
+       |         FROM embeddings WHERE vec_id < $SemK),
+       |assign AS (
+       |  SELECT vec_id, embedding, centroid_id FROM (
+       |    SELECT v.vec_id, v.embedding, c.centroid_id,
+       |      row_number() OVER (PARTITION BY v.vec_id
+       |        ORDER BY $vcos DESC, c.centroid_id) AS crn
+       |    FROM c2 v, cent c)
+       |  WHERE crn = 1),
+       |losers AS (
+       |  SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |  WHERE $pcos >= $SemThreshold)
+       |SELECT a.vec_id, a.centroid_id, (l.vec_id IS NULL) AS kept
+       |FROM assign a LEFT JOIN losers l USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1931,7 +2089,10 @@ object DataOps extends QueryModule {
     "q105_quality_classifier" -> (qualityClassify _),
     "q106_span_excision" -> (spanExcision _),
     "q101_mixture_recipe" -> (mixtureRecipe _),
-    "q102_shared_spans" -> (sharedSpanDedup _))
+    "q102_shared_spans" -> (sharedSpanDedup _),
+    "q107_markup_strip" -> (markupStrip _),
+    "q108_ngram_fluency" -> (ngramFluency _),
+    "q109_semdedup" -> (semDedup _))
 
   val family: String = "dataops"
 
@@ -1985,5 +2146,8 @@ object DataOps extends QueryModule {
     "q105_quality_classifier" -> q105Oracle,
     "q106_span_excision" -> q106Oracle,
     "q101_mixture_recipe" -> q101Oracle,
-    "q102_shared_spans" -> q102Oracle)
+    "q102_shared_spans" -> q102Oracle,
+    "q107_markup_strip" -> q107Oracle,
+    "q108_ngram_fluency" -> q108Oracle,
+    "q109_semdedup" -> q109Oracle)
 }

@@ -193,4 +193,45 @@ class SimilaritySpec extends SparkSpec {
       assert(plan.contains("partial_max_by") && !plan.contains("Window"), plan)
     }
   }
+
+  describe("Similarity.semanticDedup") {
+    // the 5-vector fixture: cluster around (1,0,0) = ids 0,1,4; around
+    // (0,0,1) = ids 2,3; centroids = vectors 0 and 2
+    def centroids = vectors.filter(col("vec_id").isin(0L, 2L))
+
+    it("drops within-cluster near-dups, keep-earliest, total over the corpus") {
+      val got = Similarity.semanticDedup(vectors, centroids, threshold = 0.9)
+        .select("vec_id", "centroid_id", "kept").as[(Long, Long, Boolean)]
+        .collect().toSet
+      // cos(0,1)≈0.994, cos(0,4)≈0.970, cos(2,3)≈0.994 — every later
+      // member of each cluster loses to its earliest
+      assert(got == Set((0L, 0L, true), (1L, 0L, false), (4L, 0L, false),
+        (2L, 2L, true), (3L, 2L, false)))
+    }
+
+    it("keeps everything when nothing clears the threshold") {
+      val kept = Similarity.semanticDedup(vectors, centroids, threshold = 0.999)
+        .filter(col("kept")).count()
+      assert(kept == 5L)
+    }
+
+    it("misses cross-cluster pairs by design (the documented approximation)") {
+      // ids 0 and 1 at cos≈0.994, but each is its OWN centroid → they
+      // land in different clusters and both survive
+      val both = vectors.filter(col("vec_id").isin(0L, 1L))
+      val got = Similarity.semanticDedup(vectors, both, threshold = 0.9)
+        .filter(col("vec_id").isin(0L, 1L)).select("kept").as[Boolean].collect().toSeq
+      assert(got == Seq(true, true))
+    }
+
+    it("plans the within-cluster pair join as an equi-join, never a cartesian") {
+      // the only nested-loop in the plan is assign()'s deliberate
+      // broadcast of the (small-by-contract) centroid table; the
+      // quadratic-risk pair join must key-partition on centroid_id
+      val plan = Similarity.semanticDedup(vectors, centroids, threshold = 0.9)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(plan.contains("centroid_id"), plan)
+    }
+  }
 }
