@@ -23,6 +23,42 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Keyed corpus upsert — the maintenance merge a living training
+    * corpus needs every refresh cycle (re-crawled pages replace their
+    * previous revision, brand-new pages append): rows of `updates` win
+    * on key collision, untouched `base` rows carry over, nothing else
+    * changes. Equivalently MERGE INTO … WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT with whole-row semantics.
+    *
+    * Requires `updates` key-unique (one winner per key must be decided
+    * UPSTREAM — e.g. max-version per key — or the output would carry
+    * duplicate keys; checked lazily via an in-plan guard that fails the
+    * job rather than silently emitting dupes).
+    *
+    * Scale shape: one key-partitioned LEFT ANTI join (base keys minus
+    * updated keys) + a union — no window, no global sort, no driver
+    * data. The anti-join's build side is the update batch (small per
+    * refresh cycle → AQE broadcasts it; a full-corpus rewrite degrades
+    * to a shuffle join and is still one pass). Write the result with
+    * [[writeClustered]] to restore layout.
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val keys = keyCols.map(col)
+    // in-plan uniqueness guard, fused into a kept key column so pruning
+    // can't drop it: a duplicated update key fails the job instead of
+    // silently emitting duplicate-keyed output. Cost = one window over
+    // the UPDATE BATCH only (small per refresh cycle), never the base.
+    val kc = count(lit(1))
+      .over(org.apache.spark.sql.expressions.Window.partitionBy(keys: _*))
+    val guarded = updates.withColumn(keyCols.head,
+      when(kc > 1, raise_error(concat(
+        lit("upsert: duplicate update key "), concat_ws(",", keys: _*))))
+        .otherwise(col(keyCols.head)))
+    guarded.unionByName(
+      base.join(updates.select(keys: _*).distinct(), keyCols, "left_anti"))
+  }
+
   /** Write `df` range-clustered on `clusterCols`: rows are range-
     * partitioned (one task per contiguous key range — partition ranges
     * are disjoint by construction), sorted within each partition, and

@@ -38,6 +38,38 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
   }
 
+  /** Contrastive hard-negative mining: for each anchor in `anchors`,
+    * the top-`k` highest-cosine corpus vectors with a DIFFERENT label —
+    * the negatives that actually move a contrastive/embedding loss
+    * (random negatives are trivially separable; the hard ones live at
+    * the decision boundary). Both frames need (vec_id, embedding,
+    * label).
+    *
+    * Scale shape = [[bruteTopK]]'s: the anchor set is a training batch
+    * (small by construction) and BROADCASTS against the corpus scan —
+    * no corpus shuffle, the per-anchor top-k window sees only candidate
+    * rows. At corpus sizes where even one scan per batch is too slow,
+    * route candidates through [[ivfTopK]]'s buckets first and re-rank —
+    * mining tolerates approximate candidates (a missed hard negative is
+    * just a slightly easier batch, unlike dedup recall).
+    *
+    * Output: (query_id, query_label, rnk, neighbor_id, neighbor_label,
+    * sim), neighbor_label ≠ query_label by construction.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cvec"), col("label").as("neighbor_label"))
+    val q = anchors.select(col("vec_id").as("query_id"),
+      col("embedding").as("qvec"), col("label").as("query_label"))
+    val scored = c.join(broadcast(q), col("neighbor_label") =!= col("query_label"))
+      .withColumn("sim", VectorFns.cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("query_label"), col("rnk"),
+        col("neighbor_id"), col("neighbor_label"), col("sim"))
+  }
+
   /** EXACT embedding-cosine near-duplicate pairs — all unordered pairs
     * with cosine ≥ threshold — via a BLOCKED pairwise equi-join, not a
     * nested-loop cartesian.

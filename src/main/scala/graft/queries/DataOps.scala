@@ -2037,6 +2037,136 @@ object DataOps extends QueryModule {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  // ---- q110: contrastive hard-negative mining --------------------------
+
+  private val HnAnchors = 20
+  private val HnK = 5
+
+  /** Hard-negative mining for contrastive training: the first 20
+    * vectors act as the training batch, and each mines its 5
+    * highest-cosine DIFFERENT-label corpus neighbors (the boundary
+    * cases a contrastive loss learns from). Exact brute-force ranking
+    * here (the batch broadcasts, q24's shape); the oracle recomputes
+    * the full different-label ranking per anchor.
+    */
+  def hardNegMining(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.operators.Similarity.hardNegatives(e, e.filter(col("vec_id") < HnAnchors), HnK)
+      .select(col("query_id"), col("query_label"), col("rnk"),
+        col("neighbor_id"), col("neighbor_label"), round(col("sim"), 6).as("sim_r"))
+      .sortOnce(col("query_id"), col("rnk"))
+  }
+
+  private val q110Oracle: String = {
+    val cos = VectorFns.cosineSql("q.embedding", "c.embedding")
+    s"""SELECT query_id, query_label, rnk, neighbor_id, neighbor_label,
+       |  round(sim, 6) AS sim_r FROM (
+       |  SELECT q.vec_id AS query_id, q.label AS query_label,
+       |    c.vec_id AS neighbor_id, c.label AS neighbor_label, $cos AS sim,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < $HnAnchors AND c.label <> q.label)
+       |WHERE rnk <= $HnK ORDER BY query_id, rnk""".stripMargin
+  }
+
+  // ---- q111: keyed corpus upsert ---------------------------------------
+
+  /** The corpus-maintenance merge: a refresh cycle re-crawls every 7th
+    * doc (its text gains a `rev2 ` prefix) and discovers 25 brand-new
+    * docs (ids past max, derived from the corpus so no SF can collide).
+    * [[graft.operators.Layout.upsert]] must let every update win its
+    * key, carry every untouched base row, and append the new ones —
+    * pinned per-row by text fingerprints. The oracle replays the merge
+    * with an ANTI JOIN.
+    */
+  def corpusUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("text"), col("source"))
+    val off = base.agg(max(col("doc_id")).cast("long")).head().getLong(0) + 1L
+    val revised = base.filter(col("doc_id") % 7 === 0)
+      .withColumn("text", concat(lit("rev2 "), col("text")))
+    val fresh = base.filter(col("doc_id") < 25)
+      .select((col("doc_id") + lit(off)).as("doc_id"),
+        concat(lit("new "), col("text")).as("text"),
+        lit("crawl2").as("source"))
+    graft.operators.Layout.upsert(base, revised.unionByName(fresh), Seq("doc_id"))
+      .select(col("doc_id"), md5(col("text")).as("fp"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q111Oracle: String =
+    s"""WITH base AS (SELECT doc_id, text, source FROM documents),
+       |up AS (
+       |  SELECT doc_id, 'rev2 ' || text AS text, source FROM base WHERE doc_id % 7 = 0
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+       |    'new ' || text, 'crawl2' FROM base WHERE doc_id < 25),
+       |m AS (
+       |  SELECT * FROM up
+       |  UNION ALL
+       |  SELECT b.* FROM base b ANTI JOIN up u USING (doc_id))
+       |SELECT doc_id, md5(text) AS fp, source FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- q112: content-defined chunking ----------------------------------
+
+  private val CdcW = 4
+  private val CdcD = 8
+  /** 48 fixed tokens planted into every 6th doc at token offset 10 —
+    * different docs put the block at different absolute offsets (their
+    * own prefixes differ), which is the point: content-defined
+    * boundaries re-sync inside the block (9 interior boundaries at
+    * D=8, verified), so its interior chunks fingerprint identically
+    * everywhere while positional schemes would see nothing aligned. */
+  private val CdcBlock: String = (1 to 48).map(i => f"cb$i%02d").mkString(" ")
+
+  /** CDC chunk table over the planted corpus, each chunk annotated with
+    * how many docs share its fingerprint. The oracle replays the whole
+    * construction — window hashes, boundary rule, spans, fingerprints,
+    * sharing counts — in DuckDB list comprehensions.
+    */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cdc
+    val t = TextFns.tokens(col("text"))
+    val corpus = docs(s, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 6 === 0,
+        // tail guarded on BOTH sides: a past-the-end slice is [] (→ ''
+        // joined, trailing empty token) in Spark but NULL (→ skipped by
+        // concat_ws) in DuckDB — q94's portability rule
+        concat_ws(" ", array_join(slice(t, 1, 10), " "), lit(CdcBlock),
+          when(size(t) >= 11, array_join(slice(t, 11, 1000000), " "))))
+        .otherwise(col("text")).as("text2"))
+    Cdc.sharedChunks(Cdc.chunks(corpus, col("doc_id"), col("text2"), CdcW, CdcD))
+      .select(col("cdc_id").as("doc_id"), col("chunk_idx"), col("start_tok"),
+        col("n_tok"), col("fp"), col("n_docs"))
+      .sortOnce(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val q112Oracle: String = {
+    val gramHash = TextFns.hash60Sql(s"array_to_string(toks[j-${CdcW - 1}:j], ' ')")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 6 = 0
+       |    THEN concat_ws(' ', array_to_string(t[1:10], ' '), '$CdcBlock',
+       |                   CASE WHEN len(t) >= 11 THEN array_to_string(t[11:], ' ') END)
+       |    ELSE text END AS text2
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)),
+       |tk AS (SELECT doc_id, string_split(text2, ' ') AS toks,
+       |              len(string_split(text2, ' ')) AS n FROM corpus),
+       |b AS (SELECT doc_id, toks,
+       |  list_append(list_filter(range($CdcW, n), j -> $gramHash % $CdcD = 0), n) AS bs
+       |  FROM tk),
+       |k AS (SELECT doc_id, toks, bs, unnest(range(1, len(bs) + 1)) AS ci FROM b),
+       |sp AS (SELECT doc_id, ci AS chunk_idx,
+       |         CASE WHEN ci = 1 THEN 1 ELSE bs[ci - 1] + 1 END AS start_tok,
+       |         bs[ci] AS end_tok, toks FROM k),
+       |c AS (SELECT doc_id, chunk_idx, start_tok,
+       |        end_tok - start_tok + 1 AS n_tok,
+       |        md5(array_to_string(toks[start_tok:end_tok], ' ')) AS fp FROM sp),
+       |f AS (SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM c GROUP BY fp)
+       |SELECT doc_id, chunk_idx, start_tok, n_tok, fp, n_docs
+       |FROM c JOIN f USING (fp)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2092,7 +2222,10 @@ object DataOps extends QueryModule {
     "q102_shared_spans" -> (sharedSpanDedup _),
     "q107_markup_strip" -> (markupStrip _),
     "q108_ngram_fluency" -> (ngramFluency _),
-    "q109_semdedup" -> (semDedup _))
+    "q109_semdedup" -> (semDedup _),
+    "q110_hard_negatives" -> (hardNegMining _),
+    "q111_corpus_upsert" -> (corpusUpsert _),
+    "q112_cdc_chunks" -> (cdcChunks _))
 
   val family: String = "dataops"
 
@@ -2149,5 +2282,8 @@ object DataOps extends QueryModule {
     "q102_shared_spans" -> q102Oracle,
     "q107_markup_strip" -> q107Oracle,
     "q108_ngram_fluency" -> q108Oracle,
-    "q109_semdedup" -> q109Oracle)
+    "q109_semdedup" -> q109Oracle,
+    "q110_hard_negatives" -> q110Oracle,
+    "q111_corpus_upsert" -> q111Oracle,
+    "q112_cdc_chunks" -> q112Oracle)
 }

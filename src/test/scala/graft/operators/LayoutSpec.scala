@@ -58,6 +58,44 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  describe("Layout.upsert") {
+    val base = Seq((1L, "one", 10), (2L, "two", 20), (3L, "three", 30))
+      .toDF("k", "txt", "v")
+
+    it("updates win their key, untouched rows carry over, new keys append") {
+      val updates = Seq((2L, "two-v2", 21), (9L, "nine", 90)).toDF("k", "txt", "v")
+      val got = Layout.upsert(base, updates, Seq("k"))
+        .orderBy("k").as[(Long, String, Int)].collect().toSeq
+      assert(got == Seq((1L, "one", 10), (2L, "two-v2", 21),
+        (3L, "three", 30), (9L, "nine", 90)))
+    }
+
+    it("is the identity on an empty update batch") {
+      val empty = base.limit(0)
+      assert(Layout.upsert(base, empty, Seq("k")).orderBy("k")
+        .as[(Long, String, Int)].collect().toSeq ==
+        base.orderBy("k").as[(Long, String, Int)].collect().toSeq)
+    }
+
+    it("supports composite keys") {
+      val b2 = Seq((1L, "a", 1), (1L, "b", 2)).toDF("k1", "k2", "v")
+      val u2 = Seq((1L, "b", 99)).toDF("k1", "k2", "v")
+      val got = Layout.upsert(b2, u2, Seq("k1", "k2"))
+        .orderBy("k1", "k2").as[(Long, String, Int)].collect().toSeq
+      assert(got == Seq((1L, "a", 1), (1L, "b", 99)))
+    }
+
+    it("fails the job on a duplicate update key instead of emitting dupes") {
+      val dup = Seq((2L, "x", 1), (2L, "y", 2)).toDF("k", "txt", "v")
+      val ex = intercept[Exception] {
+        Layout.upsert(base, dup, Seq("k")).collect()
+      }
+      assert(ex.getMessage.contains("duplicate update key") ||
+        Option(ex.getCause).exists(_.getMessage.contains("duplicate update key")),
+        s"unexpected failure: $ex")
+    }
+  }
+
   describe("Layout.compact") {
     it("collapses many small files into the target count without losing rows") {
       withTempDir { dir =>

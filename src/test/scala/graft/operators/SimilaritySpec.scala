@@ -194,6 +194,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  describe("Similarity.hardNegatives") {
+    // labels: cluster around x-axis = label 0, around z-axis = label 1
+    def labeled = vectors.withColumn("label",
+      when(col("vec_id").isin(0L, 1L, 4L), 0).otherwise(1))
+
+    it("ranks only different-label neighbors, hardest first") {
+      val got = Similarity.hardNegatives(labeled,
+          labeled.filter(col("vec_id") === 0L), k = 2)
+        .select("query_id", "rnk", "neighbor_id", "neighbor_label")
+        .as[(Long, Int, Long, Int)].collect().toSeq
+      // anchor 0 = (1,0,0), label 0: negatives are 2,3 (label 1), both
+      // orthogonal (cos = 0) → the deterministic id tie-break orders them
+      assert(got == Seq((0L, 1, 2L, 1), (0L, 2, 3L, 1)))
+      assert(got.forall(_._4 == 1))
+    }
+
+    it("never returns a same-label neighbor even at k past the negative pool") {
+      val got = Similarity.hardNegatives(labeled,
+          labeled.filter(col("vec_id") === 2L), k = 10)
+      assert(got.count() == 3) // only the three label-0 vectors qualify
+      assert(got.filter(col("neighbor_label") === 1).count() == 0)
+    }
+  }
+
   describe("Similarity.semanticDedup") {
     // the 5-vector fixture: cluster around (1,0,0) = ids 0,1,4; around
     // (0,0,1) = ids 2,3; centroids = vectors 0 and 2
