@@ -486,18 +486,31 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, id: Column, text: Column,
                       maxHamming: Int = 3, bits: Int = 32,
+                      maxBucket: Int = Int.MaxValue): DataFrame =
+    hammingNearDups(
+      simhash(docs, id, text, bits).select(col("doc_id"), col("simhash").as("fp")),
+      maxHamming, bits, maxBucket)
+
+  /** The pigeonhole core of [[simhashNearDups]] over ANY fingerprint
+    * table (doc_id, fp) — the same complete hamming-≤k pair search
+    * serves text SimHash and image/audio perceptual hashes (any b-bit
+    * fingerprint whose hamming distance means similarity). `bits` is
+    * the fingerprint width (≤ 64, two's-complement safe: band
+    * extraction masks after an arithmetic shift). */
+  def hammingNearDups(fpTable: DataFrame, maxHamming: Int, bits: Int,
                       maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxHamming >= 0 && maxHamming + 1 <= bits,
       s"need 0 <= maxHamming and maxHamming+1 bands <= $bits bits, got $maxHamming")
+    require(bits <= 64, s"fingerprints are long-typed: bits must be <= 64, got $bits")
     // the fingerprint plan feeds three branches (band explode + both
     // verify joins) — materialize once, like nearDupPairs' shingle table
-    val fp = simhash(docs, id, text, bits).localCheckpoint(false)
+    val fp = fpTable.select(col("doc_id"), col("fp")).localCheckpoint(false)
     val numBands = maxHamming + 1
     val bands = array((0 until numBands).map { i =>
       val lo = i * bits / numBands
       val hi = (i + 1) * bits / numBands
       struct(lit(i).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("key"))
+        shiftright(col("fp"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("key"))
     }: _*)
     val exploded = fp.select(col("doc_id"), explode(bands).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"), lit(0L).as("n"))
@@ -508,8 +521,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"))
       .distinct()
     candidates
-      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("sa")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("sb")), "doc_b")
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("sa")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("sb")), "doc_b")
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))

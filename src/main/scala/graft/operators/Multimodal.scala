@@ -150,6 +150,53 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", baos)
       baos.toByteArray
     }
+
+    /** 64-bit difference hash (dHash) — the standard perceptual
+      * image fingerprint: the decoded raster collapses to a 9×8 grid of
+      * EXACT integer box means (cell (r, c) covers x ∈ [c·w/9,
+      * (c+1)·w/9), y ∈ [r·h/8, (r+1)·h/8), floor boundaries — no
+      * interpolation, so the reduction is replayable arithmetic, unlike
+      * `Graphics2D` scaling whose filter kernels are
+      * implementation-defined), then bit r·8+c = 1 iff mean(r, c+1) >
+      * mean(r, c). Horizontal gradients survive re-encoding, scaling,
+      * and small brightness shifts; hamming distance between hashes is
+      * the near-dup signal. Band-0 contract like [[stats]]; degenerate
+      * cells of images narrower than the grid read as mean 0. */
+    def dhash64(img: BufferedImage): Long = {
+      val raster = img.getRaster
+      val (w, h) = (img.getWidth, img.getHeight)
+      val means = Array.ofDim[Long](8, 9)
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 9) {
+          val x0 = c * w / 9; val x1 = (c + 1) * w / 9
+          val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+          var sum = 0L
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += raster.getSample(x, y, 0); n += 1; x += 1 }
+            y += 1
+          }
+          means(r)(c) = if (n == 0) 0L else sum / n
+          c += 1
+        }
+        r += 1
+      }
+      var fp = 0L
+      r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (means(r)(c + 1) > means(r)(c)) fp |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      fp
+    }
   }
 
   /** REAL audio codec on the JDK's `javax.sound.sampled` — no external
@@ -579,6 +626,65 @@ object Multimodal {
       }
     }
     spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Synthetic 36×32 PNGs with CELL-UNIFORM intensity, built for
+    * perceptual-hash oracles: the image is 9 columns × 8 rows of 4×4
+    * cells, cell value `(seed·31 + r·13 + c²·7) % 200` with
+    * `seed = id / 3` — every 3 consecutive ids share a pattern (planted
+    * near-dup groups) and the `id % 3 = 2` member gets +55 on column
+    * 4's top two rows (a small perturbation: hamming ≤ 4 from its
+    * peers). Cell values come from the engine's shared 60-bit md5 hash
+    * `hash60("<seed>:<r>:<c>") % 200` — a DuckDB-replayable source of
+    * per-(seed, cell) pseudo-randomness whose pattern space (~2^60)
+    * dwarfs any corpus, so unrelated seeds land ~32 hamming bits apart
+    * and the near-dup pair set stays LINEAR in corpus size. (Arithmetic
+    * patterns computed mod 200 collapse to ≤ ~200 distinct hashes —
+    * seeds collide wholesale and pair counts grow QUADRATICALLY; the
+    * first cut of this generator did exactly that.) Cell-aligned
+    * uniform values make [[ImageCodec.dhash64]]'s box means EXACTLY the
+    * cell values, so a SQL oracle predicts every hash bit while the
+    * payload still round-trips through a real PNG encode/decode.
+    */
+  def syntheticCellImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ids: Dataset[Row] = spreadIds(docs)
+    val out = ids.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(0)
+        val seed = id / 3
+        def v(r: Int, c: Int): Int =
+          (graft.functions.TextFns.hash60Value(s"$seed:$r:$c") % 200).toInt
+        val png = ImageCodec.encodeGrayPng(36, 32) { (x, y) =>
+          val c = x / 4
+          v(y / 4, c) + (if (id % 3 == 2 && c == 4 && y < 8) 55 else 0)
+        }
+        Row(id, "image", png, Row(36, 32, null, null))
+      }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Perceptual hashes over a media frame: decode each payload with the
+    * real image codec and fingerprint it with [[ImageCodec.dhash64]];
+    * undecodable payloads yield a null hash (total — callers filter or
+    * audit). Pure per-partition map, payloads never leave executors;
+    * feed the result (renamed to (doc_id, fp)) to
+    * [[Dedup.hammingNearDups]] for complete hamming-≤k near-dup pairs.
+    */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows: Dataset[Row] = media.select("media_id", "payload")
+    val out = rows.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(0)
+        val payload = if (internal.isNullAt(1)) Array.empty[Byte] else internal.getBinary(1)
+        Row(id, ImageCodec.decode(payload).map(ImageCodec.dhash64).orNull)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true))))
   }
 
   /** Synthesize REAL 16-bit mono PCM WAV payloads, one per doc: sample

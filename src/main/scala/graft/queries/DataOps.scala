@@ -2167,6 +2167,63 @@ object DataOps extends QueryModule {
        |ORDER BY doc_id, chunk_idx""".stripMargin
   }
 
+  // ---- q113: perceptual-hash image near-dup ----------------------------
+
+  private val PhashMaxHamming = 8
+
+  /** Image DEDUP through the real codec path: deterministic
+    * cell-uniform PNGs (every 3 consecutive ids share a pattern; the
+    * third member is slightly perturbed) → real ImageIO decode →
+    * [[graft.operators.Multimodal.ImageCodec.dhash64]] difference hash
+    * → complete hamming-≤8 pairs via the pigeonhole machinery
+    * ([[graft.operators.Dedup.hammingNearDups]], the same core that
+    * serves text SimHash). Because the cells are uniform and aligned,
+    * the oracle predicts every decoded hash bit in closed form and
+    * replays the pair search with `bit_count(xor(...))` — a green row
+    * proves the decode, the box-mean reduction, the bit packing
+    * (including the sign bit's two's complement), and the pigeonhole
+    * completeness all at once.
+    */
+  def imagePhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Multimodal}
+    val ph = Multimodal.imagePhash(Multimodal.syntheticCellImages(docs(s, dir)))
+      .filter(col("phash").isNotNull)
+      .select(col("media_id").as("doc_id"), col("phash").as("fp"))
+    Dedup.hammingNearDups(ph, maxHamming = PhashMaxHamming, bits = 64)
+      .select(col("doc_a").as("img_a"), col("doc_b").as("img_b"), col("hamming"))
+      .sortOnce(col("img_a"), col("img_b"))
+  }
+
+  /** DuckDB rendition of the generator's per-cell hash
+    * `hash60("<seed>:<r>:<c>") % 200` at grid column `cExpr`. */
+  private def cellHashSql(cExpr: String): String =
+    TextFns.hash60Sql(
+      s"CAST(seed AS VARCHAR) || ':' || CAST(r.r AS VARCHAR) || ':' || CAST($cExpr AS VARCHAR)")
+
+  private val q113Oracle: String =
+    s"""WITH bits AS (
+       |  SELECT doc_id, r.r * 8 + c.c AS pos,
+       |    CASE WHEN
+       |      ${cellHashSql("c.c + 1")} % 200
+       |        + CASE WHEN doc_id % 3 = 2 AND c.c + 1 = 4 AND r.r < 2 THEN 55 ELSE 0 END
+       |      > ${cellHashSql("c.c")} % 200
+       |        + CASE WHEN doc_id % 3 = 2 AND c.c = 4 AND r.r < 2 THEN 55 ELSE 0 END
+       |    THEN 1 ELSE 0 END AS bit
+       |  FROM (SELECT doc_id, doc_id // 3 AS seed FROM documents),
+       |       (SELECT unnest(range(8)) AS r) r,
+       |       (SELECT unnest(range(8)) AS c) c),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN pos < 63 THEN CAST(bit AS BIGINT) << pos ELSE 0 END) AS BIGINT)
+       |    + CASE WHEN MAX(CASE WHEN pos = 63 THEN bit ELSE 0 END) = 1
+       |        THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END AS fp
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS img_a, b.doc_id AS img_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $PhashMaxHamming
+       |ORDER BY img_a, img_b""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2225,7 +2282,8 @@ object DataOps extends QueryModule {
     "q109_semdedup" -> (semDedup _),
     "q110_hard_negatives" -> (hardNegMining _),
     "q111_corpus_upsert" -> (corpusUpsert _),
-    "q112_cdc_chunks" -> (cdcChunks _))
+    "q112_cdc_chunks" -> (cdcChunks _),
+    "q113_image_phash" -> (imagePhashDedup _))
 
   val family: String = "dataops"
 
@@ -2285,5 +2343,6 @@ object DataOps extends QueryModule {
     "q109_semdedup" -> q109Oracle,
     "q110_hard_negatives" -> q110Oracle,
     "q111_corpus_upsert" -> q111Oracle,
-    "q112_cdc_chunks" -> q112Oracle)
+    "q112_cdc_chunks" -> q112Oracle,
+    "q113_image_phash" -> q113Oracle)
 }

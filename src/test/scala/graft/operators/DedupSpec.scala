@@ -382,6 +382,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.hammingNearDups (generic fingerprint table)") {
+    it("is complete for arbitrary 64-bit fingerprints, sign bit included") {
+      val fps: Map[Long, Long] = Map(
+        1L -> 0L,
+        2L -> 3L,                 // hamming 2 from id 1
+        3L -> -1L,                // all 64 bits set
+        4L -> (-1L ^ (1L << 63)), // hamming 1 from id 3 ACROSS the sign bit
+        5L -> 0x00ff00ff00ff00ffL)
+      val df = fps.toSeq.toDF("doc_id", "fp")
+      for (k <- Seq(0, 1, 2, 8)) {
+        val brute = (for {
+          (a, sa) <- fps; (b, sb) <- fps if a < b
+          h = java.lang.Long.bitCount(sa ^ sb) if h <= k
+        } yield (a, b, h)).toSet
+        val banded = Dedup.hammingNearDups(df, maxHamming = k, bits = 64)
+          .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+        assert(banded == brute, s"maxHamming=$k")
+      }
+    }
+  }
+
   describe("Dedup.simhash") {
     it("equal token sets get equal fingerprints; disjoint sets differ") {
       val fp = Dedup.simhash(corpus, col("doc_id"), col("text"))

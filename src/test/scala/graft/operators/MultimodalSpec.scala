@@ -154,4 +154,36 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getInt(7) == 3)         // metadata fallback: ceil(25/10)
     }
   }
+
+  describe("Multimodal.ImageCodec.dhash64 + imagePhash") {
+    import Multimodal.ImageCodec
+
+    it("computes the documented box-mean comparison bits on a cell-aligned image") {
+      // 18×16 → 9×8 cells of 2×2; cell value = r*9 + c (row-major ramp):
+      // every horizontal comparison is an increase → all 64 bits set
+      val up = ImageCodec.encodeGrayPng(18, 16)((x, y) => (y / 2) * 9 + (x / 2))
+      assert(ImageCodec.dhash64(ImageCodec.decode(up).get) == -1L)
+      // reversed ramp → no increase anywhere → 0
+      val down = ImageCodec.encodeGrayPng(18, 16)((x, y) => 80 - ((y / 2) * 9 + (x / 2)))
+      assert(ImageCodec.dhash64(ImageCodec.decode(down).get) == 0L)
+    }
+
+    it("is robust to uniform scaling and brightness shift, unlike byte hashes") {
+      def ramp(scale: Int, bright: Int) =
+        ImageCodec.encodeGrayPng(18 * scale, 16 * scale)(
+          (x, y) => (y / (2 * scale)) * 9 + x / (2 * scale) + bright)
+      val base = ImageCodec.dhash64(ImageCodec.decode(ramp(1, 0)).get)
+      assert(ImageCodec.dhash64(ImageCodec.decode(ramp(2, 0)).get) == base)
+      assert(ImageCodec.dhash64(ImageCodec.decode(ramp(1, 40)).get) == base)
+    }
+
+    it("hashes through the DataFrame seam; undecodable payloads go null") {
+      val df = mediaDf(Seq(
+        Row(1L, "image", ImageCodec.encodeGrayPng(18, 16)((x, _) => x), meta(18, 16, null, null)),
+        Row(2L, "image", Array[Byte](1, 2, 3), meta(9, 8, null, null))))
+      val out = Multimodal.imagePhash(df).collect().map(r => r.getLong(0) -> r).toMap
+      assert(!out(1L).isNullAt(1))
+      assert(out(2L).isNullAt(1))
+    }
+  }
 }
