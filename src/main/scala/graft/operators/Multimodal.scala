@@ -281,6 +281,89 @@ object Multimodal {
       else Decoded(fmt.getSampleRate.toInt, n, mn, mx, sum)
     }
 
+    /** Decode channel 0 into the raw 16-bit sample array (same container
+      * parsing and PCM conversion as [[decode]]), capped at `maxSamples`
+      * — fingerprinting needs the waveform itself, not just aggregates.
+      * The cap bounds executor memory against a pathological container
+      * header (a 4 GiB-claiming WAV must not allocate 4 GiB): 2^22
+      * samples = 8 MiB, ~4 min of 16 kHz audio, and [[energyHash64]]'s
+      * coarse 65-frame grid is insensitive to tail truncation beyond it.
+      */
+    def decodeSamples(payload: Array[Byte], maxSamples: Int = 1 << 22): Option[Array[Int]] =
+      if (payload == null || payload.isEmpty) None
+      else try {
+        val raw = parseContainer(payload).getOrElse(return None)
+        val pcm16 = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+          raw.getFormat.getChannels * 2, raw.getFormat.getSampleRate, false)
+        val ais =
+          if (raw.getFormat.matches(pcm16)) raw
+          else AudioSystem.getAudioInputStream(pcm16, raw)
+        try {
+          val frameSize = ais.getFormat.getFrameSize
+          val buf = new Array[Byte](frameSize * 1024)
+          val out = Array.newBuilder[Int]
+          var n = 0
+          var carry = 0
+          var read = ais.read(buf, carry, buf.length - carry)
+          while (read > 0 && n < maxSamples) {
+            val avail = carry + read
+            val whole = avail - avail % frameSize
+            var off = 0
+            while (off < whole && n < maxSamples) {
+              out += ((buf(off) & 0xff) | (buf(off + 1) << 8)).toShort.toInt
+              n += 1
+              off += frameSize
+            }
+            carry = avail - whole
+            var i = 0
+            while (i < carry) { buf(i) = buf(whole + i); i += 1 }
+            read = ais.read(buf, carry, buf.length - carry)
+          }
+          Some(out.result())
+        } finally ais.close()
+      } catch { case _: Exception => None }
+
+    /** 64-bit audio energy-delta hash — [[ImageCodec.dhash64]]'s
+      * contract on a waveform: channel 0 collapses to 65 equal frames
+      * (frame f covers samples [f·n/65, (f+1)·n/65), floor boundaries —
+      * exact integer arithmetic, replayable in SQL), each frame reduces
+      * to its mean |sample|, and bit f = 1 iff mean(f+1) > mean(f).
+      * Means are compared as EXACT RATIONALS by cross-multiplication
+      * (`sum(f+1)·n(f) > sum(f)·n(f+1)` — a floor-divided mean would
+      * lose ties, and with them the invariance below; empty frames of
+      * clips shorter than 65 samples read as the exact mean 0). The
+      * gradient-of-energy envelope is therefore EXACTLY invariant under
+      * uniform integer gain (both products scale by g — spec-pinned),
+      * and hamming distance between hashes is the near-dup signal for
+      * re-encoded / re-amplified copies. No overflow under
+      * [[decodeSamples]]'s cap: sum ≤ 2^22·2^15 and n ≤ 2^22 keep the
+      * products under 2^59.
+      */
+    def energyHash64(samples: Array[Int]): Long = {
+      val n = samples.length
+      val sums = new Array[Long](65)
+      val cnts = new Array[Long](65)
+      var f = 0
+      while (f < 65) {
+        val lo = f * n / 65
+        val hi = (f + 1) * n / 65
+        var sum = 0L
+        var i = lo
+        while (i < hi) { sum += math.abs(samples(i).toLong); i += 1 }
+        sums(f) = sum
+        cnts(f) = if (hi == lo) 1L else (hi - lo).toLong // sum 0, n 1 = exact mean 0
+        f += 1
+      }
+      var fp = 0L
+      f = 0
+      while (f < 64) {
+        if (sums(f + 1) * cnts(f) > sums(f) * cnts(f + 1)) fp |= 1L << f
+        f += 1
+      }
+      fp
+    }
+
     /** Deterministic 16-bit mono PCM WAV: sample(i) = f(i) (clamped to
       * short range). Used by the synthetic-audio generator and golden
       * tests — PCM is lossless, so decode returns exactly these samples.
@@ -707,6 +790,61 @@ object Multimodal {
       }
     }
     spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Synthetic FRAME-UNIFORM WAVs built for perceptual-hash oracles —
+    * the audio twin of [[syntheticCellImages]]: 520 samples = 65 frames
+    * of 8, every sample in frame f holding the non-negative value
+    * `hash60("aud:<seed>:<f>") % 2500` with `seed = id / 3` (groups of
+    * 3 consecutive ids share a waveform; the `id % 3 = 2` member gets
+    * +300 on frames 5–6 — hamming ≤ 3 from its peers, touching only
+    * bits 4–6). hash60 keeps unrelated seeds ~32 bits apart and the
+    * pair set LINEAR in corpus size (the same collision lesson the
+    * image generator documents). Frame-aligned uniform values make
+    * [[AudioCodec.energyHash64]]'s |sample| means EXACTLY the frame
+    * values, so a SQL oracle predicts every hash bit while the payload
+    * round-trips through a real RIFF/WAVE encode/decode. Sample rate
+    * still varies by id (8/12/16 kHz) — the hash is rate-blind.
+    */
+  def syntheticFrameAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val ids: Dataset[Row] = spreadIds(docs)
+    val out = ids.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(0)
+        val seed = id / 3
+        val frameVal = Array.tabulate(65) { f =>
+          (graft.functions.TextFns.hash60Value(s"aud:$seed:$f") % 2500).toInt +
+            (if (id % 3 == 2 && (f == 5 || f == 6)) 300 else 0)
+        }
+        val rate = (8000 + (id % 3) * 4000).toInt
+        val wav = AudioCodec.encodePcm16Wav(rate, 520)(i => frameVal(i / 8))
+        Row(id, "audio", wav, Row(null, null, rate, null))
+      }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Perceptual hashes over an audio media frame — [[imagePhash]]'s
+    * contract on waveforms: decode each payload with the real audio
+    * codec and fingerprint it with [[AudioCodec.energyHash64]];
+    * undecodable payloads yield a null hash (total). Pure per-partition
+    * map, payloads never leave executors; feed (doc_id, fp) to
+    * [[Dedup.hammingNearDups]] for complete hamming-≤k near-dup pairs.
+    */
+  def audioPhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows: Dataset[Row] = media.select("media_id", "payload")
+    val out = rows.queryExecution.toRdd.mapPartitions { it =>
+      it.map { internal =>
+        val id = internal.getLong(0)
+        val payload = if (internal.isNullAt(1)) Array.empty[Byte] else internal.getBinary(1)
+        Row(id, AudioCodec.decodeSamples(payload).map(AudioCodec.energyHash64).orNull)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = true))))
   }
 
   /** Synthesize REAL multi-frame grayscale GIF payloads, one per doc:

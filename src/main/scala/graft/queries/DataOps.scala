@@ -2224,6 +2224,57 @@ object DataOps extends QueryModule {
        |WHERE bit_count(xor(a.fp, b.fp)) <= $PhashMaxHamming
        |ORDER BY img_a, img_b""".stripMargin
 
+  // ---- q114: perceptual-hash audio near-dup ----------------------------
+
+  /** Audio dedup through the real codec path — q113's shape on
+    * waveforms: frame-uniform WAVs (groups of 3 ids share a waveform,
+    * the third slightly re-gained) → real `javax.sound` decode →
+    * [[graft.operators.Multimodal.AudioCodec.energyHash64]] energy-delta
+    * hash → complete hamming-≤8 pairs via the same
+    * [[graft.operators.Dedup.hammingNearDups]] pigeonhole core. The
+    * frame-aligned uniform samples let the oracle predict every decoded
+    * hash bit in closed form; a green row proves the RIFF parse, the
+    * PCM sample extraction, the |sample| frame means, the bit packing,
+    * and the pigeonhole completeness at once.
+    */
+  def audioPhashDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Dedup, Multimodal}
+    val ph = Multimodal.audioPhash(Multimodal.syntheticFrameAudio(docs(s, dir)))
+      .filter(col("phash").isNotNull)
+      .select(col("media_id").as("doc_id"), col("phash").as("fp"))
+    Dedup.hammingNearDups(ph, maxHamming = PhashMaxHamming, bits = 64)
+      .select(col("doc_a").as("aud_a"), col("doc_b").as("aud_b"), col("hamming"))
+      .sortOnce(col("aud_a"), col("aud_b"))
+  }
+
+  /** DuckDB rendition of the audio generator's per-frame value
+    * `hash60("aud:<seed>:<f>") % 2500` plus the `id % 3 = 2`
+    * re-gain perturbation, at frame expression `fExpr`. */
+  private def frameValSql(fExpr: String): String = {
+    val h = TextFns.hash60Sql(
+      s"'aud:' || CAST(seed AS VARCHAR) || ':' || CAST($fExpr AS VARCHAR)")
+    s"$h % 2500 + CASE WHEN doc_id % 3 = 2 AND ($fExpr) IN (5, 6) THEN 300 ELSE 0 END"
+  }
+
+  private val q114Oracle: String =
+    s"""WITH bits AS (
+       |  SELECT doc_id, f.f AS pos,
+       |    CASE WHEN ${frameValSql("f.f + 1")} > ${frameValSql("f.f")}
+       |    THEN 1 ELSE 0 END AS bit
+       |  FROM (SELECT doc_id, doc_id // 3 AS seed FROM documents),
+       |       (SELECT unnest(range(64)) AS f) f),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN pos < 63 THEN CAST(bit AS BIGINT) << pos ELSE 0 END) AS BIGINT)
+       |    + CASE WHEN MAX(CASE WHEN pos = 63 THEN bit ELSE 0 END) = 1
+       |        THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END AS fp
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS aud_a, b.doc_id AS aud_b,
+       |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+       |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.fp, b.fp)) <= $PhashMaxHamming
+       |ORDER BY aud_a, aud_b""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2283,7 +2334,8 @@ object DataOps extends QueryModule {
     "q110_hard_negatives" -> (hardNegMining _),
     "q111_corpus_upsert" -> (corpusUpsert _),
     "q112_cdc_chunks" -> (cdcChunks _),
-    "q113_image_phash" -> (imagePhashDedup _))
+    "q113_image_phash" -> (imagePhashDedup _),
+    "q114_audio_phash" -> (audioPhashDedup _))
 
   val family: String = "dataops"
 
@@ -2344,5 +2396,6 @@ object DataOps extends QueryModule {
     "q110_hard_negatives" -> q110Oracle,
     "q111_corpus_upsert" -> q111Oracle,
     "q112_cdc_chunks" -> q112Oracle,
-    "q113_image_phash" -> q113Oracle)
+    "q113_image_phash" -> q113Oracle,
+    "q114_audio_phash" -> q114Oracle)
 }

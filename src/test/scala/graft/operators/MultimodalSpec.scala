@@ -186,4 +186,42 @@ class MultimodalSpec extends SparkSpec {
       assert(out(2L).isNullAt(1))
     }
   }
+
+  describe("Multimodal.AudioCodec.energyHash64 + audioPhash") {
+    import Multimodal.AudioCodec
+
+    it("computes the documented frame-mean comparison bits through a real WAV round-trip") {
+      // 520 samples = 65 frames of 8; frame value = f (rising energy):
+      // every consecutive-frame comparison increases → all 64 bits set
+      val up = AudioCodec.encodePcm16Wav(8000, 520)(i => i / 8)
+      assert(AudioCodec.energyHash64(AudioCodec.decodeSamples(up).get) == -1L)
+      // falling energy → no increase anywhere → 0
+      val down = AudioCodec.encodePcm16Wav(8000, 520)(i => 64 - i / 8)
+      assert(AudioCodec.energyHash64(AudioCodec.decodeSamples(down).get) == 0L)
+      // energy means use |sample|: negated waveform hashes identically
+      val upNeg = AudioCodec.encodePcm16Wav(8000, 520)(i => -(i / 8))
+      assert(AudioCodec.energyHash64(AudioCodec.decodeSamples(upNeg).get) == -1L)
+    }
+
+    it("is exactly invariant to uniform gain, and total on short clips") {
+      def wav(gain: Int) = AudioCodec.encodePcm16Wav(8000, 333)(
+        i => gain * (((i * 37) % 101) - 50))
+      val base = AudioCodec.energyHash64(AudioCodec.decodeSamples(wav(1)).get)
+      assert(AudioCodec.energyHash64(AudioCodec.decodeSamples(wav(2)).get) == base)
+      // clips shorter than 65 samples: empty frames read mean 0 (total)
+      val tiny = AudioCodec.encodePcm16Wav(8000, 3)(i => i + 1)
+      assert(AudioCodec.decodeSamples(tiny).get.length == 3)
+      AudioCodec.energyHash64(AudioCodec.decodeSamples(tiny).get) // must not throw
+      assert(AudioCodec.energyHash64(Array.empty[Int]) == 0L)
+    }
+
+    it("hashes through the DataFrame seam; undecodable payloads go null") {
+      val df = mediaDf(Seq(
+        Row(1L, "audio", AudioCodec.encodePcm16Wav(8000, 520)(i => i / 8), meta(null, null, 8000, null)),
+        Row(2L, "audio", Array[Byte](1, 2, 3), meta(null, null, 8000, null))))
+      val out = Multimodal.audioPhash(df).collect().map(r => r.getLong(0) -> r).toMap
+      assert(out(1L).getLong(1) == -1L)
+      assert(out(2L).isNullAt(1))
+    }
+  }
 }
