@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Lexical ranked retrieval over the corpus — the BM25 side of the
+  * search story (the embedding side is [[Similarity]]'s ANN family).
+  * A training-data pipeline uses it to pull topical slices out of a
+  * web-scale corpus ("all docs about X, best first") and to audit
+  * near-boundary quality decisions, where exact reproducibility of the
+  * ranking matters more than float-perfect BM25 — so the scorer is
+  * BM25 with k1 = 1.2, b = 0.75 computed entirely in INTEGER
+  * fixed-point (the q105/q108 discipline): every division is a floor
+  * division both engines replay bit-for-bit, so the ranking (and its
+  * ties) is deterministic across Spark, DuckDB, and any partitioning.
+  *
+  * Scoring, per (query term t, doc d) — all int64:
+  *  - `ratio  = ((N+1)·2^20) div (df_t+1)`       (idf argument, ≥ 2^20)
+  *  - `widf   = (e·1024) + ((ratio·1024) div 2^e) − 1024`, `e = ilog2(ratio)`
+  *    — fixed-point log2 with a linear-interpolated 10-bit mantissa
+  *    (exact at powers of two, monotone in between; `ilog2(x)` is
+  *    `length(bin(x))−1`, the q108 floor-log2 idiom)
+  *  - `norm1000  = 250 + (750·dl_d·N) div T`     (1−b+b·dl/avgdl, avgdl = T/N
+  *    as the exact rational — never a floored average)
+  *  - `denom1000 = tf·1000 + (1200·norm1000) div 1000`
+  *  - `sat1000   = (tf·2200·1000) div denom1000`  (tf·(k1+1)/(tf+k1·norm))
+  *  - `score = Σ_t widf·sat1000`, ties broken by doc_id — fully ordered.
+  *
+  * Shape at 100 TB: ONE shuffle builds the postings (tf per (doc,
+  * term)); the df table is vocabulary-sized and BROADCASTS back onto
+  * the postings, as do the single-row corpus stats and the query-term
+  * list; one more shuffle groups (query, doc) partial scores. Nothing
+  * is ever all-pairs and the corpus is never re-scanned per query.
+  * Reference: kinesis-s3 has no retrieval operator; semantics follow
+  * Robertson/Spärck Jones BM25 as published.
+  */
+object Retrieval {
+
+  /** Top-k docs per query by integer-exact BM25.
+    *
+    * @param queryTerms (query_id: long, term: string) — small (it
+    *        broadcasts); duplicate (query_id, term) rows are collapsed
+    *        so repeated query words score once, like Lucene.
+    * @return (query_id, doc_id, score, rank) with rank 1..k dense per
+    *         query in (score desc, doc_id asc) order.
+    */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+               queryTerms: DataFrame, k: Int): DataFrame = {
+    val toks = docs
+      .select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+
+    // single-row corpus stats: exact rational avgdl = total/n_docs
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    // df is vocabulary-sized → broadcast back onto the postings
+    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val scored = postings
+      .join(broadcast(queryTerms.select(col("query_id"), col("term")).distinct()), "term")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("ratio", expr("((n_docs + 1) * 1048576) div (df + 1)"))
+      .withColumn("e", (length(bin(col("ratio"))) - 1).cast("long"))
+      .withColumn("widf",
+        expr("e * 1024 + (ratio * 1024) div shiftleft(cast(1 as bigint), cast(e as int)) - 1024"))
+      .withColumn("norm1000", expr("250 + (750 * dl * n_docs) div total_tokens"))
+      .withColumn("denom1000", expr("tf * 1000 + (1200 * norm1000) div 1000"))
+      .withColumn("sat1000", expr("(tf * 2200 * 1000) div denom1000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(expr("widf * sat1000")).as("score"))
+
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+}

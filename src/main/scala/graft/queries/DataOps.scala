@@ -2275,6 +2275,81 @@ object DataOps extends QueryModule {
        |WHERE bit_count(xor(a.fp, b.fp)) <= $PhashMaxHamming
        |ORDER BY aud_a, aud_b""".stripMargin
 
+  // ---- q115: BM25 ranked retrieval -------------------------------------
+
+  /** Lexical search over the corpus: 60 deterministic query terms (20
+    * queries × 3 hash60-drawn slots over the lexicographic vocabulary —
+    * derived IN-PLAN from the corpus, nothing hardcoded) ranked by
+    * [[graft.operators.Retrieval.bm25TopK]]'s integer fixed-point BM25,
+    * top 10 per query. The oracle replays the tokenize → postings → df
+    * → query draw → fixed-point scoring → ranking chain arithmetic
+    * op for arithmetic op, so a green row pins the whole scorer
+    * including its tie order. (The vocabulary row_number runs on a
+    * vocabulary-sized table — tiny here and bounded in general; the
+    * corpus-side plan never sees a global window.)
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val vocab = d.select(explode(TextFns.tokens(col("text"))).as("term")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("term"))).cast("long") - 1)
+    val vsize = vocab.agg(count(lit(1)).as("vsize"))
+    val slots = s.range(20).select(col("id").as("query_id"))
+      .crossJoin(s.range(3).select(col("id").as("slot")))
+    val qterms = slots.crossJoin(broadcast(vsize))
+      .withColumn("idx", TextFns.hash60(concat(lit("qry:"), col("query_id").cast("string"),
+        lit(":"), col("slot").cast("string"))) % col("vsize"))
+      .join(vocab, "idx")
+      .select(col("query_id"), col("term"))
+    graft.operators.Retrieval.bm25TopK(d, col("doc_id"), col("text"), qterms, k = 10)
+      .sortOnce(col("query_id"), col("rank"))
+  }
+
+  private val q115Oracle: String = {
+    val qhash = TextFns.hash60Sql(
+      "'qry:' || CAST(q.q AS VARCHAR) || ':' || CAST(sl.s AS VARCHAR)")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |post AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks),
+       |tf AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM post GROUP BY 1, 2, 3),
+       |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |vocab AS (SELECT term, ROW_NUMBER() OVER (ORDER BY term) - 1 AS idx FROM dfx),
+       |vs AS (SELECT COUNT(*) AS vsize FROM vocab),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens
+       |  FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+       |qt AS (
+       |  SELECT DISTINCT q.q AS query_id, v.term
+       |  FROM (SELECT unnest(range(20)) AS q) q,
+       |       (SELECT unnest(range(3)) AS s) sl, vs
+       |  JOIN vocab v ON v.idx = $qhash % vs.vsize),
+       |terms AS (
+       |  SELECT qt.query_id, tf.doc_id, tf.tf, tf.dl, dfx.df,
+       |    stats.n_docs, stats.total_tokens,
+       |    ((stats.n_docs + 1) * 1048576) // (dfx.df + 1) AS ratio
+       |  FROM tf JOIN qt ON tf.term = qt.term JOIN dfx ON tf.term = dfx.term, stats),
+       |scored AS (
+       |  SELECT query_id, doc_id,
+       |    (length(format('{:b}', ratio)) - 1) * 1024
+       |      + (ratio * 1024) // (CAST(1 AS BIGINT) << (length(format('{:b}', ratio)) - 1))
+       |      - 1024 AS widf,
+       |    (tf * 2200 * 1000)
+       |      // (tf * 1000 + (1200 * (250 + (750 * dl * n_docs) // total_tokens)) // 1000)
+       |      AS sat1000
+       |  FROM terms),
+       |sc AS (
+       |  SELECT query_id, doc_id, CAST(SUM(widf * sat1000) AS BIGINT) AS score
+       |  FROM scored GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT query_id, doc_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+       |  FROM sc)
+       |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
+       |FROM rk WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2335,7 +2410,8 @@ object DataOps extends QueryModule {
     "q111_corpus_upsert" -> (corpusUpsert _),
     "q112_cdc_chunks" -> (cdcChunks _),
     "q113_image_phash" -> (imagePhashDedup _),
-    "q114_audio_phash" -> (audioPhashDedup _))
+    "q114_audio_phash" -> (audioPhashDedup _),
+    "q115_bm25_search" -> (bm25Search _))
 
   val family: String = "dataops"
 
@@ -2397,5 +2473,6 @@ object DataOps extends QueryModule {
     "q111_corpus_upsert" -> q111Oracle,
     "q112_cdc_chunks" -> q112Oracle,
     "q113_image_phash" -> q113Oracle,
-    "q114_audio_phash" -> q114Oracle)
+    "q114_audio_phash" -> q114Oracle,
+    "q115_bm25_search" -> q115Oracle)
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus with known tf/df/dl structure: "spark" is rare, "data" common
+  private lazy val corpus = Seq(
+    (0L, "spark data data data"),
+    (1L, "data data data data data data data data"),
+    (2L, "spark spark data"),
+    (3L, "rows and more rows of data"),
+    (4L, "unrelated words entirely here")).toDF("doc_id", "text")
+
+  /** JVM replay of the documented fixed-point scorer. */
+  private def score(queryTerms: Set[String],
+                    docs: Seq[(Long, String)]): Map[Long, Long] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = docs.size.toLong
+    val total = toks.values.map(_.size.toLong).sum
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    (for ((id, ts) <- toks.toSeq) yield id -> (for {
+      t <- queryTerms.toSeq
+      tf = ts.count(_ == t).toLong if tf > 0
+    } yield {
+      val df = dfm(t)
+      val ratio = ((n + 1) * 1048576L) / (df + 1)
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(ratio)
+      val widf = e * 1024L + (ratio * 1024L >> e) - 1024L
+      val norm1000 = 250L + 750L * ts.size * n / total
+      val denom1000 = tf * 1000L + 1200L * norm1000 / 1000L
+      widf * (tf * 2200L * 1000L / denom1000)
+    }).sum).filter(_._2 > 0).toMap
+  }
+
+  describe("Retrieval.bm25TopK") {
+    it("ranks by the documented integer fixed-point BM25, ties by doc_id") {
+      val qt = Seq((0L, "spark"), (0L, "data"), (1L, "rows")).toDF("query_id", "term")
+      val got = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"), qt, k = 10)
+        .orderBy("query_id", "rank")
+        .as[(Long, Long, Long, Int)].collect()
+
+      val docsSeq = corpus.as[(Long, String)].collect().toSeq
+      for (q <- Seq(0L, 1L)) {
+        val terms = if (q == 0L) Set("spark", "data") else Set("rows")
+        val want = score(terms, docsSeq).toSeq
+          .sortBy { case (id, sc) => (-sc, id) }
+          .zipWithIndex.map { case ((id, sc), i) => (q, id, sc, i + 1) }
+        assert(got.filter(_._1 == q).toSeq == want, s"query $q")
+      }
+      // rare term outranks common one at same tf profile: doc 2 ("spark"
+      // twice, short) must beat doc 1 (only "data") on query 0
+      val r0 = got.filter(_._1 == 0L).map(g => g._2 -> g._4).toMap
+      assert(r0(2L) < r0(1L))
+    }
+
+    it("collapses repeated query terms and cuts at k") {
+      val dup = Seq((0L, "data"), (0L, "data")).toDF("query_id", "term")
+      val single = Seq((0L, "data")).toDF("query_id", "term")
+      val a = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"), dup, k = 2)
+        .orderBy("rank").as[(Long, Long, Long, Int)].collect()
+      val b = Retrieval.bm25TopK(corpus, col("doc_id"), col("text"), single, k = 2)
+        .orderBy("rank").as[(Long, Long, Long, Int)].collect()
+      assert(a.toSeq == b.toSeq)
+      assert(a.length == 2) // 4 docs contain "data"; k cuts to 2
+    }
+
+    it("is invariant to input partitioning") {
+      val qt = Seq((0L, "data"), (0L, "rows")).toDF("query_id", "term")
+      val one = Retrieval.bm25TopK(corpus.coalesce(1), col("doc_id"), col("text"), qt, k = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+      val many = Retrieval.bm25TopK(corpus.repartition(7), col("doc_id"), col("text"), qt, k = 10)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(one == many)
+    }
+  }
+}
