@@ -90,6 +90,44 @@ object Layout {
       .save(path)
   }
 
+  /** Morton (Z-order) value of two dimension columns: the low `bitsPer`
+    * bits of each, interleaved (x even positions, y odd) into one
+    * `2·bitsPer`-bit key. Range-clustering on THIS key gives every
+    * 2-D box predicate locality in one layout — the multi-dimension
+    * answer where [[writeClustered]] on (x, y) only serves x-leading
+    * queries. Negative inputs clamp to 0 and values ≥ 2^bitsPer to the
+    * max (totality; normalize dims to comparable ranges upstream for
+    * the best interleave). Pure bit arithmetic on built-in expressions:
+    * a whole-stage-codegen projection, replayable in any engine —
+    * NEVER a UDF.
+    */
+  def zOrderValue(x: Column, y: Column, bitsPer: Int = 16): Column = {
+    require(bitsPer >= 1 && bitsPer <= 31, s"bitsPer must be in [1,31], got $bitsPer")
+    val mask = (1L << bitsPer) - 1
+    def clamp(c: Column) = least(greatest(c.cast("long"), lit(0L)), lit(mask))
+    val (cx, cy) = (clamp(x), clamp(y))
+    (0 until bitsPer).map { b =>
+      shiftleft(shiftright(cx, b).bitwiseAND(lit(1L)), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(cy, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** [[writeClustered]] along the Z-order curve of two dimensions: the
+    * interleaved key is materialized as column `zCol` (kept in the
+    * files — readers bucket and prune on it) and the write clusters on
+    * it, so each output file covers a compact 2-D tile of (x, y) space
+    * and a box predicate on either or both dims touches few files.
+    * Same one-range-shuffle cost as any clustered write; the z
+    * projection is codegen.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    numRanges: Int, bitsPer: Int = 16,
+                    maxRecordsPerFile: Long = 1000000L, zCol: String = "zval",
+                    format: String = "parquet"): Unit =
+    writeClustered(
+      df.withColumn(zCol, zOrderValue(col(xCol), col(yCol), bitsPer)),
+      path, Seq(zCol), numRanges, maxRecordsPerFile, format)
+
   /** [[writeClustered]] only if `path` doesn't already hold a committed
     * write (`_SUCCESS` marker) — the q47/`ensureBucketed` discipline:
     * the one-time layout cost belongs to warmup/ingestion, repeated
