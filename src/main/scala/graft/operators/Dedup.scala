@@ -509,8 +509,11 @@ object Dedup {
     val bands = array((0 until numBands).map { i =>
       val lo = i * bits / numBands
       val hi = (i + 1) * bits / numBands
+      // width can be the full 64 (maxHamming=0, bits=64): (1L<<64)-1 is 0
+      // under JVM shift-mod-64 semantics, so build the mask shift-safe
+      val mask = -1L >>> (64 - (hi - lo))
       struct(lit(i).as("band"),
-        shiftright(col("fp"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("key"))
+        shiftright(col("fp"), lo).bitwiseAND(lit(mask)).as("key"))
     }: _*)
     val exploded = fp.select(col("doc_id"), explode(bands).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"), lit(0L).as("n"))
