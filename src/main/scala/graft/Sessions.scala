@@ -11,8 +11,10 @@ import org.apache.spark.sql.SparkSession
   *   for the 100 TB story on the fact-fact joins.
   * - UTC session timezone: all timestamp literals/parses resolve like the
   *   DuckDB oracle's naive timestamps.
-  * - `nanosAsLong`: the driver's events.parquet stores TIMESTAMP(NANOS)
-  *   (see Tables).
+  * - `nanosAsLong`: kept for testdata generations whose events.parquet
+  *   stored TIMESTAMP(NANOS) — it makes those readable (as LongType) and
+  *   is a no-op for the current TIMESTAMP(MICROS) data. The read itself
+  *   is schema-adaptive (see Tables.normalizeTsColumn).
   */
 object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

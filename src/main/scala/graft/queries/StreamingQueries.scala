@@ -63,21 +63,45 @@ class UserStatsProcessor
   */
 object StreamingQueries extends QueryModule {
 
-  /** The events table as a file stream (raw nanos ts → micros). The
+  /** Signature of a staged source file: size + mtime. Staging keyed on
+    * bare `Files.exists(dest)` served PRE-REGENERATION copies after the
+    * driver rewrote /root/testdata in place (VERDICT r7 #2) — tmp scratch
+    * outlives the testdata it was copied from, so the guard must compare
+    * the SOURCE's identity, recorded in a marker file at stage time. */
+  private[queries] def sourceSig(src: java.nio.file.Path): String =
+    s"${java.nio.file.Files.size(src)}:${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+
+  /** True when `stage` does not carry an up-to-date marker for `src` —
+    * i.e. the staged copy is missing or was built from different source
+    * bytes. `recordStaged` writes the marker after a successful (re)build. */
+  private[queries] def stageStale(src: java.nio.file.Path, stage: java.nio.file.Path): Boolean = {
+    val marker = stage.resolve(".source_sig")
+    !java.nio.file.Files.exists(marker) ||
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != sourceSig(src)
+  }
+  private[queries] def recordStaged(src: java.nio.file.Path, stage: java.nio.file.Path): Unit =
+    java.nio.file.Files.write(stage.resolve(".source_sig"),
+      sourceSig(src).getBytes("UTF-8"))
+
+  /** The events table as a file stream (ts normalized like Tables). The
     * streaming file source requires a directory, so the parquet file is
-    * staged (hard-linked/copied) into a scratch dir once per sfDir.
+    * staged (copied) into a scratch dir, re-copied whenever the source's
+    * size or mtime changed since the last staging.
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val stage = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"stream_$tag")
     Files.createDirectories(stage)
+    val src = Paths.get(dir, "events.parquet")
     val dest = stage.resolve("events.parquet")
-    if (!Files.exists(dest))
-      Files.copy(Paths.get(dir, "events.parquet"), dest, StandardCopyOption.REPLACE_EXISTING)
-    val raw = s.read.parquet(dest.toString) // schema probe (ts: long nanos)
-    s.readStream.schema(raw.schema).parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    if (stageStale(src, stage)) {
+      Files.copy(src, dest, StandardCopyOption.REPLACE_EXISTING)
+      recordStaged(src, stage)
+    }
+    val raw = s.read.parquet(dest.toString) // schema probe
+    Tables.normalizeTs(
+      s.readStream.schema(raw.schema).parquet(stage.toString))
   }
 
   /** State-store/shuffle partition count for the drains: a streaming
@@ -121,9 +145,12 @@ object StreamingQueries extends QueryModule {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val stage = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"chunkstream_${nFiles}_$tag")
-    val raw = s.read.parquet(Paths.get(dir, "events.parquet").toString)
+    val src = Paths.get(dir, "events.parquet")
+    val raw = s.read.parquet(src.toString)
     chunkStaged.synchronized {
-      if (!chunkStaged((dir, nFiles))) {
+      // Rebuild when this JVM hasn't staged yet AND the on-disk staging
+      // (possibly from a previous JVM) doesn't match the current source.
+      if (!chunkStaged((dir, nFiles)) && stageStale(src, stage)) {
         deleteRecursively(stage)
         Files.createDirectories(stage)
         val n = raw.count()
@@ -149,11 +176,12 @@ object StreamingQueries extends QueryModule {
             java.nio.file.attribute.FileTime.fromMillis(1600000000000L + c * 60000L))
         }
         chunked.unpersist(blocking = false)
-        chunkStaged += ((dir, nFiles))
+        recordStaged(src, stage)
       }
+      chunkStaged += ((dir, nFiles))
     }
-    s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1").parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeTs(
+      s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1").parquet(stage.toString))
   }
 
   /** Drain a chunked stream one micro-batch at a time, tagging every
@@ -651,9 +679,8 @@ object StreamingQueries extends QueryModule {
     }
 
     def drainWave(wave: Long): Unit = {
-      val windows = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val windows = Tables.normalizeTs(s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString))
         .select(col("ts"), col("event_type"), col("value"))
         .withWatermark("ts", "2 days")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
