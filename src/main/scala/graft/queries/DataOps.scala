@@ -1983,17 +1983,23 @@ object DataOps extends QueryModule {
 
   // ---- q109: SemDeDup (cluster-scoped semantic dedup) ------------------
 
-  private val SemK = 8
+  /** E|cluster| target for q109's derived k (Similarity.semanticDedupK):
+    * 125 puts sf0.01's 1000-vector corpus at k=8 (the value the oracle
+    * has always pinned) while k now GROWS with the corpus — sf0.1's
+    * 10k corpus clusters onto k=80, sf1 onto k=800 — holding the
+    * Σ|cluster|² pairwise stage linear in N (VERDICT r7 #6). */
+  private val SemTargetCluster = 125L
   private val SemThreshold = 0.9
 
   /** SemDeDup under a full value oracle: the embeddings table unioned
     * with a perturbed copy of itself (q44's planted-duplicate corpus,
     * cosine ≈ 0.995 vs a ≤ 0.61 background), clustered onto the first
-    * 8 vectors as deterministic centroids (q25's IVF construction —
-    * production trains them, [[graft.operators.Similarity.trainCentroids]]),
-    * then deduped WITHIN clusters at 0.9: each planted copy lands in
-    * its original's cluster and drops (keep-earliest), every original
-    * survives. The oracle replays assignment (argmax cosine,
+    * k = ⌈corpus / 125⌉ vectors as deterministic centroids (q25's IVF
+    * construction — production trains them via
+    * [[graft.operators.Similarity.semanticDedupAuto]]), then deduped
+    * WITHIN clusters at 0.9: each planted copy lands in its original's
+    * cluster and drops (keep-earliest), every original survives. The
+    * oracle replays the k derivation, assignment (argmax cosine,
     * lowest-centroid tie-break) and the within-cluster keep rule
     * exactly.
     */
@@ -2001,12 +2007,14 @@ object DataOps extends QueryModule {
     val e = emb(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
     // planted ids start past max(vec_id), derived from the corpus (see q44)
-    val off = e.agg(max(col("vec_id")).cast("long")).head().getLong(0) + 1L
+    val stats = e.agg(max(col("vec_id")).cast("long"), count(lit(1))).head()
+    val off = stats.getLong(0) + 1L
+    val k = graft.operators.Similarity.semanticDedupK(2L * stats.getLong(1), SemTargetCluster)
     val planted = e.select((col("vec_id") + lit(off)).as("vec_id"),
       concat(array(element_at(col("embedding"), 1) + lit(0.1)),
         slice(col("embedding"), 2, 10000)).as("embedding"))
     graft.operators.Similarity.semanticDedup(
-        e.unionByName(planted), e.filter(col("vec_id") < SemK), SemThreshold)
+        e.unionByName(planted), e.filter(col("vec_id") < k), SemThreshold)
       .sortOnce(col("vec_id"))
   }
 
@@ -2020,7 +2028,8 @@ object DataOps extends QueryModule {
        |    list_prepend(embedding[1] + CAST(0.1 AS DOUBLE), CAST(embedding[2:] AS DOUBLE[]))
        |  FROM embeddings),
        |cent AS (SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS embedding
-       |         FROM embeddings WHERE vec_id < $SemK),
+       |         FROM embeddings
+       |         WHERE vec_id < (SELECT CAST(CEIL(COUNT(*) / $SemTargetCluster.0) AS BIGINT) FROM c2)),
        |assign AS (
        |  SELECT vec_id, embedding, centroid_id FROM (
        |    SELECT v.vec_id, v.embedding, c.centroid_id,

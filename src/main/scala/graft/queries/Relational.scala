@@ -249,6 +249,37 @@ object Relational extends QueryModule {
       .orderBy(col("okey_bucket"))
   }
 
+  /** q116: Z-order (Morton-curve) layout round-trip — the 2-D answer
+    * where q62's single-key clustering only serves x-leading queries.
+    * lineitem is written through `Layout.ensureZOrdered` on two derived
+    * 8-bit dimensions (so warmup pays the one-time layout, timed passes
+    * measure the tiled scan, as q62/q88), then read back with a 2-D BOX
+    * predicate and aggregated per 32×32 tile. The interleaved `zval` is
+    * kept in the files and surfaced as min_z/max_z per tile, so the
+    * oracle REPLAYS the bit interleave in SQL — a wrong interleave, a
+    * dropped row, or a mangled value all hash-mismatch. LayoutSpec
+    * separately asserts from the parquet footers that file zval ranges
+    * are disjoint — the property a stats-aware scan prunes boxes with.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"zorder_$tag").toString
+    Layout.ensureZOrdered(
+      t(s, dir, "lineitem").select(
+        (col("l_partkey") % 256).as("x"),
+        (col("l_suppkey") % 256).as("y"),
+        col("l_quantity")),
+      out, "x", "y", numRanges = 8, bitsPer = 8, maxRecordsPerFile = 100000L)
+    s.read.parquet(out)
+      .filter(col("x").between(32, 95) && col("y").between(64, 127))
+      .groupBy(expr("x DIV 32").as("tile_x"), expr("y DIV 32").as("tile_y"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
+      .orderBy(col("tile_x"), col("tile_y"))
+  }
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -368,7 +399,8 @@ object Relational extends QueryModule {
     "q41_percentiles" -> (pricePercentiles _),
     "q47_bucketed_join" -> (bucketedRevenue _),
     "q62_clustered_layout" -> (clusteredLayout _),
-    "q88_orc_layout" -> (orcLayout _))
+    "q88_orc_layout" -> (orcLayout _),
+    "q116_zorder_layout" -> (zorderLayout _))
 
   val family: String = "relational"
 
@@ -524,7 +556,26 @@ object Relational extends QueryModule {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q62_clustered_layout" -> q62Sql,
-    "q88_orc_layout" -> q62Sql)
+    "q88_orc_layout" -> q62Sql,
+    "q116_zorder_layout" -> q116Sql)
+
+  /** DuckDB replay of the 8-bit Morton interleave (Layout.zOrderValue):
+    * bit b of x lands at position 2b, bit b of y at 2b+1. */
+  private lazy val q116Sql: String = {
+    val interleave = (0 until 8).map(b =>
+      s"(((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" | ")
+    s"""WITH base AS (
+       |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y, l_quantity
+       |  FROM lineitem),
+       |z AS (
+       |  SELECT x, y, l_quantity, $interleave AS zval FROM base)
+       |SELECT x // 32 AS tile_x, y // 32 AS tile_y, COUNT(*) AS n,
+       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       | MIN(zval) AS min_z, MAX(zval) AS max_z
+       |FROM z WHERE x BETWEEN 32 AND 95 AND y BETWEEN 64 AND 127
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   private lazy val q62Sql: String =
     """SELECT l_orderkey % 100 AS okey_bucket, COUNT(*) AS n,

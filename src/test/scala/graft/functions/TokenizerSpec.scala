@@ -98,6 +98,51 @@ class TokenizerSpec extends SparkSpec {
     }
   }
 
+  describe("Tokenizer.learnMergesBatched (one-job BPE training)") {
+    it("is merge-for-merge identical to the sequential per-job trainer") {
+      // same textbook corpus — batched must replay the exact selection
+      // rule: per-position pair counts, (cnt desc, a, b) UTF-8 order,
+      // minPairCount exhaustion
+      val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+        .grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+      val sequential = Tokenizer.learnMerges(docs, col("text"), numMerges = 8)
+      val batched = Tokenizer.learnMergesBatched(docs, col("text"), numMerges = 8)
+      assert(batched == sequential)
+      assert(batched.take(6) == Seq("e" -> "s", "es" -> "t", "l" -> "o",
+        "lo" -> "w", "e" -> "w", "ew" -> "est"))
+    }
+
+    it("agrees on repeated-symbol overlaps and the maxWordChars pass-through") {
+      // 'aaaa' exercises overlapping (a,a) position counts and the
+      // leftmost-nonoverlapping merge; the 12-char word is dropped by
+      // the cap in BOTH paths
+      val docs = Seq("aaaa aaaa aab", "abababababab cc cc cc").toDF("text")
+      val seqM = Tokenizer.learnMerges(docs, col("text"), numMerges = 6, maxWordChars = 6)
+      val batM = Tokenizer.learnMergesBatched(docs, col("text"), numMerges = 6, maxWordChars = 6)
+      assert(batM == seqM)
+    }
+
+    it("stops early when no pair repeats, like the sequential trainer") {
+      val docs = Seq("a b c d").toDF("text")
+      assert(Tokenizer.learnMergesBatched(docs, col("text"), numMerges = 5) == Nil)
+    }
+
+    it("the frequency cap keeps the top words deterministically") {
+      // cap to 2 words: newest×6 and low×5 survive (n desc, w) — merges
+      // learned from just those
+      val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+        .grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+      val capped = Tokenizer.learnMergesBatched(docs, col("text"), numMerges = 3,
+        maxVocabWords = 2)
+      // hand-derived on {newest:6, low:5}: (e,s)6; then over
+      // [n,e,w,es,t] the count-6 candidates tie and (e,w) wins the
+      // lexicographic break; then over [n,ew,es,t] (es,t) wins
+      assert(capped == Seq("e" -> "s", "e" -> "w", "es" -> "t"))
+    }
+  }
+
   describe("Tokenizer.LongestMatch") {
     val vocab = Seq("un", "relate", "related", "ed", "token", "iz", "at", "ation", "s")
     val bpe = Tokenizer.LongestMatch(vocab)

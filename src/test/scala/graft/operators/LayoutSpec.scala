@@ -58,6 +58,53 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  describe("Layout.zOrderValue / writeZOrdered") {
+    it("interleaves bits per the Morton contract and clamps out-of-range inputs") {
+      val df = Seq(
+        (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L), (255L, 255L),
+        (-7L, 3L), (999L, 2L) // negative → clamp 0; ≥2^bits → clamp max
+      ).toDF("x", "y")
+      val got = df.select(Layout.zOrderValue(col("x"), col("y"), bitsPer = 8).as("z"))
+        .as[Long].collect().toSeq
+      def morton(x: Long, y: Long): Long = {
+        val cx = math.min(math.max(x, 0L), 255L)
+        val cy = math.min(math.max(y, 0L), 255L)
+        (0 until 8).map(b => (((cx >> b) & 1L) << (2 * b)) | (((cy >> b) & 1L) << (2 * b + 1))).sum
+      }
+      val want = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L), (255L, 255L),
+        (-7L, 3L), (999L, 2L)).map { case (x, y) => morton(x, y) }
+      assert(got == want)
+      // known fixed points of the curve
+      assert(morton(3L, 5L) == 39L) // x bits at even, y bits at odd positions
+      assert(morton(255L, 255L) == 65535L)
+    }
+
+    it("writeZOrdered produces files with DISJOINT zval ranges — 2-D box pruning") {
+      withTempDir { dir =>
+        val out = s"${dir.getAbsolutePath}/zorder"
+        val rnd = new scala.util.Random(7)
+        val df = (1 to 8000).map(_ => (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+          .toDF("x", "y").withColumn("v", col("x") + col("y"))
+        Layout.writeZOrdered(df, out, "x", "y", numRanges = 4, bitsPer = 8,
+          maxRecordsPerFile = 2500)
+        // footer ranges over the INTERLEAVED key are pairwise disjoint,
+        // so every 2-D box (a contiguous set of z tiles) prunes files
+        val ranges = Layout.fileRanges(spark, out, "zval").sortBy(_._1)
+        assert(ranges.size >= 4, s"expected >=4 files, got ${ranges.size}")
+        ranges.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) =>
+            assert(aMax <= bMin, s"interleaved file ranges: $ranges")
+          case _ =>
+        }
+        // data intact, zval consistent with the column expression
+        val back = spark.read.parquet(out)
+        assert(back.count() == 8000)
+        assert(back.filter(
+          Layout.zOrderValue(col("x"), col("y"), 8) =!= col("zval")).count() == 0)
+      }
+    }
+  }
+
   describe("Layout.upsert") {
     val base = Seq((1L, "one", 10), (2L, "two", 20), (3L, "three", 30))
       .toDF("k", "txt", "v")

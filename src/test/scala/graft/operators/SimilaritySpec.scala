@@ -258,4 +258,46 @@ class SimilaritySpec extends SparkSpec {
       assert(plan.contains("centroid_id"), plan)
     }
   }
+
+  describe("Similarity.semanticDedupK / semanticDedupAuto (k scales with N)") {
+    it("derives k = ceil(N / target), holding E|cluster| at or under target") {
+      assert(Similarity.semanticDedupK(1000L, 125L) == 8)
+      assert(Similarity.semanticDedupK(1001L, 125L) == 9)
+      assert(Similarity.semanticDedupK(1L, 125L) == 1)
+      assert(Similarity.semanticDedupK(0L, 125L) == 1)
+      assert(Similarity.semanticDedupK(100000000000L, 4096L) == 24414063)
+      // the invariant the derivation exists for: E|c| = N/k <= target,
+      // so balanced pairwise work sum(|c|^2) ~= N * E|c| stays LINEAR
+      // in N at fixed target (a fixed k degrades to N^2/k)
+      for (n <- Seq(10L, 1000L, 123457L, 10000000L); t <- Seq(1L, 125L, 4096L)) {
+        val k = Similarity.semanticDedupK(n, t)
+        assert(n.toDouble / k <= t.toDouble, s"E|c| ${n.toDouble / k} > target $t (n=$n)")
+      }
+    }
+
+    it("auto path: trained clusters keep sum(|cluster|^2) near N*target on spread data") {
+      // 384 deterministic 4-d vectors, well spread; target 32 -> k=12.
+      // Balanced bound: sum(|c|^2) = N*target = 12288; assert within 5x
+      // to absorb k-means imbalance — the LINEAR-in-N regime, vs the
+      // degenerate single-cluster 147456 (= N^2) a fixed k=1 would give.
+      val rnd = new scala.util.Random(11)
+      val data = (0L until 384L).map(i =>
+        (i, Array.fill(4)(rnd.nextDouble() * 2 - 1))).toDF("vec_id", "embedding")
+      val n = 384L; val target = 32L
+      val k = Similarity.semanticDedupK(n, target)
+      assert(k == 12)
+      val cents = Similarity.trainCentroids(data, k, iters = 3)
+      val sizes = Similarity.assign(data, cents)
+        .groupBy("centroid_id").count().select("count").as[Long].collect()
+      assert(sizes.sum == n)
+      val sumSq = sizes.map(s => s * s).sum
+      assert(sumSq <= 5L * n * target, s"sum|c|^2 = $sumSq exceeds 5*N*target = ${5L * n * target}")
+      // and the auto entry point runs end-to-end on the same derivation
+      // (threshold > 1 is unreachable for cosine -> total, all kept)
+      val out = Similarity.semanticDedupAuto(data, threshold = 1.1,
+        targetClusterSize = target, iters = 1)
+      assert(out.count() == n)
+      assert(out.filter(col("kept")).count() == n)
+    }
+  }
 }
