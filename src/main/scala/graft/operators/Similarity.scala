@@ -247,6 +247,21 @@ object Similarity {
       Int.MaxValue.toLong).toInt
   }
 
+  /** The k balancing BRUTE assignment cost against pairwise cost: with
+    * [[assign]] comparing every vector to every centroid, total work is
+    * N·k (assignment) + N²/k (balanced pairwise), minimized at k = √N
+    * → 2·N^1.5. Use this when centroids are assigned brute-force (the
+    * exact, oracle-checkable path); [[semanticDedupK]]'s linear-pairs
+    * derivation is the right k when assignment is sublinear in k — a
+    * coarse-quantized / ANN centroid lookup, the standard IVF trick
+    * applied to the codebook itself (measured: the r8 sf1 decade shows
+    * q109's assignment term N·k surfacing at 10.65× once pairs are
+    * linearized; see BASELINE.md).
+    */
+  def semanticDedupKBalanced(corpusSize: Long): Int =
+    math.min(math.max(1L, math.ceil(math.sqrt(corpusSize.toDouble)).toLong),
+      Int.MaxValue.toLong).toInt
+
   /** [[semanticDedup]] with k DERIVED from the corpus size
     * ([[semanticDedupK]]) and centroids trained in-line
     * ([[trainCentroids]]) — the production entry point: one count, one

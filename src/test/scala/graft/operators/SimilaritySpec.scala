@@ -275,6 +275,19 @@ class SimilaritySpec extends SparkSpec {
       }
     }
 
+    it("balanced k = ceil(sqrt(N)) equalizes brute-assignment and pairwise terms") {
+      assert(Similarity.semanticDedupKBalanced(0L) == 1)
+      assert(Similarity.semanticDedupKBalanced(100L) == 10)
+      assert(Similarity.semanticDedupKBalanced(101L) == 11)
+      assert(Similarity.semanticDedupKBalanced(1000000000000L) == 1000000)
+      // N*k == N^2/k at this k (within integer rounding): both cost
+      // terms meet at N^1.5 — the brute-assignment optimum
+      for (n <- Seq(100L, 10000L, 1000000L)) {
+        val k = Similarity.semanticDedupKBalanced(n)
+        assert(math.abs(n * k - n * n / k) <= n, s"terms diverge at n=$n, k=$k")
+      }
+    }
+
     it("auto path: trained clusters keep sum(|cluster|^2) near N*target on spread data") {
       // 384 deterministic 4-d vectors, well spread; target 32 -> k=12.
       // Balanced bound: sum(|c|^2) = N*target = 12288; assert within 5x
