@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+  * NeurIPS) re-expressed Spark-first: score every raw document by how
+  * much its hashed n-gram feature distribution looks like a TARGET
+  * corpus (the published recipe for picking pretraining data that
+  * matches a trusted domain), using bag-of-hashed-bigram generative
+  * models:
+  *
+  *   log w(d) = Σ_{g ∈ bigrams(d)} [ log p_target(bucket(g))
+  *                                 − log p_raw(bucket(g)) ]
+  *
+  * The log-ratio is computed in the repo's integer fixed-point log2
+  * discipline (the q115 `widf` idiom): per bucket,
+  * `ratio = ((tgt+1)·2^20) div (raw+1)` (add-one smoothing; the 2^20
+  * scale bounds the resolvable odds ratio at ±20 octaves — buckets
+  * rarer than 2^-20 relative saturate, documented), then
+  * `w = ilog2-interpolated(ratio) − 20·1024` so `tgt = raw` scores 0.
+  * Every document's score is an exact int64 both engines replay
+  * bit-for-bit — rankings (and their ties) are deterministic.
+  *
+  * Shape at 100 TB: one explode over bigrams feeding (a) a map-side
+  * combined aggregate down to `buckets` rows (the two hashed LMs —
+  * tiny, broadcast back) and (b) a broadcast-join + per-doc aggregate
+  * (map-side combinable on doc_id). No all-pairs stage, no
+  * driver-side model state beyond the bucket table; `buckets` scales
+  * to millions of rows before the broadcast is even noticeable.
+  * Reference: kinesis-s3 has no selection operator; semantics follow
+  * the DSIR paper as published.
+  */
+object Dsir {
+
+  /** Per-document importance scores against a target slice.
+    *
+    * @param isTarget boolean column marking the target-domain rows
+    *        INSIDE `df` (the common "small trusted slice of the raw
+    *        corpus" setup; for an external target corpus, union it in
+    *        flagged).
+    * @return (doc_id, n_bigrams, score) — score is Σ bucket weights
+    *         over the doc's bigram OCCURRENCES (multiplicity counts,
+    *         per the paper's unigram/bigram LM), int64 fixed-point
+    *         (×1024 log2 units).
+    */
+  def importanceScores(df: DataFrame, id: Column, text: Column,
+                       isTarget: Column, buckets: Int = 64): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val bg = df
+      .select(id.as("doc_id"), isTarget.cast("long").as("is_tgt"),
+        TextFns.tokens(text).as("toks"))
+      .select(col("doc_id"), col("is_tgt"),
+        explode(TextFns.ngramsOf(col("toks"), 2)).as("bigram"))
+      .select(col("doc_id"), col("is_tgt"),
+        (TextFns.hash60(col("bigram")) % buckets).as("b"))
+
+    val weights = bg.groupBy(col("b"))
+      .agg(count(lit(1)).as("raw_c"), sum(col("is_tgt")).as("tgt_c"))
+      .withColumn("ratio",
+        greatest(expr("((tgt_c + 1) * 1048576) div (raw_c + 1)"), lit(1L)))
+      .withColumn("e", (length(bin(col("ratio"))) - 1).cast("long"))
+      .withColumn("w", expr(
+        "e * 1024 + (ratio * 1024) div shiftleft(cast(1 as bigint), cast(e as int)) " +
+          "- 1024 - 20480"))
+      .select(col("b"), col("w"))
+
+    bg.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("w")).as("score"))
+  }
+
+  /** The selection: top `n` raw documents by importance (score desc,
+    * doc_id tiebreak) — the deterministic argmax form of the paper's
+    * importance resampling. */
+  def selectTop(df: DataFrame, id: Column, text: Column,
+                isTarget: Column, n: Int, buckets: Int = 64): DataFrame =
+    importanceScores(df, id, text, isTarget, buckets)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(n)
+}

@@ -148,6 +148,50 @@ object Sampling {
       .drop("__bs_stratum", "__bs_n")
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual/multi-source
+    * rebalancing rule from published LLM recipes (mBERT/XLM-R's
+    * exponentiated-count sampling, p_s ∝ n_s^α): draw a fixed `budget`
+    * of rows with per-stratum quotas proportional to `n_s^α` at
+    * α = 0.5 (temperature τ = 1/α = 2 — the standard "flatten the head,
+    * boost the tail" point), instead of proportional to raw counts.
+    *
+    * Engine-exact arithmetic: `n^0.5` is `floor(sqrt(n·10^6))` — IEEE
+    * sqrt is correctly rounded, so the int64 quota
+    * `t_s = (budget · s_s) div Σ s_s` (capped at n_s) replays
+    * bit-for-bit in DuckDB. Selection within a stratum is seeded-hash
+    * rank (first `t_s` rows in hash60 order, key tiebreak) — the
+    * deterministic-sampling discipline of this module.
+    *
+    * Shuffle ledger: one tiny counts aggregate (broadcast back as the
+    * quota table), one rank window partitioned by the stratum. The
+    * window sorts each stratum — at very hot strata swap the rank rule
+    * for [[balancedSampleTargets]]'s thresholded form with the derived
+    * quotas (rate = t_s/n_s) to stay fully narrow.
+    */
+  def temperatureSample(df: DataFrame, stratum: Column, key: Column,
+                        budget: Long, seed: Int = 0): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val reserved = df.columns.filter(_.startsWith("__ts_"))
+    require(reserved.isEmpty,
+      s"input frame already has reserved __ts_* working columns (${reserved.mkString(", ")}) — rename them first")
+    val scaled = df.groupBy(stratum.as("__ts_stratum"))
+      .agg(count(lit(1)).as("__ts_n"))
+      .withColumn("__ts_s",
+        floor(sqrt((col("__ts_n") * 1000000L).cast("double"))).cast("long"))
+    val total = scaled.agg(sum(col("__ts_s")).as("__ts_tot"))
+    val quotas = scaled.crossJoin(broadcast(total))
+      .withColumn("__ts_t",
+        least(expr(s"($budget * __ts_s) div __ts_tot"), col("__ts_n")))
+      .select(col("__ts_stratum"), col("__ts_t"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(stratum)
+      .orderBy(TextFns.seededHash(seed, key).asc, key.asc)
+    df.withColumn("__ts_rk", row_number().over(w))
+      .join(broadcast(quotas), stratum === col("__ts_stratum"))
+      .filter(col("__ts_rk") <= col("__ts_t"))
+      .drop("__ts_stratum", "__ts_t", "__ts_rk")
+  }
+
   /** Token-budget corpus selection: keep the maximal prefix of `order`-
     * ascending rows whose running `tok` total fits `budget` — "take the
     * best documents until the token budget is spent", the curation cut

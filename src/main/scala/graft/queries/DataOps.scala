@@ -2359,6 +2359,225 @@ object DataOps extends QueryModule {
        |FROM rk WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q117: Gopher-style quality rules --------------------------------
+
+  /** Rule thresholds tuned to the gate corpus so BOTH outcomes occur
+    * (n_words 10–99, mean_len_fp 370–530, stop_hits 0–14, top_frac_fp
+    * 51–300 at sf0.01): ≥20 words, ≥2 stopword hits, most-frequent
+    * word ≤ 15%. */
+  private val qrRules = graft.operators.QualityRules.Rules(
+    minWords = 20, maxWords = 100000, minMeanLenFp = 300,
+    maxMeanLenFp = 1000, minStopHits = 2, maxTopFracFp = 150)
+
+  def qualityRules(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityRules.score(docs(s, dir), col("doc_id"), col("text"), qrRules)
+      .orderBy(col("doc_id"))
+
+  private val q117Oracle: String = {
+    val stops = TextFns.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |wc AS (SELECT doc_id, unnest(t) AS w FROM base),
+       |mult AS (
+       |  SELECT doc_id, MAX(c) AS topm
+       |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM wc GROUP BY 1, 2) GROUP BY 1),
+       |m AS (
+       |  SELECT b.doc_id,
+       |    CAST(len(t) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(t, x -> len(x))) AS BIGINT) AS sum_len,
+       |    CAST(len(list_filter(t, x -> list_contains([$stops], x))) AS BIGINT) AS stop_hits,
+       |    CAST(topm AS BIGINT) AS top_mult,
+       |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+       |  FROM base b JOIN mult USING (doc_id)),
+       |fp AS (
+       |  SELECT doc_id, n_words, sum_len * 100 // n_words AS mean_len_fp, stop_hits,
+       |    top_mult * 1000 // n_words AS top_frac_fp,
+       |    n_distinct * 1000 // n_words AS distinct_frac_fp
+       |  FROM m)
+       |SELECT doc_id, n_words, mean_len_fp, stop_hits, top_frac_fp, distinct_frac_fp,
+       |  CAST(n_words BETWEEN ${qrRules.minWords} AND ${qrRules.maxWords}
+       |    AND mean_len_fp BETWEEN ${qrRules.minMeanLenFp} AND ${qrRules.maxMeanLenFp}
+       |    AND stop_hits >= ${qrRules.minStopHits}
+       |    AND top_frac_fp <= ${qrRules.maxTopFracFp} AS BIGINT) AS pass
+       |FROM fp ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q118: temperature mixture sampling ------------------------------
+
+  private val TempBudget = 300L
+
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureSample(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        col("lang"), col("doc_id"), budget = TempBudget)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  private val q118Oracle: String = {
+    val h = TextFns.seededHashSql(0, "CAST(doc_id AS VARCHAR)")
+    s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+       |s AS (SELECT lang, n, CAST(floor(sqrt(n * 1000000)) AS BIGINT) AS sl FROM c),
+       |t AS (SELECT lang, least(($TempBudget * sl) // (SELECT SUM(sl) FROM s), n) AS tl FROM s),
+       |r AS (
+       |  SELECT lang, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY $h, doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.lang, doc_id FROM r JOIN t USING (lang)
+       |WHERE rn <= tl ORDER BY lang, doc_id""".stripMargin
+  }
+
+  // ---- q119: corpus snapshot diff --------------------------------------
+
+  /** The "new crawl": docs dropped (id ≡ 0 mod 7), revised (id ≡ 0 mod
+    * 5, a token appended), and added (id ≡ 0 mod 11 re-ingested under a
+    * shifted id) — mirrored exactly in the oracle. */
+  private def newSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionAll(
+        d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SnapshotDiff.changes(
+        docs(s, dir), newSnapshot(s, dir), col("doc_id"), col("text"))
+      .select(col("id").as("doc_id"), col("status"))
+      .orderBy(col("doc_id"), col("status"))
+
+  private val q119Oracle: String =
+    """WITH newsnap AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 11 = 0),
+      |o AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      |n AS (SELECT doc_id, md5(text) AS fp FROM newsnap)
+      |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status
+      |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+      |WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp
+      |ORDER BY doc_id, status""".stripMargin
+
+  // ---- q120: DSIR importance selection ---------------------------------
+
+  private val DsirBuckets = 64
+  private val DsirTopN = 50
+
+  def dsirSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.selectTop(docs(s, dir), col("doc_id"), col("text"),
+      col("lang") === "en", n = DsirTopN, buckets = DsirBuckets)
+
+  private val q120Oracle: String = {
+    val h = TextFns.hash60Sql("bigram")
+    s"""WITH toks AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt,
+       |    string_split(text, ' ') AS t
+       |  FROM documents),
+       |bg AS (
+       |  SELECT doc_id, is_tgt,
+       |    unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bigram
+       |  FROM toks WHERE len(t) >= 2),
+       |bk AS (SELECT doc_id, is_tgt, $h % $DsirBuckets AS b FROM bg),
+       |cnt AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS raw_c,
+       |    CAST(SUM(is_tgt) AS BIGINT) AS tgt_c
+       |  FROM bk GROUP BY 1),
+       |w AS (
+       |  SELECT b,
+       |    (length(format('{:b}', r)) - 1) * 1024
+       |      + (r * 1024) // (CAST(1 AS BIGINT) << (length(format('{:b}', r)) - 1))
+       |      - 1024 - 20480 AS w
+       |  FROM (SELECT b, greatest(((tgt_c + 1) * 1048576) // (raw_c + 1), 1) AS r FROM cnt)),
+       |sc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(w) AS BIGINT) AS score
+       |  FROM bk JOIN w USING (b) GROUP BY 1)
+       |SELECT doc_id, n_bigrams, score FROM sc
+       |ORDER BY score DESC, doc_id LIMIT $DsirTopN""".stripMargin
+  }
+
+  // ---- q121: int8 scalar-quantized ANN ---------------------------------
+
+  private val SqTopK = 5
+
+  def sq8Ann(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantization
+    val e = emb(s, dir)
+    val stats = Quantization.dimStats(e, col("embedding"))
+    val codes = Quantization.quantize(e, col("vec_id"), col("embedding"), stats)
+    Quantization.topKInt(codes, codes.filter(col("vec_id") % 50 === 0), SqTopK)
+      .sortOnce(col("query_id"), col("rnk"))
+  }
+
+  private val q121Oracle: String =
+    s"""WITH u AS (
+       |  SELECT vec_id,
+       |    unnest([{'i': i, 'x': CAST(embedding[i] AS DOUBLE)}
+       |            for i in range(1, len(embedding) + 1)], recursive := true)
+       |  FROM embeddings),
+       |stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY i),
+       |codes AS (
+       |  SELECT vec_id, u.i,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT) - 128
+       |    END AS c
+       |  FROM u JOIN stats ON u.i = stats.i),
+       |dot AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(SUM(q.c * c.c) AS BIGINT) AS score
+       |  FROM codes q JOIN codes c ON q.i = c.i AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, score FROM (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+       |  FROM dot)
+       |WHERE rnk <= $SqTopK ORDER BY query_id, rnk""".stripMargin
+
+  // ---- q122: shard-overlap MinHash matrix ------------------------------
+
+  private val OverlapPerms = 16
+
+  def shardOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusOverlap.overlapMatrix(
+        docs(s, dir), col("source"), col("text"), numPerms = OverlapPerms)
+      .orderBy(col("src_a"), col("src_b"))
+
+  private val q122Oracle: String = {
+    val h = TextFns.hash60Sql("shingle")
+    val sigCols = (0 until OverlapPerms)
+      .map(i => s"MIN(${TextFns.minhashPermSql(i, "h")}) AS s$i").mkString(", ")
+    val matchSum = (0 until OverlapPerms)
+      .map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+       |ssh AS (
+       |  SELECT DISTINCT source, shingle FROM (
+       |    SELECT source,
+       |      unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |              for i in range(1, len(t) - 1)]) AS shingle
+       |    FROM toks WHERE len(t) >= 3)),
+       |hashed AS (SELECT source, $h AS h FROM ssh),
+       |sig AS (SELECT source, $sigCols FROM hashed GROUP BY source),
+       |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ssh GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS ia, b.source AS ib, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT sa.source AS src_a, sb.source AS src_b,
+       |  CAST($matchSum AS BIGINT) AS sig_matches,
+       |  COALESCE(c, 0) / (sa.n + sb.n - COALESCE(c, 0)) AS jacc
+       |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+       |LEFT JOIN inter ON ia = sa.source AND ib = sb.source
+       |JOIN sig x ON x.source = sa.source
+       |JOIN sig y ON y.source = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2420,7 +2639,13 @@ object DataOps extends QueryModule {
     "q112_cdc_chunks" -> (cdcChunks _),
     "q113_image_phash" -> (imagePhashDedup _),
     "q114_audio_phash" -> (audioPhashDedup _),
-    "q115_bm25_search" -> (bm25Search _))
+    "q115_bm25_search" -> (bm25Search _),
+    "q117_quality_rules" -> (qualityRules _),
+    "q118_temperature_mix" -> (temperatureMix _),
+    "q119_snapshot_diff" -> (snapshotDiff _),
+    "q120_dsir_select" -> (dsirSelect _),
+    "q121_sq8_ann" -> (sq8Ann _),
+    "q122_shard_overlap" -> (shardOverlap _))
 
   val family: String = "dataops"
 
@@ -2483,5 +2708,11 @@ object DataOps extends QueryModule {
     "q112_cdc_chunks" -> q112Oracle,
     "q113_image_phash" -> q113Oracle,
     "q114_audio_phash" -> q114Oracle,
-    "q115_bm25_search" -> q115Oracle)
+    "q115_bm25_search" -> q115Oracle,
+    "q117_quality_rules" -> q117Oracle,
+    "q118_temperature_mix" -> q118Oracle,
+    "q119_snapshot_diff" -> q119Oracle,
+    "q120_dsir_select" -> q120Oracle,
+    "q121_sq8_ann" -> q121Oracle,
+    "q122_shard_overlap" -> q122Oracle)
 }

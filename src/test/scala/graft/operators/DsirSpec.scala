@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  // target slice talks about cats; raw background about stocks
+  private val corpus = Seq(
+    (1L, "cat sat mat cat sat mat", true),
+    (2L, "cat ran far cat ran far", true),
+    (3L, "stock fell hard stock fell hard", false),
+    (4L, "stock rose fast stock rose fast", false),
+    (5L, "cat sat mat stock fell hard", false), // half target-like
+    (6L, "cat sat mat cat ran far", false)      // fully target-like
+  ).toDF("doc_id", "text", "is_tgt")
+
+  describe("Dsir.importanceScores") {
+    it("ranks target-like raw docs above background docs") {
+      val scores = Dsir.importanceScores(corpus, col("doc_id"), col("text"),
+          col("is_tgt"), buckets = 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(scores(6L) > scores(5L), s"fully target-like beats mixed: $scores")
+      assert(scores(5L) > scores(3L), s"mixed beats background: $scores")
+      assert(scores(5L) > scores(4L), s"mixed beats background: $scores")
+    }
+
+    it("a doc whose buckets match target and raw equally scores ~0; scores are exact int64") {
+      // with target == raw halves, every bucket has tgt_c ≈ raw_c/2;
+      // the invariant tested is determinism, not a specific value
+      val a = Dsir.importanceScores(corpus, col("doc_id"), col("text"),
+        col("is_tgt"), buckets = 64).orderBy("doc_id").collect().toSeq
+      val b = Dsir.importanceScores(corpus.repartition(7), col("doc_id"), col("text"),
+        col("is_tgt"), buckets = 64).orderBy("doc_id").collect().toSeq
+      assert(a == b, "scores must not depend on partitioning")
+    }
+
+    it("n_bigrams counts occurrences with multiplicity") {
+      val n = Dsir.importanceScores(corpus, col("doc_id"), col("text"),
+          col("is_tgt"), buckets = 8)
+        .select("doc_id", "n_bigrams").as[(Long, Long)].collect().toMap
+      assert(n.values.forall(_ == 5L), s"6 words → 5 bigrams each: $n")
+    }
+
+    it("selectTop returns n rows in deterministic score-desc order") {
+      val top = Dsir.selectTop(corpus, col("doc_id"), col("text"),
+        col("is_tgt"), n = 3, buckets = 64).collect()
+      assert(top.length == 3)
+      val scores = top.map(_.getLong(2)).toSeq
+      assert(scores == scores.sorted.reverse)
+    }
+
+    it("the bucket-model join is broadcast, never a shuffle of the corpus side") {
+      val plan = Dsir.importanceScores(corpus, col("doc_id"), col("text"),
+        col("is_tgt"), buckets = 64).queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    }
+  }
+}

@@ -148,4 +148,47 @@ class SamplingSpec extends SparkSpec {
         again.select("id").as[Long].collect().toSet)
     }
   }
+
+  describe("Sampling.temperatureSample") {
+    // 1600 / 320 / 80 rows: α=0.5 quotas flatten the 20:4:1 head-tail
+    // ratio to 40:17.9:8.9 (√-proportional)
+    val skewed = ids
+      .filter(col("id") <= 2000)
+      .withColumn("s", when(col("id") <= 1600, "big")
+        .when(col("id") <= 1920, "mid").otherwise("rare"))
+
+    it("quotas are sqrt-proportional: the tail is boosted, the head capped") {
+      val counts = Sampling.temperatureSample(skewed, col("s"), col("id"), budget = 500)
+        .groupBy("s").count().as[(String, Long)].collect().toMap
+      val total = counts.values.sum
+      assert(total <= 500 && total > 490, s"quota floors only lose slack: $counts")
+      // proportional would give big 400/80/20; sqrt gives ~298/133/66
+      assert(counts("big") < 320 && counts("rare") > 50, counts.toString)
+      // exact: floor(500·s_l / Σ s_l) on s_l = floor(sqrt(n·10^6))
+      val s = Map("big" -> 1600L, "mid" -> 320L, "rare" -> 80L)
+        .view.mapValues(n => math.sqrt(n.toDouble * 1000000).toLong).toMap
+      val tot = s.values.sum
+      s.foreach { case (k, sl) => assert(counts(k) == 500 * sl / tot, k) }
+    }
+
+    it("selection is deterministic under partitioning and capped at stratum size") {
+      val tiny = skewed.filter(col("s") =!= "big") // 400 rows, budget above sizes
+      val all = Sampling.temperatureSample(tiny, col("s"), col("id"), budget = 4000)
+        .groupBy("s").count().as[(String, Long)].collect().toMap
+      assert(all == Map("mid" -> 320L, "rare" -> 80L), s"capped at n: $all")
+      val a = Sampling.temperatureSample(skewed, col("s"), col("id"), budget = 500)
+        .select("id").as[Long].collect().toSet
+      val b = Sampling.temperatureSample(skewed.repartition(13), col("s"), col("id"), budget = 500)
+        .select("id").as[Long].collect().toSet
+      assert(a == b)
+    }
+
+    it("rejects reserved working columns") {
+      val e = intercept[IllegalArgumentException] {
+        Sampling.temperatureSample(skewed.withColumn("__ts_n", lit(1)),
+          col("s"), col("id"), budget = 10)
+      }
+      assert(e.getMessage.contains("__ts_"))
+    }
+  }
 }
