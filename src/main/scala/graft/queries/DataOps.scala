@@ -1791,11 +1791,15 @@ object DataOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private val q104Oracle: String = {
+  /** The WITH RECURSIVE body replaying [[graft.functions.Tokenizer
+    * .MergeRank]] word-by-word in DuckDB, up through `allw` (one row
+    * per word with its final piece list) — shared by q104 (per-doc
+    * pieces) and q123 (per-language fertility) so the BPE replay can
+    * never fork between them. */
+  private lazy val bpeReplayCtes: String = {
     val rankValues = BpeMerges.zipWithIndex
       .map { case ((a, b), i) => s"('$a|$b', $i)" }.mkString(",")
-    s"""WITH RECURSIVE
-       |ranks(pair, rnk) AS (SELECT * FROM (VALUES $rankValues) t(pair, rnk)),
+    s"""ranks(pair, rnk) AS (SELECT * FROM (VALUES $rankValues) t(pair, rnk)),
        |words AS (
        |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS w_ord, unnest(ws) AS w
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
@@ -1825,13 +1829,17 @@ object DataOps extends QueryModule {
        |allw AS (
        |  SELECT doc_id, w_ord, p FROM fin
        |  UNION ALL
-       |  SELECT doc_id, w_ord, [w] AS p FROM words WHERE len(w) > $BpeMaxWord)
+       |  SELECT doc_id, w_ord, [w] AS p FROM words WHERE len(w) > $BpeMaxWord)""".stripMargin
+  }
+
+  private val q104Oracle: String =
+    s"""WITH RECURSIVE
+       |$bpeReplayCtes
        |SELECT d.doc_id, CAST(COALESCE(SUM(len(p)), 0) AS BIGINT) AS n_pieces,
        |       md5(COALESCE(string_agg(array_to_string(p, '|'), '|' ORDER BY w_ord), ''))
        |         AS fp
        |FROM documents d LEFT JOIN allw USING (doc_id)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
-  }
 
   // ---- q105: fixed-weights quality classifier --------------------------
 
@@ -2578,6 +2586,90 @@ object DataOps extends QueryModule {
        |ORDER BY src_a, src_b""".stripMargin
   }
 
+  // ---- q123: tokenizer fertility per language --------------------------
+
+  /** Tokenizer-fit analytics — the per-language fertility audit run
+    * before committing to a vocabulary (multilingual tokenizers trade
+    * fertility across languages; published as tokens-per-word /
+    * bytes-per-token tables in the mBERT/XLM-R/BLOOM tokenizer
+    * literature). Composes the q104 BPE tokenizer with the language
+    * column: per language, corpus totals and two ×1000 fixed-point
+    * ratios. One narrow per-row tokenize + one 5-row aggregate.
+    */
+  def tokenFertility(s: SparkSession, dir: String): DataFrame = {
+    val bpe = graft.functions.Tokenizer.MergeRank(BpeMerges, BpeMaxWord)
+    docs(s, dir).select(
+        col("lang"),
+        size(TextFns.tokens(col("text"))).cast("long").as("nw"),
+        size(bpe.tokenize(col("text"))).cast("long").as("np"),
+        length(col("text")).cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("np")).as("n_pieces"), sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_pieces"), col("n_chars"),
+        expr("n_pieces * 1000 div n_words").as("fertility_fp"),
+        expr("n_chars * 1000 div n_pieces").as("chars_per_piece_fp"))
+      .orderBy(col("lang"))
+  }
+
+  private val q123Oracle: String =
+    s"""WITH RECURSIVE
+       |$bpeReplayCtes,
+       |per_doc AS (
+       |  SELECT d.doc_id, CAST(COALESCE(SUM(len(p)), 0) AS BIGINT) AS np
+       |  FROM documents d LEFT JOIN allw USING (doc_id) GROUP BY 1),
+       |sel AS (
+       |  SELECT d.lang, CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nw,
+       |    CAST(len(d.text) AS BIGINT) AS nc, pd.np
+       |  FROM documents d JOIN per_doc pd USING (doc_id))
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(nw) AS BIGINT) AS n_words,
+       |  CAST(SUM(np) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+       |  CAST((CAST(SUM(np) AS BIGINT) * 1000) // CAST(SUM(nw) AS BIGINT) AS BIGINT)
+       |    AS fertility_fp,
+       |  CAST((CAST(SUM(nc) AS BIGINT) * 1000) // CAST(SUM(np) AS BIGINT) AS BIGINT)
+       |    AS chars_per_piece_fp
+       |FROM sel GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q124: tiered curriculum interleave ------------------------------
+
+  private val CurriculumTiers = 5
+
+  /** Curriculum over the corpus scored by vocabulary richness (q117's
+    * distinct_frac_fp — a pure per-row integer, so the whole schedule
+    * is engine-exact): 5 tiers, round-robin interleaved. */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.QualityRules
+      .score(docs(s, dir), col("doc_id"), col("text"))
+      .select(col("doc_id"), col("distinct_frac_fp"))
+    graft.operators.Curriculum.tieredInterleave(
+        scored, col("doc_id"), col("distinct_frac_fp"), tiers = CurriculumTiers)
+      .select(col("id").as("doc_id"), col("score"), col("tier"), col("curriculum_pos"))
+      .orderBy(col("curriculum_pos"))
+  }
+
+  private val q124Oracle: String =
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |scored AS (
+       |  SELECT doc_id,
+       |    (CAST(len(list_distinct(t)) AS BIGINT) * 1000) // CAST(len(t) AS BIGINT)
+       |      AS score
+       |  FROM base),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM scored),
+       |r AS (
+       |  SELECT doc_id, score,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) - 1 AS x
+       |  FROM scored),
+       |t AS (SELECT doc_id, score, x, (x * $CurriculumTiers) // nn AS tier FROM r, n),
+       |p AS (
+       |  SELECT doc_id, score, tier,
+       |    x - (tier * nn + $CurriculumTiers - 1) // $CurriculumTiers AS pos
+       |  FROM t, n)
+       |SELECT doc_id, CAST(score AS BIGINT) AS score, CAST(tier AS BIGINT) AS tier,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY pos, tier) AS BIGINT) AS curriculum_pos
+       |FROM p ORDER BY curriculum_pos""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2645,7 +2737,9 @@ object DataOps extends QueryModule {
     "q119_snapshot_diff" -> (snapshotDiff _),
     "q120_dsir_select" -> (dsirSelect _),
     "q121_sq8_ann" -> (sq8Ann _),
-    "q122_shard_overlap" -> (shardOverlap _))
+    "q122_shard_overlap" -> (shardOverlap _),
+    "q123_token_fertility" -> (tokenFertility _),
+    "q124_curriculum" -> (curriculumOrder _))
 
   val family: String = "dataops"
 
@@ -2714,5 +2808,7 @@ object DataOps extends QueryModule {
     "q119_snapshot_diff" -> q119Oracle,
     "q120_dsir_select" -> q120Oracle,
     "q121_sq8_ann" -> q121Oracle,
-    "q122_shard_overlap" -> q122Oracle)
+    "q122_shard_overlap" -> q122Oracle,
+    "q123_token_fertility" -> q123Oracle,
+    "q124_curriculum" -> q124Oracle)
 }
