@@ -150,13 +150,64 @@ object SketchQueries extends QueryModule {
       |WHERE tok <> '' GROUP BY tok
       |ORDER BY n_occurrences DESC, token LIMIT 5""".stripMargin
 
+  // ---- q125: count-min frequency certificates --------------------------
+
+  private val CmsEps = 0.0005
+  private val CmsTopN = 10
+
+  /** Count-min sketch point-query certificates over (event_type, user)
+    * pair frequencies: build ONE kilobyte-scale CMS over the keyed
+    * stream in a distributed pass (`stat.countMinSketch` — the
+    * two-job pattern of `Dedup.bloomNewDocs`: the sketch is an action,
+    * then ships to executors INSIDE the probe expression,
+    * [[graft.catalyst.CmsEstimate]]), then certify the exact top-10
+    * pairs: the estimate must never undercount (a CMS structural
+    * guarantee) and overcount by at most ⌈ε·N⌉ (holds with
+    * probability ≥ δ = 0.99; deterministic for fixed data + seed).
+    * At 100 TB this is the frequency story without a counts table:
+    * per-key "how often?" answers from KBs of mergeable state, while
+    * the exact branch below exists only to pin the certificate at
+    * gate scale.
+    */
+  def cmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables(s, dir, "events").select(
+      col("event_type"), col("user_id"),
+      xxhash64(concat_ws(":", col("event_type"), col("user_id"))).as("key"))
+    val cms = keyed.stat.countMinSketch("key", CmsEps, 0.99, 42)
+    val total = keyed.agg(count(lit(1)).as("n_total"))
+    keyed.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("event_type"), col("user_id"))
+      .limit(CmsTopN)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_exact").desc, col("event_type"), col("user_id"))))
+      .crossJoin(broadcast(total))
+      .withColumn("n_cms", graft.catalyst.CmsEstimate.estimate(
+        xxhash64(concat_ws(":", col("event_type"), col("user_id"))), cms))
+      .select(col("event_type"), col("user_id"), col("n_exact"), col("rnk"),
+        (col("n_cms") >= col("n_exact") &&
+          col("n_cms") <= col("n_exact") + ceil(lit(CmsEps) * col("n_total")).cast("long"))
+          .as("cms_ok"))
+      .orderBy(col("rnk"))
+  }
+
+  private val q125Oracle: String =
+    s"""SELECT event_type, user_id, n_exact, CAST(rnk AS INTEGER) AS rnk, TRUE AS cms_ok
+       |FROM (
+       |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type, user_id) AS rnk
+       |  FROM events GROUP BY 1, 2)
+       |WHERE rnk <= $CmsTopN ORDER BY rnk""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_approx_distinct" -> (approxDistinct _),
     "q57_approx_quantiles" -> (approxQuantiles _),
     "q58_sketch_merge" -> (sketchMerge _),
-    "q59_heavy_hitters" -> (heavyHitters _))
+    "q59_heavy_hitters" -> (heavyHitters _),
+    "q125_cms_frequency" -> (cmsFrequency _))
 
   val family: String = "sketches"
 
@@ -164,5 +215,6 @@ object SketchQueries extends QueryModule {
     "q56_approx_distinct" -> q56Oracle,
     "q57_approx_quantiles" -> q57Oracle,
     "q58_sketch_merge" -> q58Oracle,
-    "q59_heavy_hitters" -> q59Oracle)
+    "q59_heavy_hitters" -> q59Oracle,
+    "q125_cms_frequency" -> q125Oracle)
 }

@@ -4,12 +4,43 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 /** Sketch operators beyond what the q56–q59 oracles pin: the
-  * count-min-sketch point-estimate guarantee (no SQL-level estimate
-  * function exists to pin it in a query) and HLL++ behavior at a
-  * cardinality far above the q56 corpus.
+  * count-min-sketch point-estimate guarantee (q125 pins the certificate
+  * end-to-end through [[graft.catalyst.CmsEstimate]]; this spec keeps
+  * the raw-sketch goldens) and HLL++ behavior at a cardinality far
+  * above the q56 corpus.
   */
 class SketchSpec extends SparkSpec {
   import spark.implicits._
+
+  describe("CmsEstimate (catalyst probe expression)") {
+    it("matches the deserialized sketch's estimateCount row-for-row, codegen and eval") {
+      val rows = (1 to 50).flatMap(k => Seq.fill(k)(k.toLong)).toDF("v")
+      val cms = rows.stat.countMinSketch("v", 0.01, 0.99, 42)
+      val probed = (1L to 60L).toDF("k")
+        .withColumn("est", graft.catalyst.CmsEstimate.estimate(col("k"), cms))
+        .as[(Long, Long)].collect().toMap
+      (1L to 60L).foreach { k =>
+        assert(probed(k) == cms.estimateCount(k), s"key $k")
+      }
+      // structural guarantee surfaces through the expression too
+      (1L to 50L).foreach(k => assert(probed(k) >= k))
+    }
+
+    it("is null-safe and type-checked") {
+      val cms = Seq(1L).toDF("v").stat.countMinSketch("v", 0.1, 0.9, 1)
+      val out = Seq(Some(1L), None).toDF("k")
+        .withColumn("est", graft.catalyst.CmsEstimate.estimate(col("k"), cms))
+        .collect()
+      assert(!out(0).isNullAt(1) && out(1).isNullAt(1))
+      val e = intercept[Exception] {
+        Seq("x").toDF("s")
+          .withColumn("est", graft.catalyst.CmsEstimate.estimate(col("s"), cms))
+          .collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("cms_estimate") ||
+        e.getMessage.contains("DATATYPE_MISMATCH"), e.getMessage)
+    }
+  }
 
   describe("count_min_sketch") {
     it("point estimates are >= true counts and within the eps*N guarantee") {
