@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4-style structural page cleanup (Raffel et al. 2020, "Exploring the
+  * Limits of Transfer Learning…", §2.2) — the line/page heuristics that
+  * built the C4 corpus from Common Crawl:
+  *
+  *   - keep only lines ending in a terminal punctuation mark;
+  *   - keep only lines with at least `minLineWords` words;
+  *   - drop lines containing a banned token (C4: "javascript");
+  *   - drop whole pages containing a page-level ban phrase (C4:
+  *     "lorem ipsum", "{" as a code tell);
+  *   - drop pages with fewer than `minKeptLines` surviving lines.
+  *
+  * This is the STRUCTURAL complement to the Gopher rule gate
+  * (`QualityRules`, token-distribution metrics): these rules look at
+  * line shape and page composition, not word statistics.
+  *
+  * Scale shape: every rule is a per-row higher-order function over the
+  * split line array — ZERO shuffle, no corpus state, trivially linear
+  * at 100 TB. The whole operator is one projection.
+  */
+object C4Filters {
+
+  /** @param terminal      line must end with one of these to survive
+    * @param minLineWords  line must have at least this many
+    *                      space-separated words
+    * @param banLineSubstrings  a line containing any of these
+    *                      (case-insensitive) is dropped
+    * @param banPageSubstrings  a page containing any of these
+    *                      (case-insensitive, tested on the RAW page)
+    *                      fails wholesale
+    * @param minKeptLines  page passes only if at least this many lines
+    *                      survive the line rules
+    */
+  final case class Rules(
+      terminal: Seq[String] = Seq(".", "!", "?", "\""),
+      minLineWords: Int = 5,
+      banLineSubstrings: Seq[String] = Seq("javascript"),
+      banPageSubstrings: Seq[String] = Seq("lorem ipsum", "{"),
+      minKeptLines: Int = 3) {
+    require(terminal.nonEmpty, "need at least one terminal mark")
+    require(minLineWords >= 1 && minKeptLines >= 0, "rule bounds must be non-negative")
+  }
+
+  private def lineKeep(l: Column, rules: Rules): Column = {
+    val endsOk = rules.terminal.map(t => l.endsWith(t)).reduce(_ || _)
+    val wordsOk = size(split(l, " ")) >= rules.minLineWords
+    val banOk = rules.banLineSubstrings
+      .map(b => !lower(l).contains(b.toLowerCase))
+      .foldLeft(lit(true))(_ && _)
+    endsOk && wordsOk && banOk
+  }
+
+  /** Apply the C4 rules to one page column.
+    *
+    * Total: every input row yields exactly one output row (a fully
+    * boilerplate page comes back with empty `clean_text` and
+    * `page_pass = 0`, not a missing row). `page_pass` is int64 0/1 so
+    * the gate bit hash-compares across engines.
+    *
+    * @return `c4_id, clean_text, n_lines, n_kept, page_pass`
+    */
+  def clean(df: DataFrame, id: Column, page: Column, rules: Rules,
+            sep: String = "\n"): DataFrame = {
+    val lines = split(coalesce(page, lit("")), Pattern.quote(sep))
+    val kept = filter(lines, l => lineKeep(l, rules))
+    val pageBanOk = rules.banPageSubstrings
+      .map(b => !lower(coalesce(page, lit(""))).contains(b.toLowerCase))
+      .foldLeft(lit(true))(_ && _)
+    df.select(
+        id.as("c4_id"),
+        kept.as("kept"),
+        size(lines).cast("long").as("n_lines"),
+        pageBanOk.as("page_ban_ok"))
+      .select(
+        col("c4_id"),
+        array_join(col("kept"), sep).as("clean_text"),
+        col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (col("page_ban_ok") && size(col("kept")) >= rules.minKeptLines)
+          .cast("long").as("page_pass"))
+  }
+
+  /** The pages that survive, cleaned — the corpus you'd keep. */
+  def keep(df: DataFrame, id: Column, page: Column, rules: Rules,
+           sep: String = "\n"): DataFrame =
+    clean(df, id, page, rules, sep)
+      .filter(col("page_pass") === 1L)
+      .select(col("c4_id"), col("clean_text"), col("n_kept"))
+}

@@ -2670,6 +2670,62 @@ object DataOps extends QueryModule {
        |  CAST(ROW_NUMBER() OVER (ORDER BY pos, tier) AS BIGINT) AS curriculum_pos
        |FROM p ORDER BY curriculum_pos""".stripMargin
 
+  // ---- q126: C4 structural filters -------------------------------------
+
+  /** Page synth puts BOTH outcomes of every rule in play: terminal
+    * punctuation present/absent by `doc_id % 3`, a javascript line on
+    * `% 4`, page-level bans on `% 17` (lorem ipsum) and `% 19` (code
+    * brace), and a second content line only when the doc has ≥13
+    * tokens (guarded identically on both engines — Spark's
+    * out-of-range `slice` is `[]` where DuckDB's is NULL). */
+  private val c4Rules = graft.operators.C4Filters.Rules(
+    terminal = Seq(".", "!", "?"), minLineWords = 5,
+    banLineSubstrings = Seq("javascript"),
+    banPageSubstrings = Seq("lorem ipsum", "{"), minKeptLines = 2)
+
+  def c4Filters(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val pages = docs(s, dir).select(
+      col("doc_id"),
+      concat_ws("\n",
+        concat(array_join(slice(t, 1, 8), " "),
+          when(col("doc_id") % 3 === 0, lit("."))
+            .when(col("doc_id") % 3 === 1, lit("!"))
+            .otherwise(lit(""))),
+        when(col("doc_id") % 4 === 0, lit("please enable javascript to view this page.")),
+        when(col("doc_id") % 17 === 0, lit("lorem ipsum dolor sit amet consectetur adipiscing.")),
+        when(col("doc_id") % 19 === 0, lit("function f() { return 1; }")),
+        when(size(t) >= 13, concat(array_join(slice(t, 9, 10), " "), lit("?")))).as("page"))
+    graft.operators.C4Filters.clean(pages, col("doc_id"), col("page"), c4Rules)
+      .orderBy(col("c4_id"))
+  }
+
+  private val q126Oracle: String =
+    """WITH pages AS (
+      |  SELECT doc_id,
+      |    concat_ws(chr(10),
+      |      array_to_string(t[1:8], ' ') ||
+      |        CASE WHEN doc_id % 3 = 0 THEN '.' WHEN doc_id % 3 = 1 THEN '!' ELSE '' END,
+      |      CASE WHEN doc_id % 4 = 0 THEN 'please enable javascript to view this page.' END,
+      |      CASE WHEN doc_id % 17 = 0 THEN 'lorem ipsum dolor sit amet consectetur adipiscing.' END,
+      |      CASE WHEN doc_id % 19 = 0 THEN 'function f() { return 1; }' END,
+      |      CASE WHEN len(t) >= 13 THEN array_to_string(t[9:18], ' ') || '?' END) AS page
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      |kept AS (
+      |  SELECT doc_id, page, string_split(page, chr(10)) AS ls,
+      |    list_filter(string_split(page, chr(10)), l ->
+      |      (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?')
+      |      AND len(string_split(l, ' ')) >= 5
+      |      AND NOT contains(lower(l), 'javascript')) AS kl
+      |  FROM pages)
+      |SELECT doc_id AS c4_id,
+      |  COALESCE(array_to_string(kl, chr(10)), '') AS clean_text,
+      |  CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(kl) AS BIGINT) AS n_kept,
+      |  CAST((NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')
+      |    AND len(kl) >= 2) AS BIGINT) AS page_pass
+      |FROM kept ORDER BY c4_id""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2739,7 +2795,8 @@ object DataOps extends QueryModule {
     "q121_sq8_ann" -> (sq8Ann _),
     "q122_shard_overlap" -> (shardOverlap _),
     "q123_token_fertility" -> (tokenFertility _),
-    "q124_curriculum" -> (curriculumOrder _))
+    "q124_curriculum" -> (curriculumOrder _),
+    "q126_c4_filters" -> (c4Filters _))
 
   val family: String = "dataops"
 
@@ -2810,5 +2867,6 @@ object DataOps extends QueryModule {
     "q121_sq8_ann" -> q121Oracle,
     "q122_shard_overlap" -> q122Oracle,
     "q123_token_fertility" -> q123Oracle,
-    "q124_curriculum" -> q124Oracle)
+    "q124_curriculum" -> q124Oracle,
+    "q126_c4_filters" -> q126Oracle)
 }
