@@ -2726,6 +2726,63 @@ object DataOps extends QueryModule {
       |    AND len(kl) >= 2) AS BIGINT) AS page_pass
       |FROM kept ORDER BY c4_id""".stripMargin
 
+  // ---- q127: corpus keep-first paragraph dedup -------------------------
+
+  /** Synth puts every dedup case in play: a canned paragraph shared
+    * across the `% 5` docs (cross-doc dup), a second canned one on
+    * `% 7`, docs `% 97` made ENTIRELY of canned paragraphs (fully
+    * deduplicated away — totality), and doc 0 carrying the `% 7` canned
+    * para twice (intra-doc dup). Unique content comes from guarded
+    * token slices (Spark's out-of-range slice is `[]` where DuckDB's is
+    * NULL, so both sides guard on token count). */
+  def paragraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = TextFns.tokens(col("text"))
+    val parA = "shared data processing paragraph"
+    val parB = "mirror copy boilerplate paragraph"
+    val pages = docs(s, dir).select(
+      col("doc_id"),
+      concat_ws("\n\n",
+        when(col("doc_id") % 97 === 0, lit(parA))
+          .otherwise(array_join(slice(t, 1, 10), " ")),
+        when(col("doc_id") % 97 === 0, lit(parB))
+          .when(col("doc_id") % 5 === 0, lit(parA))
+          .when(size(t) >= 16, array_join(slice(t, 11, 6), " ")),
+        when(col("doc_id") % 7 === 0, lit(parB))
+          .when(size(t) >= 22, array_join(slice(t, 17, 6), " "))).as("page"))
+    graft.operators.ParagraphDedup.dropDuplicateParagraphs(
+        pages, col("doc_id"), col("page"))
+      .orderBy(col("pd_id"))
+  }
+
+  private val q127Oracle: String = {
+    val fp = TextFns.hash60Sql("para")
+    s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pages AS (
+       |  SELECT doc_id,
+       |    concat_ws(chr(10) || chr(10),
+       |      CASE WHEN doc_id % 97 = 0 THEN 'shared data processing paragraph'
+       |           ELSE array_to_string(t[1:10], ' ') END,
+       |      CASE WHEN doc_id % 97 = 0 THEN 'mirror copy boilerplate paragraph'
+       |           WHEN doc_id % 5 = 0 THEN 'shared data processing paragraph'
+       |           WHEN len(t) >= 16 THEN array_to_string(t[11:16], ' ') END,
+       |      CASE WHEN doc_id % 7 = 0 THEN 'mirror copy boilerplate paragraph'
+       |           WHEN len(t) >= 22 THEN array_to_string(t[17:22], ' ') END) AS page
+       |  FROM base),
+       |paras AS (
+       |  SELECT doc_id AS pd_id, unnest(range(1, len(ps) + 1)) AS pos, unnest(ps) AS para
+       |  FROM (SELECT doc_id, string_split(page, chr(10) || chr(10)) AS ps FROM pages)),
+       |rk AS (
+       |  SELECT pd_id, pos, para,
+       |    ROW_NUMBER() OVER (PARTITION BY $fp ORDER BY pd_id, pos) AS rn
+       |  FROM paras)
+       |SELECT pd_id,
+       |  COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+       |    chr(10) || chr(10) ORDER BY pos), '') AS clean_text,
+       |  COUNT(*) AS n_paras,
+       |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+       |FROM rk GROUP BY pd_id ORDER BY pd_id""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2796,7 +2853,8 @@ object DataOps extends QueryModule {
     "q122_shard_overlap" -> (shardOverlap _),
     "q123_token_fertility" -> (tokenFertility _),
     "q124_curriculum" -> (curriculumOrder _),
-    "q126_c4_filters" -> (c4Filters _))
+    "q126_c4_filters" -> (c4Filters _),
+    "q127_para_dedup" -> (paragraphDedup _))
 
   val family: String = "dataops"
 
@@ -2868,5 +2926,6 @@ object DataOps extends QueryModule {
     "q122_shard_overlap" -> q122Oracle,
     "q123_token_fertility" -> q123Oracle,
     "q124_curriculum" -> q124Oracle,
-    "q126_c4_filters" -> q126Oracle)
+    "q126_c4_filters" -> q126Oracle,
+    "q127_para_dedup" -> q127Oracle)
 }
