@@ -497,6 +497,64 @@ object StreamingQueries extends QueryModule {
       | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q128: stream-stream LEFT OUTER time-bounded join ----------------
+
+  /** The outer variant of q51: every purchase emits, matched or not.
+    * Outer-null emission is WATERMARK-DRIVEN — an unmatched purchase's
+    * null row can only be emitted once the watermark proves no matching
+    * click can still arrive (wm > p_ts), which under AvailableNow means
+    * the final no-data micro-batch (watermark = max event time − 1 h)
+    * evicts and emits every unmatched purchase OLDER than that
+    * watermark; unmatched purchases newer than it are still in state
+    * when the query terminates and are NOT emitted. Two details the
+    * oracle replays exactly: the GLOBAL watermark is the MIN over both
+    * sides' watermark operators (each side tracks its own max event
+    * time), and each operator floors its max to MILLISECONDS
+    * (EventTimeStats is ms-granular while `ts` is µs). So: emit iff
+    * `matched OR p_ts < ms_floor(least(max click_ts, max p_ts)) − 1 h`.
+    */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("p_ts"),
+      "left_outer")
+    drain(s, joined, OutputMode.Append())
+      .groupBy(col("purchase_id"))
+      .agg(count(col("click_id")).as("n_clicks"),
+        max(col("click_ts")).as("last_click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q128Oracle: String =
+    """WITH mx AS (
+      |  SELECT date_trunc('milliseconds', LEAST(
+      |    MAX(CASE WHEN event_type = 'click' THEN ts END),
+      |    MAX(CASE WHEN event_type = 'purchase' THEN ts END))) AS mts
+      |  FROM events),
+      |m AS (
+      |  SELECT p.event_id AS purchase_id, p.ts AS p_ts,
+      |    COUNT(c.event_id) AS n_clicks, MAX(c.ts) AS last_click_ts
+      |  FROM events p LEFT JOIN events c
+      |    ON c.user_id = p.user_id AND c.event_type = 'click'
+      |   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+      |  WHERE p.event_type = 'purchase'
+      |  GROUP BY 1, 2)
+      |SELECT purchase_id, n_clicks, last_click_ts
+      |FROM m, mx
+      |WHERE n_clicks > 0 OR p_ts < mts - INTERVAL 1 HOUR
+      |ORDER BY purchase_id""".stripMargin
+
   // ---- q52: stream-static enrichment join ------------------------------
 
   /** Stream-static join: the event stream enriched against a static
@@ -1011,6 +1069,7 @@ object StreamingQueries extends QueryModule {
     "q43_session_append" -> (sessionWindowsAppend _),
     "q48_stateful_v2" -> (statefulV2UserStats _),
     "q51_stream_join" -> (streamStreamJoin _),
+    "q128_stream_outer_join" -> (streamOuterJoin _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
     "q81_mb_window" -> (mbWindowedAgg _),
@@ -1033,6 +1092,7 @@ object StreamingQueries extends QueryModule {
     "q43_session_append" -> q43Oracle,
     "q48_stateful_v2" -> q33Oracle,
     "q51_stream_join" -> q51Oracle,
+    "q128_stream_outer_join" -> q128Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
     "q81_mb_window" -> q81Oracle,
