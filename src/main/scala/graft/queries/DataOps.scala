@@ -2783,6 +2783,33 @@ object DataOps extends QueryModule {
        |FROM rk GROUP BY pd_id ORDER BY pd_id""".stripMargin
   }
 
+  // ---- q129: TF-IDF keyword extraction ---------------------------------
+
+  def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Keywords.tfidfTopK(docs(s, dir), col("doc_id"), col("text"), k = 5)
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val q129Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |post AS (SELECT doc_id, unnest(t) AS term FROM toks),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM post GROUP BY 1, 2),
+      |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf),
+      |sc AS (
+      |  SELECT doc_id, term,
+      |    tf * ((length(format('{:b}', ratio)) - 1) * 1024
+      |      + (ratio * 1024) // (CAST(1 AS BIGINT) << (length(format('{:b}', ratio)) - 1))
+      |      - 1024) AS score
+      |  FROM (SELECT tf.doc_id, tf.term, tf.tf,
+      |          ((st.n_docs + 1) * 1048576) // (dfx.df + 1) AS ratio
+      |        FROM tf JOIN dfx USING (term), st)),
+      |rk AS (
+      |  SELECT doc_id, term, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      |  FROM sc)
+      |SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rank
+      |FROM rk WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2854,7 +2881,8 @@ object DataOps extends QueryModule {
     "q123_token_fertility" -> (tokenFertility _),
     "q124_curriculum" -> (curriculumOrder _),
     "q126_c4_filters" -> (c4Filters _),
-    "q127_para_dedup" -> (paragraphDedup _))
+    "q127_para_dedup" -> (paragraphDedup _),
+    "q129_tfidf_keywords" -> (tfidfKeywords _))
 
   val family: String = "dataops"
 
@@ -2927,5 +2955,6 @@ object DataOps extends QueryModule {
     "q123_token_fertility" -> q123Oracle,
     "q124_curriculum" -> q124Oracle,
     "q126_c4_filters" -> q126Oracle,
-    "q127_para_dedup" -> q127Oracle)
+    "q127_para_dedup" -> q127Oracle,
+    "q129_tfidf_keywords" -> q129Oracle)
 }
