@@ -2810,6 +2810,40 @@ object DataOps extends QueryModule {
       |SELECT doc_id, term, score, CAST(rn AS INTEGER) AS rank
       |FROM rk WHERE rn <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  // ---- q130: per-class centroid outlier pruning ------------------------
+
+  def centroidOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers.centroidOutliers(
+        emb(s, dir), col("vec_id"), col("label"), col("embedding"), m = 10)
+      .orderBy(col("label"), col("rank"))
+
+  private val q130Oracle: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, label, unnest(range(1, len(qv) + 1)) AS pos, unnest(qv) AS qx
+      |  FROM q),
+      |cent AS (
+      |  SELECT label, pos,
+      |    (s - ((s % n) + n) % n) // n AS c
+      |  FROM (SELECT label, pos, CAST(SUM(qx) AS BIGINT) AS s,
+      |          CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM e GROUP BY 1, 2)),
+      |d AS (
+      |  SELECT e.label, e.vec_id,
+      |    CAST(SUM((e.qx - cent.c) * (e.qx - cent.c)) AS BIGINT) AS dist2
+      |  FROM e JOIN cent ON e.label = cent.label AND e.pos = cent.pos
+      |  GROUP BY 1, 2),
+      |rk AS (
+      |  SELECT label, vec_id, dist2,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY dist2 DESC, vec_id) AS rn
+      |  FROM d)
+      |SELECT label, vec_id, dist2, CAST(rn AS INTEGER) AS rank
+      |FROM rk WHERE rn <= 10 ORDER BY label, rank""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2882,7 +2916,8 @@ object DataOps extends QueryModule {
     "q124_curriculum" -> (curriculumOrder _),
     "q126_c4_filters" -> (c4Filters _),
     "q127_para_dedup" -> (paragraphDedup _),
-    "q129_tfidf_keywords" -> (tfidfKeywords _))
+    "q129_tfidf_keywords" -> (tfidfKeywords _),
+    "q130_centroid_outliers" -> (centroidOutliers _))
 
   val family: String = "dataops"
 
@@ -2956,5 +2991,6 @@ object DataOps extends QueryModule {
     "q124_curriculum" -> q124Oracle,
     "q126_c4_filters" -> q126Oracle,
     "q127_para_dedup" -> q127Oracle,
-    "q129_tfidf_keywords" -> q129Oracle)
+    "q129_tfidf_keywords" -> q129Oracle,
+    "q130_centroid_outliers" -> q130Oracle)
 }
