@@ -316,6 +316,29 @@ object Relational extends QueryModule {
         dsum(col("value")).as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** Trailing-interval RANGE-frame window — the analytic complement to
+    * q06's ROWS-frame ranking: per event, the count and exact sum of
+    * the SAME user's activity in the preceding hour (inclusive). The
+    * frame is anchored on epoch MICROSECONDS as the ordering key so the
+    * [-1h, 0] bounds are integer-exact on both engines, peers at equal
+    * timestamps all enter the frame (RANGE semantics — order among
+    * ties cannot matter), and the sum uses the decimal-exact idiom so
+    * the result is identical under any partitioning. At scale: one
+    * shuffle on user_id, per-partition sort, incremental frame
+    * evaluation — no self-join, no per-row rescan.
+    */
+  def trailingHourStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    t(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_1h"))
+      .orderBy(col("event_id"))
+  }
+
   /** CUBE over supplier ⋈ nation (the one driver table no other query
     * reads): all grouping-set combinations, null slots coalesced.
     */
@@ -400,7 +423,8 @@ object Relational extends QueryModule {
     "q47_bucketed_join" -> (bucketedRevenue _),
     "q62_clustered_layout" -> (clusteredLayout _),
     "q88_orc_layout" -> (orcLayout _),
-    "q116_zorder_layout" -> (zorderLayout _))
+    "q116_zorder_layout" -> (zorderLayout _),
+    "q131_range_frame" -> (trailingHourStats _))
 
   val family: String = "relational"
 
@@ -509,6 +533,14 @@ object Relational extends QueryModule {
         | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
         | STRING_SPLIT(text, ' ')[-1] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q131_range_frame" ->
+      """SELECT event_id, user_id, ts,
+        | COUNT(*) OVER w AS n_1h,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q16_events_meta" ->
       """SELECT event_type,
         | MIN(ts) AS min_ts,

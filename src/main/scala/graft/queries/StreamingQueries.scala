@@ -555,6 +555,74 @@ object StreamingQueries extends QueryModule {
       |WHERE n_clicks > 0 OR p_ts < mts - INTERVAL 1 HOUR
       |ORDER BY purchase_id""".stripMargin
 
+  // ---- q132: chunked multi-batch LEFT OUTER join -----------------------
+
+  /** q128 over the 5-chunk time-ordered stream: pins WHICH micro-batch
+    * each row emits in. Matches emit in the purchase's own chunk (the
+    * later-arriving side probes state and emits every match at once —
+    * time order puts clicks at-or-before their purchase), and outer
+    * nulls emit in the FIRST batch whose in-effect watermark (computed
+    * from chunks 0..i−1, per-side cumulative maxima, ms-floored, min of
+    * the two sides, −1 h) passes p_ts — unmatched purchases the final
+    * watermark never passes stay in state and never emit. The oracle
+    * replays the chunk assignment and the watermark timeline in SQL.
+    */
+  def mbStreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val clicks = eventsChunkedStream(s, dir, 5)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = eventsChunkedStream(s, dir, 5)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("p_ts"),
+      "left_outer")
+    drainBatches(s, joined, OutputMode.Append())
+      .groupBy(col("emit_batch"), col("purchase_id"))
+      .agg(count(col("click_id")).as("n_clicks"),
+        max(col("click_ts")).as("last_click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q132Oracle: String =
+    s"""WITH ${mbCtes(5)},
+       |sidemax AS (
+       |  SELECT f,
+       |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS pmx,
+       |    max(CASE WHEN event_type = 'click' THEN ts END) AS kmx
+       |  FROM ev GROUP BY f),
+       |sidewm AS (
+       |  SELECT f,
+       |    date_trunc('milliseconds',
+       |      least(max(pmx) OVER (ORDER BY f), max(kmx) OVER (ORDER BY f)))
+       |      - INTERVAL 1 HOUR AS wmv
+       |  FROM sidemax),
+       |p AS (
+       |  SELECT event_id AS purchase_id, user_id, ts AS p_ts, f AS pf
+       |  FROM ev WHERE event_type = 'purchase'),
+       |m AS (
+       |  SELECT p.purchase_id, p.p_ts, p.pf,
+       |    COUNT(c.event_id) AS n_clicks, MAX(c.ts) AS last_click_ts
+       |  FROM p LEFT JOIN events c
+       |    ON c.user_id = p.user_id AND c.event_type = 'click'
+       |   AND c.ts >= p.p_ts - INTERVAL 1 HOUR AND c.ts <= p.p_ts
+       |  GROUP BY 1, 2, 3)
+       |SELECT CAST(pf AS BIGINT) AS emit_batch, purchase_id, n_clicks, last_click_ts
+       |FROM m WHERE n_clicks > 0
+       |UNION ALL
+       |SELECT CAST((SELECT min(f) + 1 FROM sidewm WHERE wmv > m.p_ts) AS BIGINT),
+       |  purchase_id, 0, NULL
+       |FROM m
+       |WHERE n_clicks = 0
+       |  AND (SELECT min(f) + 1 FROM sidewm WHERE wmv > m.p_ts) IS NOT NULL
+       |ORDER BY purchase_id""".stripMargin
+
   // ---- q52: stream-static enrichment join ------------------------------
 
   /** Stream-static join: the event stream enriched against a static
@@ -1070,6 +1138,7 @@ object StreamingQueries extends QueryModule {
     "q48_stateful_v2" -> (statefulV2UserStats _),
     "q51_stream_join" -> (streamStreamJoin _),
     "q128_stream_outer_join" -> (streamOuterJoin _),
+    "q132_mb_outer_join" -> (mbStreamOuterJoin _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
     "q81_mb_window" -> (mbWindowedAgg _),
@@ -1093,6 +1162,7 @@ object StreamingQueries extends QueryModule {
     "q48_stateful_v2" -> q33Oracle,
     "q51_stream_join" -> q51Oracle,
     "q128_stream_outer_join" -> q128Oracle,
+    "q132_mb_outer_join" -> q132Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
     "q81_mb_window" -> q81Oracle,
