@@ -2844,6 +2844,38 @@ object DataOps extends QueryModule {
       |SELECT label, vec_id, dist2, CAST(rn AS INTEGER) AS rank
       |FROM rk WHERE rn <= 10 ORDER BY label, rank""".stripMargin
 
+  // ---- q136: per-source unigram KL drift -------------------------------
+
+  def sourceDrift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.unigramKl(docs(s, dir), col("source"), col("text"))
+      .select(col("grp").as("source"), col("n_tokens"), col("kl_fp"))
+      .orderBy(col("source"))
+
+  /** DuckDB rendition of the 10-bit-mantissa fixed-point log2 (the
+    * q115/q129 idiom) over a positive integer SQL expression. */
+  private def lfpSql(x: String): String =
+    s"((length(format('{:b}', $x)) - 1) * 1024" +
+      s" + ($x * 1024) // (CAST(1 AS BIGINT) << (length(format('{:b}', $x)) - 1)) - 1024)"
+
+  private val q136Oracle: String =
+    s"""WITH gt AS (
+       |  SELECT source AS grp, unnest(string_split(text, ' ')) AS term FROM documents),
+       |c AS (SELECT grp, term, CAST(COUNT(*) AS BIGINT) AS cgt FROM gt GROUP BY 1, 2),
+       |ct AS (SELECT term, CAST(SUM(cgt) AS BIGINT) AS ct FROM c GROUP BY 1),
+       |ng AS (SELECT grp, CAST(SUM(cgt) AS BIGINT) AS ng FROM c GROUP BY 1),
+       |nn AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM ct),
+       |t AS (
+       |  SELECT c.grp, ng.ng,
+       |    c.cgt * (${lfpSql("c.cgt")} + ${lfpSql("nn.n")}
+       |      - ${lfpSql("ng.ng")} - ${lfpSql("ct.ct")}) AS term_fp
+       |  FROM c JOIN ct USING (term) JOIN ng USING (grp), nn),
+       |sm AS (
+       |  SELECT grp, MAX(ng) AS n_tokens, CAST(SUM(term_fp) AS BIGINT) AS sum_fp
+       |  FROM t GROUP BY 1)
+       |SELECT grp AS source, n_tokens,
+       |  (sum_fp - ((sum_fp % n_tokens) + n_tokens) % n_tokens) // n_tokens AS kl_fp
+       |FROM sm ORDER BY source""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2917,7 +2949,8 @@ object DataOps extends QueryModule {
     "q126_c4_filters" -> (c4Filters _),
     "q127_para_dedup" -> (paragraphDedup _),
     "q129_tfidf_keywords" -> (tfidfKeywords _),
-    "q130_centroid_outliers" -> (centroidOutliers _))
+    "q130_centroid_outliers" -> (centroidOutliers _),
+    "q136_source_drift" -> (sourceDrift _))
 
   val family: String = "dataops"
 
@@ -2992,5 +3025,6 @@ object DataOps extends QueryModule {
     "q126_c4_filters" -> q126Oracle,
     "q127_para_dedup" -> q127Oracle,
     "q129_tfidf_keywords" -> q129Oracle,
-    "q130_centroid_outliers" -> q130Oracle)
+    "q130_centroid_outliers" -> q130Oracle,
+    "q136_source_drift" -> q136Oracle)
 }

@@ -339,6 +339,48 @@ object Relational extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered funnel over the event stream: view → click → purchase in
+    * strict sequence per user (see [[graft.operators.Funnel]]). */
+  def eventFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.conversion(
+        t(s, dir, "events"), col("user_id"), col("ts"), col("event_type"),
+        Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
+  /** Batch gaps-and-islands sessionization over events (the batch twin
+    * of the q31/q82 streaming session windows; same ≥30-min boundary
+    * rule). */
+  def batchSessions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sessionize.stats(
+        t(s, dir, "events"), col("user_id"), col("ts"), col("event_id"),
+        gapSeconds = 1800)
+      .select(col("key").as("user_id"), col("session_seq"),
+        col("start_ts"), col("end_ts"), col("n_events"))
+      .orderBy(col("user_id"), col("session_seq"))
+
+  /** Deterministic numeric profiling — the dataset-card moments: per
+    * event type, exact-decimal mean and population variance/stddev.
+    * Both sums are decimal-exact (associative → partitioning-proof);
+    * the variance arithmetic `(n·Σx² − (Σx)²)/n²` runs in IEEE double
+    * OVER those exact sums with the operand order mirrored in the
+    * oracle, so every low bit matches.
+    */
+  def valueMoments(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(38, 2))).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast(DecimalType(38, 6)))
+          .cast("double").as("s2"))
+      .select(col("event_type"), col("n"),
+        (col("s1") / col("n")).as("mean_v"),
+        ((col("n") * col("s2") - col("s1") * col("s1")) / (col("n") * col("n")))
+          .as("var_v"),
+        sqrt(greatest(
+          (col("n") * col("s2") - col("s1") * col("s1")) / (col("n") * col("n")),
+          lit(0d))).as("std_v"))
+      .orderBy(col("event_type"))
+
   /** CUBE over supplier ⋈ nation (the one driver table no other query
     * reads): all grouping-set combinations, null slots coalesced.
     */
@@ -424,7 +466,10 @@ object Relational extends QueryModule {
     "q62_clustered_layout" -> (clusteredLayout _),
     "q88_orc_layout" -> (orcLayout _),
     "q116_zorder_layout" -> (zorderLayout _),
-    "q131_range_frame" -> (trailingHourStats _))
+    "q131_range_frame" -> (trailingHourStats _),
+    "q133_funnel" -> (eventFunnel _),
+    "q134_batch_sessions" -> (batchSessions _),
+    "q135_value_moments" -> (valueMoments _))
 
   val family: String = "relational"
 
@@ -533,6 +578,51 @@ object Relational extends QueryModule {
         | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
         | STRING_SPLIT(text, ' ')[-1] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q134_batch_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM x)
+        |SELECT user_id, session_seq, MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+        |  COUNT(*) AS n_events
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q135_value_moments" ->
+      """WITH a AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, s1 / n AS mean_v,
+        |  (n * s2 - s1 * s1) / (n * n) AS var_v,
+        |  sqrt(greatest((n * s2 - s1 * s1) / (n * n), 0)) AS std_v
+        |FROM a ORDER BY event_type""".stripMargin,
+    "q133_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t_view GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click GROUP BY 1)
+        |SELECT u.user_id, t_view, t_click, t_purchase,
+        |  CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+        |            WHEN t_click IS NOT NULL THEN 2
+        |            WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN t1 USING (user_id)
+        |LEFT JOIN t2 USING (user_id)
+        |LEFT JOIN t3 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
     "q131_range_frame" ->
       """SELECT event_id, user_id, ts,
         | COUNT(*) OVER w AS n_1h,

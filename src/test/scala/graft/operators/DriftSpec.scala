@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three lookalike groups and one vocabulary-shifted outlier
+  private val corpus = Seq(
+    ("a", "data table query join scan"),
+    ("a", "table query join scan data"),
+    ("b", "data table query join scan"),
+    ("b", "query join scan data table"),
+    ("c", "data table query join scan"),
+    ("z", "zebra quark xylophone umlaut fjord")
+  ).toDF("source", "text")
+
+  describe("Drift.unigramKl") {
+    it("scores the vocabulary-shifted group far above the lookalikes") {
+      val r = Drift.unigramKl(corpus, col("source"), col("text"))
+        .as[(String, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+      assert(r("z") > r("a") && r("z") > r("b") && r("z") > r("c"))
+      // z's tokens are exclusive to z (p_z(t)/p_C(t) = 6×, true KL
+      // ≈ 2.59 → ~2650 fp) while the others share all their tokens
+      // (true KL ≈ 0.26 → ~270 fp; the 10-bit mantissa overshoots to
+      // ~384 — deterministic, just not float-accurate)
+      assert(r("z") > 2000L, s"expected ~2650 for z, got ${r("z")}")
+      assert(math.abs(r("a")) < 500 && math.abs(r("c")) < 500)
+    }
+
+    it("computes the fixed-point value exactly on a hand-checked split") {
+      // two groups, disjoint single-token vocabularies, equal sizes:
+      // KL = log2(2) = 1 → kl_fp = 1024 exactly (all L args are powers
+      // of two, where the mantissa interpolation is exact)
+      val half = Seq(("g1", "aa aa aa aa"), ("g2", "bb bb bb bb"))
+        .toDF("source", "text")
+      val r = Drift.unigramKl(half, col("source"), col("text"))
+        .as[(String, Long, Long)].collect().map(x => x._1 -> x._3).toMap
+      assert(r == Map("g1" -> 1024L, "g2" -> 1024L))
+    }
+
+    it("is invariant under repartitioning") {
+      val a = Drift.unigramKl(corpus, col("source"), col("text"))
+        .collect().map(_.toSeq).toSet
+      val b = Drift.unigramKl(corpus.repartition(7), col("source"), col("text"))
+        .collect().map(_.toSeq).toSet
+      assert(a == b)
+    }
+
+    it("broadcasts the rollup tables: no sort-merge join, no cartesian") {
+      val plan = Drift.unigramKl(corpus, col("source"), col("text"))
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+}
