@@ -140,25 +140,27 @@ object StreamingQueries extends QueryModule {
     * not an engine path (the engine's scalable global ordering is
     * Packing.globalRowNumber's two-phase prefix sum).
     */
-  private val chunkStaged = collection.mutable.Set.empty[(String, Int)]
-  private def eventsChunkedStream(s: SparkSession, dir: String, nFiles: Int): DataFrame = {
+  private val chunkStaged = collection.mutable.Set.empty[(String, String, Int)]
+
+  /** Shared chunk stager: `assign` adds an `__f` chunk column (0 until
+    * nFiles); chunks are written as one parquet file each with strictly
+    * increasing mtimes so batch i == chunk i under maxFilesPerTrigger=1. */
+  private def stagedChunkStream(s: SparkSession, dir: String, nFiles: Int,
+      variant: String, prefix: String,
+      assign: (DataFrame, Long) => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val stage = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"chunkstream_${nFiles}_$tag")
+    val stage = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"${prefix}_${nFiles}_$tag")
     val src = Paths.get(dir, "events.parquet")
     val raw = s.read.parquet(src.toString)
     chunkStaged.synchronized {
       // Rebuild when this JVM hasn't staged yet AND the on-disk staging
       // (possibly from a previous JVM) doesn't match the current source.
-      if (!chunkStaged((dir, nFiles)) && stageStale(src, stage)) {
+      if (!chunkStaged((dir, variant, nFiles)) && stageStale(src, stage)) {
         deleteRecursively(stage)
         Files.createDirectories(stage)
         val n = raw.count()
-        val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-        val chunked = raw
-          .withColumn("__rn", row_number().over(w) - 1)
-          .withColumn("__f", expr(s"CAST((CAST(__rn AS BIGINT) * $nFiles) DIV ${n}L AS INT)"))
-          .localCheckpoint()
+        val chunked = assign(raw, n).localCheckpoint()
         for (c <- 0 until nFiles) {
           val tmp = stage.resolve(s"build_$c")
           chunked.filter(col("__f") === c).drop("__rn", "__f")
@@ -178,11 +180,28 @@ object StreamingQueries extends QueryModule {
         chunked.unpersist(blocking = false)
         recordStaged(src, stage)
       }
-      chunkStaged += ((dir, nFiles))
+      chunkStaged += ((dir, variant, nFiles))
     }
     Tables.normalizeTs(
       s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1").parquet(stage.toString))
   }
+
+  private def eventsChunkedStream(s: SparkSession, dir: String, nFiles: Int): DataFrame =
+    stagedChunkStream(s, dir, nFiles, "time", "chunkstream", (raw, n) => {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+      raw.withColumn("__rn", row_number().over(w) - 1)
+        .withColumn("__f", expr(s"CAST((CAST(__rn AS BIGINT) * $nFiles) DIV ${n}L AS INT)"))
+    })
+
+  /** The events table staged as `nFiles` chunks by `event_id mod n` —
+    * deliberately OUT of time order, so every micro-batch after the
+    * first delivers rows BEHIND the advancing watermark: the late-data
+    * path (row-level drop + already-closed windows) that the
+    * time-ordered chunking can never exercise. The chunk assignment is
+    * pure integer arithmetic both engines replicate. */
+  private def eventsModChunkedStream(s: SparkSession, dir: String, nFiles: Int): DataFrame =
+    stagedChunkStream(s, dir, nFiles, "mod", "modchunkstream", (raw, _) =>
+      raw.withColumn("__f", pmod(col("event_id"), lit(nFiles)).cast("int")))
 
   /** Drain a chunked stream one micro-batch at a time, tagging every
     * emitted row with the micro-batch id that produced it (`emit_batch`)
@@ -622,6 +641,66 @@ object StreamingQueries extends QueryModule {
        |WHERE n_clicks = 0
        |  AND (SELECT min(f) + 1 FROM sidewm WHERE wmv > m.p_ts) IS NOT NULL
        |ORDER BY purchase_id""".stripMargin
+
+  // ---- q137: late-data drops under out-of-order arrival ----------------
+
+  /** Daily windowed counts over the MOD-chunked (out-of-order) stream:
+    * after batch 0 the watermark jumps near the global max, so most
+    * rows in batches 1–4 arrive for windows the watermark already
+    * closed and are DROPPED — the late-data path the time-ordered
+    * q81–q84 family never exercises. Two DIFFERENT watermarks govern a
+    * micro-batch and the oracle replays both: batch g FILTERS its
+    * input rows with the watermark computed from chunks ≤ g−2 (the
+    * value in effect when the batch was constructed) but EVICTS/EMITS
+    * state at its end with the newer chunks ≤ g−1 value — late
+    * filtering runs one batch BEHIND eviction (observed at HEAD:
+    * batch 1's rows for long-closed windows still count, while
+    * end-of-batch-1 emission already uses the chunk-0 watermark).
+    * Because filter(g) = emit(g−1) by value, a window never
+    * double-emits: any row passing the filter belongs to a window not
+    * yet evicted. A green row proves Spark drops EXACTLY the rows
+    * behind the filter watermark and emits on the eviction timeline —
+    * no over-eager eviction, no late rows leaking into closed windows.
+    */
+  def lateDropWindow(s: SparkSession, dir: String): DataFrame = {
+    val windows = eventsModChunkedStream(s, dir, 5)
+      .select(col("ts"), col("event_type"))
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    drainBatches(s, windows, OutputMode.Append())
+      .select(col("emit_batch"), col("w.start").as("day"), col("event_type"), col("n"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val q137Oracle: String =
+    """WITH evf AS (SELECT *, CAST(event_id % 5 AS INT) AS f FROM events),
+      |fmax AS (SELECT f, max(ts) AS mx FROM evf GROUP BY f),
+      |cum AS (SELECT f, max(mx) OVER (ORDER BY f) AS cmx FROM fmax),
+      |wme AS (
+      |  SELECT f + 1 AS g,
+      |    date_trunc('milliseconds', cmx) - INTERVAL 2 DAY AS wmv
+      |  FROM cum),
+      |wmf AS (
+      |  SELECT f + 2 AS g,
+      |    date_trunc('milliseconds', cmx) - INTERVAL 2 DAY AS wmv
+      |  FROM cum),
+      |rws AS (
+      |  SELECT e.event_type, date_trunc('day', e.ts) AS day,
+      |    (SELECT wmv FROM wmf WHERE g = e.f) AS wm_arr
+      |  FROM evf e),
+      |counted AS (
+      |  SELECT day, event_type, COUNT(*) AS n
+      |  FROM rws
+      |  WHERE wm_arr IS NULL OR day + INTERVAL 1 DAY > wm_arr
+      |  GROUP BY 1, 2),
+      |emit AS (
+      |  SELECT day, event_type, n,
+      |    (SELECT min(g) FROM wme WHERE wmv >= day + INTERVAL 1 DAY) AS eb
+      |  FROM counted)
+      |SELECT CAST(eb AS BIGINT) AS emit_batch, day, event_type, n
+      |FROM emit WHERE eb IS NOT NULL
+      |ORDER BY day, event_type""".stripMargin
 
   // ---- q52: stream-static enrichment join ------------------------------
 
@@ -1139,6 +1218,7 @@ object StreamingQueries extends QueryModule {
     "q51_stream_join" -> (streamStreamJoin _),
     "q128_stream_outer_join" -> (streamOuterJoin _),
     "q132_mb_outer_join" -> (mbStreamOuterJoin _),
+    "q137_late_drops" -> (lateDropWindow _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
     "q81_mb_window" -> (mbWindowedAgg _),
@@ -1163,6 +1243,7 @@ object StreamingQueries extends QueryModule {
     "q51_stream_join" -> q51Oracle,
     "q128_stream_outer_join" -> q128Oracle,
     "q132_mb_outer_join" -> q132Oracle,
+    "q137_late_drops" -> q137Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
     "q81_mb_window" -> q81Oracle,
