@@ -78,4 +78,54 @@ object Quantization {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
   }
+
+  /** Two-stage retrieval — the production recall/latency trade: a
+    * COARSE integer dot over only the first `coarseDims` code
+    * dimensions ranks `kCoarse` candidates per query (a fraction of
+    * the arithmetic, and a prefix-sliced vector a columnar reader can
+    * scan without the tail), then the exact full-width dot re-ranks
+    * the survivors to top-k. Recall is governed by `kCoarse` and how
+    * much signal the leading dimensions carry (PCA-rotated embeddings
+    * front-load it); `kCoarse → corpus` recovers [[topKInt]] exactly.
+    *
+    * Both stages are integer with ties broken by id at BOTH cuts —
+    * fully deterministic. Scale shape: the coarse cut's window runs on
+    * a NARROW (query, neighbor, coarse) projection (code arrays never
+    * enter the shuffle); the survivor set (queries × kCoarse rows)
+    * re-joins the corpus for exact scoring — small side, AQE
+    * broadcasts it. Compose the coarse stage with the IVF route when
+    * the corpus scan itself must be sub-linear.
+    */
+  def topKTwoStage(corpus: DataFrame, queries: DataFrame, k: Int,
+                   kCoarse: Int, coarseDims: Int): DataFrame = {
+    require(k >= 1 && kCoarse >= k, s"need kCoarse >= k >= 1, got k=$k kCoarse=$kCoarse")
+    require(coarseDims >= 1, s"coarseDims must be >= 1, got $coarseDims")
+    val q = queries.select(col("vec_id").as("query_id"), col("codes").as("qc"))
+    val corp = corpus.select(col("vec_id").as("neighbor_id"), col("codes").as("cc"))
+    val survivors = corp
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("coarse",
+        aggregate(
+          zip_with(slice(col("qc"), 1, coarseDims), slice(col("cc"), 1, coarseDims),
+            (a, b) => a * b),
+          lit(0L), (s, e) => s + e))
+      .select(col("query_id"), col("neighbor_id"), col("coarse"))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("coarse").desc, col("neighbor_id"))))
+      .filter(col("crnk") <= kCoarse)
+      .select(col("query_id"), col("neighbor_id"))
+    survivors
+      .join(corp, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("score",
+        aggregate(zip_with(col("qc"), col("cc"), (a, b) => a * b),
+          lit(0L), (s, e) => s + e))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("score"))
+  }
 }

@@ -2547,6 +2547,49 @@ object DataOps extends QueryModule {
        |  FROM dot)
        |WHERE rnk <= $SqTopK ORDER BY query_id, rnk""".stripMargin
 
+  // ---- q139: two-stage ANN (coarse slice → exact re-rank) --------------
+
+  /** kCoarse 20 ≫ k 5 over a 16-of-64-dim coarse slice: the production
+    * re-rank composition (q121 is the single-stage exact path). */
+  def twoStageAnn(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantization
+    val e = emb(s, dir)
+    val stats = Quantization.dimStats(e, col("embedding"))
+    val codes = Quantization.quantize(e, col("vec_id"), col("embedding"), stats)
+    Quantization.topKTwoStage(codes, codes.filter(col("vec_id") % 50 === 0),
+        k = SqTopK, kCoarse = 20, coarseDims = 16)
+      .sortOnce(col("query_id"), col("rnk"))
+  }
+
+  private val q139Oracle: String =
+    s"""WITH u AS (
+       |  SELECT vec_id,
+       |    unnest([{'i': i, 'x': CAST(embedding[i] AS DOUBLE)}
+       |            for i in range(1, len(embedding) + 1)], recursive := true)
+       |  FROM embeddings),
+       |stats AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM u GROUP BY i),
+       |codes AS (
+       |  SELECT vec_id, u.i,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT) - 128
+       |    END AS c
+       |  FROM u JOIN stats ON u.i = stats.i),
+       |cd AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(SUM(CASE WHEN q.i <= 16 THEN q.c * c.c ELSE 0 END) AS BIGINT) AS coarse,
+       |    CAST(SUM(q.c * c.c) AS BIGINT) AS score
+       |  FROM codes q JOIN codes c ON q.i = c.i AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+       |cut AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY coarse DESC, neighbor_id) AS crnk
+       |  FROM cd)
+       |SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id, score FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rnk
+       |  FROM cut WHERE crnk <= 20)
+       |WHERE rnk <= $SqTopK ORDER BY query_id, rnk""".stripMargin
+
   // ---- q122: shard-overlap MinHash matrix ------------------------------
 
   private val OverlapPerms = 16
@@ -2950,7 +2993,8 @@ object DataOps extends QueryModule {
     "q127_para_dedup" -> (paragraphDedup _),
     "q129_tfidf_keywords" -> (tfidfKeywords _),
     "q130_centroid_outliers" -> (centroidOutliers _),
-    "q136_source_drift" -> (sourceDrift _))
+    "q136_source_drift" -> (sourceDrift _),
+    "q139_two_stage_ann" -> (twoStageAnn _))
 
   val family: String = "dataops"
 
@@ -3026,5 +3070,6 @@ object DataOps extends QueryModule {
     "q127_para_dedup" -> q127Oracle,
     "q129_tfidf_keywords" -> q129Oracle,
     "q130_centroid_outliers" -> q130Oracle,
-    "q136_source_drift" -> q136Oracle)
+    "q136_source_drift" -> q136Oracle,
+    "q139_two_stage_ann" -> q139Oracle)
 }

@@ -1204,6 +1204,32 @@ object StreamingQueries extends QueryModule {
        |SELECT CAST(fb AS BIGINT) AS emit_batch, event_type, COUNT(*) AS n_keys
        |FROM k GROUP BY 1, 2 ORDER BY emit_batch, event_type""".stripMargin
 
+  /** q138: q84's dedup over the MOD-chunked (out-of-order) stream — a
+    * key's emission batch is its first ARRIVAL batch, which under
+    * out-of-order delivery is decoupled from event-time order (q84's
+    * time-ordered chunks can't tell the two apart). The 45-day delay
+    * exceeds the corpus span, so no state evicts and no row is
+    * late-filtered: the pin isolates pure arrival-order dedup across
+    * shuffled batches — a key seen in batch 0 must NOT re-emit when
+    * its (time-earlier) duplicates arrive in batches 1–4.
+    */
+  def mbModStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val deduped = eventsModChunkedStream(s, dir, 5)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", "45 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    drainBatches(s, deduped, OutputMode.Append())
+      .groupBy(col("emit_batch"), col("event_type"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("emit_batch"), col("event_type"))
+  }
+
+  private val q138Oracle: String =
+    """WITH evf AS (SELECT *, CAST(event_id % 5 AS BIGINT) AS f FROM events),
+      |k AS (SELECT user_id, event_type, MIN(f) AS fb FROM evf GROUP BY 1, 2)
+      |SELECT fb AS emit_batch, event_type, COUNT(*) AS n_keys
+      |FROM k GROUP BY 1, 2 ORDER BY emit_batch, event_type""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1219,6 +1245,7 @@ object StreamingQueries extends QueryModule {
     "q128_stream_outer_join" -> (streamOuterJoin _),
     "q132_mb_outer_join" -> (mbStreamOuterJoin _),
     "q137_late_drops" -> (lateDropWindow _),
+    "q138_mb_ooo_dedup" -> (mbModStreamDedup _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
     "q81_mb_window" -> (mbWindowedAgg _),
@@ -1244,6 +1271,7 @@ object StreamingQueries extends QueryModule {
     "q128_stream_outer_join" -> q128Oracle,
     "q132_mb_outer_join" -> q132Oracle,
     "q137_late_drops" -> q137Oracle,
+    "q138_mb_ooo_dedup" -> q138Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
     "q81_mb_window" -> q81Oracle,

@@ -60,4 +60,55 @@ class QuantizationSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), plan)
     }
   }
+
+  describe("Quantization.topKTwoStage") {
+    // dim 1 alone (the coarse slice) ranks id 1 over id 2; the full dot
+    // (signed codes: matching MINIMA also score +128·128) flips them
+    val twoStage = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),   // query → codes (127, -128, -128)
+      (1L, Array(0.9f, 1.0f, 1.0f)),   // coarse winner, exact NEGATIVE vs q
+      (2L, Array(0.8f, 0.0f, 0.0f)),   // coarse 2nd, exact winner
+      (3L, Array(0.0f, 1.0f, 1.0f))    // coarse last
+    ).toDF("vec_id", "embedding")
+
+    def codesFor(df: org.apache.spark.sql.DataFrame) = {
+      val stats = Quantization.dimStats(df, col("embedding"))
+      Quantization.quantize(df, col("vec_id"), col("embedding"), stats)
+    }
+
+    it("equals the single-stage exact top-k when kCoarse spans the corpus") {
+      val codes = codesFor(vecs)
+      val qs = codes.filter(col("vec_id") <= 2)
+      val exact = Quantization.topKInt(codes, qs, k = 3)
+        .collect().map(_.toSeq).toSet
+      val two = Quantization.topKTwoStage(codes, qs, k = 3, kCoarse = 10, coarseDims = 2)
+        .collect().map(_.toSeq).toSet
+      assert(two == exact)
+    }
+
+    it("re-ranks coarse survivors by the exact score; a tight kCoarse trades recall") {
+      val codes = codesFor(twoStage)
+      val qs = codes.filter(col("vec_id") === 0L)
+      // kCoarse=2 keeps ids 1 and 2 (coarse dim-1 order), exact re-rank
+      // then puts 2 first
+      val wide = Quantization.topKTwoStage(codes, qs, k = 2, kCoarse = 2, coarseDims = 1)
+        .select("rnk", "neighbor_id").as[(Int, Long)].collect().toMap
+      assert(wide == Map(1 -> 2L, 2 -> 1L), s"got $wide")
+      // kCoarse=1 cuts id 2 at the coarse stage → recall loss, id 1 wins
+      val tight = Quantization.topKTwoStage(codes, qs, k = 1, kCoarse = 1, coarseDims = 1)
+        .select("rnk", "neighbor_id").as[(Int, Long)].collect().toMap
+      assert(tight == Map(1 -> 1L), s"got $tight")
+    }
+
+    it("keeps code arrays out of the coarse-cut window: narrow projection only") {
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val codes = codesFor(vecs)
+      val wins = Quantization.topKTwoStage(codes, codes.filter(col("vec_id") === 0), 2, 3, 2)
+        .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      val coarseWin = wins.last // outermost-last in collect order = the coarse cut
+      val names = coarseWin.child.output.map(_.name)
+      assert(names.toSet == Set("query_id", "neighbor_id", "coarse"),
+        s"code arrays leaked into the coarse window: $names")
+    }
+  }
 }
