@@ -112,6 +112,46 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
+  /** Hilbert-curve index of two clamped dimensions — the locality
+    * upgrade over [[zOrderValue]]: the Hilbert curve visits every cell
+    * of the 2^b × 2^b grid with CONSECUTIVE indices always in ADJACENT
+    * cells (Morton jumps across the plane at quadrant boundaries), so
+    * equal-count index ranges cover more compact 2-D tiles and a box
+    * predicate touches fewer files. Standard xy→d bit algorithm
+    * (Hamilton's iterative form, as published): per bit plane s from
+    * high to low, `d += s²·((3·rx) xor ry)` then the (rx, ry)
+    * reflection/swap rotates the frame. Implemented as the
+    * `HilbertIndex` codegen Catalyst expression (a tight per-row Java
+    * loop): composed `when`/bitwise columns TRIPLE in tree size per
+    * bit plane (≈3^bits nodes — bits=8 hangs analysis; measured), the
+    * expression is ~30 instructions/row. Negative reflection
+    * intermediates are two's-complement identical on both engines, and
+    * the oracle replays the identical arithmetic as a CTE chain.
+    */
+  def hilbertValue(x: Column, y: Column, bitsPer: Int = 8): Column =
+    graft.catalyst.HilbertIndex(x.cast("long"), y.cast("long"), bitsPer)
+
+  /** [[writeClustered]] along the Hilbert curve — same contract as
+    * [[writeZOrdered]] with the tighter tiles of [[hilbertValue]]. */
+  def writeHilbert(df: DataFrame, path: String, xCol: String, yCol: String,
+                   numRanges: Int, bitsPer: Int = 8,
+                   maxRecordsPerFile: Long = 1000000L, hCol: String = "hval",
+                   format: String = "parquet"): Unit =
+    writeClustered(
+      df.withColumn(hCol, hilbertValue(col(xCol), col(yCol), bitsPer)),
+      path, Seq(hCol), numRanges, maxRecordsPerFile, format)
+
+  /** [[writeHilbert]] under the ensure-once discipline. */
+  def ensureHilbert(df: DataFrame, path: String, xCol: String, yCol: String,
+                    numRanges: Int, bitsPer: Int = 8,
+                    maxRecordsPerFile: Long = 1000000L, hCol: String = "hval",
+                    format: String = "parquet"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      writeHilbert(df, path, xCol, yCol, numRanges, bitsPer, maxRecordsPerFile, hCol, format)
+  }
+
   /** [[writeClustered]] along the Z-order curve of two dimensions: the
     * interleaved key is materialized as column `zCol` (kept in the
     * files — readers bucket and prune on it) and the write clusters on

@@ -280,6 +280,31 @@ object Relational extends QueryModule {
       .orderBy(col("tile_x"), col("tile_y"))
   }
 
+  /** q140: the Hilbert-curve sibling of q116 — same box-predicate tile
+    * aggregation over a curve-clustered write, but consecutive indices
+    * are always ADJACENT cells (no Morton quadrant jumps), so
+    * equal-count index ranges tile more compactly. The oracle replays
+    * the xy→d bit loop as an 8-step CTE chain of identical integer
+    * arithmetic. */
+  def hilbertLayout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"hilbert_$tag").toString
+    Layout.ensureHilbert(
+      t(s, dir, "lineitem").select(
+        (col("l_partkey") % 256).as("x"),
+        (col("l_suppkey") % 256).as("y"),
+        col("l_quantity")),
+      out, "x", "y", numRanges = 8, bitsPer = 8, maxRecordsPerFile = 100000L)
+    s.read.parquet(out)
+      .filter(col("x").between(32, 95) && col("y").between(64, 127))
+      .groupBy(expr("x DIV 32").as("tile_x"), expr("y DIV 32").as("tile_y"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        min(col("hval")).as("min_h"), max(col("hval")).as("max_h"))
+      .orderBy(col("tile_x"), col("tile_y"))
+  }
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -469,7 +494,8 @@ object Relational extends QueryModule {
     "q131_range_frame" -> (trailingHourStats _),
     "q133_funnel" -> (eventFunnel _),
     "q134_batch_sessions" -> (batchSessions _),
-    "q135_value_moments" -> (valueMoments _))
+    "q135_value_moments" -> (valueMoments _),
+    "q140_hilbert_layout" -> (hilbertLayout _))
 
   val family: String = "relational"
 
@@ -679,10 +705,38 @@ object Relational extends QueryModule {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q62_clustered_layout" -> q62Sql,
     "q88_orc_layout" -> q62Sql,
-    "q116_zorder_layout" -> q116Sql)
+    "q116_zorder_layout" -> q116Sql,
+    "q140_hilbert_layout" -> q140Sql)
 
   /** DuckDB replay of the 8-bit Morton interleave (Layout.zOrderValue):
     * bit b of x lands at position 2b, bit b of y at 2b+1. */
+  private lazy val q140Sql: String = {
+    val bits = 8
+    val steps = (0 until bits).map(i => 1L << (bits - 1 - i))
+    val ctes = steps.zipWithIndex.map { case (s, i) =>
+      val j = i + 1
+      s"""h$j AS (
+         |  SELECT l_quantity, x0, y0,
+         |    d$i + $s * $s * xor(3 * rx, ry) AS d$j,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - y$i ELSE y$i END ELSE x$i END AS x$j,
+         |    CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN ${s - 1} - x$i ELSE x$i END ELSE y$i END AS y$j
+         |  FROM (SELECT *,
+         |          CASE WHEN (x$i & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |          CASE WHEN (y$i & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |        FROM h$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT l_partkey % 256 AS x0, l_suppkey % 256 AS y0,
+       |    CAST(0 AS BIGINT) AS d0, l_quantity
+       |  FROM lineitem),
+       |$ctes
+       |SELECT x0 // 32 AS tile_x, y0 // 32 AS tile_y, COUNT(*) AS n,
+       | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       | MIN(d$bits) AS min_h, MAX(d$bits) AS max_h
+       |FROM h$bits WHERE x0 BETWEEN 32 AND 95 AND y0 BETWEEN 64 AND 127
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   private lazy val q116Sql: String = {
     val interleave = (0 until 8).map(b =>
       s"(((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1})")

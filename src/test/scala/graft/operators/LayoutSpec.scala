@@ -105,6 +105,62 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  describe("Layout.hilbertValue / writeHilbert") {
+    it("matches the order-1 curve and is a bijection with ADJACENT consecutive cells") {
+      // order-1 goldens: U-shape (0,0)→(0,1)→(1,1)→(1,0)
+      val o1 = Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)).toDF("x", "y")
+        .select(Layout.hilbertValue(col("x"), col("y"), bitsPer = 1).as("h"))
+        .as[Long].collect().toSeq
+      assert(o1 == Seq(0L, 1L, 2L, 3L))
+      // bits=4: all 256 cells — d is a bijection onto [0, 256) and the
+      // DEFINING Hilbert property holds: consecutive indices sit in
+      // Manhattan-adjacent cells (Morton fails this at quadrant jumps)
+      val cells = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+        .toDF("x", "y")
+      val got = cells
+        .select(col("x"), col("y"), Layout.hilbertValue(col("x"), col("y"), 4).as("h"))
+        .as[(Long, Long, Long)].collect()
+      assert(got.map(_._3).sorted.toSeq == (0L until 256L).toSeq)
+      val byD = got.sortBy(_._3)
+      byD.sliding(2).foreach {
+        case Array((x1, y1, _), (x2, y2, _)) =>
+          assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+            s"non-adjacent step ($x1,$y1)→($x2,$y2)")
+        case _ =>
+      }
+      // clamping matches the z-order contract
+      val cl = Seq((-7L, 3L), (999L, 2L)).toDF("x", "y")
+        .select(Layout.hilbertValue(col("x"), col("y"), 8).as("h"))
+        .as[Long].collect().toSeq
+      val ref = Seq((0L, 3L), (255L, 2L)).toDF("x", "y")
+        .select(Layout.hilbertValue(col("x"), col("y"), 8).as("h"))
+        .as[Long].collect().toSeq
+      assert(cl == ref)
+    }
+
+    it("writeHilbert produces files with DISJOINT hval ranges") {
+      withTempDir { dir =>
+        val out = s"${dir.getAbsolutePath}/hilbert"
+        val rnd = new scala.util.Random(11)
+        val df = (1 to 8000).map(_ => (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+          .toDF("x", "y").withColumn("v", col("x") + col("y"))
+        Layout.writeHilbert(df, out, "x", "y", numRanges = 4, bitsPer = 8,
+          maxRecordsPerFile = 2500)
+        val ranges = Layout.fileRanges(spark, out, "hval").sortBy(_._1)
+        assert(ranges.size >= 4, s"expected >=4 files, got ${ranges.size}")
+        ranges.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) =>
+            assert(aMax <= bMin, s"hilbert file ranges: $ranges")
+          case _ =>
+        }
+        val back = spark.read.parquet(out)
+        assert(back.count() == 8000)
+        assert(back.filter(
+          Layout.hilbertValue(col("x"), col("y"), 8) =!= col("hval")).count() == 0)
+      }
+    }
+  }
+
   describe("Layout.upsert") {
     val base = Seq((1L, "one", 10), (2L, "two", 20), (3L, "three", 30))
       .toDF("k", "txt", "v")
