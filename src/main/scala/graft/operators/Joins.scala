@@ -53,6 +53,34 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Interval OVERLAP join: pairs where `[aLo,aHi] ∩ [bLo,bHi] ≠ ∅`
+    * (closed ends) — the interval×interval sibling of [[rangeJoin]]'s
+    * point-in-interval. Both sides explode across the fixed-width bins
+    * they span and equi-join on the bin; a pair sharing SEVERAL bins
+    * would duplicate, so instead of a `distinct` each pair is
+    * attributed to ONE canonical bin — the bin holding the overlap's
+    * start `max(aLo, bLo)`, which by construction is a shared bin.
+    * Shuffle only on the bin key; no distinct, no cartesian. Bin width
+    * trades interval replication against bucket size, exactly as in
+    * [[rangeJoin]].
+    *
+    * Bounds are NUMERIC columns (callers join timestamps via
+    * `unix_micros`); result columns = a's ++ b's, like a plain join.
+    */
+  def intervalJoin(a: DataFrame, aLo: Column, aHi: Column,
+                   b: DataFrame, bLo: Column, bHi: Column,
+                   binSize: Double): DataFrame = {
+    require(binSize > 0, s"binSize must be positive, got $binSize")
+    val ab = a.withColumn("__bin",
+      explode(sequence(floor(aLo / binSize).cast("long"), floor(aHi / binSize).cast("long"))))
+    val bb = b.withColumn("__bin",
+      explode(sequence(floor(bLo / binSize).cast("long"), floor(bHi / binSize).cast("long"))))
+    ab.join(bb, Seq("__bin"))
+      .filter(aLo <= bHi && bLo <= aHi)
+      .filter(col("__bin") === floor(greatest(aLo, bLo) / binSize).cast("long"))
+      .drop("__bin")
+  }
+
   /** As-of (point-in-time) join: for every left row, the single latest
     * right row with `rightTs <= leftTs` within the same `key` — the
     * time-series lookup DuckDB spells `ASOF JOIN`. One shuffle on the

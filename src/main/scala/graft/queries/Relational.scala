@@ -406,6 +406,35 @@ object Relational extends QueryModule {
           lit(0d))).as("std_v"))
       .orderBy(col("event_type"))
 
+  /** q141: interval OVERLAP join — q134's user sessions against daily
+    * promo windows (two per day), via the canonical-bin binned join
+    * (no distinct, no cartesian): how many sessions/users were active
+    * during each promo slot.
+    */
+  def promoSessionOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.operators.Sessionize.stats(
+        t(s, dir, "events"), col("user_id"), col("ts"), col("event_id"),
+        gapSeconds = 1800)
+      .select(col("key").as("user_id"),
+        unix_micros(col("start_ts")).as("s_lo"),
+        unix_micros(col("end_ts")).as("s_hi"))
+    val promos = t(s, dir, "events")
+      .select(date_trunc("day", col("ts")).as("day")).distinct()
+      .select(col("day"), explode(array(
+        struct(lit(10L).as("h0"), lit(14L).as("h1"), lit("morning").as("slot")),
+        struct(lit(18L).as("h0"), lit(21L).as("h1"), lit("evening").as("slot")))).as("p"))
+      .select(col("day"), col("p.slot").as("slot"),
+        (unix_micros(col("day")) + col("p.h0") * 3600000000L).as("p_lo"),
+        (unix_micros(col("day")) + col("p.h1") * 3600000000L).as("p_hi"))
+    graft.operators.Joins.intervalJoin(
+        sess, col("s_lo"), col("s_hi"), promos, col("p_lo"), col("p_hi"),
+        binSize = 3600e6)
+      .groupBy(col("day"), col("slot"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"), col("slot"))
+  }
+
   /** CUBE over supplier ⋈ nation (the one driver table no other query
     * reads): all grouping-set combinations, null slots coalesced.
     */
@@ -495,7 +524,8 @@ object Relational extends QueryModule {
     "q133_funnel" -> (eventFunnel _),
     "q134_batch_sessions" -> (batchSessions _),
     "q135_value_moments" -> (valueMoments _),
-    "q140_hilbert_layout" -> (hilbertLayout _))
+    "q140_hilbert_layout" -> (hilbertLayout _),
+    "q141_interval_join" -> (promoSessionOverlap _))
 
   val family: String = "relational"
 
@@ -604,6 +634,31 @@ object Relational extends QueryModule {
         | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
         | STRING_SPLIT(text, ' ')[-1] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q141_interval_join" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM x),
+        |sess AS (
+        |  SELECT user_id, session_seq, MIN(ts) AS st, MAX(ts) AS en
+        |  FROM y GROUP BY 1, 2),
+        |days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+        |promos AS (
+        |  SELECT day, 'morning' AS slot,
+        |    day + INTERVAL 10 HOUR AS p_lo, day + INTERVAL 14 HOUR AS p_hi FROM days
+        |  UNION ALL
+        |  SELECT day, 'evening',
+        |    day + INTERVAL 18 HOUR, day + INTERVAL 21 HOUR FROM days)
+        |SELECT day, slot, COUNT(*) AS n_sessions,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM sess JOIN promos ON st <= p_hi AND p_lo <= en
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q134_batch_sessions" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts,

@@ -75,4 +75,40 @@ class JoinsSpec extends SparkSpec {
       assert(r2("t1").isEmpty)
     }
   }
+
+  describe("Joins.intervalJoin") {
+    val a = Seq(("a1", 0.0, 10.0), ("a2", 25.0, 26.0), ("a3", 5.0, 95.0))
+      .toDF("aid", "lo", "hi")
+    val b = Seq(("b1", 8.0, 30.0), ("b2", 10.0, 10.0), ("b3", 96.0, 99.0))
+      .toDF("bid", "blo", "bhi")
+
+    def pairs(binSize: Double) =
+      Joins.intervalJoin(a, col("lo"), col("hi"), b, col("blo"), col("bhi"), binSize)
+        .select("aid", "bid").as[(String, String)].collect().toSet
+
+    it("finds exactly the overlapping pairs, closed ends touching included") {
+      // a1∩b1 ([8,10]), a1∩b2 (point 10 touches), a2⊂b1, a3∩b1, a3∩b2;
+      // b3 starts past a3's end → no pair
+      assert(pairs(10.0) == Set(("a1", "b1"), ("a1", "b2"), ("a2", "b1"),
+        ("a3", "b1"), ("a3", "b2")))
+    }
+
+    it("emits each pair ONCE even when it spans many shared bins (canonical bin, no distinct)") {
+      // a3 [5,95] and b1 [8,30] share bins 0,1,2,3 at width 10 — and with
+      // tiny bins share dozens — still one row
+      val r = Joins.intervalJoin(a, col("lo"), col("hi"), b, col("blo"), col("bhi"), 1.0)
+        .filter(col("aid") === "a3" && col("bid") === "b1").count()
+      assert(r == 1L)
+    }
+
+    it("is invariant to bin width") {
+      assert(pairs(1.0) == pairs(10.0) && pairs(10.0) == pairs(1000.0))
+    }
+
+    it("plans an equi-join on the bin — no cartesian product") {
+      val plan = Joins.intervalJoin(a, col("lo"), col("hi"), b, col("blo"), col("bhi"), 10.0)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    }
+  }
 }
