@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style column profiling — the equi-depth histogram + per-
+  * bucket stats a cost-based layer (join reorder, partition sizing,
+  * skew detection) feeds on. Equi-depth (equal ROW count per bucket)
+  * beats equi-width for selectivity estimates on skewed columns: every
+  * bucket carries the same evidence weight.
+  *
+  * Bucket assignment is pure rank arithmetic (the q124 tier rule):
+  * `bucket = (pos₀ · k) div n` over the GLOBAL rank from
+  * [[Packing.globalRowNumber]]'s two-phase prefix sum — the column
+  * never crosses a single-reducer window, and the rank order
+  * `(value, tie)` is total, so the histogram is deterministic under
+  * any partitioning and engine. A run of duplicate values may split
+  * across a bucket boundary (rank-based equi-depth, the standard
+  * trade); bucket sizes are exact: n div k or n div k + 1.
+  */
+object Analyze {
+
+  /** @param value the column to profile
+    * @param tie   a unique tiebreak making the rank order total
+    * @param k     bucket count
+    * @return k rows: `bucket (0..k−1), lo, hi, n_rows, ndv` — exact
+    *         per-bucket min/max/count/distinct-count. */
+  def equiDepthHistogram(df: DataFrame, value: Column, tie: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = df.select(value.as("v"), tie.as("t"))
+    val ranked = Packing.globalRowNumber(base, struct(col("v"), col("t")), "pos")
+    ranked
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+      .withColumn("bucket", expr(s"((pos - 1) * $k) div n"))
+      .groupBy(col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        count(lit(1)).as("n_rows"), countDistinct(col("v")).as("ndv"))
+  }
+}

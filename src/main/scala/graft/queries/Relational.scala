@@ -435,6 +435,15 @@ object Relational extends QueryModule {
       .orderBy(col("day"), col("slot"))
   }
 
+  /** q142: ANALYZE-style equi-depth column histogram over
+    * l_extendedprice (see [[graft.operators.Analyze]]) — the stats a
+    * cost-based layer feeds on, built on the two-phase prefix sum. */
+  def columnStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.equiDepthHistogram(
+        t(s, dir, "lineitem"), col("l_extendedprice"),
+        struct(col("l_orderkey"), col("l_linenumber")), k = 32)
+      .orderBy(col("bucket"))
+
   /** CUBE over supplier ⋈ nation (the one driver table no other query
     * reads): all grouping-set combinations, null slots coalesced.
     */
@@ -525,7 +534,8 @@ object Relational extends QueryModule {
     "q134_batch_sessions" -> (batchSessions _),
     "q135_value_moments" -> (valueMoments _),
     "q140_hilbert_layout" -> (hilbertLayout _),
-    "q141_interval_join" -> (promoSessionOverlap _))
+    "q141_interval_join" -> (promoSessionOverlap _),
+    "q142_column_stats" -> (columnStats _))
 
   val family: String = "relational"
 
@@ -634,6 +644,16 @@ object Relational extends QueryModule {
         | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
         | STRING_SPLIT(text, ' ')[-1] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q142_column_stats" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    ROW_NUMBER() OVER (
+        |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS p
+        |  FROM lineitem),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+        |SELECT (p * 32) // n AS bucket, MIN(v) AS lo, MAX(v) AS hi,
+        |  COUNT(*) AS n_rows, CAST(COUNT(DISTINCT v) AS BIGINT) AS ndv
+        |FROM r, n GROUP BY 1 ORDER BY 1""".stripMargin,
     "q141_interval_join" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts,

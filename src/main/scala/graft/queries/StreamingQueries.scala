@@ -702,6 +702,68 @@ object StreamingQueries extends QueryModule {
       |FROM emit WHERE eb IS NOT NULL
       |ORDER BY day, event_type""".stripMargin
 
+  // ---- q143: streaming CDC apply (incremental materialized table) ------
+
+  /** The incremental materialized-table loop: every micro-batch of the
+    * OUT-OF-ORDER update stream is collapsed to one winner per key
+    * (max (ts, event_id) within the batch) and MERGEd into a versioned
+    * parquet snapshot via `Layout.upsert` (updates win their key,
+    * untouched base carries over, in-plan duplicate-key guard). Because
+    * batches arrive out of time order, last-BATCH-wins ≠ last-
+    * TIMESTAMP-wins: a user's final row is its winner in the LAST
+    * batch containing the user, i.e. the lexicographic
+    * (f, ts, event_id) argmax — which differs from a plain max(ts)
+    * whenever a user's time-latest event lives in an earlier chunk.
+    * The oracle replays exactly that argmax.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val scratch = Paths.get(sys.props("java.io.tmpdir"), "graft_work",
+      s"cdc_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val updates = eventsModChunkedStream(s, dir, 5)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = updates.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val winners = df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          if (!winners.isEmpty) {
+            val out = scratch.resolve(s"v$id").toString
+            val merged = Option(latest.get()) match {
+              case None => winners
+              case Some(p) =>
+                graft.operators.Layout.upsert(s.read.parquet(p), winners, Seq("user_id"))
+            }
+            merged.write.mode("overwrite").parquet(out)
+            latest.set(out)
+          }
+          ()
+        }
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(latest.get()).orderBy(col("user_id"))
+  }
+
+  private val q143Oracle: String =
+    """WITH evf AS (
+      |  SELECT user_id, ts, event_id, value, CAST(event_id % 5 AS BIGINT) AS f
+      |  FROM events),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY f DESC, ts DESC, event_id DESC) AS rn
+      |  FROM evf)
+      |SELECT user_id, ts, event_id, value FROM rk WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   // ---- q52: stream-static enrichment join ------------------------------
 
   /** Stream-static join: the event stream enriched against a static
@@ -1246,6 +1308,7 @@ object StreamingQueries extends QueryModule {
     "q132_mb_outer_join" -> (mbStreamOuterJoin _),
     "q137_late_drops" -> (lateDropWindow _),
     "q138_mb_ooo_dedup" -> (mbModStreamDedup _),
+    "q143_cdc_apply" -> (cdcApply _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
     "q81_mb_window" -> (mbWindowedAgg _),
@@ -1272,6 +1335,7 @@ object StreamingQueries extends QueryModule {
     "q132_mb_outer_join" -> q132Oracle,
     "q137_late_drops" -> q137Oracle,
     "q138_mb_ooo_dedup" -> q138Oracle,
+    "q143_cdc_apply" -> q143Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
     "q81_mb_window" -> q81Oracle,
