@@ -2919,6 +2919,36 @@ object DataOps extends QueryModule {
        |  (sum_fp - ((sum_fp % n_tokens) + n_tokens) % n_tokens) // n_tokens AS kl_fp
        |FROM sm ORDER BY source""".stripMargin
 
+  // ---- q145: schema-evolution read (mergeSchema) -----------------------
+
+  /** The lakehouse schema-on-read contract: generation-1 files carry
+    * (doc_id, lang), generation-2 files add `n_chars`; a `mergeSchema`
+    * read unions the schemas and fills the missing column with nulls
+    * for old files. Pins that evolution is handled at READ time — no
+    * rewrite of the old generation — with the null accounting exact.
+    */
+  def schemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_work",
+      s"evo_${java.util.UUID.randomUUID().toString.replace("-", "")}").toString
+    val d = docs(s, dir)
+    d.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(scratch)
+    d.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("append").parquet(scratch)
+    s.read.option("mergeSchema", "true").parquet(scratch)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count(col("n_chars")).as("n_v2"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val q145Oracle: String =
+    """SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+      |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2994,7 +3024,8 @@ object DataOps extends QueryModule {
     "q129_tfidf_keywords" -> (tfidfKeywords _),
     "q130_centroid_outliers" -> (centroidOutliers _),
     "q136_source_drift" -> (sourceDrift _),
-    "q139_two_stage_ann" -> (twoStageAnn _))
+    "q139_two_stage_ann" -> (twoStageAnn _),
+    "q145_schema_merge" -> (schemaMerge _))
 
   val family: String = "dataops"
 
@@ -3071,5 +3102,6 @@ object DataOps extends QueryModule {
     "q129_tfidf_keywords" -> q129Oracle,
     "q130_centroid_outliers" -> q130Oracle,
     "q136_source_drift" -> q136Oracle,
-    "q139_two_stage_ann" -> q139Oracle)
+    "q139_two_stage_ann" -> q139Oracle,
+    "q145_schema_merge" -> q145Oracle)
 }

@@ -444,6 +444,24 @@ object Relational extends QueryModule {
         struct(col("l_orderkey"), col("l_linenumber")), k = 32)
       .orderBy(col("bucket"))
 
+  /** q144: recursive CTE (Spark 4's WITH RECURSIVE) — iterative
+    * hierarchy traversal declared in SQL: each user's ancestor chain in
+    * the synthetic binary tree parent(u) = u div 2, to the ≤1 roots.
+    * Pins the recursive-execution surface itself (fixpoint iteration
+    * inside the engine, no driver loop); DuckDB replays the identical
+    * recursion. */
+  def recursiveChains(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events_rc")
+    s.sql(
+      """WITH RECURSIVE anc(u, a, depth) AS (
+        |  SELECT user_id, user_id, 0 FROM (SELECT DISTINCT user_id FROM events_rc)
+        |  UNION ALL
+        |  SELECT u, a DIV 2, depth + 1 FROM anc WHERE a > 1)
+        |SELECT u AS user_id, CAST(MAX(depth) AS BIGINT) AS depth,
+        |  COUNT(*) AS chain_len
+        |FROM anc GROUP BY u ORDER BY u""".stripMargin)
+  }
+
   /** CUBE over supplier ⋈ nation (the one driver table no other query
     * reads): all grouping-set combinations, null slots coalesced.
     */
@@ -535,7 +553,8 @@ object Relational extends QueryModule {
     "q135_value_moments" -> (valueMoments _),
     "q140_hilbert_layout" -> (hilbertLayout _),
     "q141_interval_join" -> (promoSessionOverlap _),
-    "q142_column_stats" -> (columnStats _))
+    "q142_column_stats" -> (columnStats _),
+    "q144_recursive_cte" -> (recursiveChains _))
 
   val family: String = "relational"
 
@@ -644,6 +663,14 @@ object Relational extends QueryModule {
         | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
         | STRING_SPLIT(text, ' ')[-1] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q144_recursive_cte" ->
+      """WITH RECURSIVE anc(u, a, depth) AS (
+        |  SELECT user_id, user_id, 0 FROM (SELECT DISTINCT user_id FROM events)
+        |  UNION ALL
+        |  SELECT u, a // 2, depth + 1 FROM anc WHERE a > 1)
+        |SELECT u AS user_id, CAST(MAX(depth) AS BIGINT) AS depth,
+        |  COUNT(*) AS chain_len
+        |FROM anc GROUP BY u ORDER BY u""".stripMargin,
     "q142_column_stats" ->
       """WITH r AS (
         |  SELECT l_extendedprice AS v,
