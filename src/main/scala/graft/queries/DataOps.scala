@@ -2949,6 +2949,52 @@ object DataOps extends QueryModule {
       |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q146: deletion propagation (GDPR purge + audit) -----------------
+
+  /** Tombstones = `doc_id % 13 == 0`; artifacts = the documents table,
+    * its distinct-token postings index, and the embeddings table (same
+    * id space) — the audit proves zero tombstoned rows survive in any
+    * of them. */
+  def deletionAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tombs = d.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+    val postings = d.select(col("doc_id").as("p_doc"),
+      explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+    graft.operators.Deletion.propagateAudit(
+        Seq(
+          ("documents", d, col("doc_id")),
+          ("postings", postings, col("p_doc")),
+          ("embeddings", emb(s, dir), col("vec_id"))),
+        tombs, col("doc_id"))
+      .orderBy(col("artifact"))
+  }
+
+  private val q146Oracle: String =
+    """WITH tomb AS (SELECT doc_id FROM documents WHERE doc_id % 13 = 0),
+      |p AS (
+      |  SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS np
+      |  FROM documents)
+      |SELECT 'documents' AS artifact,
+      |  (SELECT COUNT(*) FROM documents) AS n_before,
+      |  (SELECT COUNT(*) FROM tomb) AS n_purged,
+      |  (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM tomb) AS n_after,
+      |  CAST(0 AS BIGINT) AS survivors
+      |UNION ALL
+      |SELECT 'embeddings',
+      |  (SELECT COUNT(*) FROM embeddings),
+      |  (SELECT COUNT(*) FROM embeddings e JOIN tomb t ON e.vec_id = t.doc_id),
+      |  (SELECT COUNT(*) FROM embeddings)
+      |    - (SELECT COUNT(*) FROM embeddings e JOIN tomb t ON e.vec_id = t.doc_id),
+      |  CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'postings',
+      |  CAST((SELECT SUM(np) FROM p) AS BIGINT),
+      |  CAST((SELECT SUM(np) FROM p JOIN tomb USING (doc_id)) AS BIGINT),
+      |  CAST((SELECT SUM(np) FROM p) AS BIGINT)
+      |    - CAST((SELECT SUM(np) FROM p JOIN tomb USING (doc_id)) AS BIGINT),
+      |  CAST(0 AS BIGINT)
+      |ORDER BY artifact""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3025,7 +3071,8 @@ object DataOps extends QueryModule {
     "q130_centroid_outliers" -> (centroidOutliers _),
     "q136_source_drift" -> (sourceDrift _),
     "q139_two_stage_ann" -> (twoStageAnn _),
-    "q145_schema_merge" -> (schemaMerge _))
+    "q145_schema_merge" -> (schemaMerge _),
+    "q146_deletion_audit" -> (deletionAudit _))
 
   val family: String = "dataops"
 
@@ -3103,5 +3150,6 @@ object DataOps extends QueryModule {
     "q130_centroid_outliers" -> q130Oracle,
     "q136_source_drift" -> q136Oracle,
     "q139_two_stage_ann" -> q139Oracle,
-    "q145_schema_merge" -> q145Oracle)
+    "q145_schema_merge" -> q145Oracle,
+    "q146_deletion_audit" -> q146Oracle)
 }
