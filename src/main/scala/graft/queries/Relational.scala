@@ -264,14 +264,19 @@ object Relational extends QueryModule {
   def zorderLayout(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Layout
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_work", s"zorder_$tag").toString
-    Layout.ensureZOrdered(
-      t(s, dir, "lineitem").select(
-        (col("l_partkey") % 256).as("x"),
-        (col("l_suppkey") % 256).as("y"),
-        col("l_quantity")),
-      out, "x", "y", numRanges = 8, bitsPer = 8, maxRecordsPerFile = 100000L)
+    val outP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"zorder_$tag")
+    val out = outP.toString
+    // ensure-once keyed on the SOURCE's identity, not bare existence —
+    // a testdata regeneration forces the layout rebuild (VERDICT r7 #2)
+    graft.Staging.ensureFresh(java.nio.file.Paths.get(dir, "lineitem.parquet"), outP) {
+      Layout.writeZOrdered(
+        t(s, dir, "lineitem").select(
+          (col("l_partkey") % 256).as("x"),
+          (col("l_suppkey") % 256).as("y"),
+          col("l_quantity")),
+        out, "x", "y", numRanges = 8, bitsPer = 8, maxRecordsPerFile = 100000L)
+    }
     s.read.parquet(out)
       .filter(col("x").between(32, 95) && col("y").between(64, 127))
       .groupBy(expr("x DIV 32").as("tile_x"), expr("y DIV 32").as("tile_y"))
@@ -289,14 +294,17 @@ object Relational extends QueryModule {
   def hilbertLayout(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Layout
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_work", s"hilbert_$tag").toString
-    Layout.ensureHilbert(
-      t(s, dir, "lineitem").select(
-        (col("l_partkey") % 256).as("x"),
-        (col("l_suppkey") % 256).as("y"),
-        col("l_quantity")),
-      out, "x", "y", numRanges = 8, bitsPer = 8, maxRecordsPerFile = 100000L)
+    val outP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"hilbert_$tag")
+    val out = outP.toString
+    graft.Staging.ensureFresh(java.nio.file.Paths.get(dir, "lineitem.parquet"), outP) {
+      Layout.writeHilbert(
+        t(s, dir, "lineitem").select(
+          (col("l_partkey") % 256).as("x"),
+          (col("l_suppkey") % 256).as("y"),
+          col("l_quantity")),
+        out, "x", "y", numRanges = 8, bitsPer = 8, maxRecordsPerFile = 100000L)
+    }
     s.read.parquet(out)
       .filter(col("x").between(32, 95) && col("y").between(64, 127))
       .groupBy(expr("x DIV 32").as("tile_x"), expr("y DIV 32").as("tile_y"))
@@ -462,6 +470,52 @@ object Relational extends QueryModule {
         |FROM anc GROUP BY u ORDER BY u""".stripMargin)
   }
 
+  /** q147: Hive-style directory partition pruning — events written
+    * `partitionBy(day)` once (ensure-once), then a day-range read:
+    * the filter binds to PARTITION DIRECTORIES so non-matching days
+    * are never opened (the scan's `PartitionFilters` — asserted in
+    * the spec via the same plan surface; this query pins the VALUES
+    * through the partitioned layout, including the partition-column
+    * round-trip through directory names).
+    */
+  def partitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"evpart_$tag")
+    val out = outP.toString
+    graft.Staging.ensureFresh(java.nio.file.Paths.get(dir, "events.parquet"), outP) {
+      t(s, dir, "events")
+        .withColumn("day_n", unix_date(col("ts").cast("date")))
+        .write.mode("overwrite").partitionBy("day_n").parquet(out)
+    }
+    s.read.parquet(out)
+      .filter(col("day_n").between(19732, 19738)) // 2024-01-10 .. 2024-01-16
+      .groupBy(col("day_n").cast("long").as("day_n"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("day_n"), col("event_type"))
+  }
+
+  /** q148: NULL-semantics parity battery — the corner cases engines
+    * must agree on, pinned in one aggregation: NULL group keys form
+    * their own group; aggregates SKIP nulls while count(*) doesn't;
+    * `=` on a NULL key yields NULL (eq_self = 0 for the null group)
+    * where null-safe `<=>` yields true (nullsafe_self = 1 everywhere);
+    * and the sort order states NULLS FIRST explicitly — Spark's
+    * default ascending puts nulls first while DuckDB's puts them last,
+    * so an implicit order is a silent cross-engine fork.
+    */
+  def nullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val x = t(s, dir, "events").select(
+      when(col("user_id") % 7 === 0, lit(null)).otherwise(col("user_id") % 5).as("u"),
+      when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")).as("v"))
+    x.groupBy(col("u"))
+      .agg(count(lit(1)).as("n_all"), count(col("v")).as("n_v"),
+        sum(col("v").cast(DecimalType(38, 2))).cast("double").as("sum_v"),
+        max(when(col("u") === col("u"), 1L).otherwise(0L)).as("eq_self"),
+        max(when(col("u") <=> col("u"), 1L).otherwise(0L)).as("nullsafe_self"))
+      .orderBy(col("u").asc_nulls_first)
+  }
+
   /** CUBE over supplier ⋈ nation (the one driver table no other query
     * reads): all grouping-set combinations, null slots coalesced.
     */
@@ -554,7 +608,9 @@ object Relational extends QueryModule {
     "q140_hilbert_layout" -> (hilbertLayout _),
     "q141_interval_join" -> (promoSessionOverlap _),
     "q142_column_stats" -> (columnStats _),
-    "q144_recursive_cte" -> (recursiveChains _))
+    "q144_recursive_cte" -> (recursiveChains _),
+    "q147_partition_pruning" -> (partitionPruning _),
+    "q148_null_semantics" -> (nullSemantics _))
 
   val family: String = "relational"
 
@@ -663,6 +719,24 @@ object Relational extends QueryModule {
         | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
         | STRING_SPLIT(text, ' ')[-1] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q148_null_semantics" ->
+      """WITH x AS (
+        |  SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END AS u,
+        |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT u, COUNT(*) AS n_all, COUNT(v) AS n_v,
+        |  CAST(SUM(CAST(v AS DECIMAL(38,2))) AS DOUBLE) AS sum_v,
+        |  CAST(MAX(CASE WHEN u = u THEN 1 ELSE 0 END) AS BIGINT) AS eq_self,
+        |  CAST(MAX(CASE WHEN u IS NOT DISTINCT FROM u THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nullsafe_self
+        |FROM x GROUP BY u ORDER BY u NULLS FIRST""".stripMargin,
+    "q147_partition_pruning" ->
+      """SELECT CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_n,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01' BETWEEN 19732 AND 19738
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q144_recursive_cte" ->
       """WITH RECURSIVE anc(u, a, depth) AS (
         |  SELECT user_id, user_id, 0 FROM (SELECT DISTINCT user_id FROM events)

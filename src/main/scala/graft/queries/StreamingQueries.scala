@@ -63,25 +63,16 @@ class UserStatsProcessor
   */
 object StreamingQueries extends QueryModule {
 
-  /** Signature of a staged source file: size + mtime. Staging keyed on
-    * bare `Files.exists(dest)` served PRE-REGENERATION copies after the
-    * driver rewrote /root/testdata in place (VERDICT r7 #2) — tmp scratch
-    * outlives the testdata it was copied from, so the guard must compare
-    * the SOURCE's identity, recorded in a marker file at stage time. */
+  /** Staleness guard now shared engine-wide (graft.Staging, VERDICT r7
+    * #2): staging keyed on bare existence served PRE-REGENERATION
+    * copies after the driver rewrote /root/testdata in place — the
+    * guard compares the SOURCE's size+mtime recorded at stage time. */
   private[queries] def sourceSig(src: java.nio.file.Path): String =
-    s"${java.nio.file.Files.size(src)}:${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
-
-  /** True when `stage` does not carry an up-to-date marker for `src` —
-    * i.e. the staged copy is missing or was built from different source
-    * bytes. `recordStaged` writes the marker after a successful (re)build. */
-  private[queries] def stageStale(src: java.nio.file.Path, stage: java.nio.file.Path): Boolean = {
-    val marker = stage.resolve(".source_sig")
-    !java.nio.file.Files.exists(marker) ||
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != sourceSig(src)
-  }
+    graft.Staging.sourceSig(src)
+  private[queries] def stageStale(src: java.nio.file.Path, stage: java.nio.file.Path): Boolean =
+    graft.Staging.stale(src, stage)
   private[queries] def recordStaged(src: java.nio.file.Path, stage: java.nio.file.Path): Unit =
-    java.nio.file.Files.write(stage.resolve(".source_sig"),
-      sourceSig(src).getBytes("UTF-8"))
+    graft.Staging.record(src, stage)
 
   /** The events table as a file stream (ts normalized like Tables). The
     * streaming file source requires a directory, so the parquet file is
