@@ -516,6 +516,52 @@ object Relational extends QueryModule {
       .orderBy(col("u").asc_nulls_first)
   }
 
+  /** q149: LATERAL correlated subquery join — "top order per customer"
+    * declared as a per-row dependent subquery instead of a window; the
+    * optimizer decorrelates it into a join+aggregate, which is the pin:
+    * the declarative surface must not force a nested loop. */
+  def lateralTopOrder(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+    t(s, dir, "orders").createOrReplaceTempView("orders_lat")
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer_lat c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders_lat o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  /** q150: UNPIVOT (melt) — wide per-type aggregates back to long form;
+    * the inverse of q35's pivot, pinned through Spark's native unpivot
+    * (`ids`/`values`/variable/value naming included). */
+  def unpivotTypeSums(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "events")
+      .groupBy((col("user_id") % 10).as("ub"))
+      .pivot("event_type", Seq("click", "purchase", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+    wide.unpivot(Array(col("ub")), Array(col("click"), col("purchase"), col("view")),
+        "event_type", "n")
+      .orderBy(col("ub"), col("event_type"))
+  }
+
+  /** q151: explicit GROUPING SETS with `grouping_id` — the grouping-set
+    * selector beyond q08's ROLLUP / q34's CUBE: exactly the requested
+    * set list, with the grouping-id bitmask pinned. */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("events_gs")
+    s.sql(
+      """SELECT COALESCE(event_type, 'ALL') AS etype,
+        |  CAST(user_id % 5 AS BIGINT) AS ub,
+        |  CAST(grouping_id(event_type, user_id % 5) AS BIGINT) AS gid,
+        |  COUNT(*) AS n
+        |FROM events_gs
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 5), (event_type, user_id % 5))
+        |ORDER BY gid, etype, ub NULLS FIRST""".stripMargin)
+  }
+
   /** CUBE over supplier ⋈ nation (the one driver table no other query
     * reads): all grouping-set combinations, null slots coalesced.
     */
@@ -610,7 +656,10 @@ object Relational extends QueryModule {
     "q142_column_stats" -> (columnStats _),
     "q144_recursive_cte" -> (recursiveChains _),
     "q147_partition_pruning" -> (partitionPruning _),
-    "q148_null_semantics" -> (nullSemantics _))
+    "q148_null_semantics" -> (nullSemantics _),
+    "q149_lateral_join" -> (lateralTopOrder _),
+    "q150_unpivot" -> (unpivotTypeSums _),
+    "q151_grouping_sets" -> (groupingSets _))
 
   val family: String = "relational"
 
@@ -719,6 +768,32 @@ object Relational extends QueryModule {
         | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
         | STRING_SPLIT(text, ' ')[-1] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q149_lateral_join" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q150_unpivot" ->
+      """WITH ubs AS (SELECT DISTINCT user_id % 10 AS ub FROM events),
+        |t(et) AS (VALUES ('click'), ('purchase'), ('view')),
+        |c AS (
+        |  SELECT user_id % 10 AS ub, event_type, COUNT(*) AS n FROM events
+        |  WHERE event_type IN ('click', 'purchase', 'view') GROUP BY 1, 2)
+        |SELECT ubs.ub, t.et AS event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM ubs CROSS JOIN t
+        |LEFT JOIN c ON c.ub = ubs.ub AND c.event_type = t.et
+        |ORDER BY ubs.ub, event_type""".stripMargin,
+    "q151_grouping_sets" ->
+      """SELECT COALESCE(event_type, 'ALL') AS etype,
+        |  CAST(user_id % 5 AS BIGINT) AS ub,
+        |  CAST(GROUPING(event_type, user_id % 5) AS BIGINT) AS gid,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 5), (event_type, user_id % 5))
+        |ORDER BY gid, etype, ub NULLS FIRST""".stripMargin,
     "q148_null_semantics" ->
       """WITH x AS (
         |  SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id % 5 END AS u,
