@@ -562,6 +562,31 @@ object Relational extends QueryModule {
         |ORDER BY gid, etype, ub NULLS FIRST""".stripMargin)
   }
 
+  /** q152: map-typed column battery — the one builtin family no other
+    * query touched: construct, probe (`element_at`), filter
+    * (`map_filter`), merge (`map_concat`), and serialize
+    * (`map_entries`) a map column. Spark map entries carry INSERTION
+    * order, so every serialized view sorts explicitly — without that,
+    * output would be engine- (and version-) dependent.
+    */
+  def mapFns(s: SparkSession, dir: String): DataFrame = {
+    def entriesSorted(m: Column): Column =
+      array_join(array_sort(transform(map_entries(m),
+        e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+    t(s, dir, "events").filter(col("event_id") % 100 === 0)
+      .select(col("event_id"),
+        map(lit("type"), col("event_type"),
+          lit("ub"), (col("user_id") % 5).cast("string"),
+          lit("k"), get_json_object(col("props"), "$.k")).as("m"))
+      .select(col("event_id"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
+        entriesSorted(map_filter(col("m"), (k, _) => k =!= "ub")).as("no_ub"),
+        element_at(col("m"), "type").as("type_v"),
+        entriesSorted(map_concat(col("m"), map(lit("extra"), lit("1")))).as("with_extra"),
+        size(col("m")).cast("long").as("m_size"))
+      .orderBy(col("event_id"))
+  }
+
   /** CUBE over supplier ⋈ nation (the one driver table no other query
     * reads): all grouping-set combinations, null slots coalesced.
     */
@@ -659,7 +684,8 @@ object Relational extends QueryModule {
     "q148_null_semantics" -> (nullSemantics _),
     "q149_lateral_join" -> (lateralTopOrder _),
     "q150_unpivot" -> (unpivotTypeSums _),
-    "q151_grouping_sets" -> (groupingSets _))
+    "q151_grouping_sets" -> (groupingSets _),
+    "q152_map_fns" -> (mapFns _))
 
   val family: String = "relational"
 
@@ -768,6 +794,15 @@ object Relational extends QueryModule {
         | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
         | STRING_SPLIT(text, ' ')[-1] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q152_map_fns" ->
+      """SELECT event_id,
+        |  'k,type,ub' AS keys_sorted,
+        |  'k=' || json_extract_string(props, '$.k') || ',type=' || event_type AS no_ub,
+        |  event_type AS type_v,
+        |  'extra=1,k=' || json_extract_string(props, '$.k') || ',type=' || event_type
+        |    || ',ub=' || CAST(user_id % 5 AS VARCHAR) AS with_extra,
+        |  CAST(3 AS BIGINT) AS m_size
+        |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin,
     "q149_lateral_join" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         |FROM customer c,
