@@ -141,17 +141,6 @@ object Layout {
       df.withColumn(hCol, hilbertValue(col(xCol), col(yCol), bitsPer)),
       path, Seq(hCol), numRanges, maxRecordsPerFile, format)
 
-  /** [[writeHilbert]] under the ensure-once discipline. */
-  def ensureHilbert(df: DataFrame, path: String, xCol: String, yCol: String,
-                    numRanges: Int, bitsPer: Int = 8,
-                    maxRecordsPerFile: Long = 1000000L, hCol: String = "hval",
-                    format: String = "parquet"): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      writeHilbert(df, path, xCol, yCol, numRanges, bitsPer, maxRecordsPerFile, hCol, format)
-  }
-
   /** [[writeClustered]] along the Z-order curve of two dimensions: the
     * interleaved key is materialized as column `zCol` (kept in the
     * files — readers bucket and prune on it) and the write clusters on
@@ -168,31 +157,11 @@ object Layout {
       df.withColumn(zCol, zOrderValue(col(xCol), col(yCol), bitsPer)),
       path, Seq(zCol), numRanges, maxRecordsPerFile, format)
 
-  /** [[writeZOrdered]] under the ensure-once discipline of
-    * [[ensureClustered]]: the z-layout cost belongs to warmup/ingestion;
-    * repeated reads measure the tiled scan. */
-  def ensureZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
-                     numRanges: Int, bitsPer: Int = 16,
-                     maxRecordsPerFile: Long = 1000000L, zCol: String = "zval",
-                     format: String = "parquet"): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      writeZOrdered(df, path, xCol, yCol, numRanges, bitsPer, maxRecordsPerFile, zCol, format)
-  }
-
-  /** [[writeClustered]] only if `path` doesn't already hold a committed
-    * write (`_SUCCESS` marker) — the q47/`ensureBucketed` discipline:
-    * the one-time layout cost belongs to warmup/ingestion, repeated
-    * reads measure the clustered scan. Same-path same-data is the
-    * caller's contract, as with any materialized table. */
-  def ensureClustered(df: DataFrame, path: String, clusterCols: Seq[String],
-                      numRanges: Int, maxRecordsPerFile: Long = 1000000L,
-                      format: String = "parquet"): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
-    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) writeClustered(df, path, clusterCols, numRanges, maxRecordsPerFile, format)
-  }
+  // NOTE: the former `_SUCCESS`-gated ensure wrappers are gone — bare
+  // existence reuse silently serves stale layouts after an in-place
+  // source regeneration (the VERDICT r7 #2 class). Callers stage
+  // through `graft.Staging.ensureFresh(src, stage) { write... }`,
+  // which keys reuse on the SOURCE's size+mtime instead.
 
   /** Rewrite a directory of (typically many small) parquet files into
     * ⌈rows / targetRecordsPerFile⌉ files. One narrow job: the rewrite

@@ -213,11 +213,14 @@ object Relational extends QueryModule {
   def clusteredLayout(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Layout
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_work", s"clustered_$tag").toString
-    Layout.ensureClustered(
-      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
-      out, Seq("l_orderkey"), numRanges = 8, maxRecordsPerFile = 100000L)
+    val outP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"clustered_$tag")
+    val out = outP.toString
+    graft.Staging.ensureFresh(java.nio.file.Paths.get(dir, "lineitem.parquet"), outP) {
+      Layout.writeClustered(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        out, Seq("l_orderkey"), numRanges = 8, maxRecordsPerFile = 100000L)
+    }
     s.read.parquet(out)
       .filter(col("l_orderkey") % 10 === 0)
       .groupBy((col("l_orderkey") % 100).as("okey_bucket"))
@@ -236,12 +239,15 @@ object Relational extends QueryModule {
   def orcLayout(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.Layout
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_work", s"orc_clustered_$tag").toString
-    Layout.ensureClustered(
-      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
-      out, Seq("l_orderkey"), numRanges = 8, maxRecordsPerFile = 100000L,
-      format = "orc")
+    val outP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"orc_clustered_$tag")
+    val out = outP.toString
+    graft.Staging.ensureFresh(java.nio.file.Paths.get(dir, "lineitem.parquet"), outP) {
+      Layout.writeClustered(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        out, Seq("l_orderkey"), numRanges = 8, maxRecordsPerFile = 100000L,
+        format = "orc")
+    }
     s.read.orc(out)
       .filter(col("l_orderkey") % 10 === 0)
       .groupBy((col("l_orderkey") % 100).as("okey_bucket"))
