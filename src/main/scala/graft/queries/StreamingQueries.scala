@@ -693,6 +693,56 @@ object StreamingQueries extends QueryModule {
       |FROM emit WHERE eb IS NOT NULL
       |ORDER BY day, event_type""".stripMargin
 
+  // ---- q153: DYNAMIC-gap session windows -------------------------------
+
+  /** Session windows whose gap is an EXPRESSION per event (Spark's
+    * dynamic `session_window`): purchases hold a session open 45 min,
+    * everything else 15 — the per-signal session policy a fixed gap
+    * can't express. Each event spans [ts, ts+gap(event)); overlapping
+    * spans merge, so a session's end is the MAX member end, not
+    * last-ts+gap. The oracle replays exactly that interval-merge: a
+    * new session starts when an event's ts reaches the running MAX of
+    * previous ends (strict interval semantics — ts == end does NOT
+    * merge), which a lag-only replay (q31's fixed-gap shape) would get
+    * wrong whenever a long-gap event's span outlives several
+    * short-gap successors.
+    */
+  def dynamicSessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val gap = when(col("event_type") === "purchase", lit("45 minutes"))
+      .otherwise(lit("15 minutes"))
+    val sessions = eventsStream(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    drain(s, sessions, OutputMode.Complete())
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        max(col("n")).as("max_session"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q153Oracle: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 45 MINUTE
+      |              ELSE INTERVAL 15 MINUTE END AS endt
+      |  FROM events),
+      |y AS (
+      |  SELECT user_id, ts,
+      |    MAX(endt) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN rmax IS NULL OR ts >= rmax THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM y),
+      |sess AS (SELECT user_id, sid, COUNT(*) AS n FROM z GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+      |  MAX(n) AS max_session
+      |FROM sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- q143: streaming CDC apply (incremental materialized table) ------
 
   /** The incremental materialized-table loop: every micro-batch of the
@@ -1300,6 +1350,7 @@ object StreamingQueries extends QueryModule {
     "q137_late_drops" -> (lateDropWindow _),
     "q138_mb_ooo_dedup" -> (mbModStreamDedup _),
     "q143_cdc_apply" -> (cdcApply _),
+    "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
     "q81_mb_window" -> (mbWindowedAgg _),
@@ -1327,6 +1378,7 @@ object StreamingQueries extends QueryModule {
     "q137_late_drops" -> q137Oracle,
     "q138_mb_ooo_dedup" -> q138Oracle,
     "q143_cdc_apply" -> q143Oracle,
+    "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
     "q81_mb_window" -> q81Oracle,
