@@ -593,6 +593,30 @@ object Relational extends QueryModule {
       .orderBy(col("event_id"))
   }
 
+  /** q154: ranking-function battery beyond q06's row_number — rank /
+    * dense_rank / percent_rank / cume_dist over a DELIBERATELY tied
+    * key (their outputs are tie-invariant, so ordering by the coarse
+    * key alone is still deterministic), and ntile over a totally
+    * ordered spec (ntile splits ties by row order, so it NEEDS the
+    * tiebreak — mixing the two specs in one query pins exactly that
+    * distinction).
+    */
+  def rankBattery(s: SparkSession, dir: String): DataFrame = {
+    val wTies = Window.partitionBy(col("event_type")).orderBy(col("coarse"))
+    val wTotal = Window.partitionBy(col("event_type"))
+      .orderBy(col("coarse"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") / 100).cast("long").as("coarse"))
+      .withColumn("rnk", rank().over(wTies))
+      .withColumn("drnk", dense_rank().over(wTies))
+      .withColumn("prnk", percent_rank().over(wTies))
+      .withColumn("cdist", cume_dist().over(wTies))
+      .withColumn("tile", ntile(4).over(wTotal))
+      .filter(col("event_id") % 20 === 0)
+      .orderBy(col("event_type"), col("coarse"), col("event_id"))
+  }
+
   /** CUBE over supplier ⋈ nation (the one driver table no other query
     * reads): all grouping-set combinations, null slots coalesced.
     */
@@ -691,7 +715,8 @@ object Relational extends QueryModule {
     "q149_lateral_join" -> (lateralTopOrder _),
     "q150_unpivot" -> (unpivotTypeSums _),
     "q151_grouping_sets" -> (groupingSets _),
-    "q152_map_fns" -> (mapFns _))
+    "q152_map_fns" -> (mapFns _),
+    "q154_rank_battery" -> (rankBattery _))
 
   val family: String = "relational"
 
@@ -800,6 +825,19 @@ object Relational extends QueryModule {
         | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
         | STRING_SPLIT(text, ' ')[-1] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q154_rank_battery" ->
+      """SELECT event_id, event_type, CAST(floor(value / 100) AS BIGINT) AS coarse,
+        |  CAST(rank() OVER wt AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER wt AS INTEGER) AS drnk,
+        |  percent_rank() OVER wt AS prnk,
+        |  cume_dist() OVER wt AS cdist,
+        |  CAST(ntile(4) OVER wo AS INTEGER) AS tile
+        |FROM events
+        |WINDOW wt AS (PARTITION BY event_type ORDER BY CAST(floor(value / 100) AS BIGINT)),
+        |  wo AS (PARTITION BY event_type
+        |         ORDER BY CAST(floor(value / 100) AS BIGINT), event_id)
+        |QUALIFY event_id % 20 = 0
+        |ORDER BY event_type, coarse, event_id""".stripMargin,
     "q152_map_fns" ->
       """SELECT event_id,
         |  'k,type,ub' AS keys_sorted,
