@@ -617,6 +617,49 @@ object Relational extends QueryModule {
       .orderBy(col("event_type"), col("coarse"), col("event_id"))
   }
 
+  /** q155: ROWS-frame sliding window — the row-count twin of q131's
+    * RANGE frame: per event, stats over the user's LAST 5 events
+    * (4 preceding + current) in (ts, event_id) total order. ROWS
+    * frames need the unique tiebreak for determinism (peers do NOT all
+    * enter the frame, unlike RANGE), which is exactly the distinction
+    * this pins against q131.
+    */
+  def slidingRowStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-4, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_5"),
+        sum(col("value").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("sum_5"))
+      .filter(col("event_id") % 10 === 0)
+      .orderBy(col("event_id"))
+  }
+
+  /** q156: calendar gap filling — densify the per-(type, day) series so
+    * every day in the corpus span appears, zeros where nothing
+    * happened: `sequence()` generates the calendar in-plan (no driver
+    * loop, no external table) and the left join tags the holes. The
+    * everyday reporting shape that window functions can't express.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val span = ev.agg(
+      min(col("ts").cast("date")).as("d0"), max(col("ts").cast("date")).as("d1"))
+    val days = span.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = ev.select(col("event_type")).distinct()
+    val actual = ev.groupBy(col("ts").cast("date").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    days.crossJoin(types)
+      .join(actual, Seq("day", "event_type"), "left")
+      // timestamps at midnight on the wire: DuckDB DATEs surface as
+      // timestamps in the driver's pandas compare, so a date column
+      // here would dtype-mismatch even with equal values
+      .select(col("day").cast("timestamp").as("day"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** CUBE over supplier ⋈ nation (the one driver table no other query
     * reads): all grouping-set combinations, null slots coalesced.
     */
@@ -716,7 +759,9 @@ object Relational extends QueryModule {
     "q150_unpivot" -> (unpivotTypeSums _),
     "q151_grouping_sets" -> (groupingSets _),
     "q152_map_fns" -> (mapFns _),
-    "q154_rank_battery" -> (rankBattery _))
+    "q154_rank_battery" -> (rankBattery _),
+    "q155_rows_frame" -> (slidingRowStats _),
+    "q156_gap_fill" -> (gapFill _))
 
   val family: String = "relational"
 
@@ -825,6 +870,29 @@ object Relational extends QueryModule {
         | ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ',') AS vocab,
         | STRING_SPLIT(text, ' ')[-1] AS last_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q155_rows_frame" ->
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS n_5,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_5
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |QUALIFY event_id % 10 = 0
+        |ORDER BY event_id""".stripMargin,
+    "q156_gap_fill" ->
+      """WITH span AS (
+        |  SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1 FROM events),
+        |days AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM span),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |actual AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT d.day, t.event_type, CAST(COALESCE(a.n, 0) AS BIGINT) AS n
+        |FROM days d CROSS JOIN types t
+        |LEFT JOIN actual a ON a.day = d.day AND a.event_type = t.event_type
+        |ORDER BY d.day, t.event_type""".stripMargin,
     "q154_rank_battery" ->
       """SELECT event_id, event_type, CAST(floor(value / 100) AS BIGINT) AS coarse,
         |  CAST(rank() OVER wt AS INTEGER) AS rnk,
