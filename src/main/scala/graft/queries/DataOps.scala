@@ -2935,12 +2935,17 @@ object DataOps extends QueryModule {
       .write.mode("overwrite").parquet(scratch)
     d.filter(col("doc_id") % 2 === 1).select(col("doc_id"), col("lang"), col("n_chars"))
       .write.mode("append").parquet(scratch)
-    s.read.option("mergeSchema", "true").parquet(scratch)
+    // materialize off the scratch files, then reclaim them — repeated
+    // verify/bench runs must not accumulate per-run tmp generations
+    val res = s.read.option("mergeSchema", "true").parquet(scratch)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
         count(col("n_chars")).as("n_v2"),
         sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"))
+      .localCheckpoint(true)
+    graft.Staging.deleteRecursively(java.nio.file.Paths.get(scratch))
+    res
   }
 
   private val q145Oracle: String =

@@ -194,6 +194,23 @@ object StreamingQueries extends QueryModule {
     stagedChunkStream(s, dir, nFiles, "mod", "modchunkstream", (raw, _) =>
       raw.withColumn("__f", pmod(col("event_id"), lit(nFiles)).cast("int")))
 
+  /** The events table staged as 5 KEY-LOCAL chunks — the realistic CDC
+    * arrival shape where an update batch concentrates on a bounded key
+    * region instead of spraying the whole key space: with user residue
+    * r = user_id mod 15, chunk i carries residues {3i, 3i+1, 3i+2},
+    * plus (for r ≡ 0 mod 3, odd event_id) a SPILL of residue 3(i+1 mod 5)
+    * rows — so under a 15-bucket `user_id mod 15` snapshot layout every
+    * batch touches EXACTLY 4 of 15 buckets (11 provably untouched per
+    * merge), while the spill users' events straddle two batches, making
+    * later merges genuinely REPLACE keys rather than only insert them.
+    * Pure integer arithmetic both engines replicate. */
+  private def eventsUserChunkedStream(s: SparkSession, dir: String): DataFrame =
+    stagedChunkStream(s, dir, 5, "user", "userchunkstream", (raw, _) =>
+      raw.withColumn("__f", expr(
+        """CAST(CASE WHEN pmod(user_id, 15) % 3 != 0 THEN pmod(user_id, 15) DIV 3
+          |          WHEN event_id % 2 = 0 THEN pmod(user_id, 15) DIV 3
+          |          ELSE (pmod(user_id, 15) DIV 3 + 4) % 5 END AS INT)""".stripMargin)))
+
   /** Drain a chunked stream one micro-batch at a time, tagging every
     * emitted row with the micro-batch id that produced it (`emit_batch`)
     * — the cross-batch observability a memory-sink drain can't give: a
@@ -791,8 +808,100 @@ object StreamingQueries extends QueryModule {
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.read.parquet(latest.get()).orderBy(col("user_id"))
+    // materialize the result OFF the scratch dir, then reclaim it —
+    // repeated verify/bench runs must not accumulate tmp snapshots
+    val res = s.read.parquet(latest.get()).orderBy(col("user_id")).localCheckpoint(true)
+    deleteRecursively(scratch)
+    res
   }
+
+  // ---- q157: partition-scoped CDC merge (copy-on-write buckets) --------
+
+  /** The scale-safe form of [[cdcApply]]: the snapshot lives as a
+    * 15-bucket `user_id mod 15` Hive-partitioned directory
+    * ([[graft.operators.Layout.writeBucketed]]) and every micro-batch
+    * merges through [[graft.operators.Layout.upsertPartitioned]], which
+    * rewrites ONLY the buckets containing that batch's keys. q143's
+    * full-snapshot rewrite is O(snapshot) I/O per batch no matter how
+    * small the batch; this is O(touched buckets) — with the key-local
+    * arrival shape of [[eventsUserChunkedStream]], exactly 4 of 15
+    * buckets per merge, the remaining 11 left physically untouched.
+    * That invariant is AUDITED IN-PIN: before and after every merge the
+    * per-bucket file signatures (name, length, mtime) are compared and
+    * any drift in an untouched bucket fails the query — a regression to
+    * full-rewrite behavior turns this row red rather than merely slow.
+    *
+    * Because a spill user's events straddle two batches, the final row
+    * per user is the lexicographic (f, ts, event_id) argmax — the
+    * last-batch-wins semantics the oracle replays (same shape as q143's,
+    * with the key-local chunk assignment).
+    */
+  def cdcApplyPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    import graft.operators.Layout
+    val scratch = Paths.get(sys.props("java.io.tmpdir"), "graft_work",
+      s"cdcp_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val snap = scratch.resolve("snapshot").toString
+    val bucketExpr = pmod(col("user_id"), lit(15L))
+    val initialized = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val updates = eventsUserChunkedStream(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = updates.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val winners = df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          if (!winners.isEmpty) {
+            if (!initialized.getAndSet(true)) {
+              Layout.writeBucketed(winners, snap, bucketExpr)
+            } else {
+              val before = Layout.bucketFileSignatures(s, snap)
+              val touched = Layout.upsertPartitioned(
+                s, snap, winners, Seq("user_id"), bucketExpr).toSet
+              val after = Layout.bucketFileSignatures(s, snap)
+              val untouched = before.keySet.diff(touched)
+              require(untouched.nonEmpty,
+                "cdcApplyPartitioned audit is vacuous: every bucket touched")
+              untouched.foreach { b =>
+                require(before(b) == after(b),
+                  s"cdcApplyPartitioned: untouched bucket $b was rewritten " +
+                    s"(before=${before(b)}, after=${after(b)})")
+              }
+            }
+          }
+          ()
+        }
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val res = s.read.parquet(snap)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(true)
+    deleteRecursively(scratch)
+    res
+  }
+
+  private val q157Oracle: String =
+    """WITH evf AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN (user_id % 15) % 3 <> 0 THEN (user_id % 15) // 3
+      |         WHEN event_id % 2 = 0 THEN (user_id % 15) // 3
+      |         ELSE ((user_id % 15) // 3 + 4) % 5 END AS f
+      |  FROM events),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY f DESC, ts DESC, event_id DESC) AS rn
+      |  FROM evf)
+      |SELECT user_id, ts, event_id, value FROM rk WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
 
   private val q143Oracle: String =
     """WITH evf AS (
@@ -1350,6 +1459,7 @@ object StreamingQueries extends QueryModule {
     "q137_late_drops" -> (lateDropWindow _),
     "q138_mb_ooo_dedup" -> (mbModStreamDedup _),
     "q143_cdc_apply" -> (cdcApply _),
+    "q157_cdc_partitioned" -> (cdcApplyPartitioned _),
     "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
@@ -1378,6 +1488,7 @@ object StreamingQueries extends QueryModule {
     "q137_late_drops" -> q137Oracle,
     "q138_mb_ooo_dedup" -> q138Oracle,
     "q143_cdc_apply" -> q143Oracle,
+    "q157_cdc_partitioned" -> q157Oracle,
     "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,

@@ -199,6 +199,77 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  describe("Layout.upsertPartitioned") {
+    it("rewrites ONLY buckets containing update keys; untouched buckets' files are physically identical") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/snap"
+        val bucket = pmod(col("k"), lit(8L))
+        val base = (0L until 400L).map(k => (k, s"v$k")).toDF("k", "txt")
+        Layout.writeBucketed(base, snap, bucket)
+        val before = Layout.bucketFileSignatures(spark, snap)
+        assert(before.keySet == (0 until 8).toSet)
+        // update keys hit buckets {1, 5} only (k mod 8)
+        val updates = Seq((9L, "nine-v2"), (13L, "thirteen-v2"), (401L, "new"))
+          .toDF("k", "txt")
+        val touched = Layout.upsertPartitioned(
+          spark, snap, updates, Seq("k"), bucket)
+        assert(touched == Seq(1, 5), s"touched $touched")
+        val after = Layout.bucketFileSignatures(spark, snap)
+        // the 6 untouched buckets: same file names, lengths, mtimes
+        (before.keySet -- touched).foreach { b =>
+          assert(before(b) == after(b), s"untouched bucket $b rewritten")
+        }
+        // touched buckets really were rewritten (fresh part files)
+        touched.foreach { b =>
+          assert(before(b) != after(b), s"touched bucket $b unchanged")
+        }
+        // content = upsert semantics: replaced keys, carried base, new key
+        val got = spark.read.parquet(snap).drop("__bucket")
+          .as[(Long, String)].collect().toMap
+        assert(got.size == 401)
+        assert(got(9L) == "nine-v2" && got(13L) == "thirteen-v2" && got(401L) == "new")
+        assert(got(8L) == "v8" && got(0L) == "v0")
+      }
+    }
+
+    it("an empty update batch touches nothing") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/snap"
+        val bucket = pmod(col("k"), lit(4L))
+        Layout.writeBucketed((0L until 40L).map(k => (k, k * 2)).toDF("k", "v"), snap, bucket)
+        val before = Layout.bucketFileSignatures(spark, snap)
+        val touched = Layout.upsertPartitioned(
+          spark, snap, Seq.empty[(Long, Long)].toDF("k", "v"), Seq("k"), bucket)
+        assert(touched.isEmpty)
+        assert(Layout.bucketFileSignatures(spark, snap) == before)
+      }
+    }
+
+    it("propagates the duplicate-update-key guard") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/snap"
+        val bucket = pmod(col("k"), lit(4L))
+        Layout.writeBucketed((0L until 40L).map(k => (k, k * 2)).toDF("k", "v"), snap, bucket)
+        val dup = Seq((3L, 1L), (3L, 2L)).toDF("k", "v")
+        val ex = intercept[Exception] {
+          Layout.upsertPartitioned(spark, snap, dup, Seq("k"), bucket)
+        }
+        assert(ex.getMessage.contains("duplicate update key") ||
+          Option(ex.getCause).exists(_.getMessage.contains("duplicate update key")),
+          s"unexpected failure: $ex")
+      }
+    }
+
+    it("default hash bucketing is deterministic and scatter-bounded by the batch key count") {
+      val b1 = Layout.bucketOf(Seq("k"), 1024)
+      val ids = (0L until 50L).toDF("k").select(b1.as("b"))
+      val again = (0L until 50L).toDF("k").select(b1.as("b"))
+      assert(ids.collect().map(_.getInt(0)).toSeq == again.collect().map(_.getInt(0)).toSeq)
+      // 50 keys can never touch more than 50 of the 1024 buckets
+      assert(ids.distinct().count() <= 50)
+    }
+  }
+
   describe("Layout.compact") {
     it("collapses many small files into the target count without losing rows") {
       withTempDir { dir =>
