@@ -519,6 +519,101 @@ object PipelineQueries extends QueryModule {
        | ${graft.functions.TextFns.hash60Sql(edgePayloadSql)} AS h
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q159: initial position semantics (O2) ----------------------------
+
+  /** The three stream seek semantics (reference `Config.scala:62-106`,
+    * applied at executor start `KinesisSourceExecutor.scala:102-107`)
+    * exercised against ONE staged file set and pinned side by side:
+    * the events table is staged as five line files (file c = events
+    * with event_id mod 5 = c), files 0–3 carrying HISTORICAL mtimes
+    * (2020, one minute apart) and file 4 a FUTURE mtime (2100 — the
+    * "records still arriving after startup" tail of a live stream).
+    * Then the same [[FileSource]] is opened three times:
+    *
+    *  - TRIM_HORIZON → every file (all five groups);
+    *  - AT_TIMESTAMP(file 2's mtime) → files 2 and 3 (historical at/after
+    *    the seek point) plus the future file 4;
+    *  - LATEST → only file 4 (its mtime is the only one at/after the
+    *    cutoff decided at source construction — any run-time "now"
+    *    lands strictly between 2020 and 2100, so the pin is
+    *    wall-clock-independent).
+    *
+    * The oracle replays the three admissions as WHERE clauses over the
+    * same mod-5 assignment. This is the O2 driver pin VERDICT r8 #2
+    * asked for — all three seeks through the REAL source seam, not a
+    * spec double.
+    */
+  def initialPositions(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.StandardCopyOption
+    val work = freshWorkDir("q159", dir)
+    val in = Paths.get(work, "in")
+    Files.createDirectories(in)
+    val histT0 = 1600000000000L // 2020-09-13, strictly before any run
+    val futureT = 4102444800000L // 2100-01-01, strictly after any run
+    val ev = Tables(s, dir, "events")
+      .select(col("event_id"), pmod(col("event_id"), lit(5L)).cast("int").as("__f"))
+      .localCheckpoint()
+    for (c <- 0 until 5) {
+      val tmp = Paths.get(work, s"build_$c")
+      ev.filter(col("__f") === c).select(col("event_id").cast("string").as("value"))
+        .coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".txt")).findFirst().orElseThrow()
+        finally listing.close()
+      val dest = in.resolve(f"chunk_$c%02d.txt")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(tmp)
+      Files.setLastModifiedTime(dest, java.nio.file.attribute.FileTime.fromMillis(
+        if (c == 4) futureT else histT0 + c * 60000L))
+    }
+    ev.unpersist(blocking = false)
+    val positions = Seq(
+      "TRIM_HORIZON" -> InitialPosition.TrimHorizon,
+      "AT_TIMESTAMP" -> InitialPosition.AtTimestamp(
+        Instant.ofEpochMilli(histT0 + 2 * 60000L)),
+      "LATEST" -> InitialPosition.Latest)
+    positions.map { case (label, pos) =>
+      val config = PipelineConfig(
+        region = None,
+        purpose = Purpose.Enriched,
+        input = InputConfig("graft-q159", in.toString, pos, maxRecords = 64),
+        output = OutputConfig(
+          S3OutputConfig(s"$work/out_$label", dateFormat = None, filenamePrefix = None,
+            compression = Compression.Gzip, maxTimeout = 10000),
+          BadOutputConfig(s"$work/bad_$label")),
+        buffer = BufferConfig(byteLimit = 256L << 20, recordLimit = 10000, timeLimit = 0),
+        monitoring = None)
+      val lines = FileSource.lines(s, config, checkpointDir = None)
+      val name = s"graft_pos_${label.toLowerCase.replace("_", "")}"
+      val q = lines.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).localCheckpoint(true)
+        .select(col("value").cast("long").as("event_id"))
+        .groupBy(pmod(col("event_id"), lit(5L)).as("fid"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_eid"))
+        .withColumn("position", lit(label))
+    }.reduce(_ unionByName _)
+      .select(col("position"), col("fid"), col("n"), col("sum_eid"))
+      .orderBy(col("position"), col("fid"))
+  }
+
+  private val q159Oracle: String =
+    """WITH f AS (SELECT event_id, CAST(event_id % 5 AS BIGINT) AS fid FROM events),
+      |a AS (
+      |  SELECT 'TRIM_HORIZON' AS position, fid, COUNT(*) AS n,
+      |    CAST(SUM(event_id) AS BIGINT) AS sum_eid FROM f GROUP BY fid
+      |  UNION ALL
+      |  SELECT 'AT_TIMESTAMP', fid, COUNT(*), CAST(SUM(event_id) AS BIGINT)
+      |  FROM f WHERE fid >= 2 GROUP BY fid
+      |  UNION ALL
+      |  SELECT 'LATEST', fid, COUNT(*), CAST(SUM(event_id) AS BIGINT)
+      |  FROM f WHERE fid = 4 GROUP BY fid)
+      |SELECT position, fid, n, sum_eid FROM a ORDER BY position, fid""".stripMargin
+
   // ---- plumbing --------------------------------------------------------
 
   /** Deterministic per-(query,sfDir) scratch dir, wiped before each run. */
@@ -550,7 +645,8 @@ object PipelineQueries extends QueryModule {
     "q87_sharded_cycles" -> (shardedCycles _),
     "q95_csv_roundtrip" -> (csvRoundtrip _),
     "q96_json_roundtrip" -> (jsonRoundtrip _),
-    "q103_resharded_cycles" -> (reshardedCycles _))
+    "q103_resharded_cycles" -> (reshardedCycles _),
+    "q159_initial_position" -> (initialPositions _))
 
   val family: String = "pipeline"
 
@@ -565,5 +661,6 @@ object PipelineQueries extends QueryModule {
     "q87_sharded_cycles" -> q87Oracle,
     "q95_csv_roundtrip" -> q95Oracle,
     "q96_json_roundtrip" -> q95Oracle,
-    "q103_resharded_cycles" -> q103Oracle)
+    "q103_resharded_cycles" -> q103Oracle,
+    "q159_initial_position" -> q159Oracle)
 }
