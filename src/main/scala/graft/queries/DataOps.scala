@@ -1841,6 +1841,83 @@ object DataOps extends QueryModule {
        |FROM documents d LEFT JOIN allw USING (doc_id)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  // ---- q160: BPE trainer, driver-pinned ---------------------------------
+
+  /** The one-job BPE TRAINER ([[graft.functions.Tokenizer
+    * .learnMergesBatched]], VERDICT r7 #5's fix) graduates from
+    * spec-pinned to oracle-pinned (VERDICT r8 #3): its learned
+    * (rank, a, b) merge table over the documents corpus is emitted and
+    * the oracle REPLAYS TRAINING ITSELF in DuckDB — q104 replays merge
+    * INFERENCE under a fixed table; this replays merge SELECTION. Per
+    * step k: weighted adjacent-pair counts over the current vocabulary
+    * segmentation (per-position, overlaps included), argmax under the
+    * exact rule (count desc, then UTF-8-binary a, b — DuckDB's memcmp
+    * string order ≡ Spark's UTF8String order), `minPairCount`
+    * exhaustion, then a recursive CTE merges the adopted pair
+    * leftmost-first to the fixed point (one occurrence per recursion
+    * step — equivalent to the trainer's single-pass non-overlapping
+    * merge, since a merged piece can never recreate its own left
+    * element). A green row pins every selection decision of every
+    * training step; drift between the batched trainer and these
+    * semantics — the risk VERDICT r8 #3 names — turns the row red.
+    */
+  private val BpeTrainSteps = 10
+  private val BpeTrainMaxWord = 12
+
+  def bpeTrainer(s: SparkSession, dir: String): DataFrame = {
+    val merges = graft.functions.Tokenizer.learnMergesBatched(
+      docs(s, dir), col("text"),
+      numMerges = BpeTrainSteps, maxWordChars = BpeTrainMaxWord, minPairCount = 2L)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("rank", "a", "b")
+      .orderBy(col("rank"))
+  }
+
+  private val q160Oracle: String = {
+    val mw = BpeTrainMaxWord
+    val steps = (1 to BpeTrainSteps).map { k =>
+      val prev = s"seg${k - 1}"
+      s"""cnt$k AS MATERIALIZED (
+         |  SELECT p[i] AS a, p[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS c
+         |  FROM (SELECT n, p, unnest(range(1, len(p))) AS i FROM $prev)
+         |  GROUP BY 1, 2),
+         |best$k AS MATERIALIZED (SELECT a, b FROM cnt$k WHERE c >= 2 ORDER BY c DESC, a, b LIMIT 1),
+         |app$k AS (
+         |  SELECT w, n, p FROM $prev
+         |  UNION ALL
+         |  SELECT w, n,
+         |    COALESCE(p[1:bi-1], []) || [p[bi] || p[bi+1]] || COALESCE(p[bi+2:], []) AS p
+         |  FROM (
+         |    SELECT w, n, p, list_position(
+         |        list_transform(range(1, len(p)), i -> p[i] || '|' || p[i+1]),
+         |        (SELECT a || '|' || b FROM best$k)) AS bi
+         |    FROM app$k) u
+         |  WHERE bi > 0),
+         |seg$k AS MATERIALIZED (
+         |  SELECT w, n, p FROM app$k s
+         |  WHERE NOT EXISTS (SELECT 1 FROM best$k r WHERE list_contains(
+         |    list_transform(range(1, len(s.p)), i -> s.p[i] || '|' || s.p[i+1]),
+         |    r.a || '|' || r.b)))""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to BpeTrainSteps)
+      .map(k => s"SELECT CAST(${k - 1} AS BIGINT) AS rank, a, b FROM best$k")
+      .mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+       |words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |seg0 AS MATERIALIZED (
+       |  SELECT w, n, list_transform(range(1, len(w) + 1), i -> w[i]) AS p
+       |  FROM words WHERE len(w) <= $mw AND len(w) >= 2),
+       |$steps
+       |SELECT rank, a, b FROM (
+       |  $ranks)
+       |ORDER BY rank""".stripMargin
+  }
+
   // ---- q105: fixed-weights quality classifier --------------------------
 
   /** Model-based quality scoring with a FIXED fastText-shaped linear
@@ -3049,6 +3126,7 @@ object DataOps extends QueryModule {
     "q98_fuzzy_vocab" -> (fuzzyVocab _),
     "q100_trie_tokenize" -> (trieTokens _),
     "q104_bpe_tokenize" -> (bpeTokens _),
+    "q160_bpe_trainer" -> (bpeTrainer _),
     "q105_quality_classifier" -> (qualityClassify _),
     "q106_span_excision" -> (spanExcision _),
     "q101_mixture_recipe" -> (mixtureRecipe _),
@@ -3128,6 +3206,7 @@ object DataOps extends QueryModule {
     "q98_fuzzy_vocab" -> q98Oracle,
     "q100_trie_tokenize" -> q100Oracle,
     "q104_bpe_tokenize" -> q104Oracle,
+    "q160_bpe_trainer" -> q160Oracle,
     "q105_quality_classifier" -> q105Oracle,
     "q106_span_excision" -> q106Oracle,
     "q101_mixture_recipe" -> q101Oracle,
