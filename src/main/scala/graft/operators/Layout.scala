@@ -209,14 +209,33 @@ object Layout {
     * a whole-stage-codegen projection, replayable in any engine —
     * NEVER a UDF.
     */
-  def zOrderValue(x: Column, y: Column, bitsPer: Int = 16): Column = {
-    require(bitsPer >= 1 && bitsPer <= 31, s"bitsPer must be in [1,31], got $bitsPer")
+  def zOrderValue(x: Column, y: Column, bitsPer: Int = 16): Column =
+    zOrderValueN(Seq(x, y), bitsPer)
+
+  /** [[zOrderValue]] generalized to d dimensions (real pruning
+    * workloads cluster on 3–4 dims — lang × quality-decile × day): bit
+    * b of dimension j lands at interleaved position `b·d + j`, so for
+    * d=2 this IS the classic (x even, y odd) Morton layout and q116's
+    * files stay byte-stable. Same clamp totality per dimension; the
+    * product `d·bitsPer` must fit a non-negative long (≤ 63 bits).
+    * Still pure built-in bit arithmetic — one whole-stage-codegen
+    * projection, replayable in any engine. (The Hilbert layout remains
+    * 2-D by design: Hamilton's d-dimensional Gray-code form needs
+    * per-axis rotation state that triples the expression tree per extra
+    * dim; Morton loses only locality at quadrant jumps, not pruning
+    * correctness, so it is the documented d>2 path.)
+    */
+  def zOrderValueN(dims: Seq[Column], bitsPer: Int): Column = {
+    val d = dims.size
+    require(d >= 2, s"zOrderValueN needs at least 2 dimensions, got $d")
+    require(bitsPer >= 1 && d * bitsPer <= 63,
+      s"d*bitsPer must be in [1,63], got $d*$bitsPer")
     val mask = (1L << bitsPer) - 1
     def clamp(c: Column) = least(greatest(c.cast("long"), lit(0L)), lit(mask))
-    val (cx, cy) = (clamp(x), clamp(y))
-    (0 until bitsPer).map { b =>
-      shiftleft(shiftright(cx, b).bitwiseAND(lit(1L)), 2 * b)
-        .bitwiseOR(shiftleft(shiftright(cy, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    dims.zipWithIndex.flatMap { case (c, j) =>
+      val cc = clamp(c)
+      (0 until bitsPer).map(b =>
+        shiftleft(shiftright(cc, b).bitwiseAND(lit(1L)), b * d + j))
     }.reduce(_ bitwiseOR _)
   }
 
@@ -261,8 +280,18 @@ object Layout {
                     numRanges: Int, bitsPer: Int = 16,
                     maxRecordsPerFile: Long = 1000000L, zCol: String = "zval",
                     format: String = "parquet"): Unit =
+    writeZOrderedN(df, path, Seq(xCol, yCol), numRanges, bitsPer,
+      maxRecordsPerFile, zCol, format)
+
+  /** [[writeZOrdered]] over d dimension columns ([[zOrderValueN]]):
+    * each output file covers a compact d-D tile, so a box predicate on
+    * any subset of the dims touches few files. */
+  def writeZOrderedN(df: DataFrame, path: String, dimCols: Seq[String],
+                     numRanges: Int, bitsPer: Int = 16,
+                     maxRecordsPerFile: Long = 1000000L, zCol: String = "zval",
+                     format: String = "parquet"): Unit =
     writeClustered(
-      df.withColumn(zCol, zOrderValue(col(xCol), col(yCol), bitsPer)),
+      df.withColumn(zCol, zOrderValueN(dimCols.map(col), bitsPer)),
       path, Seq(zCol), numRanges, maxRecordsPerFile, format)
 
   // NOTE: the former `_SUCCESS`-gated ensure wrappers are gone — bare

@@ -103,6 +103,57 @@ class LayoutSpec extends SparkSpec {
           Layout.zOrderValue(col("x"), col("y"), 8) =!= col("zval")).count() == 0)
       }
     }
+
+    it("zOrderValueN interleaves d=3 bits at positions 3b+j and clamps per dim") {
+      val df = Seq(
+        (0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+        (3L, 5L, 6L), (63L, 63L, 63L), (-2L, 7L, 99L)).toDF("x", "y", "w")
+      val got = df.select(
+        Layout.zOrderValueN(Seq(col("x"), col("y"), col("w")), bitsPer = 6).as("z"))
+        .as[Long].collect().toSeq
+      def morton3(x: Long, y: Long, w: Long): Long = {
+        def c(v: Long) = math.min(math.max(v, 0L), 63L)
+        (0 until 6).map(b =>
+          (((c(x) >> b) & 1L) << (3 * b)) |
+            (((c(y) >> b) & 1L) << (3 * b + 1)) |
+            (((c(w) >> b) & 1L) << (3 * b + 2))).sum
+      }
+      val want = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+        (3L, 5L, 6L), (63L, 63L, 63L), (-2L, 7L, 99L))
+        .map { case (x, y, w) => morton3(x, y, w) }
+      assert(got == want)
+      // unit bits land at positions 0 / 1 / 2
+      assert(want(1) == 1L && want(2) == 2L && want(3) == 4L)
+      assert(want(5) == (1L << 18) - 1)
+      // d=2 keeps the classic layout byte-identical to zOrderValue
+      val two = Seq((3L, 5L)).toDF("x", "y")
+      assert(two.select(Layout.zOrderValueN(Seq(col("x"), col("y")), 8)).head().getLong(0)
+        == two.select(Layout.zOrderValue(col("x"), col("y"), 8)).head().getLong(0))
+    }
+
+    it("writeZOrderedN(d=3) produces files with DISJOINT zval ranges — 3-D box pruning") {
+      withTempDir { dir =>
+        val out = s"${dir.getAbsolutePath}/zorder3"
+        val rnd = new scala.util.Random(11)
+        val df = (1 to 8000)
+          .map(_ => (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong, rnd.nextInt(64).toLong))
+          .toDF("x", "y", "w").withColumn("v", col("x") + col("y") + col("w"))
+        Layout.writeZOrderedN(df, out, Seq("x", "y", "w"), numRanges = 4,
+          bitsPer = 6, maxRecordsPerFile = 2500)
+        val ranges = Layout.fileRanges(spark, out, "zval").sortBy(_._1)
+        assert(ranges.size >= 4, s"expected >=4 files, got ${ranges.size}")
+        ranges.sliding(2).foreach {
+          case Seq((_, aMax), (bMin, _)) =>
+            assert(aMax <= bMin, s"interleaved file ranges: $ranges")
+          case _ =>
+        }
+        val back = spark.read.parquet(out)
+        assert(back.count() == 8000)
+        assert(back.filter(
+          Layout.zOrderValueN(Seq(col("x"), col("y"), col("w")), 6) =!= col("zval"))
+          .count() == 0)
+      }
+    }
   }
 
   describe("Layout.hilbertValue / writeHilbert") {
