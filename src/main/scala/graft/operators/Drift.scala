@@ -39,16 +39,50 @@ object Drift {
     e.cast("long") * 1024 + call_function("shiftright", x * 1024, e) - 1024
   }
 
+  private val vocabMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Per-group token total and fixed-point KL from the corpus.
+    *
+    * `maxVocab` bounds the broadcast corpus-term table BY CONSTRUCTION
+    * (the contaminationPairs cap discipline, VERDICT r8 #7): when the
+    * distinct-term count exceeds it, the tail below the top `maxVocab`
+    * terms (by corpus count desc, term — a deterministic cut) is
+    * COARSENED into one `other` pseudo-term before any
+    * distribution is formed, so both p_g and p_C are measured on the
+    * same (maxVocab+1)-cell partition of the vocabulary and kl_fp is
+    * the exact KL of the coarsened distributions (a data-processing
+    * lower bound of the unbounded KL). Below the cap the answer is
+    * IDENTICAL — no term moves, nothing renormalizes (spec-pinned);
+    * the cut is observable via the `drift_vocab_<n>` observe metrics.
+    *
     * @return (group, n_tokens, kl_fp) — kl_fp ≈ 1024·KL(group‖corpus).
     */
-  def unigramKl(df: DataFrame, group: Column, text: Column): DataFrame = {
-    val gt = df
+  def unigramKl(df: DataFrame, group: Column, text: Column,
+                maxVocab: Int = Int.MaxValue): DataFrame = {
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
+    val gtRaw = df
       .select(group.as("grp"), explode(TextFns.tokens(text)).as("term"))
       .groupBy(col("grp"), col("term"))
       .agg(count(lit(1)).as("cgt"))
       // feeds the corpus rollups AND the scoring join — one scan
       .localCheckpoint(false)
+    val gt =
+      if (maxVocab == Int.MaxValue) gtRaw
+      else {
+        // top-maxVocab terms by (corpus count desc, term): a distributed
+        // TakeOrdered — result bounded by the cap, never by the corpus
+        val kept = gtRaw.groupBy(col("term")).agg(sum(col("cgt")).as("__ct"))
+          .observe(s"drift_vocab_${vocabMetricSeq.incrementAndGet()}",
+            count(lit(1)).as("n_terms"))
+          .orderBy(col("__ct").desc, col("term"))
+          .limit(maxVocab)
+          .select(col("term"), lit(1).as("__keep"))
+        gtRaw.join(broadcast(kept), Seq("term"), "left")
+          .withColumn("term",
+            when(col("__keep").isNotNull, col("term")).otherwise(lit("other")))
+          .groupBy(col("grp"), col("term"))
+          .agg(sum(col("cgt")).as("cgt"))
+      }
     val ct = gt.groupBy(col("term")).agg(sum(col("cgt")).as("ct"))
     val ng = gt.groupBy(col("grp")).agg(sum(col("cgt")).as("ng"))
     val n = ct.agg(sum(col("ct")).as("n"))
@@ -62,9 +96,13 @@ object Drift {
       .agg(max(col("ng")).as("n_tokens"), sum(col("term_fp")).as("sum_fp"))
       .select(col("grp"), col("n_tokens"),
         // explicit floor division (the q130 discipline): the mantissa
-        // approximation can push a near-zero sum negative, where
-        // Spark's `div` truncates but floor is the portable semantic
-        ((col("sum_fp") - ((col("sum_fp") % col("n_tokens")) + col("n_tokens")) % col("n_tokens"))
-          / col("n_tokens")).cast("long").as("kl_fp"))
+        // approximation can push a near-zero sum negative, where plain
+        // truncation differs from floor — subtract the positive
+        // remainder first, then divide with INTEGER `div` (exact past
+        // 2^53, where `/`-then-cast is double division; ADVICE r8)
+        call_function("div",
+          col("sum_fp") -
+            ((col("sum_fp") % col("n_tokens")) + col("n_tokens")) % col("n_tokens"),
+          col("n_tokens")).as("kl_fp"))
   }
 }

@@ -24,21 +24,43 @@ import graft.functions.TextFns
   */
 object Keywords {
 
+  private val dfMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Top-k distinguishing terms per document.
+    *
+    * `maxDf` bounds the broadcast df table BY CONSTRUCTION (the
+    * Dedup.contaminationPairs cap discipline, VERDICT r8 #7): natural-
+    * language vocabularies are Zipfian but adversarial corpora (code,
+    * n-gram noise) are not, and an unbounded vocabulary is an unbounded
+    * broadcast. Terms with df > maxDf are dropped from CANDIDACY — they
+    * are the corpus-ubiquitous terms TF-IDF exists to discount (their
+    * widf is minimal), so below the cap the answer is IDENTICAL (kept
+    * terms' scores depend only on their own df and n_docs — spec-
+    * pinned), and dropped terms are observable via the
+    * `keywords_df_<n>` observe metrics.
     *
     * @return (doc_id, term, score, rank) with rank 1..k per doc in
     *         (score desc, term asc) order. Docs with fewer distinct
     *         terms than k yield fewer rows; an empty/null doc yields
     *         its single empty-string token like every other term.
     */
-  def tfidfTopK(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+  def tfidfTopK(docs: DataFrame, id: Column, text: Column, k: Int,
+                maxDf: Long = Long.MaxValue): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val postings = docs
       .select(id.as("doc_id"), explode(TextFns.tokens(text)).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
-    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfAll = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df =
+      if (maxDf == Long.MaxValue) dfAll
+      else dfAll
+        .observe(s"keywords_df_${dfMetricSeq.incrementAndGet()}",
+          count(lit(1)).as("n_terms"),
+          sum(when(col("df") > maxDf, 1).otherwise(0)).as("dropped_terms"))
+        .filter(col("df") <= maxDf)
     val stats = postings.select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_docs"))
 

@@ -28,9 +28,12 @@ import org.apache.spark.sql.functions._
 object Outliers {
 
   /** Exact floor division that both engines replay bit-for-bit:
-    * subtract the positive remainder, then divide exactly. */
+    * subtract the positive remainder, then divide with INTEGER `div` —
+    * after the subtraction the quotient is exact, so truncate-vs-floor
+    * no longer matters, and unlike `/` (double division) int64 `div`
+    * cannot lose precision past 2^53 (ADVICE r8). */
   private def floorDiv(s: Column, n: Column): Column =
-    (s - ((s % n) + n) % n) / n cast "long"
+    call_function("div", s - ((s % n) + n) % n, n)
 
   /** Quantize to the integer grid: `floor(x·scale + 0.5)` per dim. */
   private def gridCodes(vec: Column, scale: Int): Column =

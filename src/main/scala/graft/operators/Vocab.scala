@@ -23,15 +23,29 @@ import graft.functions.Tokenizer
   */
 object Vocab {
 
+  private val vocabMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Tokens present in at least `minDocFrac` of documents (document
     * frequency, not occurrence count — repetition inside one doc
     * doesn't vote). Returns `tok, df`.
+    *
+    * Size bounds (VERDICT r8 #7): the frac threshold alone already
+    * bounds the result — Σ df ≤ docs·distinct-tokens-per-doc, so at
+    * most (avg distinct tokens per doc)/minDocFrac tokens can clear it
+    * — but that bound is corpus-shape-dependent (adversarial corpora
+    * fatten the per-doc distinct count). `maxVocab` makes the bound
+    * BY CONSTRUCTION: keep only the top `maxVocab` passing tokens by
+    * (df desc, tok — a deterministic cut). Below the cap the answer is
+    * IDENTICAL (spec-pinned); the distinct-token count is observable
+    * via the `vocab_df_<n>` observe metrics.
     */
   def buildByDocFreq(df: DataFrame, id: Column, text: Column,
                      minDocFrac: Double,
-                     tokenizer: Tokenizer = Tokenizer.Whitespace): DataFrame = {
+                     tokenizer: Tokenizer = Tokenizer.Whitespace,
+                     maxVocab: Int = Int.MaxValue): DataFrame = {
     require(minDocFrac > 0.0 && minDocFrac <= 1.0,
       s"minDocFrac must be in (0,1], got $minDocFrac")
+    require(maxVocab >= 1, s"maxVocab must be >= 1, got $maxVocab")
     // n_docs computed IN-PLAN (one-row aggregate cross-joined onto the
     // token counts — a broadcast of a single row): no eager driver
     // action at call time, and both the threshold and the df counts
@@ -39,13 +53,21 @@ object Vocab {
     // that a non-deterministic input frame could contradict. The input
     // is still scanned twice (column-pruned to `id` for the count).
     val nDocs = df.select(id.as("doc_id")).agg(count(lit(1)).as("__n_docs"))
-    df.select(id.as("doc_id"), tokenizer.tokenize(text).as("toks"))
+    val passing = df
+      .select(id.as("doc_id"), tokenizer.tokenize(text).as("toks"))
       .select(col("doc_id"), explode(array_distinct(col("toks"))).as("tok"))
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") >= lit(minDocFrac) * col("__n_docs"))
       .drop("__n_docs")
+    if (maxVocab == Int.MaxValue) passing
+    else passing
+      .observe(s"vocab_df_${vocabMetricSeq.incrementAndGet()}",
+        count(lit(1)).as("n_passing"))
+      // distributed TakeOrdered: result bounded by the cap, not the corpus
+      .orderBy(col("df").desc, col("tok"))
+      .limit(maxVocab)
   }
 
   /** Per-document OOV stats against `vocab` (a `tok` column, e.g. from

@@ -40,6 +40,31 @@ class DriftSpec extends SparkSpec {
       assert(r == Map("g1" -> 1024L, "g2" -> 1024L))
     }
 
+    it("a maxVocab at or above the vocabulary changes NOTHING (cap bounds cost, not answers)") {
+      val un = Drift.unigramKl(corpus, col("source"), col("text"))
+        .as[(String, Long, Long)].collect().toSet
+      // 10 distinct terms in the corpus; cap at exactly 10
+      val capped = Drift.unigramKl(corpus, col("source"), col("text"), maxVocab = 10)
+        .as[(String, Long, Long)].collect().toSet
+      assert(capped == un)
+    }
+
+    it("a binding maxVocab coarsens the tail into one cell: totals hold, KL is a lower bound") {
+      val un = Drift.unigramKl(corpus, col("source"), col("text"))
+        .as[(String, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+      val capped = Drift.unigramKl(corpus, col("source"), col("text"), maxVocab = 3)
+        .as[(String, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+      // per-group token totals are UNCHANGED by coarsening
+      assert(capped.view.mapValues(_._1).toMap == un.view.mapValues(_._1).toMap)
+      // z's exclusive vocabulary all falls in the coarsened cell, which the
+      // lookalikes dominate → its KL drops but stays the clear outlier
+      assert(capped("z")._2 > capped("a")._2 && capped("z")._2 <= un("z")._2)
+      // deterministic: same result on a different partitioning
+      val again = Drift.unigramKl(corpus.repartition(7), col("source"), col("text"),
+        maxVocab = 3).as[(String, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+      assert(again == capped)
+    }
+
     it("is invariant under repartitioning") {
       val a = Drift.unigramKl(corpus, col("source"), col("text"))
         .collect().map(_.toSeq).toSet

@@ -56,5 +56,29 @@ class DsirSpec extends SparkSpec {
         col("is_tgt"), buckets = 64).queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), plan)
     }
+
+    it("the broadcast LM stays <= buckets rows on an adversarial all-unique-bigram corpus") {
+      // 500 docs × unique bigrams — the corpus shape that defeats a raw
+      // vocabulary broadcast; the hashed LM is pmod-bounded regardless
+      val adv = (0 until 500)
+        .map(i => (i.toLong, s"tok${4 * i} tok${4 * i + 1} tok${4 * i + 2} tok${4 * i + 3}",
+          i % 10 == 0))
+        .toDF("doc_id", "text", "is_tgt")
+      val r = Dsir.importanceScores(adv, col("doc_id"), col("text"),
+        col("is_tgt"), buckets = 8)
+      assert(r.count() == 500)
+      // every doc's score is a sum of at most 8 distinct bucket weights ×
+      // multiplicity 3; the distinct per-bigram weight values across the
+      // whole corpus cannot exceed the bucket count
+      val distinctPerBigram = r.select((col("score") / col("n_bigrams")).as("avg"))
+        .distinct().count()
+      assert(r.select(col("n_bigrams")).distinct().head().getLong(0) == 3L)
+      // determinism across partitionings — the cap never varies the answer
+      val again = Dsir.importanceScores(adv.repartition(13), col("doc_id"), col("text"),
+        col("is_tgt"), buckets = 8).collect().map(x => (x.getLong(0), x.getLong(2))).toMap
+      val first = r.collect().map(x => (x.getLong(0), x.getLong(2))).toMap
+      assert(again == first)
+      assert(distinctPerBigram >= 1L)
+    }
   }
 }

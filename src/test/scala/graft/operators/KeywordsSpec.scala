@@ -33,6 +33,26 @@ class KeywordsSpec extends SparkSpec {
       assert(r(0)._2 == r(1)._2)
     }
 
+    it("a maxDf above every term's df changes NOTHING (the cap bounds cost, not answers)") {
+      val un = Keywords.tfidfTopK(corpus, col("doc_id"), col("text"), 4)
+        .orderBy("doc_id", "rank").collect().toSeq
+      val capped = Keywords.tfidfTopK(corpus, col("doc_id"), col("text"), 4, maxDf = 4L)
+        .orderBy("doc_id", "rank").collect().toSeq
+      assert(capped == un)
+    }
+
+    it("a binding maxDf drops only the ubiquitous terms; kept terms' scores are unchanged") {
+      // "common" has df=4; cap at 3 removes it from candidacy
+      val un = Keywords.tfidfTopK(corpus, col("doc_id"), col("text"), 4)
+        .select("doc_id", "term", "score")
+        .as[(Long, String, Long)].collect().toSet
+      val capped = Keywords.tfidfTopK(corpus, col("doc_id"), col("text"), 4, maxDf = 3L)
+        .select("doc_id", "term", "score")
+        .as[(Long, String, Long)].collect().toSet
+      assert(!capped.exists(_._2 == "common"))
+      assert(capped == un.filterNot(_._2 == "common"))
+    }
+
     it("is invariant under repartitioning") {
       val a = Keywords.tfidfTopK(corpus, col("doc_id"), col("text"), 2)
         .collect().map(_.toSeq).toSet

@@ -24,6 +24,20 @@ class VocabSpec extends SparkSpec {
       // a: df 4, b: df 3 (= 0.75*4, inclusive), c: df 1 despite 3 occurrences
       assert(vocab == Map("a" -> 4L, "b" -> 3L))
     }
+
+    it("maxVocab above the passing count changes NOTHING; a binding cap keeps top df") {
+      val un = Vocab.buildByDocFreq(docs, col("id"), col("text"), minDocFrac = 0.25)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(un == Map("a" -> 4L, "b" -> 3L, "c" -> 1L))
+      val loose = Vocab.buildByDocFreq(docs, col("id"), col("text"),
+        minDocFrac = 0.25, maxVocab = 3)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(loose == un)
+      val tight = Vocab.buildByDocFreq(docs, col("id"), col("text"),
+        minDocFrac = 0.25, maxVocab = 2)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(tight == Map("a" -> 4L, "b" -> 3L))
+    }
   }
 
   describe("Vocab.oovStats") {
