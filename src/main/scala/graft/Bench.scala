@@ -31,7 +31,11 @@ package graft
   *   sampled before warmup and before each timed pass, and a bounded
   *   load gate (SPARK_GRAFT_LOAD_GATE=threshold:maxWaitSec, default
   *   2.5:240) sleeps before a timed pass while load exceeds the
-  *   threshold — waits land in `gate_waits_sec`, never unbounded.
+  *   threshold — waits land in `gate_waits_sec`, never unbounded. The
+  *   SAME gate runs once more BEFORE warmup (`start_gate_wait_sec`),
+  *   and `gated_start` records whether the run actually launched under
+  *   the threshold — an official record carries its own evidence of a
+  *   contaminated start (the r8 loadavg-4.78 lesson).
   * - The full JSON line also lands in SPARK_GRAFT_BENCH_OUT (default
   *   ./BENCH_FULL.json, committed per round) because the driver's
   *   archived snapshot keeps only a ~2000-char tail of stdout.
@@ -115,8 +119,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Gate the FIRST pass too (VERDICT r8 #5): the r8 official run
+    // launched at loadavg 4.78 — ambient load the between-pass gates
+    // could no longer undo (the warmup's own load tail masks it) — and
+    // recorded q113 at 3× its idle cost. Same threshold and bound as
+    // the inter-pass waits; the wait and a gated_start flag land in
+    // the JSON so an official record carries its own launch evidence.
+    val startGateWait = gate()
+    val startLoad = loadavg()
+    val gatedStart = startLoad <= gateThreshold
+
     // Warmup: run everything once, untimed.
-    val loads = collection.mutable.ArrayBuffer(loadavg())
+    val loads = collection.mutable.ArrayBuffer(startLoad)
     queries.foreach { case (n, f) => runOne(n, f) }
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
@@ -172,7 +186,7 @@ object Bench {
     // per-query bests, loadavg, pass totals — sits at the END where
     // truncation can't reach it. JSON semantics are order-free; the
     // live driver parse is unaffected.
-    val line = f"""{"metric":"total","pass_queries":$passQueries,"queries":$qs,"families":$familyTotals,"pass_totals":$passTotals,"loadavg":$loadsJson,"gate_waits_sec":$gateJson,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir","unit":"sec","value":$total%.3f}"""
+    val line = f"""{"metric":"total","pass_queries":$passQueries,"queries":$qs,"families":$familyTotals,"pass_totals":$passTotals,"loadavg":$loadsJson,"gate_waits_sec":$gateJson,"start_gate_wait_sec":$startGateWait%.1f,"gated_start":$gatedStart,"failed":$failedJson,"failed_count":${failed.size},"sf":"$sfDir","unit":"sec","value":$total%.3f}"""
     println(line)
     // Belt and braces: the COMPLETE artifact also lands in a repo file
     // that gets committed whole (BASELINE.md points at it), immune to
