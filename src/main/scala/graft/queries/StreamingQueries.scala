@@ -633,21 +633,26 @@ object StreamingQueries extends QueryModule {
        |p AS (
        |  SELECT event_id AS purchase_id, user_id, ts AS p_ts, f AS pf
        |  FROM ev WHERE event_type = 'purchase'),
-       |m AS (
-       |  SELECT p.purchase_id, p.p_ts, p.pf,
-       |    COUNT(c.event_id) AS n_clicks, MAX(c.ts) AS last_click_ts
-       |  FROM p LEFT JOIN events c
+       |mc AS (
+       |  -- an inner match emits in the batch where the LATER side
+       |  -- arrives: greatest(pf, cf), not pf — a click with
+       |  -- click_ts == p_ts can sort AFTER the purchase in the
+       |  -- (ts, event_id) chunk order and land in a later chunk, which
+       |  -- would split the purchase across emit batches (ADVICE r8
+       |  -- tie-robustness; on time-ordered chunks cf <= pf otherwise)
+       |  SELECT p.purchase_id, p.p_ts, greatest(p.pf, c.f) AS ef, c.ts AS cts
+       |  FROM p JOIN ev c
        |    ON c.user_id = p.user_id AND c.event_type = 'click'
-       |   AND c.ts >= p.p_ts - INTERVAL 1 HOUR AND c.ts <= p.p_ts
-       |  GROUP BY 1, 2, 3)
-       |SELECT CAST(pf AS BIGINT) AS emit_batch, purchase_id, n_clicks, last_click_ts
-       |FROM m WHERE n_clicks > 0
+       |   AND c.ts >= p.p_ts - INTERVAL 1 HOUR AND c.ts <= p.p_ts)
+       |SELECT CAST(ef AS BIGINT) AS emit_batch, purchase_id,
+       |  COUNT(*) AS n_clicks, MAX(cts) AS last_click_ts
+       |FROM mc GROUP BY 1, 2
        |UNION ALL
-       |SELECT CAST((SELECT min(f) + 1 FROM sidewm WHERE wmv > m.p_ts) AS BIGINT),
+       |SELECT CAST((SELECT min(f) + 1 FROM sidewm WHERE wmv > p.p_ts) AS BIGINT),
        |  purchase_id, 0, NULL
-       |FROM m
-       |WHERE n_clicks = 0
-       |  AND (SELECT min(f) + 1 FROM sidewm WHERE wmv > m.p_ts) IS NOT NULL
+       |FROM p
+       |WHERE NOT EXISTS (SELECT 1 FROM mc WHERE mc.purchase_id = p.purchase_id)
+       |  AND (SELECT min(f) + 1 FROM sidewm WHERE wmv > p.p_ts) IS NOT NULL
        |ORDER BY purchase_id""".stripMargin
 
   // ---- q137: late-data drops under out-of-order arrival ----------------
