@@ -496,24 +496,52 @@ object Dedup {
     * serves text SimHash and image/audio perceptual hashes (any b-bit
     * fingerprint whose hamming distance means similarity). `bits` is
     * the fingerprint width (≤ 64, two's-complement safe: band
-    * extraction masks after an arithmetic shift). */
+    * extraction masks after an arithmetic shift).
+    *
+    * `spareBlocks` (s) is the SCALE knob (Manku et al., WWW'07 §3): the
+    * fingerprint splits into `maxHamming + s` blocks and candidates key
+    * on every s-block COMBINATION — ≤ maxHamming differing bits corrupt
+    * ≤ maxHamming blocks, so some s blocks survive intact and their
+    * combination still collides (complete, like s=1). s=1 is the
+    * classic (h+1)-band pigeonhole: key width bits/(h+1), fine while
+    * 2^(bits/(h+1)) ≫ N but QUADRATIC past it (at h=8, 64-bit keys are
+    * 7 bits → 128 buckets per band: measured 17–28× across the sf1
+    * decade on the phash corpora). Each +1 of s multiplies the key
+    * space by 2^(bits/b) and the explode factor by ~b/s — C(h+s, s)
+    * bands of s·bits/(h+s)-wide keys; s=2 at h=8 is 45 bands of
+    * ~13-bit keys (8k values), restoring linear pair growth at 10⁵+
+    * fingerprints for a 5× explode. Pick s ≈ the smallest value with
+    * key space ≥ corpus size. Answers never change — candidates are
+    * exact-verified either way (spec-pinned s-equivalence). */
   def hammingNearDups(fpTable: DataFrame, maxHamming: Int, bits: Int,
-                      maxBucket: Int = Int.MaxValue): DataFrame = {
-    require(maxHamming >= 0 && maxHamming + 1 <= bits,
-      s"need 0 <= maxHamming and maxHamming+1 bands <= $bits bits, got $maxHamming")
+                      maxBucket: Int = Int.MaxValue, spareBlocks: Int = 1): DataFrame = {
+    require(spareBlocks >= 1, s"spareBlocks must be >= 1, got $spareBlocks")
+    require(maxHamming >= 0 && maxHamming + spareBlocks <= bits,
+      s"need 0 <= maxHamming and maxHamming+spareBlocks blocks <= $bits bits, " +
+        s"got $maxHamming + $spareBlocks")
     require(bits <= 64, s"fingerprints are long-typed: bits must be <= 64, got $bits")
     // the fingerprint plan feeds three branches (band explode + both
     // verify joins) — materialize once, like nearDupPairs' shingle table
     val fp = fpTable.select(col("doc_id"), col("fp")).localCheckpoint(false)
-    val numBands = maxHamming + 1
-    val bands = array((0 until numBands).map { i =>
-      val lo = i * bits / numBands
-      val hi = (i + 1) * bits / numBands
-      // width can be the full 64 (maxHamming=0, bits=64): (1L<<64)-1 is 0
-      // under JVM shift-mod-64 semantics, so build the mask shift-safe
-      val mask = -1L >>> (64 - (hi - lo))
-      struct(lit(i).as("band"),
-        shiftright(col("fp"), lo).bitwiseAND(lit(mask)).as("key"))
+    val numBlocks = maxHamming + spareBlocks
+    val blockRange = (0 until numBlocks)
+      .map(i => (i * bits / numBlocks, (i + 1) * bits / numBlocks))
+    val combos = (0 until numBlocks).combinations(spareBlocks).toSeq
+    val bands = array(combos.zipWithIndex.map { case (combo, ci) =>
+      // pack the combination's block values into one long key: total
+      // width = s·bits/b ≤ bits ≤ 64 by construction
+      var shift = 0
+      val key = combo.map { bi =>
+        val (lo, hi) = blockRange(bi)
+        // width can be the full 64 (maxHamming=0, bits=64): (1L<<64)-1
+        // is 0 under JVM shift-mod-64 semantics — build the mask
+        // shift-safe
+        val mask = -1L >>> (64 - (hi - lo))
+        val v = shiftleft(shiftright(col("fp"), lo).bitwiseAND(lit(mask)), shift)
+        shift += hi - lo
+        v
+      }.reduce(_ bitwiseOR _)
+      struct(lit(ci).as("band"), key.as("key"))
     }: _*)
     val exploded = fp.select(col("doc_id"), explode(bands).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"), lit(0L).as("n"))

@@ -2283,7 +2283,7 @@ object DataOps extends QueryModule {
     val ph = Multimodal.imagePhash(Multimodal.syntheticCellImages(docs(s, dir)))
       .filter(col("phash").isNotNull)
       .select(col("media_id").as("doc_id"), col("phash").as("fp"))
-    Dedup.hammingNearDups(ph, maxHamming = PhashMaxHamming, bits = 64)
+    Dedup.hammingNearDups(ph, maxHamming = PhashMaxHamming, bits = 64, spareBlocks = 2)
       .select(col("doc_a").as("img_a"), col("doc_b").as("img_b"), col("hamming"))
       .sortOnce(col("img_a"), col("img_b"))
   }
@@ -2336,7 +2336,7 @@ object DataOps extends QueryModule {
     val ph = Multimodal.audioPhash(Multimodal.syntheticFrameAudio(docs(s, dir)))
       .filter(col("phash").isNotNull)
       .select(col("media_id").as("doc_id"), col("phash").as("fp"))
-    Dedup.hammingNearDups(ph, maxHamming = PhashMaxHamming, bits = 64)
+    Dedup.hammingNearDups(ph, maxHamming = PhashMaxHamming, bits = 64, spareBlocks = 2)
       .select(col("doc_a").as("aud_a"), col("doc_b").as("aud_b"), col("hamming"))
       .sortOnce(col("aud_a"), col("aud_b"))
   }

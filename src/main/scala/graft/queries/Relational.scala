@@ -358,6 +358,112 @@ object Relational extends QueryModule {
       .orderBy(col("tile_x"), col("tile_y"), col("tile_w"))
   }
 
+  /** q161: VARIANT semi-structured columns (Spark 4's open-format
+    * answer to schema-on-read JSON — parse once to a binary-encoded
+    * variant, extract typed paths without re-parsing text per access):
+    * a nested JSON document is synthesized per event (`to_json` over
+    * structs/arrays so number formatting never forks engines), parsed
+    * with `parse_json`, and probed with typed `variant_get` paths —
+    * nested object field, array index, and a missing path through
+    * `try_variant_get` (null, never an error). The oracle replays the
+    * SOURCE arithmetic the JSON was built from, so a wrong extraction,
+    * type coercion, or path semantics all hash-mismatch.
+    */
+  def variantJson(s: SparkSession, dir: String): DataFrame = {
+    val doc = to_json(struct(
+      col("event_id").as("id"),
+      struct(col("event_type").as("type"),
+        round(col("value") * 100).cast("long").as("cents")).as("meta"),
+      array((col("user_id") % 5).cast("long"),
+        (col("user_id") % 3).cast("long")).as("tags")))
+    t(s, dir, "events")
+      .select(col("event_type"), parse_json(doc).as("v"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("variant_get(v, '$.meta.cents', 'long')")).as("sum_cents"),
+        sum(expr("variant_get(v, '$.tags[0]', 'long')")).as("sum_tag0"),
+        max(expr("variant_get(v, '$.id', 'long')")).as("max_id"),
+        sum(when(expr("try_variant_get(v, '$.missing', 'long')").isNull, 1L)
+          .otherwise(0L)).as("n_missing"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q161Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+      | CAST(SUM(user_id % 5) AS BIGINT) AS sum_tag0,
+      | MAX(event_id) AS max_id,
+      | COUNT(*) AS n_missing
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q162: SQL pipe syntax (Spark 4 / SQL:2023-style `|>` chains — the
+    * linear form of nested SELECTs: FROM → WHERE → AGGREGATE → ORDER
+    * reads in execution order). The WHOLE query text is pipe-syntax
+    * `spark.sql`, pinning that the parser lowers it to the identical
+    * plan classic SQL produces: the oracle is the classic form.
+    */
+  def pipeSql(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q162_lineitem")
+    s.sql(
+      """FROM graft_q162_lineitem
+        ||> WHERE l_quantity >= 25
+        ||> EXTEND l_extendedprice * (1 - l_discount) AS disc_price
+        ||> AGGREGATE COUNT(*) AS n,
+        |     CAST(SUM(CAST(disc_price AS DECIMAL(22,6))) AS DOUBLE) AS revenue
+        |   GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      .select(col("l_returnflag"), col("l_linestatus"), col("n"), col("revenue"))
+  }
+
+  private val q162Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(22,6))) AS DOUBLE)
+      |   AS revenue
+      |FROM lineitem WHERE l_quantity >= 25
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q163: collated string comparisons (Spark 4 collation support —
+    * locale/case semantics attached to the TYPE, so every comparison,
+    * predicate, and string function under it is collation-aware instead
+    * of wrapped in lower()): per event type, the same strings restyled
+    * per row parity (initcap / UPPER) compare equal under UTF8_LCASE,
+    * unequal under binary, and a collated startswith matches a
+    * mixed-case literal. The oracle replays the semantics with
+    * explicit lower() — collation must equal the rewrite it replaces.
+    */
+  def collationFns(s: SparkSession, dir: String): DataFrame = {
+    val styled = when(col("event_id") % 2 === 0, initcap(col("event_type")))
+      .otherwise(upper(col("event_type")))
+    def lcase(c: Column) = collate(c, "UTF8_LCASE")
+    t(s, dir, "events")
+      .select(col("event_type"), styled.as("styled"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(lcase(col("styled")) === lcase(col("event_type")), 1L)
+          .otherwise(0L)).as("n_ci_eq"),
+        sum(when(col("styled") === col("event_type"), 1L).otherwise(0L)).as("n_bin_eq"),
+        sum(when(lcase(col("styled")).startsWith(lit("CL")), 1L)
+          .otherwise(0L)).as("n_ci_prefix"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q163Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      | CAST(SUM(CASE WHEN lower(CASE WHEN event_id % 2 = 0
+      |     THEN concat(upper(event_type[1]), event_type[2:])
+      |     ELSE upper(event_type) END) = lower(event_type)
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_ci_eq,
+      | CAST(SUM(CASE WHEN (CASE WHEN event_id % 2 = 0
+      |     THEN concat(upper(event_type[1]), event_type[2:])
+      |     ELSE upper(event_type) END) = event_type
+      |   THEN 1 ELSE 0 END) AS BIGINT) AS n_bin_eq,
+      | CAST(SUM(CASE WHEN lower(event_type) LIKE 'cl%' THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_ci_prefix
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -801,7 +907,10 @@ object Relational extends QueryModule {
     "q154_rank_battery" -> (rankBattery _),
     "q155_rows_frame" -> (slidingRowStats _),
     "q156_gap_fill" -> (gapFill _),
-    "q158_zorder3_layout" -> (zorder3Layout _))
+    "q158_zorder3_layout" -> (zorder3Layout _),
+    "q161_variant_json" -> (variantJson _),
+    "q162_pipe_sql" -> (pipeSql _),
+    "q163_collation" -> (collationFns _))
 
   val family: String = "relational"
 
@@ -1145,7 +1254,10 @@ object Relational extends QueryModule {
     "q88_orc_layout" -> q62Sql,
     "q116_zorder_layout" -> q116Sql,
     "q140_hilbert_layout" -> q140Sql,
-    "q158_zorder3_layout" -> q158Sql)
+    "q158_zorder3_layout" -> q158Sql,
+    "q161_variant_json" -> q161Sql,
+    "q162_pipe_sql" -> q162Sql,
+    "q163_collation" -> q163Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */

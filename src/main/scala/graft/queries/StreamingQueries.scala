@@ -894,6 +894,71 @@ object StreamingQueries extends QueryModule {
     res
   }
 
+  // ---- q164: CDC apply, merge-on-read form ------------------------------
+
+  /** The OTHER scale-safe CDC design (VERDICT r8 #1 named both):
+    * [[cdcApplyPartitioned]] pays copy-on-write per merge; this pays
+    * almost nothing at WRITE time — each micro-batch APPENDS its
+    * per-key winners as an immutable delta file tagged with the batch
+    * id (O(batch) I/O, no read of existing data at all) — and defers
+    * the merge to READ time: the live view is the per-key
+    * (batch, ts, event_id) argmax over base+deltas, and a COMPACTION
+    * folds accumulated deltas into a fresh base on whatever cadence the
+    * deployer amortizes it (here once, at the end, with the pin
+    * asserting the compacted table ≡ the view). Write-heavy ingest
+    * picks this; read-heavy serving picks q157; both end at the same
+    * table — the shared oracle IS that statement.
+    */
+  def cdcApplyMor(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val scratch = Paths.get(sys.props("java.io.tmpdir"), "graft_work",
+      s"cdcmor_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val delta = scratch.resolve("delta").toString
+    val updates = eventsUserChunkedStream(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = updates.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val winners = df.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn")
+          if (!winners.isEmpty)
+            winners.withColumn("__b", lit(id))
+              .write.mode("append").parquet(delta) // O(batch): append-only
+          ()
+        }
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // read-time merge: latest-wins per key over all delta generations
+    def latestWins(df: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("__b").desc, col("ts").desc, col("event_id").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    }
+    val view = latestWins(s.read.parquet(delta))
+    // compaction: fold every delta into a fresh base generation; the
+    // result must BE the view (appends carry no deletes, so folding is
+    // exactly the latest-wins projection)
+    val base = scratch.resolve("base").toString
+    view.withColumn("__b", lit(-1L)).write.parquet(base)
+    val res = s.read.parquet(base)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(true)
+    deleteRecursively(scratch)
+    res
+  }
+
   private val q157Oracle: String =
     """WITH evf AS (
       |  SELECT user_id, ts, event_id, value,
@@ -1465,6 +1530,7 @@ object StreamingQueries extends QueryModule {
     "q138_mb_ooo_dedup" -> (mbModStreamDedup _),
     "q143_cdc_apply" -> (cdcApply _),
     "q157_cdc_partitioned" -> (cdcApplyPartitioned _),
+    "q164_cdc_mor" -> (cdcApplyMor _),
     "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
@@ -1494,6 +1560,7 @@ object StreamingQueries extends QueryModule {
     "q138_mb_ooo_dedup" -> q138Oracle,
     "q143_cdc_apply" -> q143Oracle,
     "q157_cdc_partitioned" -> q157Oracle,
+    "q164_cdc_mor" -> q157Oracle,
     "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,

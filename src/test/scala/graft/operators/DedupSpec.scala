@@ -401,6 +401,27 @@ class DedupSpec extends SparkSpec {
         assert(banded == brute, s"maxHamming=$k")
       }
     }
+
+    it("spareBlocks>1 (combination pigeonhole) changes cost, never the pair set") {
+      // 300 fingerprints clustered to stress the narrow s=1 key space,
+      // plus planted near-dups at several distances
+      val rnd = new scala.util.Random(42)
+      val base = (1L to 100L).map(i => i -> rnd.nextLong())
+      val planted = base.take(50).zipWithIndex.map { case ((i, f), j) =>
+        // flip j%9 distinct bits → hamming j%9 from the source
+        val flipped = (0 until j % 9).foldLeft(f)((v, b) => v ^ (1L << (b * 7)))
+        (i + 1000L) -> flipped
+      }
+      val skewed = (1L to 150L).map(i => (i + 2000L) -> (rnd.nextInt(4).toLong << 60))
+      val fps = (base ++ planted ++ skewed).toDF("doc_id", "fp")
+      for (k <- Seq(4, 8); s <- Seq(2, 3)) {
+        val ref = Dedup.hammingNearDups(fps, maxHamming = k, bits = 64)
+          .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+        val wide = Dedup.hammingNearDups(fps, maxHamming = k, bits = 64, spareBlocks = s)
+          .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+        assert(wide == ref, s"maxHamming=$k spareBlocks=$s")
+      }
+    }
   }
 
   describe("Dedup.simhash") {
