@@ -1918,6 +1918,73 @@ object DataOps extends QueryModule {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---- q165: fixed-point PageRank ---------------------------------------
+
+  /** Link-graph PageRank — the page-importance signal web-corpus
+    * curation ranks crawl frontiers and quality priors with (the
+    * harmonic-centrality/PageRank family CommonCrawl publishes): five
+    * power iterations over a deterministic synthetic 3-out-regular
+    * graph on the documents table (edges u → (31u + 17j) mod N,
+    * j ∈ 0..2 — multi-edges kept, no dangling nodes by construction).
+    * ALL arithmetic is integer fixed-point (total mass 10¹² units,
+    * damping 85/100, every division an integer floor): a float
+    * PageRank's low bits depend on the aggregation tree shape, this
+    * one is partitioning- and engine-exact. The Spark shape is the
+    * Lloyd's-iteration discipline: per iteration ONE edge-key join +
+    * ONE dst-key aggregation (both map-side combinable), ranks
+    * localCheckpointed so the plan never grows; control flow on the
+    * driver, data flow distributed — at 100 TB the same loop runs with
+    * edges pre-bucketed on src (q47) so the join never reshuffles the
+    * edge table.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id")).localCheckpoint(false)
+    val n = d.count() // graph order: one bounded driver scalar
+    val mass = 1000000000000L
+    val init = mass / n
+    val base = init * 15 / 100
+    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
+    val edges = d.select(col("doc_id").as("src"),
+        explode(array((0 to 2).map(j =>
+          (col("doc_id") * 31 + lit(j * 17)) % n): _*)).as("dst"))
+      .localCheckpoint(false)
+    var ranks = d.select(col("doc_id"), lit(init).as("r"))
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst"), idiv(col("r"), 3L).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = d
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(base) + idiv(coalesce(col("in_sum"), lit(0L)) * 85, 100L)).as("r"))
+        .localCheckpoint(false)
+    }
+    ranks.orderBy(col("doc_id"))
+  }
+
+  private val q165Oracle: String = {
+    val mass = 1000000000000L
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT d.doc_id,
+         |    (SELECT (($mass // n.n) * 15) // 100 FROM n)
+         |      + (COALESCE(c.in_sum, 0) * 85) // 100 AS r
+         |  FROM documents d LEFT JOIN (
+         |    SELECT e.dst, SUM(p.r // 3) AS in_sum
+         |    FROM e JOIN r${i - 1} p ON p.doc_id = e.src GROUP BY e.dst) c
+         |  ON c.dst = d.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT doc_id AS src, (doc_id * 31 + j * 17) % (SELECT n FROM n) AS dst
+       |  FROM documents, (SELECT unnest(range(0, 3)) AS j)),
+       |r0 AS MATERIALIZED (
+       |  SELECT doc_id, $mass // (SELECT n FROM n) AS r FROM documents),
+       |$iters
+       |SELECT doc_id, CAST(r AS BIGINT) AS r FROM r5 ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q105: fixed-weights quality classifier --------------------------
 
   /** Model-based quality scoring with a FIXED fastText-shaped linear
@@ -3127,6 +3194,7 @@ object DataOps extends QueryModule {
     "q100_trie_tokenize" -> (trieTokens _),
     "q104_bpe_tokenize" -> (bpeTokens _),
     "q160_bpe_trainer" -> (bpeTrainer _),
+    "q165_pagerank" -> (pagerank _),
     "q105_quality_classifier" -> (qualityClassify _),
     "q106_span_excision" -> (spanExcision _),
     "q101_mixture_recipe" -> (mixtureRecipe _),
@@ -3207,6 +3275,7 @@ object DataOps extends QueryModule {
     "q100_trie_tokenize" -> q100Oracle,
     "q104_bpe_tokenize" -> q104Oracle,
     "q160_bpe_trainer" -> q160Oracle,
+    "q165_pagerank" -> q165Oracle,
     "q105_quality_classifier" -> q105Oracle,
     "q106_span_excision" -> q106Oracle,
     "q101_mixture_recipe" -> q101Oracle,

@@ -464,6 +464,68 @@ object Relational extends QueryModule {
       |   AS n_ci_prefix
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q166: retention cohort matrix — the product-analytics staple no
+    * earlier row covers: users cohorted by FIRST-ACTIVITY day, then
+    * for each (cohort, day-offset) cell the count of distinct cohort
+    * members active that day. Two aggregations: per-user first day
+    * (map-side combinable min), then distinct (cohort, offset, user)
+    * collapse — no window, no self-join; datediff is exact integer
+    * calendar arithmetic both engines share.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    ev.join(cohorts, "user_id")
+      .select(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
+  private val q166Sql: String =
+    """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+      |c AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id)
+      |SELECT cohort, CAST(date_diff('day', cohort, day) AS INT) AS day_offset,
+      |  COUNT(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin
+
+  /** q167: SCD Type-2 dimension build — the lakehouse versioned-
+    * dimension shape that completes the CDC story (q143/q157/q164
+    * maintain LATEST-wins snapshots; warehouses equally need the full
+    * version HISTORY): every change event becomes a validity interval
+    * [valid_from, valid_to) via one lead() over the per-key
+    * (ts, event_id) total order, the open current version flagged.
+    * One key-partitioned window, rows = events — linear, no self-join.
+    * Sampled to every 20th user to keep the pin row-bounded.
+    */
+  def scd2Build(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"), col("ts"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  private val q167Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |  ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    AS is_current
+      |FROM events WHERE user_id % 20 = 0
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -910,7 +972,9 @@ object Relational extends QueryModule {
     "q158_zorder3_layout" -> (zorder3Layout _),
     "q161_variant_json" -> (variantJson _),
     "q162_pipe_sql" -> (pipeSql _),
-    "q163_collation" -> (collationFns _))
+    "q163_collation" -> (collationFns _),
+    "q166_retention" -> (retentionCohorts _),
+    "q167_scd2" -> (scd2Build _))
 
   val family: String = "relational"
 
@@ -1257,7 +1321,9 @@ object Relational extends QueryModule {
     "q158_zorder3_layout" -> q158Sql,
     "q161_variant_json" -> q161Sql,
     "q162_pipe_sql" -> q162Sql,
-    "q163_collation" -> q163Sql)
+    "q163_collation" -> q163Sql,
+    "q166_retention" -> q166Sql,
+    "q167_scd2" -> q167Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
