@@ -311,6 +311,23 @@ class LayoutSpec extends SparkSpec {
       }
     }
 
+    it("the touched-bucket base read prunes at the PARTITION level (no untouched-bucket I/O)") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/snap"
+        val bucket = pmod(col("k"), lit(8L))
+        Layout.writeBucketed((0L until 400L).map(k => (k, s"v$k")).toDF("k", "txt"), snap, bucket)
+        // the exact read shape upsertPartitioned issues for touched {1, 5}
+        val q = spark.read.parquet(snap)
+          .filter(col("__bucket").isin(Seq(1, 5).map(Integer.valueOf): _*))
+        val scan = q.queryExecution.executedPlan
+          .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+        assert(scan.partitionFilters.nonEmpty, scan.toString)
+        assert(scan.metadata("PartitionFilters").contains("__bucket"), scan.metadata)
+        assert(scan.selectedPartitions.partitionCount == 2,
+          s"read ${scan.selectedPartitions.partitionCount} partitions — untouched buckets were opened")
+      }
+    }
+
     it("default hash bucketing is deterministic and scatter-bounded by the batch key count") {
       val b1 = Layout.bucketOf(Seq("k"), 1024)
       val ids = (0L until 50L).toDF("k").select(b1.as("b"))
