@@ -526,6 +526,95 @@ object Relational extends QueryModule {
       |FROM events WHERE user_id % 20 = 0
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** q168: deterministic bivariate regression stats — corr / covar /
+    * least-squares slope+intercept WITHOUT the float-fold trap: the
+    * built-in `corr`/`covar_samp` aggregate doubles in partition order
+    * (cluster-nondeterministic low bits), so instead the five moments
+    * (Σx, Σy, Σxy, Σx², Σy²) are summed EXACTLY as decimals over
+    * integer-valued inputs, and the float formulas are applied ONCE at
+    * the end to identical exact operands — both engines perform the
+    * same int→double roundings and IEEE ops, so even the doubles are
+    * bit-identical. The moments themselves are part of the pin.
+    */
+  def regressionStats(s: SparkSession, dir: String): DataFrame = {
+    val x = round(col("value") * 100).cast("long")
+    val y = (col("user_id") % 97).cast("long")
+    t(s, dir, "events")
+      .select(col("event_type"), x.as("x"), y.as("y"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("long").as("sx"),
+        sum(col("y").cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("long").as("sy"),
+        sum((col("x") * col("y")).cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("long").as("sxy"),
+        sum((col("x") * col("x")).cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("long").as("sxx"),
+        sum((col("y") * col("y")).cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("long").as("syy"))
+      .select(col("event_type"), col("n"), col("sx"), col("sy"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double"))).as("corr"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("slope"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q168Sql: String =
+    """WITH m AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+      |    CAST(SUM(y * y) AS BIGINT) AS syy
+      |  FROM (SELECT event_type,
+      |          CAST(round(value * 100, 0) AS BIGINT) AS x,
+      |          user_id % 97 AS y
+      |        FROM events)
+      |  GROUP BY event_type)
+      |SELECT event_type, n, sx, sy,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |    AS corr,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope
+      |FROM m ORDER BY event_type""".stripMargin
+
+  /** q169: higher-order array-function battery — `transform` / `filter`
+    * / `exists` / `aggregate` (fold) / `zip_with` over the token arrays,
+    * the lambda surface every array-shaped feature pipeline leans on.
+    * Each engine folds INSIDE one row (no cross-row float order), all
+    * arithmetic integer. The zip pairs each token length with its
+    * mirror (a palindromic dot product) so index arithmetic is pinned
+    * too, via a `range` replay on the DuckDB side.
+    */
+  def hofBattery(s: SparkSession, dir: String): DataFrame = {
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    t(s, dir, "documents")
+      .filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), toks.as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tok"),
+        expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").as("sum_len"),
+        size(expr("filter(t, x -> length(x) > 4)")).cast("long").as("n_long"),
+        expr("exists(t, x -> x = 'the')").as("has_the"),
+        expr("aggregate(zip_with(t, reverse(t), (a, b) -> length(a) * length(b)), 0L, (acc, v) -> acc + v)")
+          .as("mirror_dot"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q169Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |    list_transform(string_split(text, ' '), x -> len(x)) AS ll
+      |  FROM documents WHERE doc_id % 4 = 0)
+      |SELECT doc_id,
+      |  CAST(len(t) AS BIGINT) AS n_tok,
+      |  CAST(list_sum(ll) AS BIGINT) AS sum_len,
+      |  CAST(len(list_filter(t, x -> len(x) > 4)) AS BIGINT) AS n_long,
+      |  list_contains(t, 'the') AS has_the,
+      |  CAST(list_sum(list_transform(range(1, len(t) + 1),
+      |    i -> ll[i] * ll[len(t) + 1 - i])) AS BIGINT) AS mirror_dot
+      |FROM base ORDER BY doc_id""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -974,7 +1063,9 @@ object Relational extends QueryModule {
     "q162_pipe_sql" -> (pipeSql _),
     "q163_collation" -> (collationFns _),
     "q166_retention" -> (retentionCohorts _),
-    "q167_scd2" -> (scd2Build _))
+    "q167_scd2" -> (scd2Build _),
+    "q168_regression_stats" -> (regressionStats _),
+    "q169_hof_battery" -> (hofBattery _))
 
   val family: String = "relational"
 
@@ -1323,7 +1414,9 @@ object Relational extends QueryModule {
     "q162_pipe_sql" -> q162Sql,
     "q163_collation" -> q163Sql,
     "q166_retention" -> q166Sql,
-    "q167_scd2" -> q167Sql)
+    "q167_scd2" -> q167Sql,
+    "q168_regression_stats" -> q168Sql,
+    "q169_hof_battery" -> q169Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */

@@ -218,4 +218,29 @@ class PropertySpec extends AnyFunSpec {
       }, minTests = 12)
     }
   }
+
+  describe("Layout.upsertPartitioned ≡ Layout.upsert (on-disk vs DataFrame merge)") {
+    it("partition-scoped merges end at the plain-upsert table for arbitrary keyed frames") {
+      import spark.implicits._
+      import graft.operators.Layout
+      val kvGen = Gen.nonEmptyMap(
+        Gen.zip(Gen.choose(0L, 60L), Gen.alphaNumStr.map(_.take(8))))
+      check(Prop.forAllNoShrink(kvGen, kvGen) { (base, upd) =>
+        val dir = java.nio.file.Files.createTempDirectory("graft_prop_upsert")
+        try {
+          val snap = dir.resolve("snap").toString
+          val bucket = pmod(col("k"), lit(7L))
+          val baseDf = base.toSeq.toDF("k", "v")
+          val updDf = upd.toSeq.toDF("k", "v")
+          Layout.writeBucketed(baseDf, snap, bucket)
+          Layout.upsertPartitioned(spark, snap, updDf, Seq("k"), bucket)
+          val got = spark.read.parquet(snap).drop("__bucket")
+            .as[(Long, String)].collect().toMap
+          val want = Layout.upsert(baseDf, updDf, Seq("k"))
+            .as[(Long, String)].collect().toMap
+          got == want && got == (base ++ upd)
+        } finally graft.Staging.deleteRecursively(dir)
+      }, minTests = 8)
+    }
+  }
 }
