@@ -1985,6 +1985,124 @@ object DataOps extends QueryModule {
        |SELECT doc_id, CAST(r AS BIGINT) AS r FROM r5 ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q170: PMI collocation mining --------------------------------------
+
+  /** Pointwise-mutual-information collocations — the phrase/multi-word-
+    * expression miner vocabulary curation runs before merging tokens
+    * (collocations with high PMI become tokenizer merge candidates and
+    * stop-phrase lists): score(a,b) = 1024·log2(c_ab·N / (c_a·c_b)) in
+    * the repo's integer fixed-point log2 (each factor's L taken
+    * separately — no product overflow to ~8·10^15 tokens), over
+    * adjacent-bigram occurrences with a min-support floor, top-20 by
+    * (score desc, a, b). Shape: one bigram-key aggregate + one
+    * unigram-key aggregate; the unigram table is vocabulary-sized and
+    * broadcasts back twice (cap discipline as in [[graft.operators
+    * .Drift.unigramKl]] if a corpus defeats Zipf); top-k is a
+    * TakeOrdered, never a global sort.
+    */
+  def pmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    def lfp(x: Column): Column = {
+      val e = (length(bin(x)) - 1).cast("int")
+      e.cast("long") * 1024 + call_function("shiftright", x * 1024, e) - 1024
+    }
+    val toks = docs(s, dir).select(TextFns.tokens(col("text")).as("t"))
+      .localCheckpoint(false) // feeds the unigram AND bigram aggregates
+    val uni = toks.select(explode(col("t")).as("a"))
+      .groupBy(col("a")).agg(count(lit(1)).as("c"))
+    val bg = toks.select(explode(TextFns.ngramsOf(col("t"), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("a"),
+        split(col("bg"), " ").getItem(1).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    val nBig = toks.select(explode(TextFns.ngramsOf(col("t"), 2)).as("bg"))
+      .agg(count(lit(1)).as("n"))
+    bg
+      .join(broadcast(uni.select(col("a"), col("c").as("ca"))), "a")
+      .join(broadcast(uni.select(col("a").as("b"), col("c").as("cb"))), "b")
+      .crossJoin(broadcast(nBig))
+      .select(col("a"), col("b"), col("c_ab"),
+        (lfp(col("c_ab")) + lfp(col("n")) - lfp(col("ca")) - lfp(col("cb")))
+          .as("score_fp"))
+      .orderBy(col("score_fp").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
+  private val q170Oracle: String =
+    s"""WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+       |uni AS (SELECT unnest(t) AS a FROM toks),
+       |ca AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+       |bg AS (SELECT t[i] AS a, t[i+1] AS b
+       |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)),
+       |cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+       |        FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg),
+       |sc AS (
+       |  SELECT cab.a, cab.b, cab.c_ab,
+       |    ${lfpSql("cab.c_ab")} + ${lfpSql("nb.n")}
+       |      - ${lfpSql("x.c")} - ${lfpSql("y.c")} AS score_fp
+       |  FROM cab JOIN ca x ON x.a = cab.a JOIN ca y ON y.a = cab.b, nb)
+       |SELECT a, b, c_ab, CAST(score_fp AS BIGINT) AS score_fp
+       |FROM sc ORDER BY score_fp DESC, a, b LIMIT 20""".stripMargin
+
+  // ---- q171: per-node triangle counting -----------------------------------
+
+  /** Triangle counts over the q165 link graph — the local clustering
+    * signal link-spam and template-farm detection key on (triangle-rich
+    * neighborhoods = mutually-linking clusters): edges canonicalized
+    * undirected (self-loops dropped, parallels deduped), then the
+    * node-iterator join — wedges (a<b)×(b<c) joined on the middle node,
+    * closed by probing (a,c) against the edge set — and each closed
+    * triangle credits all three corners. Two equi-joins + one aggregate,
+    * no cartesian; at scale the canonical order is by DEGREE-then-id
+    * (documented) so high-degree hubs never anchor the wedge explosion
+    * — id order suffices here (3-out-regular ⇒ degree ≤ 6).
+    */
+  def triangleCounts(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id")).localCheckpoint(false)
+    val n = d.count()
+    val raw = d.select(col("doc_id").as("u"),
+      explode(array((0 to 2).map(j =>
+        (col("doc_id") * 31 + lit(j * 17)) % n): _*)).as("v"))
+    val edges = raw.filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint(false) // wedge build probes it three ways
+    val wedges = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges
+      .join(edges.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      .localCheckpoint(false) // credited to three corners below
+    val credit = tris.select(col("x").as("doc_id"))
+      .unionAll(tris.select(col("y").as("doc_id")))
+      .unionAll(tris.select(col("z").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
+    d.join(credit, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q171Oracle: String =
+    """WITH n AS (SELECT COUNT(*) AS n FROM documents),
+      |raw AS (
+      |  SELECT doc_id AS u, (doc_id * 31 + j * 17) % (SELECT n FROM n) AS v
+      |  FROM documents, (SELECT unnest(range(0, 3)) AS j)),
+      |e AS (
+      |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      |  FROM raw WHERE u <> v),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |credit AS (
+      |  SELECT x AS doc_id FROM tri
+      |  UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE((SELECT COUNT(*) FROM credit c WHERE c.doc_id = d.doc_id), 0)
+      |    AS BIGINT) AS n_tri
+      |FROM documents d ORDER BY d.doc_id""".stripMargin
+
   // ---- q105: fixed-weights quality classifier --------------------------
 
   /** Model-based quality scoring with a FIXED fastText-shaped linear
@@ -3195,6 +3313,8 @@ object DataOps extends QueryModule {
     "q104_bpe_tokenize" -> (bpeTokens _),
     "q160_bpe_trainer" -> (bpeTrainer _),
     "q165_pagerank" -> (pagerank _),
+    "q170_pmi_collocations" -> (pmiCollocations _),
+    "q171_triangles" -> (triangleCounts _),
     "q105_quality_classifier" -> (qualityClassify _),
     "q106_span_excision" -> (spanExcision _),
     "q101_mixture_recipe" -> (mixtureRecipe _),
@@ -3276,6 +3396,8 @@ object DataOps extends QueryModule {
     "q104_bpe_tokenize" -> q104Oracle,
     "q160_bpe_trainer" -> q160Oracle,
     "q165_pagerank" -> q165Oracle,
+    "q170_pmi_collocations" -> q170Oracle,
+    "q171_triangles" -> q171Oracle,
     "q105_quality_classifier" -> q105Oracle,
     "q106_span_excision" -> q106Oracle,
     "q101_mixture_recipe" -> q101Oracle,
