@@ -20,6 +20,36 @@ import org.apache.spark.sql.functions._
   */
 object Analyze {
 
+  /** ANALYZE TABLE-style per-column statistics in ONE scan — the
+    * row-count / null-fraction / NDV table a cost-based optimizer
+    * estimates selectivity and join order from, plus the HLL++
+    * estimate with a within-5% certificate (the q61 contract: at
+    * 100 TB the exact NDV leg drops and the sketch IS the statistic;
+    * here both run so the estimate is pinned against truth). All
+    * columns' aggregates evaluate in a single `agg` (one pass, one
+    * partial-aggregation tree), then `stack` unpivots the single row
+    * to one row per column — no per-column scans, no driver loop.
+    *
+    * @return one row per column: `col_name, n, n_null, ndv, hll_ok`.
+    */
+  def tableStats(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.nonEmpty, "tableStats needs at least one column")
+    val aggs = cols.flatMap { case (nm, c) =>
+      Seq(count(c).as(s"__cnt_$nm"),
+        countDistinct(c).as(s"__ndv_$nm"),
+        approx_count_distinct(c, 0.02).as(s"__andv_$nm"))
+    }
+    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val stacked = cols.map { case (nm, _) =>
+      s"'$nm', __cnt_$nm, __ndv_$nm, __andv_$nm"
+    }.mkString(", ")
+    row.select(col("__n"),
+        expr(s"stack(${cols.size}, $stacked) AS (col_name, __cnt, ndv, __andv)"))
+      .select(col("col_name"), col("__n").as("n"),
+        (col("__n") - col("__cnt")).as("n_null"), col("ndv"),
+        (abs(col("__andv") - col("ndv")) <= col("ndv") * 0.05).as("hll_ok"))
+  }
+
   /** @param value the column to profile
     * @param tie   a unique tiebreak making the rank order total
     * @param k     bucket count

@@ -615,6 +615,90 @@ object Relational extends QueryModule {
       |    i -> ll[i] * ll[len(t) + 1 - i])) AS BIGINT) AS mirror_dot
       |FROM base ORDER BY doc_id""".stripMargin
 
+  /** q172: ANALYZE-style table statistics — per-column row count, null
+    * count, exact NDV, and the HLL++ estimate certified within 5% of
+    * truth (the q61 contract; at 100 TB the exact leg drops and the
+    * sketch is the statistic). One scan for ALL columns via a single
+    * multi-aggregate + `stack` unpivot ([[graft.operators.Analyze
+    * .tableStats]]); the props column is nulled on a deterministic
+    * slice so the null accounting is non-trivial.
+    */
+  def tableStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analyze.tableStats(
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        when(col("event_id") % 7 =!= 0, col("props")).as("props")),
+      Seq(
+        "event_id" -> col("event_id"),
+        "user_id" -> col("user_id"),
+        "event_type" -> col("event_type"),
+        "props" -> col("props")))
+      .orderBy(col("col_name"))
+
+  private val q172Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CASE WHEN event_id % 7 <> 0 THEN props END AS props
+      |  FROM events)
+      |SELECT 'event_id' AS col_name, COUNT(*) AS n,
+      |  CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+      |  COUNT(DISTINCT event_id) AS ndv, TRUE AS hll_ok FROM e
+      |UNION ALL
+      |SELECT 'event_type', COUNT(*), CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+      |  COUNT(DISTINCT event_type), TRUE FROM e
+      |UNION ALL
+      |SELECT 'props', COUNT(*), CAST(COUNT(*) - COUNT(props) AS BIGINT),
+      |  COUNT(DISTINCT props), TRUE FROM e
+      |UNION ALL
+      |SELECT 'user_id', COUNT(*), CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+      |  COUNT(DISTINCT user_id), TRUE FROM e
+      |ORDER BY col_name""".stripMargin
+
+  /** q173: robust dispersion stats — median, MAD (median absolute
+    * deviation), and the 5–95% winsorized mean per event type: the
+    * outlier-resistant scale/center estimates numeric-metadata gates
+    * use where mean/stddev break under heavy tails. Two passes by
+    * definition (deviations need the median); quantiles are Spark's
+    * exact interpolated `percentile` ≡ DuckDB `quantile_cont` (the q34
+    * precedent), the winsorized mean an exact decimal sum over clipped
+    * values with ONE final division.
+    */
+  def robustStats(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    val base = t(s, dir, "events")
+      .select(col("event_type"), cents.as("c"))
+    val med = base.groupBy(col("event_type"))
+      .agg(expr("percentile(c, 0.5)").as("med"),
+        expr("percentile(c, 0.05)").as("p05"),
+        expr("percentile(c, 0.95)").as("p95"))
+    base.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("c"), col("med"), col("p05"), col("p95"),
+        abs(col("c") - col("med")).as("dev"),
+        least(greatest(col("c").cast("double"), col("p05")), col("p95")).as("w"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("med")).as("med"),
+        expr("percentile(dev, 0.5)").as("mad"),
+        (sum(col("w").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double") / count(lit(1))).as("w_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q173Sql: String =
+    """WITH base AS (
+      |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c FROM events),
+      |med AS (
+      |  SELECT event_type, quantile_cont(c, 0.5) AS med,
+      |    quantile_cont(c, 0.05) AS p05, quantile_cont(c, 0.95) AS p95
+      |  FROM base GROUP BY event_type)
+      |SELECT base.event_type, COUNT(*) AS n, MAX(med.med) AS med,
+      |  quantile_cont(abs(base.c - med.med), 0.5) AS mad,
+      |  CAST(SUM(CAST(least(greatest(CAST(base.c AS DOUBLE), med.p05), med.p95)
+      |    AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS w_mean
+      |FROM base JOIN med USING (event_type)
+      |GROUP BY base.event_type ORDER BY base.event_type""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -1065,7 +1149,9 @@ object Relational extends QueryModule {
     "q166_retention" -> (retentionCohorts _),
     "q167_scd2" -> (scd2Build _),
     "q168_regression_stats" -> (regressionStats _),
-    "q169_hof_battery" -> (hofBattery _))
+    "q169_hof_battery" -> (hofBattery _),
+    "q172_table_stats" -> (tableStats _),
+    "q173_robust_stats" -> (robustStats _))
 
   val family: String = "relational"
 
@@ -1416,7 +1502,9 @@ object Relational extends QueryModule {
     "q166_retention" -> q166Sql,
     "q167_scd2" -> q167Sql,
     "q168_regression_stats" -> q168Sql,
-    "q169_hof_battery" -> q169Sql)
+    "q169_hof_battery" -> q169Sql,
+    "q172_table_stats" -> q172Sql,
+    "q173_robust_stats" -> q173Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
