@@ -959,6 +959,112 @@ object StreamingQueries extends QueryModule {
     res
   }
 
+  // ---- q174: partitioned CDC merge across a checkpoint stop/restart ----
+
+  /** [[cdcApplyPartitioned]] composed with the q90 restart contract —
+    * the production CDC shape: the pipeline STOPS after merging the
+    * first three update files and a NEW query resumes from the same
+    * checkpoint when two more arrive. The file-source checkpoint must
+    * hand the resumed query exactly the unseen files: wave 2's
+    * foreachBatch invocation count is REQUIRED to be 2 in-pin (a
+    * re-delivered file would run 3+ and fail the row — upsert's
+    * key-idempotence would otherwise mask it — and a skipped file
+    * leaves the final table short of its chunk, hash-mismatching).
+    * Same 15-bucket copy-on-write snapshot, same untouched-bucket
+    * audit per merge, same final-table oracle as q157: a restart must
+    * be invisible in the data.
+    */
+  def cdcResume(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.operators.Layout
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val work = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"q174_$tag")
+    deleteRecursively(work)
+    val stage = work.resolve("stage")
+    val snap = work.resolve("snapshot").toString
+    Files.createDirectories(stage)
+
+    val raw = s.read.parquet(Paths.get(dir, "events.parquet").toString)
+    val bucketExpr = pmod(col("user_id"), lit(15L))
+    // the q157 key-local chunk assignment, staged PROGRESSIVELY
+    val chunked = raw.withColumn("__f", expr(
+        """CAST(CASE WHEN pmod(user_id, 15) % 3 != 0 THEN pmod(user_id, 15) DIV 3
+          |          WHEN event_id % 2 = 0 THEN pmod(user_id, 15) DIV 3
+          |          ELSE (pmod(user_id, 15) DIV 3 + 4) % 5 END AS INT)""".stripMargin))
+      .localCheckpoint()
+    def writeChunk(c: Int): Unit = {
+      val tmp = stage.resolve(s"build_$c")
+      chunked.filter(col("__f") === c).drop("__f")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst().orElseThrow()
+        finally listing.close()
+      val destFile = stage.resolve(f"chunk_$c%02d.parquet")
+      Files.move(part, destFile, StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(tmp)
+      Files.setLastModifiedTime(destFile,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + c * 60000L))
+    }
+
+    def drainWave(): Int = {
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val updates = Tables.normalizeTs(s.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage.toString))
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+      try {
+        val q = updates.writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            batches.incrementAndGet()
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)
+            val winners = df.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+            if (!winners.isEmpty) {
+              // restart-safe init test: the snapshot directory IS the state
+              if (!Files.exists(Paths.get(snap))) {
+                Layout.writeBucketed(winners, snap, bucketExpr)
+              } else {
+                val before = Layout.bucketFileSignatures(s, snap)
+                val touched = Layout.upsertPartitioned(
+                  s, snap, winners, Seq("user_id"), bucketExpr).toSet
+                val after = Layout.bucketFileSignatures(s, snap)
+                (before.keySet.diff(touched)).foreach { b =>
+                  require(before(b) == after(b),
+                    s"cdcResume: untouched bucket $b was rewritten")
+                }
+              }
+            }
+            ()
+          }
+          .outputMode(OutputMode.Append())
+          .option("checkpointLocation", work.resolve("ckpt").toString)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      batches.get()
+    }
+
+    writeChunk(0); writeChunk(1); writeChunk(2)
+    drainWave() // wave 1: three merges, then the query STOPS
+    writeChunk(3); writeChunk(4)
+    val wave2 = drainWave() // resume from checkpoint: the two new files
+    require(wave2 == 2,
+      s"cdcResume: resumed drain ran $wave2 batches, expected exactly 2 " +
+        "(a re-delivered or skipped file breaks the restart contract)")
+
+    val res = s.read.parquet(snap)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(true)
+    deleteRecursively(work)
+    res
+  }
+
   private val q157Oracle: String =
     """WITH evf AS (
       |  SELECT user_id, ts, event_id, value,
@@ -1531,6 +1637,7 @@ object StreamingQueries extends QueryModule {
     "q143_cdc_apply" -> (cdcApply _),
     "q157_cdc_partitioned" -> (cdcApplyPartitioned _),
     "q164_cdc_mor" -> (cdcApplyMor _),
+    "q174_cdc_resume" -> (cdcResume _),
     "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
@@ -1561,6 +1668,7 @@ object StreamingQueries extends QueryModule {
     "q143_cdc_apply" -> q143Oracle,
     "q157_cdc_partitioned" -> q157Oracle,
     "q164_cdc_mor" -> q157Oracle,
+    "q174_cdc_resume" -> q157Oracle,
     "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
