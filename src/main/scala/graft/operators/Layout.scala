@@ -121,6 +121,10 @@ object Layout {
                         keyCols: Seq[String], bucketExpr: Column,
                         bucketCol: String = "__bucket"): Seq[Int] = {
     require(keyCols.nonEmpty, "upsertPartitioned needs at least one key column")
+    // a previous merge that died mid-commit left a manifest: finish its
+    // swaps FIRST (idempotent) — merging on top of a torn snapshot
+    // would read a mix of old and new bucket generations
+    recoverPendingCommit(spark, basePath, bucketCol)
     val upd = updates.withColumn(bucketCol, bucketExpr.cast("int"))
     // bucket ids of THIS batch: bounded by numBuckets, never by data
     val touched = upd.select(col(bucketCol)).distinct()
@@ -131,20 +135,73 @@ object Layout {
     val merged = upsert(base, upd, keyCols)
     val stagePath = basePath + "__upsert_stage"
     merged.write.partitionBy(bucketCol).mode(SaveMode.Overwrite).parquet(stagePath)
-    // commit: swap each touched bucket's directory into place
+    // commit protocol: (1) durable manifest naming the touched buckets,
+    // (2) per-bucket delete+rename swaps, (3) stage cleanup, (4) manifest
+    // removal. A crash at ANY point recovers on the next call: before
+    // the manifest lands nothing moved (the stage is overwritten next
+    // merge); after it, recoverPendingCommit replays exactly the swaps
+    // whose staged directories still exist (rename is the atomic unit).
     val conf = spark.sparkContext.hadoopConfiguration
     val baseDir = new org.apache.hadoop.fs.Path(basePath)
     val stageDir = new org.apache.hadoop.fs.Path(stagePath)
     val fs = baseDir.getFileSystem(conf)
-    touched.foreach { b =>
+    writeCommitManifest(fs, basePath, touched)
+    touched.foreach(b => swapBucket(fs, stageDir, baseDir, bucketCol, b))
+    fs.delete(stageDir, true)
+    fs.delete(manifestPath(basePath), false)
+    touched
+  }
+
+  private def manifestPath(basePath: String) =
+    new org.apache.hadoop.fs.Path(basePath + "__upsert_commit")
+
+  private def writeCommitManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                  basePath: String, touched: Seq[Int]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(basePath + "__upsert_commit.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(touched.mkString("\n").getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, manifestPath(basePath)),
+      s"upsertPartitioned: could not persist commit manifest for $basePath")
+  }
+
+  private def swapBucket(fs: org.apache.hadoop.fs.FileSystem,
+                         stageDir: org.apache.hadoop.fs.Path,
+                         baseDir: org.apache.hadoop.fs.Path,
+                         bucketCol: String, b: Int): Unit = {
+    val src = new org.apache.hadoop.fs.Path(stageDir, s"$bucketCol=$b")
+    val dst = new org.apache.hadoop.fs.Path(baseDir, s"$bucketCol=$b")
+    require(fs.exists(src), s"upsertPartitioned: staged bucket $b missing at $src")
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(src, dst), s"upsertPartitioned: commit rename failed for bucket $b")
+  }
+
+  /** Complete a merge that crashed mid-commit (manifest present): swap
+    * in every manifest bucket whose staged directory still exists —
+    * already-swapped buckets have no staged dir left, so the replay is
+    * idempotent — then clean the stage and the manifest. Returns true
+    * when a pending commit was found and finished. Callers that read a
+    * snapshot OUTSIDE upsertPartitioned (which recovers automatically)
+    * should invoke this first after an unclean shutdown.
+    */
+  def recoverPendingCommit(spark: SparkSession, basePath: String,
+                           bucketCol: String = "__bucket"): Boolean = {
+    val baseDir = new org.apache.hadoop.fs.Path(basePath)
+    val fs = baseDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = manifestPath(basePath)
+    if (!fs.exists(manifest)) return false
+    val in = fs.open(manifest)
+    val pending =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .split("\n").filter(_.nonEmpty).map(_.toInt).toSeq
+      finally in.close()
+    val stageDir = new org.apache.hadoop.fs.Path(basePath + "__upsert_stage")
+    pending.foreach { b =>
       val src = new org.apache.hadoop.fs.Path(stageDir, s"$bucketCol=$b")
-      val dst = new org.apache.hadoop.fs.Path(baseDir, s"$bucketCol=$b")
-      require(fs.exists(src), s"upsertPartitioned: staged bucket $b missing at $src")
-      if (fs.exists(dst)) fs.delete(dst, true)
-      require(fs.rename(src, dst), s"upsertPartitioned: commit rename failed for bucket $b")
+      if (fs.exists(src)) swapBucket(fs, stageDir, baseDir, bucketCol, b)
     }
     fs.delete(stageDir, true)
-    touched
+    fs.delete(manifest, false)
+    true
   }
 
   /** (relativePath → (length, mtime)) for every data file under a

@@ -328,6 +328,48 @@ class LayoutSpec extends SparkSpec {
       }
     }
 
+    it("recovers a merge that crashed mid-commit: torn swaps complete, never tear the snapshot") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/snap"
+        val bucket = pmod(col("k"), lit(4L))
+        Layout.writeBucketed((0L until 40L).map(k => (k, s"v$k")).toDF("k", "txt"), snap, bucket)
+        // construct the torn state a crash between swaps leaves behind:
+        // stage carries NEW generations for buckets {1, 2}, the manifest
+        // names both, and bucket 1's swap already happened (its staged
+        // dir is gone, the live dir holds the new rows) while bucket 2's
+        // did not
+        val stage = s"${snap}__upsert_stage"
+        val newGen = Seq((1L, "one-v2"), (5L, "five-v2"), (2L, "two-v2"), (6L, "six-v2"))
+          .toDF("k", "txt").withColumn("__bucket", bucket.cast("int"))
+        newGen.write.partitionBy("__bucket").parquet(stage)
+        val fs = new org.apache.hadoop.fs.Path(snap)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // "crash" after bucket 1's swap completed
+        fs.delete(new org.apache.hadoop.fs.Path(s"$snap/__bucket=1"), true)
+        assert(fs.rename(new org.apache.hadoop.fs.Path(s"$stage/__bucket=1"),
+          new org.apache.hadoop.fs.Path(s"$snap/__bucket=1")))
+        val mf = new org.apache.hadoop.fs.Path(s"${snap}__upsert_commit")
+        val out = fs.create(mf, true)
+        try out.write("1\n2".getBytes("UTF-8")) finally out.close()
+        // torn right now: bucket 1 is new-generation, bucket 2 still old
+        assert(Layout.recoverPendingCommit(spark, snap))
+        val got = spark.read.parquet(snap).drop("__bucket")
+          .as[(Long, String)].collect().toMap
+        // both manifest buckets carry the new generation; the rest intact
+        assert(got(1L) == "one-v2" && got(5L) == "five-v2")
+        assert(got(2L) == "two-v2" && got(6L) == "six-v2")
+        assert(got.size == 24) // buckets 1,2 replaced by 2 rows each; 0,3 keep 10 each
+        assert(got(0L) == "v0" && got(3L) == "v3")
+        // recovery is terminal: manifest + stage gone, second call a no-op
+        assert(!fs.exists(mf))
+        assert(!Layout.recoverPendingCommit(spark, snap))
+        // and a normal merge on the recovered snapshot behaves
+        val touched = Layout.upsertPartitioned(spark, snap,
+          Seq((3L, "three-v2")).toDF("k", "txt"), Seq("k"), bucket)
+        assert(touched == Seq(3))
+      }
+    }
+
     it("default hash bucketing is deterministic and scatter-bounded by the batch key count") {
       val b1 = Layout.bucketOf(Seq("k"), 1024)
       val ids = (0L until 50L).toDF("k").select(b1.as("b"))
