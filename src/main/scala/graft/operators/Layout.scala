@@ -152,6 +152,54 @@ object Layout {
     touched
   }
 
+  /** Partition-scoped keyed DELETE — the right-to-be-forgotten purge at
+    * snapshot scale, same economics as [[upsertPartitioned]]: only
+    * buckets containing tombstone keys are rewritten (anti-join of the
+    * touched buckets against the broadcast-sized key set), untouched
+    * buckets stay physically identical, and the commit is the same
+    * crash-safe manifest-before-swap protocol. A bucket whose rows ALL
+    * die produces no staged directory; its live directory is removed
+    * directly after the manifest commit completes — that tail step is
+    * idempotent by construction (rerunning the delete re-issues it), so
+    * a crash there is repaired by retrying the operation, which is the
+    * natural deployer response to a failed purge anyway.
+    *
+    * Returns the touched bucket ids (sorted).
+    */
+  def deletePartitioned(spark: SparkSession, basePath: String, tombstones: DataFrame,
+                        keyCols: Seq[String], bucketExpr: Column,
+                        bucketCol: String = "__bucket"): Seq[Int] = {
+    require(keyCols.nonEmpty, "deletePartitioned needs at least one key column")
+    recoverPendingCommit(spark, basePath, bucketCol)
+    val keys = tombstones.select(keyCols.map(col): _*).distinct()
+      .withColumn(bucketCol, bucketExpr.cast("int"))
+      .localCheckpoint(false) // feeds the bucket list AND the anti-join
+    val touched = keys.select(col(bucketCol)).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    if (touched.isEmpty) return touched
+    val base = spark.read.parquet(basePath)
+      .filter(col(bucketCol).isin(touched.map(Integer.valueOf): _*))
+    val survivors = base.join(broadcast(keys.drop(bucketCol)), keyCols, "left_anti")
+    val stagePath = basePath + "__upsert_stage"
+    survivors.write.partitionBy(bucketCol).mode(SaveMode.Overwrite).parquet(stagePath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val baseDir = new org.apache.hadoop.fs.Path(basePath)
+    val stageDir = new org.apache.hadoop.fs.Path(stagePath)
+    val fs = baseDir.getFileSystem(conf)
+    // buckets with survivors swap under the manifest; fully-emptied
+    // buckets are a directory delete AFTER the manifest completes
+    val staged = touched.filter(b =>
+      fs.exists(new org.apache.hadoop.fs.Path(stageDir, s"$bucketCol=$b")))
+    writeCommitManifest(fs, basePath, staged)
+    staged.foreach(b => swapBucket(fs, stageDir, baseDir, bucketCol, b))
+    fs.delete(stageDir, true)
+    fs.delete(manifestPath(basePath), false)
+    (touched.toSet -- staged).toSeq.sorted.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(baseDir, s"$bucketCol=$b"), true)
+    }
+    touched
+  }
+
   private def manifestPath(basePath: String) =
     new org.apache.hadoop.fs.Path(basePath + "__upsert_commit")
 

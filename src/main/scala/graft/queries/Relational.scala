@@ -699,6 +699,58 @@ object Relational extends QueryModule {
       |FROM base JOIN med USING (event_type)
       |GROUP BY base.event_type ORDER BY base.event_type""".stripMargin
 
+  /** q175: partition-scoped DELETE on the CDC snapshot — the
+    * right-to-be-forgotten purge with q157's partial-rewrite economics
+    * (q146 audits deletion across derived TABLES; this pins deletion
+    * inside the bucketed SNAPSHOT itself): a batch latest-wins snapshot
+    * is laid out as 15 `user_id mod 15` buckets, tombstones
+    * (`user_id % 45 = 0` — all landing in bucket 0 by construction)
+    * are purged via `Layout.deletePartitioned`, and the untouched-
+    * bucket file signatures are AUDITED IN-PIN: 14 of 15 buckets must
+    * be physically identical after the purge or the row goes red.
+    */
+  def cdcDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val scratch = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_work",
+      s"q175_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val snap = scratch.resolve("snapshot").toString
+    val bucketExpr = pmod(col("user_id"), lit(15L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val winners = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    Layout.writeBucketed(winners, snap, bucketExpr)
+    val tombs = t(s, dir, "events")
+      .filter(col("user_id") % 45 === 0).select(col("user_id")).distinct()
+    val before = Layout.bucketFileSignatures(s, snap)
+    val touched = Layout.deletePartitioned(
+      s, snap, tombs, Seq("user_id"), bucketExpr).toSet
+    val after = Layout.bucketFileSignatures(s, snap)
+    val untouched = before.keySet.diff(touched)
+    require(untouched.size >= 14,
+      s"cdcDelete: expected >=14 untouched buckets, got ${untouched.size}")
+    untouched.foreach { b =>
+      require(before(b) == after(b), s"cdcDelete: untouched bucket $b was rewritten")
+    }
+    val res = s.read.parquet(snap)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(true)
+    graft.Staging.deleteRecursively(scratch)
+    res
+  }
+
+  private val q175Sql: String =
+    """WITH rk AS (
+      |  SELECT user_id, ts, event_id, value, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, ts, event_id, value FROM rk
+      |WHERE rn = 1 AND user_id % 45 <> 0
+      |ORDER BY user_id""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -1151,7 +1203,8 @@ object Relational extends QueryModule {
     "q168_regression_stats" -> (regressionStats _),
     "q169_hof_battery" -> (hofBattery _),
     "q172_table_stats" -> (tableStats _),
-    "q173_robust_stats" -> (robustStats _))
+    "q173_robust_stats" -> (robustStats _),
+    "q175_cdc_delete" -> (cdcDelete _))
 
   val family: String = "relational"
 
@@ -1504,7 +1557,8 @@ object Relational extends QueryModule {
     "q168_regression_stats" -> q168Sql,
     "q169_hof_battery" -> q169Sql,
     "q172_table_stats" -> q172Sql,
-    "q173_robust_stats" -> q173Sql)
+    "q173_robust_stats" -> q173Sql,
+    "q175_cdc_delete" -> q175Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */

@@ -328,6 +328,29 @@ class LayoutSpec extends SparkSpec {
       }
     }
 
+    it("deletePartitioned purges only tombstoned buckets; a fully-emptied bucket's directory disappears") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/snap"
+        val bucket = pmod(col("k"), lit(4L))
+        Layout.writeBucketed((0L until 40L).map(k => (k, s"v$k")).toDF("k", "txt"), snap, bucket)
+        val before = Layout.bucketFileSignatures(spark, snap)
+        // tombstones: ALL of bucket 1 (k ≡ 1 mod 4) + two keys of bucket 2
+        val tombs = ((0L until 40L).filter(_ % 4 == 1) ++ Seq(2L, 6L)).toDF("k")
+        val touched = Layout.deletePartitioned(spark, snap, tombs, Seq("k"), bucket)
+        assert(touched == Seq(1, 2), s"touched $touched")
+        val after = Layout.bucketFileSignatures(spark, snap)
+        // bucket 1 died entirely: its directory is gone
+        assert(!after.contains(1))
+        // buckets 0 and 3 physically identical
+        Seq(0, 3).foreach(b => assert(before(b) == after(b), s"bucket $b rewritten"))
+        val got = spark.read.parquet(snap).drop("__bucket")
+          .as[(Long, String)].collect().toMap
+        assert(got.size == 28) // 40 − 10 (bucket 1) − 2
+        assert(!got.contains(2L) && !got.contains(6L) && !got.contains(1L))
+        assert(got(10L) == "v10" && got(0L) == "v0")
+      }
+    }
+
     it("recovers a merge that crashed mid-commit: torn swaps complete, never tear the snapshot") {
       withTempDir { dir =>
         val snap = s"${dir.getAbsolutePath}/snap"
