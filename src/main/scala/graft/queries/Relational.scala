@@ -751,6 +751,91 @@ object Relational extends QueryModule {
       |WHERE rn = 1 AND user_id % 45 <> 0
       |ORDER BY user_id""".stripMargin
 
+  /** q176: explode-family NULL/empty semantics battery — the lateral-
+    * view parity minefield the q148 NULL battery doesn't reach: for a
+    * three-way column (2-element array / empty array / NULL array),
+    * inner `explode` drops BOTH empty and NULL inputs while
+    * `posexplode_outer` keeps each as ONE null-valued row, and the pos
+    * index is 0-based. Both frames reduce per event type and join; the
+    * oracle replays the row algebra arithmetically (no unnest needed —
+    * the CONTRACT is the row counts and sums, stated in closed form).
+    */
+  def explodeBattery(s: SparkSession, dir: String): DataFrame = {
+    val arr = when(col("user_id") % 3 === 1, lit(null).cast("array<long>"))
+      .when(col("user_id") % 3 === 0, array().cast("array<long>"))
+      .otherwise(array(col("user_id") % 10, (col("event_id") % 10) + 100))
+    val base = t(s, dir, "events").select(col("event_type"), arr.as("a"))
+    val outer = base
+      .select(col("event_type"), posexplode_outer(col("a")).as(Seq("pos", "v")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outer"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null_rows"),
+        sum(coalesce(col("pos"), lit(0))).cast("long").as("sum_pos"),
+        sum(coalesce(col("v"), lit(0L))).as("sum_v"))
+    val inner = base
+      .select(col("event_type"), explode(col("a")).as("v"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_inner"))
+    outer.join(inner, "event_type")
+      .select(col("event_type"), col("n_outer"), col("n_inner"),
+        col("n_null_rows"), col("sum_pos"), col("sum_v"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q176Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id % 3 AS m, user_id % 10 AS v1,
+      |    (event_id % 10) + 100 AS v2
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(SUM(CASE WHEN m = 2 THEN 2 ELSE 1 END) AS BIGINT) AS n_outer,
+      |  CAST(SUM(CASE WHEN m = 2 THEN 2 ELSE 0 END) AS BIGINT) AS n_inner,
+      |  CAST(SUM(CASE WHEN m = 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_null_rows,
+      |  CAST(SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS sum_pos,
+      |  CAST(SUM(CASE WHEN m = 2 THEN v1 + v2 ELSE 0 END) AS BIGINT) AS sum_v
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q177: try_* error-safe function battery — the ANSI-mode safety
+    * valves a shared-cluster deployment runs with (a single bad row
+    * must yield NULL, never kill a 100 TB job): `try_divide` on a
+    * zero-carrying denominator, `try_add` at the int64 overflow
+    * boundary, `try_cast` over a mixed numeric/word column. Double
+    * results are pinned via min/max (order-free), never a float sum.
+    */
+  def tryFns(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100).cast("long")
+    t(s, dir, "events")
+      .select(col("event_type"),
+        expr(s"try_divide(${"round(value * 100)"}, user_id % 5)").as("d"),
+        expr(s"try_add(${Long.MaxValue - 1000}L, cast(round(value * 100) as bigint))").as("ad"),
+        when(col("event_id") % 2 === 0, cents.cast("string"))
+          .otherwise(col("event_type")).as("mixed"))
+      .withColumn("c", expr("try_cast(mixed AS BIGINT)"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_div_null"),
+        min(col("d")).as("min_div"), max(col("d")).as("max_div"),
+        sum(when(col("ad").isNull, 1L).otherwise(0L)).as("n_add_null"),
+        count(col("c")).as("n_cast_ok"),
+        sum(col("c")).as("sum_cast"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q177Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+       |    user_id % 5 AS den, event_id % 2 = 0 AS is_num
+       |  FROM events)
+       |SELECT event_type, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN den = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_div_null,
+       |  MIN(CAST(cents AS DOUBLE) / NULLIF(den, 0)) AS min_div,
+       |  MAX(CAST(cents AS DOUBLE) / NULLIF(den, 0)) AS max_div,
+       |  CAST(SUM(CASE WHEN CAST(${Long.MaxValue - 1000L} AS HUGEINT) + cents
+       |      > ${Long.MaxValue} THEN 1 ELSE 0 END) AS BIGINT) AS n_add_null,
+       |  CAST(SUM(CASE WHEN is_num THEN 1 ELSE 0 END) AS BIGINT) AS n_cast_ok,
+       |  CAST(SUM(CASE WHEN is_num THEN cents END) AS BIGINT) AS sum_cast
+       |FROM e
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -1204,7 +1289,9 @@ object Relational extends QueryModule {
     "q169_hof_battery" -> (hofBattery _),
     "q172_table_stats" -> (tableStats _),
     "q173_robust_stats" -> (robustStats _),
-    "q175_cdc_delete" -> (cdcDelete _))
+    "q175_cdc_delete" -> (cdcDelete _),
+    "q176_explode_battery" -> (explodeBattery _),
+    "q177_try_fns" -> (tryFns _))
 
   val family: String = "relational"
 
@@ -1558,7 +1645,9 @@ object Relational extends QueryModule {
     "q169_hof_battery" -> q169Sql,
     "q172_table_stats" -> q172Sql,
     "q173_robust_stats" -> q173Sql,
-    "q175_cdc_delete" -> q175Sql)
+    "q175_cdc_delete" -> q175Sql,
+    "q176_explode_battery" -> q176Sql,
+    "q177_try_fns" -> q177Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
