@@ -836,6 +836,56 @@ object Relational extends QueryModule {
        |FROM e
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q178: trailing-window anomaly flags — the ingest-monitoring gate a
+    * production pipeline runs on its own daily volumes (a source whose
+    * count jumps away from its recent behavior is drift or an outage,
+    * q136's KL being the content-side twin): per (type, day), the
+    * TRAILING-7-observed-days median and range over a ROWS frame
+    * (exclusive of the current day), and the exact integer rule
+    * `|c − med7|·2 > range7` flags the day. Median of ≤7 ints is
+    * half-integer-exact; everything else integer — no float folds, so
+    * the flag is engine- and partitioning-exact (a stddev-based z-score
+    * would fork on aggregation algebra). Days without a full 7-day
+    * history emit unflagged (warm-up totality).
+    */
+  def anomalyFlags(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    daily
+      .withColumn("n7", count(col("c")).over(w))
+      .withColumn("med7", expr("percentile(c, 0.5)")
+        .over(w))
+      .withColumn("range7", max(col("c")).over(w) - min(col("c")).over(w))
+      .select(col("event_type"), col("day"), col("c"),
+        when(col("n7") === 7, col("med7")).as("med7"),
+        when(col("n7") === 7, col("range7")).as("range7"),
+        (col("n7") === 7 &&
+          abs(col("c") - col("med7")) * 2 > col("range7")).as("is_anomaly"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  private val q178Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |win AS (
+      |  SELECT event_type, day, c,
+      |    COUNT(c) OVER w AS n7,
+      |    quantile_cont(c, 0.5) OVER w AS med7,
+      |    MAX(c) OVER w - MIN(c) OVER w AS range7
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      |SELECT event_type, day, c,
+      |  CASE WHEN n7 = 7 THEN med7 END AS med7,
+      |  CASE WHEN n7 = 7 THEN range7 END AS range7,
+      |  n7 = 7 AND abs(c - med7) * 2 > range7 AS is_anomaly
+      |FROM win ORDER BY event_type, day""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -1291,7 +1341,8 @@ object Relational extends QueryModule {
     "q173_robust_stats" -> (robustStats _),
     "q175_cdc_delete" -> (cdcDelete _),
     "q176_explode_battery" -> (explodeBattery _),
-    "q177_try_fns" -> (tryFns _))
+    "q177_try_fns" -> (tryFns _),
+    "q178_anomaly_flags" -> (anomalyFlags _))
 
   val family: String = "relational"
 
@@ -1647,7 +1698,8 @@ object Relational extends QueryModule {
     "q173_robust_stats" -> q173Sql,
     "q175_cdc_delete" -> q175Sql,
     "q176_explode_battery" -> q176Sql,
-    "q177_try_fns" -> q177Sql)
+    "q177_try_fns" -> q177Sql,
+    "q178_anomaly_flags" -> q178Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
