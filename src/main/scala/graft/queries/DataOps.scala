@@ -2103,6 +2103,51 @@ object DataOps extends QueryModule {
       |    AS BIGINT) AS n_tri
       |FROM documents d ORDER BY d.doc_id""".stripMargin
 
+  // ---- q179: binaryFile source (multimodal ingestion door) ---------------
+
+  /** The `binaryFile` DataSource — how a real multimodal corpus (image/
+    * audio dirs) enters the engine before q113/q114's decode operators
+    * run: the documents table is staged as one raw-bytes file per doc
+    * (EXECUTOR-side foreachPartition writes — the corpus never visits
+    * the driver; Staging source-sig guards the reuse), read back
+    * through `spark.read.format("binaryFile")`, and pinned on the
+    * file-level contract: path-derived id, exact byte length, and the
+    * md5 of `content` — byte-identical to the md5 of the text the
+    * generator wrote, which DuckDB replays directly. `pathGlobFilter`
+    * pushes the *.bin filter into the file index (no stray-file reads).
+    */
+  def binarySource(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val stageP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"binsrc_$tag")
+    graft.Staging.ensureFresh(
+      java.nio.file.Paths.get(dir, "documents.parquet"), stageP) {
+      java.nio.file.Files.createDirectories(stageP)
+      val stageDir = stageP.toString
+      docs(s, dir).select(col("doc_id"), col("text"))
+        .foreachPartition { rows: java.util.Iterator[org.apache.spark.sql.Row] =>
+          rows.forEachRemaining { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(stageDir, f"doc_${r.getLong(0)}%07d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+            ()
+          }
+        }
+    }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(stageP.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q179Oracle: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- q105: fixed-weights quality classifier --------------------------
 
   /** Model-based quality scoring with a FIXED fastText-shaped linear
@@ -3315,6 +3360,7 @@ object DataOps extends QueryModule {
     "q165_pagerank" -> (pagerank _),
     "q170_pmi_collocations" -> (pmiCollocations _),
     "q171_triangles" -> (triangleCounts _),
+    "q179_binary_source" -> (binarySource _),
     "q105_quality_classifier" -> (qualityClassify _),
     "q106_span_excision" -> (spanExcision _),
     "q101_mixture_recipe" -> (mixtureRecipe _),
@@ -3398,6 +3444,7 @@ object DataOps extends QueryModule {
     "q165_pagerank" -> q165Oracle,
     "q170_pmi_collocations" -> q170Oracle,
     "q171_triangles" -> q171Oracle,
+    "q179_binary_source" -> q179Oracle,
     "q105_quality_classifier" -> q105Oracle,
     "q106_span_excision" -> q106Oracle,
     "q101_mixture_recipe" -> q101Oracle,
