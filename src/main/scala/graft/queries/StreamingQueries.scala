@@ -1065,6 +1065,62 @@ object StreamingQueries extends QueryModule {
     res
   }
 
+  // ---- q180: state-store reader (checkpoint introspection) --------------
+
+  /** Spark 4's state data source — the ops/debugging door into a live
+    * checkpoint: after an append-mode windowed drain, `format
+    * ("statestore")` reads the aggregation operator's RocksDB state
+    * directly from the checkpoint, and the rows it returns must BE the
+    * not-yet-emitted windows — exactly the complement, under the final
+    * watermark, of what the sink received. The oracle recomputes those
+    * open windows from the events table and the watermark algebra the
+    * q81 family pinned (final watermark = ms-floored global max − the
+    * 2-day delay; a window is still in state iff its end exceeds it).
+    * A green row pins BOTH the reader's key/value surfacing and that
+    * eviction left exactly the right state behind.
+    */
+  def stateReader(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Paths
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val work = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"q180_$tag")
+    deleteRecursively(work)
+    val windows = eventsChunkedStream(s, dir, 5)
+      .select(col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = windows.writeStream
+        .foreachBatch { (df: DataFrame, _: Long) => df.write.format("noop").mode("overwrite").save(); () }
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val state = s.read.format("statestore").load(work.resolve("ckpt").toString)
+    val res = state
+      .select(col("key.window.start").as("day"), col("key.event_type").as("event_type"),
+        col("value.count").as("n"), col("value.sum").cast("double").as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
+      .localCheckpoint(true)
+    deleteRecursively(work)
+    res
+  }
+
+  private val q180Oracle: String =
+    """WITH wm AS (
+      |  SELECT date_trunc('milliseconds', MAX(ts)) - INTERVAL 2 DAY AS w FROM events),
+      |win AS (
+      |  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, event_type, n, sum_value
+      |FROM win, wm WHERE day + INTERVAL 1 DAY > wm.w
+      |ORDER BY day, event_type""".stripMargin
+
   private val q157Oracle: String =
     """WITH evf AS (
       |  SELECT user_id, ts, event_id, value,
@@ -1638,6 +1694,7 @@ object StreamingQueries extends QueryModule {
     "q157_cdc_partitioned" -> (cdcApplyPartitioned _),
     "q164_cdc_mor" -> (cdcApplyMor _),
     "q174_cdc_resume" -> (cdcResume _),
+    "q180_state_reader" -> (stateReader _),
     "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
@@ -1669,6 +1726,7 @@ object StreamingQueries extends QueryModule {
     "q157_cdc_partitioned" -> q157Oracle,
     "q164_cdc_mor" -> q157Oracle,
     "q174_cdc_resume" -> q157Oracle,
+    "q180_state_reader" -> q180Oracle,
     "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
