@@ -27,24 +27,31 @@ object Analyze {
     * 100 TB the exact NDV leg drops and the sketch IS the statistic;
     * here both run so the estimate is pinned against truth). All
     * columns' aggregates evaluate in a single `agg` (one pass, one
-    * partial-aggregation tree), then `stack` unpivots the single row
-    * to one row per column — no per-column scans, no driver loop.
+    * partial-aggregation tree), then an explode over per-column structs
+    * unpivots the single row — no per-column scans, no driver loop.
+    *
+    * Caller-supplied names never reach a SQL string: internal aliases
+    * are INDEX-based and the reported `col_name` is a `lit` value, so a
+    * name containing quotes/spaces/dots/backticks is just data
+    * (ADVICE r9 — the previous `stack()` string interpolated them).
     *
     * @return one row per column: `col_name, n, n_null, ndv, hll_ok`.
     */
   def tableStats(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "tableStats needs at least one column")
-    val aggs = cols.flatMap { case (nm, c) =>
-      Seq(count(c).as(s"__cnt_$nm"),
-        countDistinct(c).as(s"__ndv_$nm"),
-        approx_count_distinct(c, 0.02).as(s"__andv_$nm"))
+    val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) =>
+      Seq(count(c).as(s"__cnt_$i"),
+        countDistinct(c).as(s"__ndv_$i"),
+        approx_count_distinct(c, 0.02).as(s"__andv_$i"))
     }
     val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
-    val stacked = cols.map { case (nm, _) =>
-      s"'$nm', __cnt_$nm, __ndv_$nm, __andv_$nm"
-    }.mkString(", ")
-    row.select(col("__n"),
-        expr(s"stack(${cols.size}, $stacked) AS (col_name, __cnt, ndv, __andv)"))
+    val cells = cols.zipWithIndex.map { case ((nm, _), i) =>
+      struct(lit(nm).as("col_name"), col(s"__cnt_$i").as("__cnt"),
+        col(s"__ndv_$i").as("ndv"), col(s"__andv_$i").as("__andv"))
+    }
+    row.select(col("__n"), explode(array(cells: _*)).as("c"))
+      .select(col("c.col_name").as("col_name"), col("c.__cnt").as("__cnt"),
+        col("c.ndv").as("ndv"), col("c.__andv").as("__andv"), col("__n"))
       .select(col("col_name"), col("__n").as("n"),
         (col("__n") - col("__cnt")).as("n_null"), col("ndv"),
         (abs(col("__andv") - col("ndv")) <= col("ndv") * 0.05).as("hll_ok"))

@@ -41,13 +41,20 @@ object Drift {
 
   private val vocabMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Label of the coarsened tail cell. Contains a space, which a
+    * `split(text, " ")` token can never contain BY CONSTRUCTION — so it
+    * cannot collide with any genuine corpus token. (The previous
+    * sentinel "\u0001other" relied on 0x01 not appearing in documents;
+    * binary junk in an adversarial corpus could forge it. ADVICE r9.) */
+  val TailCell = " tail"
+
   /** Per-group token total and fixed-point KL from the corpus.
     *
     * `maxVocab` bounds the broadcast corpus-term table BY CONSTRUCTION
     * (the contaminationPairs cap discipline, VERDICT r8 #7): when the
     * distinct-term count exceeds it, the tail below the top `maxVocab`
     * terms (by corpus count desc, term — a deterministic cut) is
-    * COARSENED into one `other` pseudo-term before any
+    * COARSENED into one `TailCell` pseudo-term before any
     * distribution is formed, so both p_g and p_C are measured on the
     * same (maxVocab+1)-cell partition of the vocabulary and kl_fp is
     * the exact KL of the coarsened distributions (a data-processing
@@ -79,7 +86,7 @@ object Drift {
           .select(col("term"), lit(1).as("__keep"))
         gtRaw.join(broadcast(kept), Seq("term"), "left")
           .withColumn("term",
-            when(col("__keep").isNotNull, col("term")).otherwise(lit("other")))
+            when(col("__keep").isNotNull, col("term")).otherwise(lit(TailCell)))
           .groupBy(col("grp"), col("term"))
           .agg(sum(col("cgt")).as("cgt"))
       }

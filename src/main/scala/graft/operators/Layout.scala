@@ -115,41 +115,52 @@ object Layout {
     * table format's metadata log (the staged files are already laid out
     * for that); the merge plan — the expensive part — is identical.
     *
+    * SINGLE-WRITER per snapshot: the stage directory and manifest are
+    * fixed siblings of `basePath`, so concurrent merges would corrupt
+    * each other's commit. A lock file (`basePath__upsert_lock`, atomic
+    * create-no-overwrite) makes the requirement fail-fast instead of
+    * silent (ADVICE r9): a second writer gets an IllegalStateException
+    * naming the holder. A crashed writer leaves the lock behind — after
+    * confirming no merge is live, clear it with [[breakLock]]; the next
+    * merge then replays the crashed commit from its manifest.
+    *
     * Returns the touched bucket ids (sorted).
     */
   def upsertPartitioned(spark: SparkSession, basePath: String, updates: DataFrame,
                         keyCols: Seq[String], bucketExpr: Column,
                         bucketCol: String = "__bucket"): Seq[Int] = {
     require(keyCols.nonEmpty, "upsertPartitioned needs at least one key column")
-    // a previous merge that died mid-commit left a manifest: finish its
-    // swaps FIRST (idempotent) — merging on top of a torn snapshot
-    // would read a mix of old and new bucket generations
-    recoverPendingCommit(spark, basePath, bucketCol)
-    val upd = updates.withColumn(bucketCol, bucketExpr.cast("int"))
-    // bucket ids of THIS batch: bounded by numBuckets, never by data
-    val touched = upd.select(col(bucketCol)).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    if (touched.isEmpty) return touched
-    val base = spark.read.parquet(basePath)
-      .filter(col(bucketCol).isin(touched.map(Integer.valueOf): _*))
-    val merged = upsert(base, upd, keyCols)
-    val stagePath = basePath + "__upsert_stage"
-    merged.write.partitionBy(bucketCol).mode(SaveMode.Overwrite).parquet(stagePath)
-    // commit protocol: (1) durable manifest naming the touched buckets,
-    // (2) per-bucket delete+rename swaps, (3) stage cleanup, (4) manifest
-    // removal. A crash at ANY point recovers on the next call: before
-    // the manifest lands nothing moved (the stage is overwritten next
-    // merge); after it, recoverPendingCommit replays exactly the swaps
-    // whose staged directories still exist (rename is the atomic unit).
-    val conf = spark.sparkContext.hadoopConfiguration
-    val baseDir = new org.apache.hadoop.fs.Path(basePath)
-    val stageDir = new org.apache.hadoop.fs.Path(stagePath)
-    val fs = baseDir.getFileSystem(conf)
-    writeCommitManifest(fs, basePath, touched)
-    touched.foreach(b => swapBucket(fs, stageDir, baseDir, bucketCol, b))
-    fs.delete(stageDir, true)
-    fs.delete(manifestPath(basePath), false)
-    touched
+    withMergeLock(spark, basePath) { fs =>
+      // a previous merge that died mid-commit left a manifest: finish its
+      // swaps FIRST (idempotent) — merging on top of a torn snapshot
+      // would read a mix of old and new bucket generations
+      recoverLocked(spark, basePath, bucketCol)
+      val upd = updates.withColumn(bucketCol, bucketExpr.cast("int"))
+      // bucket ids of THIS batch: bounded by numBuckets, never by data
+      val touched = upd.select(col(bucketCol)).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      if (touched.isEmpty) touched
+      else {
+        val base = spark.read.parquet(basePath)
+          .filter(col(bucketCol).isin(touched.map(Integer.valueOf): _*))
+        val merged = upsert(base, upd, keyCols)
+        val stagePath = basePath + "__upsert_stage"
+        merged.write.partitionBy(bucketCol).mode(SaveMode.Overwrite).parquet(stagePath)
+        // commit protocol: (1) durable manifest naming the touched buckets,
+        // (2) per-bucket delete+rename swaps, (3) stage cleanup, (4) manifest
+        // removal. A crash at ANY point recovers on the next call: before
+        // the manifest lands nothing moved (the stage is overwritten next
+        // merge); after it, recoverPendingCommit replays exactly the swaps
+        // whose staged directories still exist (rename is the atomic unit).
+        val baseDir = new org.apache.hadoop.fs.Path(basePath)
+        val stageDir = new org.apache.hadoop.fs.Path(stagePath)
+        writeCommitManifest(fs, basePath, touched, Nil)
+        touched.foreach(b => swapBucket(fs, stageDir, baseDir, bucketCol, b))
+        fs.delete(stageDir, true)
+        fs.delete(manifestPath(basePath), false)
+        touched
+      }
+    }
   }
 
   /** Partition-scoped keyed DELETE — the right-to-be-forgotten purge at
@@ -158,11 +169,15 @@ object Layout {
     * touched buckets against the broadcast-sized key set), untouched
     * buckets stay physically identical, and the commit is the same
     * crash-safe manifest-before-swap protocol. A bucket whose rows ALL
-    * die produces no staged directory; its live directory is removed
-    * directly after the manifest commit completes — that tail step is
-    * idempotent by construction (rerunning the delete re-issues it), so
-    * a crash there is repaired by retrying the operation, which is the
-    * natural deployer response to a failed purge anyway.
+    * die produces no staged directory; its removal is recorded in the
+    * manifest as a `D<b>` entry BEFORE any swap or delete happens, so a
+    * crash anywhere in the commit window is repaired by
+    * [[recoverPendingCommit]] — the purge completes without relying on
+    * an operator-initiated retry (ADVICE r9; directory delete is the
+    * idempotent replay unit, as rename is for swaps).
+    *
+    * Single-writer per snapshot, enforced by the same lock as
+    * [[upsertPartitioned]].
     *
     * Returns the touched bucket ids (sorted).
     */
@@ -170,44 +185,92 @@ object Layout {
                         keyCols: Seq[String], bucketExpr: Column,
                         bucketCol: String = "__bucket"): Seq[Int] = {
     require(keyCols.nonEmpty, "deletePartitioned needs at least one key column")
-    recoverPendingCommit(spark, basePath, bucketCol)
-    val keys = tombstones.select(keyCols.map(col): _*).distinct()
-      .withColumn(bucketCol, bucketExpr.cast("int"))
-      .localCheckpoint(false) // feeds the bucket list AND the anti-join
-    val touched = keys.select(col(bucketCol)).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
-    if (touched.isEmpty) return touched
-    val base = spark.read.parquet(basePath)
-      .filter(col(bucketCol).isin(touched.map(Integer.valueOf): _*))
-    val survivors = base.join(broadcast(keys.drop(bucketCol)), keyCols, "left_anti")
-    val stagePath = basePath + "__upsert_stage"
-    survivors.write.partitionBy(bucketCol).mode(SaveMode.Overwrite).parquet(stagePath)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val baseDir = new org.apache.hadoop.fs.Path(basePath)
-    val stageDir = new org.apache.hadoop.fs.Path(stagePath)
-    val fs = baseDir.getFileSystem(conf)
-    // buckets with survivors swap under the manifest; fully-emptied
-    // buckets are a directory delete AFTER the manifest completes
-    val staged = touched.filter(b =>
-      fs.exists(new org.apache.hadoop.fs.Path(stageDir, s"$bucketCol=$b")))
-    writeCommitManifest(fs, basePath, staged)
-    staged.foreach(b => swapBucket(fs, stageDir, baseDir, bucketCol, b))
-    fs.delete(stageDir, true)
-    fs.delete(manifestPath(basePath), false)
-    (touched.toSet -- staged).toSeq.sorted.foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(baseDir, s"$bucketCol=$b"), true)
+    withMergeLock(spark, basePath) { fs =>
+      recoverLocked(spark, basePath, bucketCol)
+      val keys = tombstones.select(keyCols.map(col): _*).distinct()
+        .withColumn(bucketCol, bucketExpr.cast("int"))
+        .localCheckpoint(false) // feeds the bucket list AND the anti-join
+      val touched = keys.select(col(bucketCol)).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      if (touched.isEmpty) touched
+      else {
+        val base = spark.read.parquet(basePath)
+          .filter(col(bucketCol).isin(touched.map(Integer.valueOf): _*))
+        val survivors = base.join(broadcast(keys.drop(bucketCol)), keyCols, "left_anti")
+        val stagePath = basePath + "__upsert_stage"
+        survivors.write.partitionBy(bucketCol).mode(SaveMode.Overwrite).parquet(stagePath)
+        val baseDir = new org.apache.hadoop.fs.Path(basePath)
+        val stageDir = new org.apache.hadoop.fs.Path(stagePath)
+        // buckets with survivors swap; fully-emptied buckets delete —
+        // BOTH actions are named by the manifest before either runs
+        val staged = touched.filter(b =>
+          fs.exists(new org.apache.hadoop.fs.Path(stageDir, s"$bucketCol=$b")))
+        val emptied = (touched.toSet -- staged).toSeq.sorted
+        writeCommitManifest(fs, basePath, staged, emptied)
+        staged.foreach(b => swapBucket(fs, stageDir, baseDir, bucketCol, b))
+        emptied.foreach(b =>
+          fs.delete(new org.apache.hadoop.fs.Path(baseDir, s"$bucketCol=$b"), true))
+        fs.delete(stageDir, true)
+        fs.delete(manifestPath(basePath), false)
+        touched
+      }
     }
-    touched
   }
 
   private def manifestPath(basePath: String) =
     new org.apache.hadoop.fs.Path(basePath + "__upsert_commit")
 
+  private def lockPath(basePath: String) =
+    new org.apache.hadoop.fs.Path(basePath + "__upsert_lock")
+
+  /** Acquire the snapshot's merge lock (atomic create-no-overwrite),
+    * run `body`, release. A held lock fails FAST with the holder's
+    * identity rather than letting two writers corrupt the shared stage
+    * directory and manifest (ADVICE r9). Atomic on HDFS and local
+    * filesystems; an object-store deployment would swap this for a
+    * conditional put — same protocol. */
+  private def withMergeLock[A](spark: SparkSession, basePath: String)
+                              (body: org.apache.hadoop.fs.FileSystem => A): A = {
+    val lp = lockPath(basePath)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val holder = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName} " +
+      s"thread=${Thread.currentThread().getId} at=${java.time.Instant.now()}"
+    try {
+      val out = fs.create(lp, false)
+      try out.write(holder.getBytes("UTF-8")) finally out.close()
+    } catch {
+      case e: java.io.IOException =>
+        val who = try {
+          val in = fs.open(lp)
+          try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+          finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+        throw new IllegalStateException(
+          s"merge lock for $basePath is held (by $who). Partitioned merges are " +
+            "single-writer per snapshot; if the holder crashed, clear the lock " +
+            "with Layout.breakLock — the next merge replays any pending commit.", e)
+    }
+    try body(fs) finally fs.delete(lp, false)
+  }
+
+  /** Remove a crashed writer's stale merge lock. Caller asserts no
+    * merge is live on `basePath`; the next merge (or
+    * [[recoverPendingCommit]]) then finishes any pending commit. */
+  def breakLock(spark: SparkSession, basePath: String): Boolean = {
+    val lp = lockPath(basePath)
+    lp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(lp, false)
+  }
+
+  /** Manifest lines: a bare int = swap bucket `b` from the stage; `D<b>`
+    * = delete bucket directory `b` (a purge that emptied it). Written
+    * atomically (tmp + rename) before any mutation runs. */
   private def writeCommitManifest(fs: org.apache.hadoop.fs.FileSystem,
-                                  basePath: String, touched: Seq[Int]): Unit = {
+                                  basePath: String, swaps: Seq[Int],
+                                  deletes: Seq[Int]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(basePath + "__upsert_commit.tmp")
     val out = fs.create(tmp, true)
-    try out.write(touched.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val body = (swaps.map(_.toString) ++ deletes.map(b => s"D$b")).mkString("\n")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, manifestPath(basePath)),
       s"upsertPartitioned: could not persist commit manifest for $basePath")
   }
@@ -224,28 +287,39 @@ object Layout {
   }
 
   /** Complete a merge that crashed mid-commit (manifest present): swap
-    * in every manifest bucket whose staged directory still exists —
+    * in every manifest swap bucket whose staged directory still exists —
     * already-swapped buckets have no staged dir left, so the replay is
-    * idempotent — then clean the stage and the manifest. Returns true
-    * when a pending commit was found and finished. Callers that read a
-    * snapshot OUTSIDE upsertPartitioned (which recovers automatically)
-    * should invoke this first after an unclean shutdown.
+    * idempotent — replay every `D<b>` deletion (directory delete is
+    * idempotent too), then clean the stage and the manifest. Returns
+    * true when a pending commit was found and finished. Callers that
+    * read a snapshot OUTSIDE upsertPartitioned (which recovers
+    * automatically) should invoke this first after an unclean shutdown.
+    * Takes the merge lock — a live writer makes this fail fast.
     */
   def recoverPendingCommit(spark: SparkSession, basePath: String,
-                           bucketCol: String = "__bucket"): Boolean = {
+                           bucketCol: String = "__bucket"): Boolean =
+    withMergeLock(spark, basePath)(_ => recoverLocked(spark, basePath, bucketCol))
+
+  /** [[recoverPendingCommit]] body, called with the merge lock held. */
+  private def recoverLocked(spark: SparkSession, basePath: String,
+                            bucketCol: String): Boolean = {
     val baseDir = new org.apache.hadoop.fs.Path(basePath)
     val fs = baseDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = manifestPath(basePath)
     if (!fs.exists(manifest)) return false
     val in = fs.open(manifest)
-    val pending =
+    val lines =
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-        .split("\n").filter(_.nonEmpty).map(_.toInt).toSeq
+        .split("\n").filter(_.nonEmpty).toSeq
       finally in.close()
     val stageDir = new org.apache.hadoop.fs.Path(basePath + "__upsert_stage")
-    pending.foreach { b =>
-      val src = new org.apache.hadoop.fs.Path(stageDir, s"$bucketCol=$b")
-      if (fs.exists(src)) swapBucket(fs, stageDir, baseDir, bucketCol, b)
+    lines.foreach {
+      case d if d.startsWith("D") =>
+        fs.delete(new org.apache.hadoop.fs.Path(baseDir, s"$bucketCol=${d.tail.toInt}"), true)
+      case s =>
+        val b = s.toInt
+        val src = new org.apache.hadoop.fs.Path(stageDir, s"$bucketCol=$b")
+        if (fs.exists(src)) swapBucket(fs, stageDir, baseDir, bucketCol, b)
     }
     fs.delete(stageDir, true)
     fs.delete(manifest, false)

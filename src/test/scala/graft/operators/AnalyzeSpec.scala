@@ -12,6 +12,28 @@ class AnalyzeSpec extends SparkSpec {
     (7L, 5.0), (8L, 1.0), (9L, 9.0), (10L, 100.0)
   ).toDF("id", "v")
 
+  describe("Analyze.tableStats") {
+    it("hostile column names (quotes, dots, spaces, backticks) are data, not SQL (ADVICE r9)") {
+      val hostile = Seq("we'ird \"name\"", "a.b`c", "plain")
+      val r = Analyze.tableStats(skewed,
+          hostile.map(nm => nm -> col("v")))
+        .orderBy("col_name")
+        .as[(String, Long, Long, Long, Boolean)].collect()
+      assert(r.map(_._1).toSeq == hostile.sorted)
+      // all three profile the same column → identical stats
+      assert(r.map(x => (x._2, x._3, x._4)).distinct.toSeq == Seq((10L, 0L, 4L)))
+    }
+
+    it("profiles null fraction and NDV per column in one pass") {
+      val df = Seq((Some(1), "x"), (None, "x"), (Some(3), "y"))
+        .toDF("i", "s")
+      val r = Analyze.tableStats(df, Seq("i" -> col("i"), "s" -> col("s")))
+        .as[(String, Long, Long, Long, Boolean)].collect().map(x => x._1 -> x).toMap
+      assert(r("i")._2 == 3L && r("i")._3 == 1L && r("i")._4 == 2L)
+      assert(r("s")._2 == 3L && r("s")._3 == 0L && r("s")._4 == 2L)
+    }
+  }
+
   describe("Analyze.equiDepthHistogram") {
     it("buckets carry equal row counts (±1) regardless of value skew") {
       val h = Analyze.equiDepthHistogram(skewed, col("v"), col("id"), k = 4)

@@ -65,6 +65,26 @@ class DriftSpec extends SparkSpec {
       assert(again == capped)
     }
 
+    it("a surviving token literally spelled like the tail cell does not merge with it (ADVICE r9)") {
+      // "other" (and even a forged control-char lookalike) is the DOMINANT
+      // token, so it survives any cut; tail terms coarsen into TailCell.
+      // If the sentinel could collide, renaming the dominant token would
+      // change the coarsened KL — assert renaming symmetry instead.
+      def mk(tok: String) = Seq(
+        ("a", s"$tok $tok $tok alpha beta"),
+        ("b", s"$tok $tok $tok gamma delta"),
+        ("z", s"$tok zebra quark xylophone fjord")
+      ).toDF("source", "text")
+      def run(tok: String) =
+        Drift.unigramKl(mk(tok), col("source"), col("text"), maxVocab = 1)
+          .as[(String, Long, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+      val base = run("keepme")
+      assert(run("other") == base)
+      assert(run("\u0001other") == base)
+      // and the sentinel itself cannot be tokenized into existence
+      assert(Drift.TailCell.contains(" "))
+    }
+
     it("is invariant under repartitioning") {
       val a = Drift.unigramKl(corpus, col("source"), col("text"))
         .collect().map(_.toSeq).toSet

@@ -393,6 +393,60 @@ class LayoutSpec extends SparkSpec {
       }
     }
 
+    it("a purge that crashed mid-commit completes on recovery: emptied buckets die from the manifest alone (ADVICE r9)") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/snap"
+        val bucket = pmod(col("k"), lit(4L))
+        Layout.writeBucketed((0L until 40L).map(k => (k, s"v$k")).toDF("k", "txt"), snap, bucket)
+        // torn purge state: bucket 2's survivors staged (swap pending),
+        // bucket 1 fully emptied — manifest records BOTH, nothing ran yet
+        val stage = s"${snap}__upsert_stage"
+        Seq((10L, "v10"), (14L, "v14")).toDF("k", "txt")
+          .withColumn("__bucket", bucket.cast("int"))
+          .write.partitionBy("__bucket").parquet(stage)
+        val fs = new org.apache.hadoop.fs.Path(snap)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val mf = new org.apache.hadoop.fs.Path(s"${snap}__upsert_commit")
+        val out = fs.create(mf, true)
+        try out.write("2\nD1".getBytes("UTF-8")) finally out.close()
+        assert(Layout.recoverPendingCommit(spark, snap))
+        val after = Layout.bucketFileSignatures(spark, snap)
+        assert(!after.contains(1), "emptied bucket survived the crash window")
+        val got = spark.read.parquet(snap).drop("__bucket")
+          .as[(Long, String)].collect().toMap
+        assert(got.size == 22) // 40 − 10 (bucket 1 purged) − 8 (bucket 2 → 2 survivors)
+        assert(!got.contains(1L) && !got.contains(2L) && got(10L) == "v10")
+        assert(!fs.exists(mf) && !Layout.recoverPendingCommit(spark, snap))
+      }
+    }
+
+    it("a held merge lock fails a second writer fast; breakLock clears a crashed holder (ADVICE r9)") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/snap"
+        val bucket = pmod(col("k"), lit(4L))
+        Layout.writeBucketed((0L until 40L).map(k => (k, s"v$k")).toDF("k", "txt"), snap, bucket)
+        // simulate a crashed (or live) writer's lock
+        val fs = new org.apache.hadoop.fs.Path(snap)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val lock = new org.apache.hadoop.fs.Path(s"${snap}__upsert_lock")
+        val out = fs.create(lock, false)
+        try out.write("someone-else".getBytes("UTF-8")) finally out.close()
+        val upd = Seq((1L, "one-v2")).toDF("k", "txt")
+        val ex = intercept[IllegalStateException] {
+          Layout.upsertPartitioned(spark, snap, upd, Seq("k"), bucket)
+        }
+        assert(ex.getMessage.contains("single-writer") &&
+          ex.getMessage.contains("someone-else"), ex.getMessage)
+        intercept[IllegalStateException] {
+          Layout.deletePartitioned(spark, snap, Seq(1L).toDF("k"), Seq("k"), bucket)
+        }
+        assert(Layout.breakLock(spark, snap))
+        assert(Layout.upsertPartitioned(spark, snap, upd, Seq("k"), bucket) == Seq(1))
+        // the lock never outlives the merge
+        assert(!fs.exists(lock))
+      }
+    }
+
     it("default hash bucketing is deterministic and scatter-bounded by the batch key count") {
       val b1 = Layout.bucketOf(Seq("k"), 1024)
       val ids = (0L until 50L).toDF("k").select(b1.as("b"))
