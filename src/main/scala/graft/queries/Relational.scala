@@ -886,6 +886,189 @@ object Relational extends QueryModule {
       |  n7 = 7 AND abs(c - med7) * 2 > range7 AS is_anomaly
       |FROM win ORDER BY event_type, day""".stripMargin
 
+  /** q181: datetime battery — the calendar/zone surface an event
+    * pipeline leans on daily: ISO-week truncation, day-of-week, UTC→zone
+    * conversion (a whole-hour zone and a +08:45 fractional-offset zone,
+    * so the offset arithmetic is pinned beyond "add N hours"), month-end
+    * (`last_day`), month arithmetic with end-clamping (`add_months`),
+    * epoch-hour bucketing, and day differences. Every output is an
+    * integer aggregate or a formatted date string — no engine-local
+    * timestamp formatting reaches the compare. Per-row projections +
+    * one hash aggregate: codegen, no shuffle beyond the groupBy.
+    */
+  def datetimeBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("ts"), to_date(col("ts")).as("d"))
+      .select(col("event_type"),
+        date_trunc("week", col("ts")).as("wk"),
+        dayofweek(col("ts")).as("dow"),
+        hour(from_utc_timestamp(col("ts"), "America/New_York")).as("ny_h"),
+        hour(from_utc_timestamp(col("ts"), "Australia/Eucla")).as("eucla_h"),
+        minute(from_utc_timestamp(col("ts"), "Australia/Eucla")).as("eucla_m"),
+        last_day(col("d")).as("ld"),
+        date_format(add_months(col("d"), 2), "yyyy-MM-dd").as("am"),
+        floor(unix_micros(col("ts")) / 3600000000L).as("eh"),
+        datediff(lit("2024-12-01").cast(DateType), col("d")).as("dd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("wk")).as("n_weeks"),
+        sum(col("dow").cast(LongType)).as("sum_dow"),
+        sum(col("ny_h").cast(LongType)).as("sum_ny_hour"),
+        sum(col("eucla_h").cast(LongType)).as("sum_eucla_hour"),
+        sum(col("eucla_m").cast(LongType)).as("sum_eucla_min"),
+        countDistinct(col("ld")).as("n_month_ends"),
+        max(col("am")).as("max_add2m"),
+        countDistinct(col("eh")).as("n_epoch_hours"),
+        sum(col("dd").cast(LongType)).as("sum_days_to_dec"))
+      .orderBy(col("event_type"))
+
+  private val q181Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    date_trunc('week', ts) AS wk,
+      |    dayofweek(ts) + 1 AS dow,
+      |    hour(timezone('America/New_York', timezone('UTC', ts))) AS ny_h,
+      |    hour(timezone('Australia/Eucla', timezone('UTC', ts))) AS eucla_h,
+      |    minute(timezone('Australia/Eucla', timezone('UTC', ts))) AS eucla_m,
+      |    last_day(CAST(ts AS DATE)) AS ld,
+      |    strftime(CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d') AS am,
+      |    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS eh,
+      |    date_diff('day', CAST(ts AS DATE), DATE '2024-12-01') AS dd
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT wk) AS n_weeks,
+      |  CAST(SUM(dow) AS BIGINT) AS sum_dow,
+      |  CAST(SUM(ny_h) AS BIGINT) AS sum_ny_hour,
+      |  CAST(SUM(eucla_h) AS BIGINT) AS sum_eucla_hour,
+      |  CAST(SUM(eucla_m) AS BIGINT) AS sum_eucla_min,
+      |  COUNT(DISTINCT ld) AS n_month_ends,
+      |  MAX(am) AS max_add2m,
+      |  COUNT(DISTINCT eh) AS n_epoch_hours,
+      |  CAST(SUM(dd) AS BIGINT) AS sum_days_to_dec
+      |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q182: decimal-precision battery — exact fixed-scale arithmetic the
+    * financial path depends on: (18,2) sums, full-precision (·,4)
+    * product sums compared as STRINGS (so every trailing digit is
+    * pinned, not a double approximation), and a round-half-up pin built
+    * from a scale-5 product whose low digit is exactly 5 on half the
+    * rows — the case where truncation, half-even, and half-up all
+    * differ. Decimal aggregation is Tungsten-native (UnsafeRow fixed
+    * decimals): partial aggregation everywhere, result independent of
+    * the reduction tree.
+    */
+  def decimalBattery(s: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice").cast(DecimalType(18, 2))
+    val qty = col("l_quantity").cast(DecimalType(18, 2))
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), price.as("p"), qty.as("q"),
+        round(price * lit("0.005").cast(DecimalType(6, 3)), 2).as("r5"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).cast(DoubleType).as("sum_price"),
+        sum(col("p") * col("q")).cast(StringType).as("sum_prod_s"),
+        sum((col("r5") * 100).cast(LongType)).as("sum_round_cents"),
+        min(col("p")).cast(StringType).as("min_price_s"),
+        max(col("p")).cast(StringType).as("max_price_s"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q182Sql: String =
+    """WITH l AS (
+      |  SELECT l_returnflag,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+      |    CAST(l_quantity AS DECIMAL(18,2)) AS q,
+      |    ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST('0.005' AS DECIMAL(6,3)), 2) AS r5
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(p * q) AS VARCHAR) AS sum_prod_s,
+      |  CAST(SUM(CAST(r5 * 100 AS BIGINT)) AS BIGINT) AS sum_round_cents,
+      |  CAST(MIN(p) AS VARCHAR) AS min_price_s,
+      |  CAST(MAX(p) AS VARCHAR) AS max_price_s
+      |FROM l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** q183: regexp battery — extraction, extract-all counting,
+    * replacement, anchors, and alternation over document text, per
+    * language. Patterns stay inside the regex subset Java and RE2
+    * execute identically (literal classes, +, alternation, anchors,
+    * word boundary; no backrefs, no lookaround), which is also the
+    * subset that runs at scan speed at 100 TB — all per-row codegen
+    * projections, one hash aggregate.
+    */
+  def regexpBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(expr("regexp_extract_all(text, '[aeiou][aeiou]', 0)")).cast(LongType).as("vp"),
+        col("text").rlike("data[a-z ]*join|join[a-z ]*data").cast(LongType).as("dj"),
+        length(regexp_replace(col("text"), "[aeiou]+", "V")).cast(LongType).as("rl"),
+        regexp_extract(col("text"), "\\b(s[a-z]+)", 1).as("sw"),
+        col("text").rlike("^[bw]").cast(LongType).as("bw"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vp")).as("sum_vowel_pairs"),
+        sum(col("dj")).as("n_data_join"),
+        sum(col("rl")).as("sum_repl_len"),
+        min(when(col("sw") =!= "", col("sw"))).as("first_sword"),
+        sum(col("bw")).as("n_bw_start"))
+      .orderBy(col("lang"))
+
+  private val q183Sql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    len(regexp_extract_all(text, '[aeiou][aeiou]')) AS vp,
+      |    CASE WHEN regexp_matches(text, 'data[a-z ]*join|join[a-z ]*data')
+      |      THEN 1 ELSE 0 END AS dj,
+      |    length(regexp_replace(text, '[aeiou]+', 'V', 'g')) AS rl,
+      |    regexp_extract(text, '\b(s[a-z]+)', 1) AS sw,
+      |    CASE WHEN regexp_matches(text, '^[bw]') THEN 1 ELSE 0 END AS bw
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(vp) AS BIGINT) AS sum_vowel_pairs,
+      |  CAST(SUM(dj) AS BIGINT) AS n_data_join,
+      |  CAST(SUM(rl) AS BIGINT) AS sum_repl_len,
+      |  MIN(CASE WHEN sw <> '' THEN sw END) AS first_sword,
+      |  CAST(SUM(bw) AS BIGINT) AS n_bw_start
+      |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q184: argmax/argmin + per-group top-k battery — `max_by`/`min_by`
+    * with a STRUCT ordering key (value, then id — ties impossible by
+    * construction, so both engines' "an arbitrary maximal row" freedom
+    * never bites), plus the top-3 ids per group emitted as one ordered
+    * string. The top-k is per-group bounded: a sorted collect_list over
+    * each group's rows sliced to 3 — at 100 TB the same shape holds
+    * because the slice bounds the retained state, and groups are
+    * event-type-cardinality few; for high-cardinality groups the
+    * window-rank form (q06) is the scale path.
+    */
+  def argmaxBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("max_by(event_id, struct(value, event_id))").as("argmax_eid"),
+        expr("min_by(event_id, struct(value, event_id))").as("argmin_eid"),
+        max(col("value")).as("max_val"),
+        expr("concat_ws(',', transform(slice(reverse(array_sort(" +
+          "collect_list(struct(value, event_id)))), 1, 3), x -> cast(x.event_id as string)))")
+          .as("top3"))
+      .orderBy(col("event_type"))
+
+  private val q184Sql: String =
+    """WITH r AS (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id DESC) AS rmax,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value ASC, event_id ASC) AS rmin
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  MAX(CASE WHEN rmax = 1 THEN event_id END) AS argmax_eid,
+      |  MAX(CASE WHEN rmin = 1 THEN event_id END) AS argmin_eid,
+      |  MAX(value) AS max_val,
+      |  string_agg(CASE WHEN rmax <= 3 THEN CAST(event_id AS VARCHAR) END, ','
+      |    ORDER BY rmax) AS top3
+      |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -1342,7 +1525,11 @@ object Relational extends QueryModule {
     "q175_cdc_delete" -> (cdcDelete _),
     "q176_explode_battery" -> (explodeBattery _),
     "q177_try_fns" -> (tryFns _),
-    "q178_anomaly_flags" -> (anomalyFlags _))
+    "q178_anomaly_flags" -> (anomalyFlags _),
+    "q181_datetime_battery" -> (datetimeBattery _),
+    "q182_decimal_battery" -> (decimalBattery _),
+    "q183_regexp_battery" -> (regexpBattery _),
+    "q184_argmax_battery" -> (argmaxBattery _))
 
   val family: String = "relational"
 
@@ -1699,7 +1886,11 @@ object Relational extends QueryModule {
     "q175_cdc_delete" -> q175Sql,
     "q176_explode_battery" -> q176Sql,
     "q177_try_fns" -> q177Sql,
-    "q178_anomaly_flags" -> q178Sql)
+    "q178_anomaly_flags" -> q178Sql,
+    "q181_datetime_battery" -> q181Sql,
+    "q182_decimal_battery" -> q182Sql,
+    "q183_regexp_battery" -> q183Sql,
+    "q184_argmax_battery" -> q184Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
