@@ -3307,6 +3307,176 @@ object DataOps extends QueryModule {
       |  CAST(0 AS BIGINT)
       |ORDER BY artifact""".stripMargin
 
+  /** q185: URL parsing + per-domain cap — the crawl-curation gate that
+    * keeps one domain from dominating a training mix (C4/RefinedWeb
+    * both cap per-domain contributions). Deterministic URLs are derived
+    * from document metadata (source → host label, lang → ccTLD), then
+    * the HOST / QUERY components come from Spark's `parse_url` (a real
+    * URL parser, not string slicing), the registrable domain from a
+    * label-suffix rule, and the cap keeps the first 5 docs per site by
+    * doc_id — a bounded per-group window, never a global sort. The
+    * oracle replays the construction arithmetically, which is exactly
+    * the point: parse_url's HOST/QUERY must agree with the ground-truth
+    * components the URLs were built from.
+    */
+  def domainCap(s: SparkSession, dir: String): DataFrame = {
+    val tld = when(col("lang") === "en", "com").when(col("lang") === "de", "de")
+      .when(col("lang") === "fr", "fr").when(col("lang") === "es", "es")
+      .otherwise("cn")
+    val url = concat(lit("https://www."), col("source"), lit("."), tld,
+      lit("/"), col("lang"), lit("/doc-"), col("doc_id"), lit("?s="), col("n_chars"))
+    val parsed = docs(s, dir)
+      .withColumn("url", url)
+      .select(col("doc_id"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("QUERY"), lit("s")).cast("long").as("qs"))
+      .withColumn("site", substring_index(col("host"), ".", -2))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("site")).orderBy(col("doc_id"))
+    parsed
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("site"))
+      .agg(substring_index(first(col("site")), ".", -1).as("tld"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rn") <= 5, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= 5, col("qs"))).as("sum_qs_kept"))
+      .orderBy(col("site"))
+  }
+
+  private val q185Oracle: String =
+    """WITH u AS (
+      |  SELECT doc_id, n_chars AS qs,
+      |    source || '.' || CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'de'
+      |      WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es' ELSE 'cn' END AS site,
+      |    row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT site, string_split(site, '.')[-1] AS tld,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn <= 5 THEN qs END) AS BIGINT) AS sum_qs_kept
+      |FROM u GROUP BY site ORDER BY site""".stripMargin
+
+  /** q186: n-gram train/test decontamination — the GPT-3-style overlap
+    * audit at N-GRAM granularity (q63 is document-level): a train
+    * document is contaminated when it shares any 8-token shingle with
+    * the held-out slice (doc_id % 10 = 0). Shape at 100 TB: distinct
+    * 8-grams per side, equi-join on the gram key, per-doc count — the
+    * join moves shingles, not documents, and in production the gram key
+    * is `xxhash64(gram)` (8 bytes instead of ~50); the string key here
+    * keeps the oracle replayable, the PLAN is identical. Test-side
+    * grams are the small side (held-out sets are, by construction) →
+    * AQE broadcasts them.
+    */
+  def ngramDecontam(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, size(t) - 7), i -> concat_ws(' ', slice(t, i, 8))))"))
+        .as("g"))
+    val test = grams.filter(col("doc_id") % 10 === 0).select(col("g")).distinct()
+    val train = grams.filter(col("doc_id") % 10 =!= 0)
+    val perDoc = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    train.join(test, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        call_function("div", col("n_shared") * 1000, col("n_grams")).as("ratio_pm"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q186Oracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(t[i:i+7], ' ') for i in range(1, len(t) - 6)])) AS g
+      |  FROM toks WHERE len(t) >= 8),
+      |test AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+      |tr AS (SELECT doc_id, COUNT(*) AS n_grams FROM g WHERE doc_id % 10 <> 0 GROUP BY 1),
+      |sh AS (SELECT g.doc_id, COUNT(*) AS n_shared
+      |       FROM g JOIN test USING (g) WHERE doc_id % 10 <> 0 GROUP BY 1)
+      |SELECT doc_id, n_grams, n_shared,
+      |  n_shared * 1000 // n_grams AS ratio_pm
+      |FROM sh JOIN tr USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** q187: inverted-index build — term → (document frequency, total
+    * term frequency, head of the sorted posting list), the retrieval
+    * artifact BM25 (q115) scores against, materialized as a table. One
+    * explode + one two-level aggregate; the emitted posting HEAD is
+    * slice-bounded (8 ids) so the row stays small no matter the df —
+    * full postings at 100 TB live as (term, doc_id) rows, which is what
+    * the first aggregate already produces.
+    */
+  def invertedIndex(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("tf_total"),
+        expr("concat_ws(',', transform(slice(array_sort(collect_list(doc_id)), 1, 8), x -> cast(x as string)))")
+          .as("head_postings"))
+      .filter(col("df") >= 10)
+      .orderBy(col("term"))
+
+  private val q187Oracle: String =
+    """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |d AS (SELECT term, doc_id, COUNT(*) AS tf FROM p GROUP BY 1, 2),
+      |d2 AS (SELECT term, doc_id, tf,
+      |  row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM d)
+      |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+      |  string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END, ','
+      |    ORDER BY doc_id) AS head_postings
+      |FROM d2 GROUP BY term HAVING COUNT(*) >= 10 ORDER BY term""".stripMargin
+
+  /** q188: character-entropy quality gate — the compression-style junk
+    * detector (low char entropy ⇒ repetitive/templated text, high ⇒
+    * random noise; natural language sits ~4 bits/char): Shannon entropy
+    * of each document's character distribution in the integer
+    * fixed-point log2 idiom (10-bit mantissa, the q136 discipline), so
+    * the score is bit-identical across engines and partitionings.
+    * H_fp = (Σ_ch c·(L(n) − L(c))) div n ≈ 1024·H. Explode to
+    * (doc, char) counts, a per-doc window total, one aggregate —
+    * linear, and the distinct-char state per doc is alphabet-bounded.
+    */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    def lfp(x: Column): Column = {
+      val e = (length(bin(x)) - 1).cast("int")
+      e.cast("long") * 1024 + call_function("shiftright", x * 1024, e) - 1024
+    }
+    val cc = docs(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    cc.withColumn("n", sum(col("c")).over(w))
+      .withColumn("term_fp", col("c") * (lfp(col("n")) - lfp(col("c"))))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars_total"),
+        count(lit(1)).as("n_distinct_chars"),
+        call_function("div", sum(col("term_fp")), max(col("n"))).as("entropy_fp"))
+      .withColumn("is_low_entropy", col("entropy_fp") < 3584)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q188Oracle: String =
+    """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+      |            FROM documents WHERE length(text) > 0),
+      |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+      |t AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cc GROUP BY 1),
+      |e AS (SELECT cc.doc_id,
+      |  CAST(SUM(c * (
+      |    ((length(bin(n)) - 1) * 1024 + (n * 1024 >> (length(bin(n)) - 1)) - 1024)
+      |    - ((length(bin(c)) - 1) * 1024 + (c * 1024 >> (length(bin(c)) - 1)) - 1024)
+      |  )) AS BIGINT) AS s
+      |  FROM cc JOIN t USING (doc_id) GROUP BY 1)
+      |SELECT e.doc_id, t.n AS n_chars_total,
+      |  (SELECT COUNT(*) FROM cc WHERE cc.doc_id = e.doc_id) AS n_distinct_chars,
+      |  s // n AS entropy_fp,
+      |  s // n < 3584 AS is_low_entropy
+      |FROM e JOIN t ON e.doc_id = t.doc_id ORDER BY e.doc_id""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3361,6 +3531,10 @@ object DataOps extends QueryModule {
     "q170_pmi_collocations" -> (pmiCollocations _),
     "q171_triangles" -> (triangleCounts _),
     "q179_binary_source" -> (binarySource _),
+    "q185_domain_cap" -> (domainCap _),
+    "q186_ngram_decontam" -> (ngramDecontam _),
+    "q187_inverted_index" -> (invertedIndex _),
+    "q188_char_entropy" -> (charEntropy _),
     "q105_quality_classifier" -> (qualityClassify _),
     "q106_span_excision" -> (spanExcision _),
     "q101_mixture_recipe" -> (mixtureRecipe _),
@@ -3445,6 +3619,10 @@ object DataOps extends QueryModule {
     "q170_pmi_collocations" -> q170Oracle,
     "q171_triangles" -> q171Oracle,
     "q179_binary_source" -> q179Oracle,
+    "q185_domain_cap" -> q185Oracle,
+    "q186_ngram_decontam" -> q186Oracle,
+    "q187_inverted_index" -> q187Oracle,
+    "q188_char_entropy" -> q188Oracle,
     "q105_quality_classifier" -> q105Oracle,
     "q106_span_excision" -> q106Oracle,
     "q101_mixture_recipe" -> q101Oracle,
