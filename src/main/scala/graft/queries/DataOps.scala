@@ -3477,6 +3477,49 @@ object DataOps extends QueryModule {
       |  s // n < 3584 AS is_low_entropy
       |FROM e JOIN t ON e.doc_id = t.doc_id ORDER BY e.doc_id""".stripMargin
 
+  /** q192: edit-distance vocabulary linkage — near-spelling pairs
+    * between two language slices' vocabularies (the record-linkage /
+    * cognate-mining shape), with LENGTH-BAND BLOCKING so the candidate
+    * set is never all-pairs: levenshtein(a, b) ≤ 2 requires
+    * |len(a) − len(b)| ≤ 2, so each word joins only its ±2 length
+    * bands — at a 10M-type vocabulary that's the difference between
+    * 10^14 pairs and a banded join whose candidate count tracks the
+    * band occupancy (SymSpell, q98, is the even-tighter deletion-
+    * neighborhood variant; this is the exact-distance baseline over
+    * it). The verify step computes true levenshtein only on banded
+    * candidates.
+    */
+  def levenshteinPairs(s: SparkSession, dir: String): DataFrame = {
+    def vocab(l: String) = docs(s, dir).filter(col("lang") === l)
+      .select(explode(TextFns.tokens(col("text"))).as("w")).distinct()
+      .filter(length(col("w")) >= 3)
+    val a = vocab("en").select(col("w").as("wa"), length(col("w")).as("la"))
+    val b = vocab("de").select(col("w").as("wb"), length(col("w")).as("lb"))
+    // length-band equi-join: explode each left word to its 5 candidate
+    // bands so the join is a plain equi-join on the band key (shuffle-
+    // partitionable), not a |la-lb|<=2 theta-join
+    val banded = a.select(col("wa"), col("la"),
+      explode(expr("sequence(la - 2, la + 2)")).as("lb"))
+    banded.join(b, "lb")
+      .filter(col("wa") < col("wb"))
+      .withColumn("dist", levenshtein(col("wa"), col("wb")))
+      .filter(col("dist") <= 2 && col("dist") > 0)
+      .select(col("wa"), col("wb"), col("dist").cast("long").as("dist"))
+      .orderBy(col("wa"), col("wb"))
+  }
+
+  private val q192Oracle: String =
+    """WITH va AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+      |            FROM documents WHERE lang = 'en'),
+      |vb AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+      |       FROM documents WHERE lang = 'de'),
+      |a AS (SELECT w FROM va WHERE length(w) >= 3),
+      |b AS (SELECT w FROM vb WHERE length(w) >= 3)
+      |SELECT a.w AS wa, b.w AS wb, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+      |FROM a JOIN b ON abs(length(a.w) - length(b.w)) <= 2 AND a.w < b.w
+      |WHERE levenshtein(a.w, b.w) BETWEEN 1 AND 2
+      |ORDER BY wa, wb""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3535,6 +3578,7 @@ object DataOps extends QueryModule {
     "q186_ngram_decontam" -> (ngramDecontam _),
     "q187_inverted_index" -> (invertedIndex _),
     "q188_char_entropy" -> (charEntropy _),
+    "q192_levenshtein_pairs" -> (levenshteinPairs _),
     "q105_quality_classifier" -> (qualityClassify _),
     "q106_span_excision" -> (spanExcision _),
     "q101_mixture_recipe" -> (mixtureRecipe _),
@@ -3623,6 +3667,7 @@ object DataOps extends QueryModule {
     "q186_ngram_decontam" -> q186Oracle,
     "q187_inverted_index" -> q187Oracle,
     "q188_char_entropy" -> q188Oracle,
+    "q192_levenshtein_pairs" -> q192Oracle,
     "q105_quality_classifier" -> q105Oracle,
     "q106_span_excision" -> q106Oracle,
     "q101_mixture_recipe" -> q101Oracle,

@@ -1069,6 +1069,124 @@ object Relational extends QueryModule {
       |    ORDER BY rmax) AS top3
       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q189: calendar gap-fill + linear interpolation — the time-series
+    * repair step before any trend model: per user bucket, daily purchase
+    * sums on a FULL calendar spine (q156's sequence() idiom), missing
+    * days filled two ways — last-observation-carried-forward, and
+    * linear interpolation between the surrounding observed days in
+    * integer cents (truncated `div`, identical on both engines, so the
+    * interpolated values are bit-exact). Shape: one aggregate, a
+    * broadcast spine join, two bounded window passes per bucket — no
+    * self-join, no per-gap scan; at 100 TB the spine is |buckets|×|days|
+    * which is metadata-sized next to the fact table.
+    */
+  def gapFillInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy((col("user_id") % 40).as("ub"), to_date(col("ts")).as("d"))
+      .agg(sum(round(col("value") * 100).cast(LongType)).as("cents"))
+    val bounds = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val spine = daily.select(col("ub")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("ub"), explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    val wPrev = Window.partitionBy(col("ub")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy(col("ub")).orderBy(col("d"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    spine.join(daily, Seq("ub", "d"), "left")
+      .withColumn("locf_cents", last(col("cents"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("cents").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
+      .withColumn("nc", first(col("cents"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("cents").isNotNull, col("d")), ignoreNulls = true).over(wNext))
+      .select(col("ub"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("cents").isNotNull.as("present"), col("cents"), col("locf_cents"),
+        when(col("cents").isNotNull, col("cents"))
+          .when(col("locf_cents").isNotNull && col("nc").isNotNull,
+            col("locf_cents") + call_function("div",
+              (col("nc") - col("locf_cents")) * datediff(col("d"), col("pd")).cast(LongType),
+              datediff(col("nd"), col("pd")).cast(LongType)))
+          .as("interp_cents"))
+      .orderBy(col("ub"), col("day"))
+  }
+
+  private val q189Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id % 40 AS ub, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+      |spine AS (
+      |  SELECT ub, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      |  FROM (SELECT DISTINCT ub FROM daily) CROSS JOIN bounds),
+      |f AS (
+      |  SELECT s.ub, s.d, daily.cents,
+      |    last_value(daily.cents IGNORE NULLS) OVER wp AS locf_cents,
+      |    last_value(CASE WHEN daily.cents IS NOT NULL THEN s.d END IGNORE NULLS)
+      |      OVER wp AS pd,
+      |    first_value(daily.cents IGNORE NULLS) OVER wn AS nc,
+      |    first_value(CASE WHEN daily.cents IS NOT NULL THEN s.d END IGNORE NULLS)
+      |      OVER wn AS nd
+      |  FROM spine s LEFT JOIN daily ON s.ub = daily.ub AND s.d = daily.d
+      |  WINDOW wp AS (PARTITION BY s.ub ORDER BY s.d
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY s.ub ORDER BY s.d
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT ub, strftime(d, '%Y-%m-%d') AS day,
+      |  cents IS NOT NULL AS present, cents, locf_cents,
+      |  CASE WHEN cents IS NOT NULL THEN cents
+      |       WHEN locf_cents IS NOT NULL AND nc IS NOT NULL THEN
+      |         locf_cents + (nc - locf_cents) * date_diff('day', pd, d)
+      |                      // date_diff('day', pd, nd)
+      |  END AS interp_cents
+      |FROM f ORDER BY ub, day""".stripMargin
+
+  /** q190: subquery battery — correlated scalar aggregates, EXISTS /
+    * NOT EXISTS, IN, and the three-valued NOT-IN-with-NULLs trap (a set
+    * containing NULL makes NOT IN yield NULL-or-false, never true) —
+    * pinned through `spark.sql` so the decorrelation path (Catalyst
+    * rewrites each correlated subquery to an outer join / aggregate,
+    * never a per-row re-execution) is what's measured. At 100 TB every
+    * one of these becomes a key-partitioned join — the decorrelated
+    * plan IS the scale story.
+    */
+  def subqueryBattery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_sq")
+    t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+    s.sql("""
+      SELECT c_custkey,
+        (SELECT COUNT(*) FROM orders_sq o
+          WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        (SELECT MAX(o_totalprice) FROM orders_sq o
+          WHERE o.o_custkey = c.c_custkey) AS max_price,
+        EXISTS(SELECT 1 FROM orders_sq o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) AS has_big,
+        NOT EXISTS(SELECT 1 FROM orders_sq o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT') AS no_urgent,
+        c_custkey IN (SELECT o_custkey FROM orders_sq
+          WHERE o_orderpriority = '1-URGENT') AS in_urgent,
+        c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+            ELSE o_custkey END FROM orders_sq) AS not_in_nullset
+      FROM customer_sq c ORDER BY c_custkey""")
+  }
+
+  private val q190Sql: String =
+    """SELECT c_custkey,
+      |  (SELECT COUNT(*) FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT MAX(o_totalprice) FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey) AS max_price,
+      |  EXISTS(SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000) AS has_big,
+      |  NOT EXISTS(SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderpriority = '1-URGENT') AS no_urgent,
+      |  c_custkey IN (SELECT o_custkey FROM orders
+      |    WHERE o_orderpriority = '1-URGENT') AS in_urgent,
+      |  c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+      |      ELSE o_custkey END FROM orders) AS not_in_nullset
+      |FROM customer c ORDER BY c_custkey""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -1529,7 +1647,9 @@ object Relational extends QueryModule {
     "q181_datetime_battery" -> (datetimeBattery _),
     "q182_decimal_battery" -> (decimalBattery _),
     "q183_regexp_battery" -> (regexpBattery _),
-    "q184_argmax_battery" -> (argmaxBattery _))
+    "q184_argmax_battery" -> (argmaxBattery _),
+    "q189_gap_interpolate" -> (gapFillInterpolate _),
+    "q190_subquery_battery" -> (subqueryBattery _))
 
   val family: String = "relational"
 
@@ -1890,7 +2010,9 @@ object Relational extends QueryModule {
     "q181_datetime_battery" -> q181Sql,
     "q182_decimal_battery" -> q182Sql,
     "q183_regexp_battery" -> q183Sql,
-    "q184_argmax_battery" -> q184Sql)
+    "q184_argmax_battery" -> q184Sql,
+    "q189_gap_interpolate" -> q189Sql,
+    "q190_subquery_battery" -> q190Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
