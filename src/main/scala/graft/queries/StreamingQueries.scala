@@ -1502,6 +1502,87 @@ object StreamingQueries extends QueryModule {
       |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS hll_ok
       |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** q191: exactly-once foreachBatch sink under batch REPLAY — the
+    * failure Structured Streaming's at-least-once foreachBatch contract
+    * leaves to the sink: a crash after the sink write but before the
+    * checkpoint commit redelivers the SAME (batchId, payload) on
+    * restart, and a naive append sink double-counts it. The idempotent
+    * discipline pinned here: write the batch to a batchId-keyed
+    * location in OVERWRITE mode, then place a commit marker; a replayed
+    * id whose marker exists is skipped entirely, and a crash between
+    * write and marker just overwrites the same keyed location — either
+    * way each batch lands exactly once. The drain REPLAYS EVERY batch
+    * (writer invoked twice per id — the redelivery case for all of
+    * them); the output's per-key `n_copies` column is the proof, 1
+    * everywhere, where an append sink would read 2. Windows/emission
+    * semantics are exactly q81's, so the oracle is its emission-batch
+    * pin plus the copies audit. At scale this is the production sink
+    * recipe verbatim — markers and keyed dirs on the object store, one
+    * rename per batch, no coordination.
+    */
+  def exactlyOnceSink(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val out = Paths.get(sys.props("java.io.tmpdir"), "graft_work",
+      s"eo_out_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    Files.createDirectories(out)
+    val invocations = new java.util.concurrent.atomic.AtomicLong(0)
+    val commits = new java.util.concurrent.atomic.AtomicLong(0)
+    def writeOnce(df: DataFrame, id: Long): Unit = {
+      invocations.incrementAndGet()
+      val marker = out.resolve(s"_committed_$id")
+      if (!Files.exists(marker)) {
+        df.withColumn("emit_batch", lit(id))
+          .write.mode("overwrite").parquet(out.resolve(s"batch_$id").toString)
+        Files.createFile(marker)
+        commits.incrementAndGet()
+        ()
+      }
+    }
+    val windows = eventsChunkedStream(s, dir, 5)
+      .select(col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = windows.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          writeOnce(df, id)
+          writeOnce(df, id) // the post-sink-crash redelivery, for EVERY batch
+        }
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    require(invocations.get == 2 * commits.get,
+      s"exactly-once violated: ${invocations.get} invocations, ${commits.get} commits")
+    val read = s.read.parquet(
+      (0L until commits.get).map(i => out.resolve(s"batch_$i").toString): _*)
+    val res = read
+      .groupBy(col("emit_batch"), col("w.start").as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+      .agg(count(lit(1)).as("n_copies"))
+      .orderBy(col("emit_batch"), col("day"), col("event_type"))
+      .localCheckpoint(true)
+    deleteRecursively(out)
+    res
+  }
+
+  private val q191Oracle: String =
+    s"""WITH ${mbCtes(5)},
+       |win AS (
+       |  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+       |    CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+       |  FROM events GROUP BY 1, 2)
+       |SELECT CAST((SELECT min(f) + 1 FROM wm
+       |             WHERE cmx >= day + INTERVAL 1 DAY + INTERVAL 2 DAY) AS BIGINT) AS emit_batch,
+       |  day, event_type, n, sum_value, CAST(1 AS BIGINT) AS n_copies
+       |FROM win
+       |WHERE emit_batch IS NOT NULL
+       |ORDER BY emit_batch, day, event_type""".stripMargin
+
   // ---- q81–q84: multi-batch drains (state across batch boundaries) ----
 
   /** q81: the q42 append-mode daily windows, but over the 5-chunk
@@ -1695,6 +1776,7 @@ object StreamingQueries extends QueryModule {
     "q164_cdc_mor" -> (cdcApplyMor _),
     "q174_cdc_resume" -> (cdcResume _),
     "q180_state_reader" -> (stateReader _),
+    "q191_exactly_once_sink" -> (exactlyOnceSink _),
     "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
@@ -1727,6 +1809,7 @@ object StreamingQueries extends QueryModule {
     "q164_cdc_mor" -> q157Oracle,
     "q174_cdc_resume" -> q157Oracle,
     "q180_state_reader" -> q180Oracle,
+    "q191_exactly_once_sink" -> q191Oracle,
     "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
