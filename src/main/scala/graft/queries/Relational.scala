@@ -1187,6 +1187,149 @@ object Relational extends QueryModule {
       |      ELSE o_custkey END FROM orders) AS not_in_nullset
       |FROM customer c ORDER BY c_custkey""".stripMargin
 
+  /** q193: 2-D skyline (Pareto frontier) — the orders no other order
+    * dominates on (lower price, earlier date): the naive formulation is
+    * an O(n²) NOT-EXISTS self-join, but the 2-D skyline is exactly a
+    * running-minimum scan — sort by price, keep a row iff its date
+    * beats every earlier date (strictly, with a (price, key) tie-break
+    * making the order total). One global sort instead of a quadratic
+    * join; at 100 TB the same plan holds via range-partitioned sort +
+    * per-partition running min with a broadcast prefix-min handoff
+    * (exactly how Packing.globalRowNumber scales its prefix sums). The
+    * oracle runs the NOT-EXISTS definition, so the window rewrite is
+    * proven equivalent to the quadratic spec, not just to itself.
+    */
+  def skylineOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate").as("od"))
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    o.withColumn("best_od", min(col("od")).over(w))
+      .filter(col("best_od").isNull || col("od") < col("best_od"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(col("od"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+  }
+
+  private val q193Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey, o_totalprice, o_orderdate
+      |  FROM orders WHERE o_orderpriority = '1-URGENT')
+      |SELECT o_orderkey, o_totalprice,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+      |FROM o a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM o b
+      |  WHERE (b.o_totalprice, b.o_orderkey) < (a.o_totalprice, a.o_orderkey)
+      |    AND b.o_orderdate <= a.o_orderdate)
+      |ORDER BY o_totalprice, o_orderkey""".stripMargin
+
+  /** q194: event-transition (Markov) matrix — per user the lag-1
+    * event-type bigram, counted into the transition matrix with a
+    * row-normalized probability in ×1000 fixed point (truncated div,
+    * engine-identical). The clickstream complement of q170's document
+    * PMI; one window pass (shuffle on user_id) + one aggregate — the
+    * matrix is |types|² rows, broadcast-sized at any corpus scale.
+    */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRow = Window.partitionBy(col("src"))
+    t(s, dir, "events")
+      .withColumn("src", lag(col("event_type"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("event_type").as("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p_mille", call_function("div",
+        col("n") * 1000, sum(col("n")).over(wRow)))
+      .orderBy(col("src"), col("dst"))
+  }
+
+  private val q194Sql: String =
+    """WITH b AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS src, event_type AS dst
+      |  FROM events),
+      |m AS (SELECT src, dst, COUNT(*) AS n FROM b
+      |      WHERE src IS NOT NULL GROUP BY 1, 2)
+      |SELECT src, dst, n,
+      |  n * 1000 // CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS p_mille
+      |FROM m ORDER BY src, dst""".stripMargin
+
+  /** q195: time-weighted average (TWAP) — the telemetry/finance
+    * aggregate where each observation holds until the next one: per
+    * (user, day), Σ valueᵢ·(tᵢ₊₁ − tᵢ) over the day's span in integer
+    * (cents × micros), closed at day end, divided by the covered span.
+    * lead() + one aggregate, all integer — no numeric drift anywhere.
+    * Only the within-day weighting matters, so the window partitions by
+    * (user, day): state never crosses the partition key, the exact
+    * shape that scales.
+    */
+  def timeWeightedAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("us"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), to_date(col("ts")).as("day"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("until", coalesce(lead(col("us"), 1).over(w),
+        (to_unix_timestamp(col("day")) + 86400L) * 1000000L))
+      .groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("cents") * (col("until") - col("us"))).as("wsum"),
+        (max(col("until")) - min(col("us"))).as("span_us"))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_obs"), call_function("div", col("wsum"), col("span_us")).as("twap_cents"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  private val q195Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS DATE) AS day,
+      |    epoch_us(ts) AS us,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |x AS (
+      |  SELECT user_id, day, us, cents,
+      |    COALESCE(lead(us) OVER (PARTITION BY user_id, day
+      |        ORDER BY us, event_id),
+      |      (CAST(epoch(day) AS BIGINT) + 86400) * 1000000) AS until
+      |  FROM e)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, COUNT(*) AS n_obs,
+      |  CAST(SUM(cents * (until - us)) AS BIGINT)
+      |    // (MAX(until) - MIN(us)) AS twap_cents
+      |FROM x GROUP BY user_id, day ORDER BY user_id, day""".stripMargin
+
+  /** q196: boolean / bitwise aggregate battery — `every`/`any`
+    * (bool_and/bool_or), count_if, FILTER-clause aggregates, and the
+    * bit_and/bit_or/bit_xor reduction family (xor is order-insensitive
+    * by associativity+commutativity, so it's partitioning-proof by
+    * algebra — the same reason it's the classic distributed checksum).
+    */
+  def boolBitwiseBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("every(value >= 0)").as("all_nonneg"),
+        expr("any(user_id % 50 = 0)").as("any_u50"),
+        expr("count_if(value > 50)").as("n_hi"),
+        sum(when(col("user_id") % 2 === 0, col("user_id"))).as("sum_even_users"),
+        expr("bit_and(user_id)").as("band"),
+        expr("bit_or(user_id)").as("bor"),
+        expr("bit_xor(event_id)").as("bxor"))
+      .orderBy(col("event_type"))
+
+  private val q196Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  bool_and(value >= 0) AS all_nonneg,
+      |  bool_or(user_id % 50 = 0) AS any_u50,
+      |  CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_hi,
+      |  CAST(SUM(user_id) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS sum_even_users,
+      |  bit_and(user_id) AS band,
+      |  bit_or(user_id) AS bor,
+      |  bit_xor(event_id) AS bxor
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -1649,7 +1792,11 @@ object Relational extends QueryModule {
     "q183_regexp_battery" -> (regexpBattery _),
     "q184_argmax_battery" -> (argmaxBattery _),
     "q189_gap_interpolate" -> (gapFillInterpolate _),
-    "q190_subquery_battery" -> (subqueryBattery _))
+    "q190_subquery_battery" -> (subqueryBattery _),
+    "q193_skyline" -> (skylineOrders _),
+    "q194_transitions" -> (eventTransitions _),
+    "q195_twap" -> (timeWeightedAvg _),
+    "q196_bool_bitwise" -> (boolBitwiseBattery _))
 
   val family: String = "relational"
 
@@ -2012,7 +2159,11 @@ object Relational extends QueryModule {
     "q183_regexp_battery" -> q183Sql,
     "q184_argmax_battery" -> q184Sql,
     "q189_gap_interpolate" -> q189Sql,
-    "q190_subquery_battery" -> q190Sql)
+    "q190_subquery_battery" -> q190Sql,
+    "q193_skyline" -> q193Sql,
+    "q194_transitions" -> q194Sql,
+    "q195_twap" -> q195Sql,
+    "q196_bool_bitwise" -> q196Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
