@@ -1330,6 +1330,101 @@ object Relational extends QueryModule {
       |  bit_xor(event_id) AS bxor
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q197: runtime bloom-filter join pruning — Spark's runtime filtering
+    * (the Catalyst `InjectRuntimeFilter` rule): a selective dimension
+    * filter is turned into a bloom filter BUILT AT RUNTIME from the dim
+    * side and pushed into the fact scan, so fact rows that cannot join
+    * die at the scan instead of crossing the shuffle — at 100 TB this
+    * is often the single biggest join win (it prunes the shuffle, which
+    * DPP can't when the fact isn't partitioned on the key). Thresholds
+    * are lowered so the rule fires at test scale; RelationalPlanSpec
+    * asserts `bloom_filter_agg`/`might_contain` in the physical plan —
+    * the RESULT is pinned here (filter semantics must be a no-op on
+    * correctness: bloom false positives only pass extra rows to the
+    * join, never drop matches).
+    */
+  /** The conf window q197 runs under: runtime bloom filtering on, size
+    * gates opened for test scale, and auto-broadcast OFF — the rule
+    * (correctly) skips joins whose build side would broadcast anyway,
+    * and the whole point is protecting the SHUFFLE join. Everything is
+    * restored on exit; the query itself materializes eagerly inside the
+    * window so later queries never see these settings. */
+  private[queries] def withBloomConfs[A](s: SparkSession)(body: => A): A = {
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "500MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** The raw q197 join, conf-agnostic — the spec optimizes THIS inside
+    * [[withBloomConfs]] and asserts the bloom build/probe nodes. */
+  private[queries] def runtimeBloomJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").filter(col("o_orderpriority") === "2-HIGH")
+      .filter(col("o_totalprice") > 300000.0)
+    t(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  def runtimeBloomJoin(s: SparkSession, dir: String): DataFrame =
+    withBloomConfs(s) {
+      // eager: the join runs NOW, under the conf window
+      runtimeBloomJoinPlan(s, dir).localCheckpoint()
+    }
+
+  private val q197Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '2-HIGH' AND o_totalprice > 300000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q198: rank-based quantile normalization — the scale-free feature
+    * transform (map each value to its rank quantile) done in exact
+    * integer arithmetic: per event_type, `q_mille = (rank − 1) · 1000
+    * div (n − 1)` with a total (value, event_id) order, so the result
+    * is a deterministic integer in [0, 1000] — no float percentiles, no
+    * tie ambiguity. One shuffle on the group key; ranks come from the
+    * per-group sort, the per-group n from a window count — the same
+    * two-pass-free shape at any scale.
+    */
+  def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wn = Window.partitionBy(col("event_type"))
+    t(s, dir, "events")
+      .filter(col("user_id") % 10 === 3)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("r", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wn))
+      .select(col("event_id"), col("event_type"),
+        call_function("div", (col("r") - 1).cast(LongType) * 1000,
+          (col("n") - 1).cast(LongType)).as("q_mille"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q198Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY value, event_id) AS r,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE user_id % 10 = 3)
+      |SELECT event_id, event_type,
+      |  CAST(r - 1 AS BIGINT) * 1000 // CAST(n - 1 AS BIGINT) AS q_mille
+      |FROM e ORDER BY event_id""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -1796,7 +1891,9 @@ object Relational extends QueryModule {
     "q193_skyline" -> (skylineOrders _),
     "q194_transitions" -> (eventTransitions _),
     "q195_twap" -> (timeWeightedAvg _),
-    "q196_bool_bitwise" -> (boolBitwiseBattery _))
+    "q196_bool_bitwise" -> (boolBitwiseBattery _),
+    "q197_runtime_bloom" -> (runtimeBloomJoin _),
+    "q198_quantile_norm" -> (quantileNormalize _))
 
   val family: String = "relational"
 
@@ -2163,7 +2260,9 @@ object Relational extends QueryModule {
     "q193_skyline" -> q193Sql,
     "q194_transitions" -> q194Sql,
     "q195_twap" -> q195Sql,
-    "q196_bool_bitwise" -> q196Sql)
+    "q196_bool_bitwise" -> q196Sql,
+    "q197_runtime_bloom" -> q197Sql,
+    "q198_quantile_norm" -> q198Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
