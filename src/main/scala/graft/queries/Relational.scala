@@ -1425,6 +1425,136 @@ object Relational extends QueryModule {
       |  CAST(r - 1 AS BIGINT) * 1000 // CAST(n - 1 AS BIGINT) AS q_mille
       |FROM e ORDER BY event_id""".stripMargin
 
+  /** q199: last-touch attribution — each purchase is credited to the
+    * same user's most recent PRECEDING click within a 1-hour lookback
+    * (the marketing-attribution shape; also the generic "join each
+    * event to the latest earlier state change" pattern q40's as-of join
+    * solves across two tables, here within one stream). One running
+    * max over a (user)-partitioned window — no self-join, no per-event
+    * backscan; the conversion credit is exact integer cents.
+    */
+  def lastTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("attributed",
+        col("last_click_us").isNotNull &&
+          col("last_click_us") >= col("us") - 3600000000L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(col("attributed"), col("cents"))).as("attributed_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q199Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |x AS (
+      |  SELECT *,
+      |    MAX(CASE WHEN event_type = 'click' THEN us END) OVER (
+      |      PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_purchases,
+      |  CAST(SUM(CASE WHEN last_click_us >= us - 3600000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_attributed,
+      |  CAST(SUM(CASE WHEN last_click_us >= us - 3600000000 THEN cents END)
+      |    AS BIGINT) AS attributed_cents
+      |FROM x WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q200: exact global-quantile threshold filter — the two-phase
+    * "select everything above the corpus p90" pattern: phase 1 computes
+    * the EXACT p90 in integer cents from the value-frequency table (the
+    * least c with rank(c) ≥ ⌈0.9·n⌉ — a distribution-sized aggregate,
+    * never a global sort of rows), phase 2 broadcasts that one-row
+    * threshold back across the fact scan. The quantile is exact-by-
+    * definition (no interpolation, no float), so the filter is
+    * reproducible across engines — the discipline behind every
+    * "top-decile quality cut" in a curation pipeline (q77/q92 consume
+    * exactly this shape).
+    */
+  def globalQuantileFilter(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("cents"))
+    val freq = ev.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+    val wc = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val thr = freq
+      .crossJoin(broadcast(freq.agg(sum(col("c")).as("n"))))
+      .withColumn("cum", sum(col("c")).over(wc))
+      .filter(col("cum") * 10 >= col("n") * 9)
+      .agg(min(col("cents")).as("p90_cents"))
+    ev.crossJoin(broadcast(thr))
+      .filter(col("cents") >= col("p90_cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_top"), sum(col("cents")).as("sum_cents"),
+        max(col("p90_cents")).as("p90_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q200Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (SELECT cents, COUNT(*) AS c FROM e GROUP BY 1),
+      |r AS (SELECT cents,
+      |        SUM(c) OVER (ORDER BY cents
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM f),
+      |thr AS (SELECT MIN(cents) AS p90
+      |        FROM r WHERE cum * 10 >= (SELECT COUNT(*) FROM e) * 9)
+      |SELECT event_type, COUNT(*) AS n_top,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(MAX(thr.p90) AS BIGINT) AS p90_cents
+      |FROM e CROSS JOIN thr WHERE cents >= thr.p90
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q201: sliding-window distinct users — 7-day trailing unique-actor
+    * counts per day, the DAU/WAU family's hard member (COUNT(DISTINCT)
+    * cannot ride a window frame): each (user, day) pair CONTRIBUTES
+    * ITSELF to the 7 days it affects (one `sequence` explode — a
+    * constant ×7 expansion of the already-deduplicated pairs, which is
+    * the canonical exact shape; the sketch path for wider windows is
+    * q58's mergeable HLL rollup), then one distinct-count per day.
+    */
+  def slidingDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "events")
+      .select((col("user_id") % 100).as("u"), to_date(col("ts")).as("d"))
+      .distinct()
+    val bounds = pairs.agg(max(col("d")).as("maxd"))
+    pairs
+      .select(col("u"), col("d"),
+        explode(expr("sequence(d, d + interval 6 day)")).as("wd"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("wd") <= col("maxd"))
+      .groupBy(col("wd"))
+      .agg(countDistinct(col("u")).as("wau"))
+      .select(date_format(col("wd"), "yyyy-MM-dd").as("day"), col("wau"))
+      .orderBy(col("day"))
+  }
+
+  private val q201Sql: String =
+    """WITH p AS (
+      |  SELECT DISTINCT user_id % 100 AS u, CAST(ts AS DATE) AS d FROM events),
+      |b AS (SELECT MAX(d) AS maxd FROM p),
+      |x AS (
+      |  SELECT u, CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+      |    INTERVAL 1 DAY)) AS DATE) AS wd
+      |  FROM p)
+      |SELECT strftime(wd, '%Y-%m-%d') AS day, COUNT(DISTINCT u) AS wau
+      |FROM x CROSS JOIN b WHERE wd <= b.maxd
+      |GROUP BY wd ORDER BY day""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -1893,7 +2023,10 @@ object Relational extends QueryModule {
     "q195_twap" -> (timeWeightedAvg _),
     "q196_bool_bitwise" -> (boolBitwiseBattery _),
     "q197_runtime_bloom" -> (runtimeBloomJoin _),
-    "q198_quantile_norm" -> (quantileNormalize _))
+    "q198_quantile_norm" -> (quantileNormalize _),
+    "q199_attribution" -> (lastTouchAttribution _),
+    "q200_quantile_filter" -> (globalQuantileFilter _),
+    "q201_sliding_distinct" -> (slidingDistinctUsers _))
 
   val family: String = "relational"
 
@@ -2262,7 +2395,10 @@ object Relational extends QueryModule {
     "q195_twap" -> q195Sql,
     "q196_bool_bitwise" -> q196Sql,
     "q197_runtime_bloom" -> q197Sql,
-    "q198_quantile_norm" -> q198Sql)
+    "q198_quantile_norm" -> q198Sql,
+    "q199_attribution" -> q199Sql,
+    "q200_quantile_filter" -> q200Sql,
+    "q201_sliding_distinct" -> q201Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
