@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 import graft.{QueryModule, Tables}
 import graft.functions.ExactAgg._
@@ -35,6 +35,69 @@ class UserStatsProcessor
     state.update(next)
     Iterator.single((user, next.n, next.sumCents, next.maxValue))
   }
+}
+
+/** Per-user open session for q202 (top-level for the state encoder):
+  * first/last event ms, event count, cents sum, and the ms of the
+  * currently registered timer (so rescheduling can delete it exactly).
+  */
+case class SessTimerState(start: Long, last: Long, n: Long, cents: Long, timerMs: Long)
+
+/** q202: EVENT-TIME TIMERS on the state API v2 — gaps-and-islands
+  * sessionization where the LAST session of a key is closed by a
+  * registered timer firing when the watermark passes inactivity + gap,
+  * not by a subsequent event. Each event either extends the open
+  * session or (gap ≥ 30 min) emits it and starts fresh; every update
+  * reschedules the user's single timer to last + 30 min (delete + re-
+  * register — one live timer per key, state bounded by key count).
+  * `handleExpiredTimer` emits the open session and CLEARS state — the
+  * timeout path a real inactivity pipeline (abandoned carts, dead
+  * sensors) cannot express with session_window alone.
+  */
+class SessionTimerProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Long)] {
+
+  @transient private var st: ValueState[SessTimerState] = _
+  private val GapMs = 30L * 60 * 1000
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[SessTimerState]("sess",
+      Encoders.product[SessTimerState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+    // within-batch arrival order is not time order: sort this key's
+    // slice (bounded by the key's per-batch row count)
+    val evs = rows.toArray.sortBy(r => (r._2, r._1))
+    val closed = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var cur = if (st.exists()) st.get() else null
+    evs.foreach { case (_, ms, cents) =>
+      if (cur == null) cur = SessTimerState(ms, ms, 1L, cents, 0L)
+      else if (ms - cur.last >= GapMs) {
+        closed += ((user, cur.start, cur.n, cur.cents))
+        cur = SessTimerState(ms, ms, 1L, cents, cur.timerMs)
+      } else cur = cur.copy(last = math.max(cur.last, ms),
+        n = cur.n + 1, cents = cur.cents + cents)
+    }
+    if (cur != null) {
+      if (cur.timerMs != 0L) getHandle.deleteTimer(cur.timerMs)
+      val t = cur.last + GapMs
+      getHandle.registerTimer(t)
+      st.update(cur.copy(timerMs = t))
+    }
+    closed.iterator
+  }
+
+  override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                  expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] =
+    if (st.exists()) {
+      val cur = st.get()
+      // a stale timer (already rescheduled past this expiry) emits nothing
+      if (cur.timerMs == expired.getExpiryTimeInMs) {
+        st.clear()
+        Iterator.single((user, cur.start, cur.n, cur.cents))
+      } else Iterator.empty
+    } else Iterator.empty
 }
 
 /** Structured Streaming surface beyond the file pipeline (SURVEY §2.2
@@ -1469,6 +1532,58 @@ object StreamingQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  // ---- q202: event-time timers (transformWithState) --------------------
+
+  /** [[SessionTimerProcessor]] over the 5-chunk stream — inactivity
+    * sessions where the tail session of every user is closed by a
+    * REGISTERED EVENT-TIME TIMER, not a successor event. The oracle
+    * replays the gap rule in ms arithmetic plus the timer-firing
+    * condition (timer ≤ final watermark = ms-floored global max − 1 h):
+    * interior sessions emit on the gap path, tail sessions exactly when
+    * their timer expired — a green row pins registerTimer/deleteTimer
+    * rescheduling, expiry dispatch, AND that stale timers never
+    * double-emit.
+    */
+  def timerSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = eventsChunkedStream(s, dir, 5)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").cast("long").as("user"),
+        unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+    val sess = stream.groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+    drain(s, sess.toDF("user_id", "start_ms", "n_events", "sum_cents"),
+        OutputMode.Append())
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  private val q202Oracle: String =
+    """WITH s0 AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |x AS (
+      |  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+      |      OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS new_s
+      |  FROM s0 WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |y AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x),
+      |sess AS (
+      |  SELECT user_id, sid, MIN(ms) AS start_ms, MAX(ms) AS last_ms,
+      |    COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |  FROM y GROUP BY 1, 2),
+      |wm AS (SELECT MAX(epoch_ms(ts)) - 3600000 AS w FROM events)
+      |SELECT user_id, start_ms, n_events, sum_cents
+      |FROM sess
+      |WHERE sid < (SELECT MAX(sid) FROM sess s2 WHERE s2.user_id = sess.user_id)
+      |   OR last_ms + 1800000 <= (SELECT w FROM wm)
+      |ORDER BY user_id, start_ms""".stripMargin
+
   // ---- q61: streaming sketch (windowed approx-distinct) ----------------
 
   /** Distinct users per (day, event type) over the STREAM via HLL++ —
@@ -1777,6 +1892,7 @@ object StreamingQueries extends QueryModule {
     "q174_cdc_resume" -> (cdcResume _),
     "q180_state_reader" -> (stateReader _),
     "q191_exactly_once_sink" -> (exactlyOnceSink _),
+    "q202_timer_sessions" -> (timerSessions _),
     "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
@@ -1810,6 +1926,7 @@ object StreamingQueries extends QueryModule {
     "q174_cdc_resume" -> q157Oracle,
     "q180_state_reader" -> q180Oracle,
     "q191_exactly_once_sink" -> q191Oracle,
+    "q202_timer_sessions" -> q202Oracle,
     "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
