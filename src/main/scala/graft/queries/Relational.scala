@@ -526,6 +526,54 @@ object Relational extends QueryModule {
       |FROM events WHERE user_id % 20 = 0
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** q203: SCD2 INCREMENTAL apply — the nightly-merge form of q167's
+    * from-scratch build: history up to the cut day is the existing
+    * dimension; the post-cut slice arrives as a change batch. The
+    * apply (1) chains the batch's own versions with one window over the
+    * BATCH only, (2) closes each touched user's open row at that user's
+    * first batch timestamp via one broadcast-sized (user → first-change)
+    * join, (3) unions — the dimension is never rebuilt and never
+    * re-windowed, so the nightly cost tracks the CHANGE batch, not the
+    * dimension (the q157 copy-on-write economics at the logical level).
+    * The oracle is the FULL REBUILD over all data: a green row proves
+    * incremental ≡ rebuild, the whole point of the pattern.
+    */
+  def scd2Apply(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-20").cast(DateType)
+    val ev = t(s, dir, "events")
+      .filter(col("user_id") % 20 === 0)
+      .select(col("user_id"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"), col("ts"))
+    def versions(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      df.withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+    }
+    val base = versions(ev.filter(to_date(col("ts")) <= cut))
+    val batch = ev.filter(to_date(col("ts")) > cut)
+    val firstNew = batch.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+    val closed = base.join(broadcast(firstNew), Seq("user_id"), "left")
+      .select(col("user_id"), col("event_id"), col("cents"), col("valid_from"),
+        when(col("is_current") && col("first_ts").isNotNull, col("first_ts"))
+          .otherwise(col("valid_to")).as("valid_to"),
+        (col("is_current") && col("first_ts").isNull).as("is_current"))
+    closed.unionByName(versions(batch))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
+  private val q203Sql: String =
+    """SELECT user_id, event_id,
+      |  CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |  ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+      |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    AS is_current
+      |FROM events WHERE user_id % 20 = 0
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
   /** q168: deterministic bivariate regression stats — corr / covar /
     * least-squares slope+intercept WITHOUT the float-fold trap: the
     * built-in `corr`/`covar_samp` aggregate doubles in partition order
@@ -2026,7 +2074,8 @@ object Relational extends QueryModule {
     "q198_quantile_norm" -> (quantileNormalize _),
     "q199_attribution" -> (lastTouchAttribution _),
     "q200_quantile_filter" -> (globalQuantileFilter _),
-    "q201_sliding_distinct" -> (slidingDistinctUsers _))
+    "q201_sliding_distinct" -> (slidingDistinctUsers _),
+    "q203_scd2_apply" -> (scd2Apply _))
 
   val family: String = "relational"
 
@@ -2398,7 +2447,8 @@ object Relational extends QueryModule {
     "q198_quantile_norm" -> q198Sql,
     "q199_attribution" -> q199Sql,
     "q200_quantile_filter" -> q200Sql,
-    "q201_sliding_distinct" -> q201Sql)
+    "q201_sliding_distinct" -> q201Sql,
+    "q203_scd2_apply" -> q203Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */

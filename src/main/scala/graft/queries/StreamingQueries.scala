@@ -100,6 +100,34 @@ class SessionTimerProcessor
     } else Iterator.empty
 }
 
+/** q204: MAP-typed state on the state API v2 — per-user per-event-type
+  * running counts held in a `MapState[String, Long]` (point
+  * `getValue`/`updateValue` against the store, NEVER a read-the-whole-
+  * map loop on the update path — with RocksDB each key is its own
+  * store entry, so a user with a wide type map pays only for the types
+  * a batch touches; the full iterator runs once per batch for
+  * emission). Complements q48 (ValueState) and q202 (timers) to cover
+  * the v2 state surface.
+  */
+class TypeCountsProcessor
+    extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+
+  @transient private var m: org.apache.spark.sql.streaming.MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    m = getHandle.getMapState[String, Long]("counts",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, String)],
+                               timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+    rows.foreach { case (_, tpe) =>
+      val prev = if (m.containsKey(tpe)) m.getValue(tpe) else 0L
+      m.updateValue(tpe, prev + 1L)
+    }
+    m.iterator().map { case (tpe, n) => (user, tpe, n) }
+  }
+}
+
 /** Structured Streaming surface beyond the file pipeline (SURVEY §2.2
   * rows the reference lacks but the engine ships): event-time tumbling
   * windows + watermark, session windows, streaming dedup state, and
@@ -1532,6 +1560,28 @@ object StreamingQueries extends QueryModule {
       .orderBy(col("user_id"))
   }
 
+  /** [[TypeCountsProcessor]] drained over the chunked stream in Update
+    * mode; counts are monotone so the final value per (user, type) is
+    * the max across emissions — the oracle is the plain batch count.
+    */
+  def mapStateCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = eventsChunkedStream(s, dir, 5)
+      .select(col("user_id").cast("long").as("user"), col("event_type"))
+      .as[(Long, String)]
+    val counts = stream.groupByKey(_._1)
+      .transformWithState(new TypeCountsProcessor,
+        TimeMode.None(), OutputMode.Update())
+    drain(s, counts.toDF("user_id", "event_type", "n"), OutputMode.Update())
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val q204Oracle: String =
+    """SELECT user_id, event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+
   // ---- q202: event-time timers (transformWithState) --------------------
 
   /** [[SessionTimerProcessor]] over the 5-chunk stream — inactivity
@@ -1893,6 +1943,7 @@ object StreamingQueries extends QueryModule {
     "q180_state_reader" -> (stateReader _),
     "q191_exactly_once_sink" -> (exactlyOnceSink _),
     "q202_timer_sessions" -> (timerSessions _),
+    "q204_mapstate_counts" -> (mapStateCounts _),
     "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
@@ -1927,6 +1978,7 @@ object StreamingQueries extends QueryModule {
     "q180_state_reader" -> q180Oracle,
     "q191_exactly_once_sink" -> q191Oracle,
     "q202_timer_sessions" -> q202Oracle,
+    "q204_mapstate_counts" -> q204Oracle,
     "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
