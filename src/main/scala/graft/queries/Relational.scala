@@ -1603,6 +1603,76 @@ object Relational extends QueryModule {
       |FROM x CROSS JOIN b WHERE wd <= b.maxd
       |GROUP BY wd ORDER BY day""".stripMargin
 
+  /** q206: order-independent table checksum — the migration/replication
+    * integrity primitive for 100 TB moves: each row folds to a 60-bit
+    * integer through a CANONICAL string (explicit field order and
+    * separators, integer-exact fields) and md5, and the table signature
+    * is the XOR + SUM + COUNT of those row hashes — all three
+    * order-independent by algebra, so ANY engine, partitioning, or
+    * storage layout that holds the same rows produces the same triple.
+    * One scan, one rollup; md5 is the portable choice (both engines
+    * compute the identical digest; xxhash64 is Spark-local).
+    */
+  def tableChecksum(s: SparkSession, dir: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("event_id"), col("user_id"), col("event_type"),
+      round(col("value") * 100).cast(LongType),
+      unix_micros(col("ts").cast(TimestampType)))
+    val h = conv(substring(md5(canon), 1, 15), 16, 10).cast(LongType)
+    t(s, dir, "events")
+      .select(col("event_type"), h.as("h"))
+      .rollup(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(h)").as("xor_sig"),
+        // 60-bit hashes summed over billions of rows overflow int64 —
+        // the sum leg is decimal-exact and compared as a string
+        sum(col("h").cast(DecimalType(38, 0))).cast(StringType).as("sum_sig"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("n"), col("xor_sig"), col("sum_sig"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q206Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(concat('0x', substr(md5(concat_ws('|', event_id, user_id,
+      |      event_type, CAST(round(value * 100, 0) AS BIGINT),
+      |      epoch_us(ts))), 1, 15)) AS BIGINT) AS h
+      |  FROM events)
+      |SELECT COALESCE(event_type, 'ALL') AS event_type, COUNT(*) AS n,
+      |  bit_xor(h) AS xor_sig,
+      |  CAST(CAST(SUM(h) AS HUGEINT) AS VARCHAR) AS sum_sig
+      |FROM e GROUP BY ROLLUP (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  /** q207: mode (most frequent value) with a DETERMINISTIC tie-break —
+    * built-in `mode()` leaves ties implementation-defined in both
+    * engines, so the pinned form is the explicit two-level aggregate:
+    * count per (group, value), then `max_by(value, (count, -value))` —
+    * highest count, smallest value on ties. Two hash aggregates, both
+    * map-side-combined; never a sort.
+    */
+  def deterministicMode(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), (col("user_id") % 25).as("ub"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(expr("max_by(ub, struct(c, -ub))").as("mode_ub"),
+        max(col("c")).as("mode_n"))
+      .orderBy(col("event_type"))
+
+  private val q207Sql: String =
+    """WITH c AS (
+      |  SELECT event_type, user_id % 25 AS ub, COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, ub, c,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY c DESC, ub ASC) AS rn
+      |  FROM c)
+      |SELECT event_type, ub AS mode_ub, c AS mode_n
+      |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -2075,7 +2145,9 @@ object Relational extends QueryModule {
     "q199_attribution" -> (lastTouchAttribution _),
     "q200_quantile_filter" -> (globalQuantileFilter _),
     "q201_sliding_distinct" -> (slidingDistinctUsers _),
-    "q203_scd2_apply" -> (scd2Apply _))
+    "q203_scd2_apply" -> (scd2Apply _),
+    "q206_table_checksum" -> (tableChecksum _),
+    "q207_deterministic_mode" -> (deterministicMode _))
 
   val family: String = "relational"
 
@@ -2448,7 +2520,9 @@ object Relational extends QueryModule {
     "q199_attribution" -> q199Sql,
     "q200_quantile_filter" -> q200Sql,
     "q201_sliding_distinct" -> q201Sql,
-    "q203_scd2_apply" -> q203Sql)
+    "q203_scd2_apply" -> q203Sql,
+    "q206_table_checksum" -> q206Sql,
+    "q207_deterministic_mode" -> q207Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */

@@ -128,6 +128,37 @@ class TypeCountsProcessor
   }
 }
 
+/** q205: LIST-typed state on the state API v2 — each user's LAST 3
+  * observations as a bounded recency buffer: `appendValue` per event,
+  * `put` to truncate to the tail 3 (the rewrite runs only when the
+  * buffer overflows, and the buffer is k-bounded BY CONSTRUCTION — the
+  * property that makes list state safe at 100 TB where an unbounded
+  * append list is a state leak). Completes the v2 state-type surface
+  * (q48 Value, q204 Map, q202 timers).
+  */
+class LastKProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long, Long), (Long, String)] {
+
+  @transient private var buf: org.apache.spark.sql.streaming.ListState[(Long, Long, Long)] = _
+  private val K = 3
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    buf = getHandle.getListState[(Long, Long, Long)]("lastk",
+      Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, String)] = {
+    // time-order this key's batch slice, append, then truncate to k
+    rows.toArray.sortBy(r => (r._2, r._3))
+      .foreach { case (_, ms, eid, cents) => buf.appendValue((ms, eid, cents)) }
+    val all = buf.get().toArray
+    val tail = all.takeRight(K)
+    if (all.length > K) buf.put(tail)
+    // most recent first
+    Iterator.single((user, tail.reverse.map(_._3).mkString(",")))
+  }
+}
+
 /** Structured Streaming surface beyond the file pipeline (SURVEY §2.2
   * rows the reference lacks but the engine ships): event-time tumbling
   * windows + watermark, session windows, streaming dedup state, and
@@ -1582,6 +1613,36 @@ object StreamingQueries extends QueryModule {
     """SELECT user_id, event_type, COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
 
+  /** [[LastKProcessor]] over the chunked stream; the final per-user
+    * buffer is the highest-emit-batch emission (drainBatches tags
+    * them), and the oracle recomputes the last-3 window from the full
+    * table — a green row pins appendValue ordering, the put-truncation
+    * rewrite, and state carry across batches.
+    */
+  def listStateLastK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = eventsChunkedStream(s, dir, 5)
+      .select(col("user_id").cast("long").as("user"),
+        unix_millis(col("ts")).as("ms"), col("event_id").cast("long"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+    val lastk = stream.groupByKey(_._1)
+      .transformWithState(new LastKProcessor, TimeMode.None(), OutputMode.Update())
+    drainBatches(s, lastk.toDF("user_id", "last3"), OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(expr("max_by(last3, emit_batch)").as("last3"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q205Oracle: String =
+    """WITH r AS (
+      |  SELECT user_id, CAST(round(value * 100, 0) AS BIGINT) AS cents,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, string_agg(CAST(cents AS VARCHAR), ',' ORDER BY rn) AS last3
+      |FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- q202: event-time timers (transformWithState) --------------------
 
   /** [[SessionTimerProcessor]] over the 5-chunk stream — inactivity
@@ -1944,6 +2005,7 @@ object StreamingQueries extends QueryModule {
     "q191_exactly_once_sink" -> (exactlyOnceSink _),
     "q202_timer_sessions" -> (timerSessions _),
     "q204_mapstate_counts" -> (mapStateCounts _),
+    "q205_liststate_lastk" -> (listStateLastK _),
     "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
@@ -1979,6 +2041,7 @@ object StreamingQueries extends QueryModule {
     "q191_exactly_once_sink" -> q191Oracle,
     "q202_timer_sessions" -> q202Oracle,
     "q204_mapstate_counts" -> q204Oracle,
+    "q205_liststate_lastk" -> q205Oracle,
     "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
