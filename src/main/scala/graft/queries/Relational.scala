@@ -1839,21 +1839,60 @@ object Relational extends QueryModule {
     * round-trip through directory names).
     */
   def partitionPruning(s: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val outP = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_work", s"evpart_$tag")
-    val out = outP.toString
-    graft.Staging.ensureFresh(java.nio.file.Paths.get(dir, "events.parquet"), outP) {
-      t(s, dir, "events")
-        .withColumn("day_n", unix_date(col("ts").cast("date")))
-        .write.mode("overwrite").partitionBy("day_n").parquet(out)
-    }
-    s.read.parquet(out)
+    partitionedEventsFact(s, dir)
       .filter(col("day_n").between(19732, 19738)) // 2024-01-10 .. 2024-01-16
       .groupBy(col("day_n").cast("long").as("day_n"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("day_n"), col("event_type"))
   }
+
+  /** q208: DYNAMIC partition pruning — q147 prunes on a literal
+    * predicate at plan time; DPP prunes at RUN time from the other side
+    * of a join: the weekend-day dimension's filter becomes a pruning
+    * subquery evaluated into the fact scan's partition filters (reusing
+    * the broadcast), so only weekend partitions of the day-partitioned
+    * fact are read. At 100 TB "join fact to a filtered dim" is THE
+    * dominant query shape and DPP is the difference between scanning 2
+    * partitions and 30. Values pinned here; the `dynamicpruning`
+    * expression in the scan's partition filters is pinned by
+    * DppPlanSpec (pruning must be correctness-neutral, like q197).
+    */
+  def dynamicPartitionPruning(s: SparkSession, dir: String): DataFrame = {
+    val fact = partitionedEventsFact(s, dir)
+    // day dimension: day number + day-of-week (1970-01-01 = Thursday →
+    // (d+4) mod 7 maps 0=Sun..6=Sat), filtered to weekends
+    val dim = s.range(19723L, 19753L).toDF("day_n")
+      .withColumn("dow", pmod(col("day_n") + 4, lit(7)))
+      .filter(col("dow") === 0 || col("dow") === 6)
+    fact.join(broadcast(dim), "day_n")
+      .groupBy(col("day_n").cast(LongType).as("day_n"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("day_n"))
+  }
+
+  /** The day-partitioned events staging q147/q208 share. */
+  private[queries] def partitionedEventsFact(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val outP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"evpart_$tag")
+    graft.Staging.ensureFresh(java.nio.file.Paths.get(dir, "events.parquet"), outP) {
+      t(s, dir, "events")
+        .withColumn("day_n", unix_date(col("ts").cast("date")))
+        .write.mode("overwrite").partitionBy("day_n").parquet(outP.toString)
+    }
+    s.read.parquet(outP.toString)
+  }
+
+  private val q208Sql: String =
+    """WITH e AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day_n,
+      |    value
+      |  FROM events)
+      |SELECT CAST(day_n AS BIGINT) AS day_n, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM e
+      |WHERE day_n BETWEEN 19723 AND 19752 AND (day_n + 4) % 7 IN (0, 6)
+      |GROUP BY day_n ORDER BY day_n""".stripMargin
 
   /** q148: NULL-semantics parity battery — the corner cases engines
     * must agree on, pinned in one aggregation: NULL group keys form
@@ -2147,6 +2186,7 @@ object Relational extends QueryModule {
     "q201_sliding_distinct" -> (slidingDistinctUsers _),
     "q203_scd2_apply" -> (scd2Apply _),
     "q206_table_checksum" -> (tableChecksum _),
+    "q208_dynamic_pruning" -> (dynamicPartitionPruning _),
     "q207_deterministic_mode" -> (deterministicMode _))
 
   val family: String = "relational"
@@ -2522,6 +2562,7 @@ object Relational extends QueryModule {
     "q201_sliding_distinct" -> q201Sql,
     "q203_scd2_apply" -> q203Sql,
     "q206_table_checksum" -> q206Sql,
+    "q208_dynamic_pruning" -> q208Sql,
     "q207_deterministic_mode" -> q207Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave

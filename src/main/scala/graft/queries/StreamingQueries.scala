@@ -1643,6 +1643,55 @@ object StreamingQueries extends QueryModule {
       |SELECT user_id, string_agg(CAST(cents AS VARCHAR), ',' ORDER BY rn) AS last3
       |FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q209: UNION watermark alignment — two branches of one source with
+    * DIFFERENT watermark delays (even users 1 h, odd users 2 h) union
+    * into one windowed aggregate. Spark's multipleWatermarkPolicy=min
+    * (the default, and the only safe one) makes the operator watermark
+    * the MINIMUM over both branch watermarks — so the slow branch
+    * governs EVERY window's emission, including windows whose rows all
+    * came from the fast branch. The oracle replays exactly that
+    * algebra per chunk: wm(f) = min(side-max(f) − side-delay) and each
+    * (side, day) row must emit in the first batch whose start-of-batch
+    * wm passed the window end. This is the multi-source ingest
+    * semantics (several topics, one aggregate) at 100 TB — get the
+    * policy wrong and the fast source's windows emit early and drop
+    * the slow source's stragglers.
+    */
+  def unionWatermarkAlignment(s: SparkSession, dir: String): DataFrame = {
+    val base = eventsChunkedStream(s, dir, 5)
+      .select(col("ts"), col("user_id"))
+    val a = base.filter(col("user_id") % 2 === 0)
+      .withWatermark("ts", "1 hour").withColumn("side", lit("even_1h"))
+    val b = base.filter(col("user_id") % 2 =!= 0)
+      .withWatermark("ts", "2 hours").withColumn("side", lit("odd_2h"))
+    val u = a.unionByName(b)
+      .groupBy(col("side"), window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n"))
+    drainBatches(s, u, OutputMode.Append())
+      .select(col("emit_batch"), col("side"), col("w.start").as("day"), col("n"))
+      .orderBy(col("emit_batch"), col("side"), col("day"))
+  }
+
+  private val q209Oracle: String =
+    s"""WITH ${mbCtes(5)},
+       |fm AS (SELECT f, user_id % 2 = 0 AS es, MAX(ts) AS mx FROM ev GROUP BY 1, 2),
+       |grid AS (SELECT DISTINCT ev.f, s.es
+       |         FROM ev CROSS JOIN (VALUES (true), (false)) s(es)),
+       |cm AS (SELECT g.f, g.es, MAX(fm.mx) AS cmx
+       |       FROM grid g JOIN fm ON fm.es = g.es AND fm.f <= g.f GROUP BY 1, 2),
+       |gw AS (SELECT f, MIN(CASE WHEN es THEN cmx - INTERVAL 1 HOUR
+       |                          ELSE cmx - INTERVAL 2 HOUR END) AS w
+       |       FROM cm GROUP BY f),
+       |win AS (
+       |  SELECT CASE WHEN user_id % 2 = 0 THEN 'even_1h' ELSE 'odd_2h' END AS side,
+       |    date_trunc('day', ts) AS day, COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT CAST((SELECT MIN(f) + 1 FROM gw
+       |             WHERE w >= day + INTERVAL 1 DAY) AS BIGINT) AS emit_batch,
+       |  side, day, n
+       |FROM win WHERE emit_batch IS NOT NULL
+       |ORDER BY emit_batch, side, day""".stripMargin
+
   // ---- q202: event-time timers (transformWithState) --------------------
 
   /** [[SessionTimerProcessor]] over the 5-chunk stream — inactivity
@@ -2006,6 +2055,7 @@ object StreamingQueries extends QueryModule {
     "q202_timer_sessions" -> (timerSessions _),
     "q204_mapstate_counts" -> (mapStateCounts _),
     "q205_liststate_lastk" -> (listStateLastK _),
+    "q209_union_watermark" -> (unionWatermarkAlignment _),
     "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
@@ -2042,6 +2092,7 @@ object StreamingQueries extends QueryModule {
     "q202_timer_sessions" -> q202Oracle,
     "q204_mapstate_counts" -> q204Oracle,
     "q205_liststate_lastk" -> q205Oracle,
+    "q209_union_watermark" -> q209Oracle,
     "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
