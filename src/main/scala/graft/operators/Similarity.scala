@@ -38,6 +38,44 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
   }
 
+  /** Greedy Maximal-Marginal-Relevance selection over a BOUNDED
+    * candidate set — the diversified-retrieval step after ANN: pick k
+    * items maximizing `λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)` one at a
+    * time. Inherently sequential in k, so production systems run it on
+    * the ANN candidate list (C ≈ 100s), never the corpus — which is why
+    * this takes PRE-BOUNDED integer fixed-point similarities and runs
+    * locally: the distributed work is candidate generation + pair
+    * scoring upstream (q210 does both in-plan); this is the k-step tail
+    * on |C| rows. λ is scaled by 10 (lam10=7 ⇒ λ=0.7) so the score is
+    * exact integer arithmetic: `7·simfp − 3·maxpairfp`, ties to the
+    * smaller id — deterministic on any engine.
+    *
+    * @param cands (candidateId, simFp-to-query), pairFp ((a,b) →
+    *              pairwise simFp, symmetric entries present)
+    * @return (step 1..k, pickedId, scoreFp)
+    */
+  def mmrGreedy(cands: Seq[(Long, Long)], pairFp: Map[(Long, Long), Long],
+                k: Int, lam10: Long): Seq[(Int, Long, Long)] = {
+    require(lam10 >= 0 && lam10 <= 10, s"lam10 in [0,10], got $lam10")
+    val picked = collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val sel = collection.mutable.ArrayBuffer.empty[Long]
+    val remaining = collection.mutable.LinkedHashMap(cands: _*)
+    var step = 1
+    while (step <= k && remaining.nonEmpty) {
+      val scored = remaining.iterator.map { case (id, simfp) =>
+        val div = if (sel.isEmpty) 0L
+          else sel.iterator.map(s => pairFp.getOrElse((id, s), 0L)).max
+        (id, lam10 * simfp - (10 - lam10) * div)
+      }.toSeq
+      val (bestId, bestScore) = scored.minBy { case (id, sc) => (-sc, id) }
+      picked += ((step, bestId, bestScore))
+      sel += bestId
+      remaining.remove(bestId)
+      step += 1
+    }
+    picked.toSeq
+  }
+
   /** Contrastive hard-negative mining: for each anchor in `anchors`,
     * the top-`k` highest-cosine corpus vectors with a DIFFERENT label —
     * the negatives that actually move a contrastive/embedding loss

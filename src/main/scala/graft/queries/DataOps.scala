@@ -3520,6 +3520,97 @@ object DataOps extends QueryModule {
       |WHERE levenshtein(a.w, b.w) BETWEEN 1 AND 2
       |ORDER BY wa, wb""".stripMargin
 
+  /** q210: MMR diversified top-k — the retrieval step between "nearest"
+    * and "useful": after ANN narrows each query to a candidate list,
+    * greedy Maximal Marginal Relevance re-picks k of them trading
+    * query-similarity against redundancy with what's already picked
+    * (λ=0.7). The DISTRIBUTED work is all in-plan — candidate top-C per
+    * query (q24's broadcast shape) and the C² pairwise similarity table
+    * — and the k-step greedy tail runs on the collected C-bounded set
+    * (3 queries × 12 candidates here; the production bound is the ANN
+    * list, by construction small — same justification as the
+    * vocab-capped BPE collect). All scores are ×10⁶ integer fixed point
+    * from the round-6 cosine both engines already agree on (q24), so
+    * the greedy argmax never compares raw floats; the oracle replays
+    * the selection as a recursive CTE carrying the picked set as a
+    * list.
+    */
+  def mmrSelect(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val cands = Similarity.bruteTopK(e, e.filter(col("vec_id") < 3), 12)
+      .select(col("query_id"), col("neighbor_id"),
+        round(round(col("sim"), 6) * 1000000).cast("long").as("simfp"))
+      .localCheckpoint(false)
+    val ea = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val eb = e.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val pairs = cands.select(col("query_id"), col("neighbor_id").as("a"))
+      .join(cands.select(col("query_id").as("q2"), col("neighbor_id").as("b")),
+        col("query_id") === col("q2") && col("a") =!= col("b"))
+      .join(broadcast(ea), "a").join(broadcast(eb), "b")
+      .select(col("query_id"), col("a"), col("b"),
+        round(round(VectorFns.cosine(col("ea"), col("eb")), 6) * 1000000)
+          .cast("long").as("psimfp"))
+    // bounded collect: |queries|·C candidates + |queries|·C² pairs
+    val candRows = cands.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)).toMap
+    val pairRows = pairs.collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => ((r.getLong(1), r.getLong(2)) -> r.getLong(3))).toMap).toMap
+    import s.implicits._
+    candRows.keys.toSeq.sorted.flatMap { q =>
+      Similarity.mmrGreedy(candRows(q), pairRows.getOrElse(q, Map.empty), k = 4, lam10 = 7)
+        .map { case (step, id, score) => (q, step, id, score) }
+    }.toDF("query_id", "step", "picked_id", "score_fp")
+      .orderBy(col("query_id"), col("step"))
+  }
+
+  private val q210Oracle: String = {
+    val qcos = VectorFns.cosineSql("q.embedding", "c.embedding")
+    val pcos = VectorFns.cosineSql("ea.embedding", "eb.embedding")
+    s"""WITH RECURSIVE
+       |cand0 AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS nid,
+       |    CAST(round(round($qcos, 6) * 1000000, 0) AS BIGINT) AS simfp,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $qcos DESC, c.vec_id) AS rnk
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+       |cc AS MATERIALIZED (SELECT query_id, nid, simfp FROM cand0 WHERE rnk <= 12),
+       |pair AS MATERIALIZED (
+       |  SELECT a.query_id, a.nid AS a, b.nid AS b,
+       |    CAST(round(round($pcos, 6) * 1000000, 0) AS BIGINT) AS psimfp
+       |  FROM cc a JOIN cc b ON a.query_id = b.query_id AND a.nid <> b.nid
+       |  JOIN embeddings ea ON ea.vec_id = a.nid
+       |  JOIN embeddings eb ON eb.vec_id = b.nid),
+       |sel(step, query_id, picked, score_fp, picked_list) AS (
+       |  SELECT 1, query_id, nid, 7 * simfp, [nid]
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY 7 * simfp DESC, nid) AS rr FROM cc)
+       |  WHERE rr = 1
+       |  -- the recursive member computes every remaining candidate's
+       |  -- score (max-over-picked via a join against the carried
+       |  -- picked_list) and keeps the per-query argmax with QUALIFY:
+       |  -- DuckDB 1.0 silently evaluates a scalar subquery nested
+       |  -- under LATERAL inside a recursive member to NULL, so the
+       |  -- aggregation MUST be a plain join
+       |  UNION ALL
+       |  SELECT s.step + 1, c.query_id, c.nid,
+       |    7 * c.simfp - 3 * MAX(p.psimfp) AS score_fp,
+       |    list_append(s.picked_list, c.nid)
+       |  FROM sel s
+       |  JOIN cc c ON c.query_id = s.query_id
+       |    AND NOT list_contains(s.picked_list, c.nid)
+       |  JOIN pair p ON p.query_id = c.query_id AND p.a = c.nid
+       |    AND list_contains(s.picked_list, p.b)
+       |  WHERE s.step < 4
+       |  GROUP BY s.step, c.query_id, c.nid, c.simfp, s.picked_list
+       |  QUALIFY row_number() OVER (PARTITION BY c.query_id
+       |    ORDER BY 7 * c.simfp - 3 * MAX(p.psimfp) DESC, c.nid) = 1)
+       |SELECT query_id, step, picked AS picked_id, score_fp
+       |FROM sel ORDER BY query_id, step""".stripMargin
+  }
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3579,6 +3670,7 @@ object DataOps extends QueryModule {
     "q187_inverted_index" -> (invertedIndex _),
     "q188_char_entropy" -> (charEntropy _),
     "q192_levenshtein_pairs" -> (levenshteinPairs _),
+    "q210_mmr_select" -> (mmrSelect _),
     "q105_quality_classifier" -> (qualityClassify _),
     "q106_span_excision" -> (spanExcision _),
     "q101_mixture_recipe" -> (mixtureRecipe _),
@@ -3668,6 +3760,7 @@ object DataOps extends QueryModule {
     "q187_inverted_index" -> q187Oracle,
     "q188_char_entropy" -> q188Oracle,
     "q192_levenshtein_pairs" -> q192Oracle,
+    "q210_mmr_select" -> q210Oracle,
     "q105_quality_classifier" -> q105Oracle,
     "q106_span_excision" -> q106Oracle,
     "q101_mixture_recipe" -> q101Oracle,

@@ -104,6 +104,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  describe("Similarity.mmrGreedy") {
+    it("trades relevance against redundancy on a hand-checked case") {
+      // a and b near-identical, c less relevant but diverse: pure
+      // relevance picks (a, b); MMR at λ=0.7 picks (a, c)
+      val cands = Seq((1L, 900000L), (2L, 890000L), (3L, 600000L)) // a b c
+      val pairs = Map((2L, 1L) -> 990000L, (1L, 2L) -> 990000L,
+        (3L, 1L) -> 100000L, (1L, 3L) -> 100000L,
+        (3L, 2L) -> 120000L, (2L, 3L) -> 120000L)
+      val picked = Similarity.mmrGreedy(cands, pairs, k = 2, lam10 = 7)
+      assert(picked.map(_._2) == Seq(1L, 3L), picked)
+      // scores: step1 = 7·900000; step2(c) = 7·600000 − 3·100000
+      assert(picked.map(_._3) == Seq(6300000L, 3900000L), picked)
+      // λ=10 degenerates to pure relevance: (a, b)
+      assert(Similarity.mmrGreedy(cands, pairs, 2, 10).map(_._2) == Seq(1L, 2L))
+    }
+
+    it("ties break to the smaller id and k caps at the candidate count") {
+      val cands = Seq((5L, 100L), (4L, 100L))
+      val r = Similarity.mmrGreedy(cands, Map((4L, 5L) -> 0L, (5L, 4L) -> 0L), 5, 7)
+      assert(r.map(_._2) == Seq(4L, 5L))
+      assert(r.map(_._1) == Seq(1, 2))
+    }
+  }
+
   describe("Similarity.bruteTopK") {
     it("ranks the same-cluster vectors first and excludes self") {
       val res = Similarity.bruteTopK(vectors, vectors.filter(col("vec_id") === 0), k = 2)
