@@ -1236,27 +1236,21 @@ object Relational extends QueryModule {
       |FROM customer c ORDER BY c_custkey""".stripMargin
 
   /** q193: 2-D skyline (Pareto frontier) — the orders no other order
-    * dominates on (lower price, earlier date): the naive formulation is
-    * an O(n²) NOT-EXISTS self-join, but the 2-D skyline is exactly a
-    * running-minimum scan — sort by price, keep a row iff its date
-    * beats every earlier date (strictly, with a (price, key) tie-break
-    * making the order total). One global sort instead of a quadratic
-    * join; at 100 TB the same plan holds via range-partitioned sort +
-    * per-partition running min with a broadcast prefix-min handoff
-    * (exactly how Packing.globalRowNumber scales its prefix sums). The
-    * oracle runs the NOT-EXISTS definition, so the window rewrite is
-    * proven equivalent to the quadratic spec, not just to itself.
+    * dominates on (lower price, earlier date), via
+    * [[graft.operators.Skyline.paretoFrontier2d]]: range-partitioned
+    * cumulative-min with a broadcast prefix handoff — no
+    * single-partition window, no O(n²) self-join. The oracle runs the
+    * NOT-EXISTS DEFINITION, so the distributed rewrite is proven
+    * equivalent to the quadratic spec, not just to itself.
     */
   def skylineOrders(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate").as("od"))
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    o.withColumn("best_od", min(col("od")).over(w))
-      .filter(col("best_od").isNull || col("od") < col("best_od"))
       .select(col("o_orderkey"), col("o_totalprice"),
-        date_format(col("od"), "yyyy-MM-dd").as("orderdate"))
+        unix_micros(col("o_orderdate").cast(TimestampType)).as("od"))
+    graft.operators.Skyline.paretoFrontier2d(o, "o_totalprice", "od", "o_orderkey")
+      .select(col("o_orderkey"), col("o_totalprice"),
+        date_format(timestamp_micros(col("od")), "yyyy-MM-dd").as("orderdate"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
   }
 
