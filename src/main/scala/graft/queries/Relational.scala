@@ -1435,24 +1435,28 @@ object Relational extends QueryModule {
   /** q198: rank-based quantile normalization — the scale-free feature
     * transform (map each value to its rank quantile) done in exact
     * integer arithmetic: per event_type, `q_mille = (rank − 1) · 1000
-    * div (n − 1)` with a total (value, event_id) order, so the result
-    * is a deterministic integer in [0, 1000] — no float percentiles, no
-    * tie ambiguity. One shuffle on the group key; ranks come from the
-    * per-group sort, the per-group n from a window count — the same
-    * two-pass-free shape at any scale.
+    * div (n − 1)` with a total (value, event_id) order. The per-group
+    * rank does NOT ride a `Window.partitionBy(group)` — a handful of
+    * giant groups would each funnel through one task at 100×. Instead
+    * the GLOBAL two-phase rank over (group, value, tie)
+    * ([[graft.operators.Packing.globalRowNumber]] — range partitions +
+    * bounded prefix handoff, every task a contiguous slice) is turned
+    * into the within-group rank by subtracting each group's start
+    * offset, joined back on the group key. Same answers, no
+    * group-parallelism wall.
     */
   def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
-    val wr = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    val wn = Window.partitionBy(col("event_type"))
-    t(s, dir, "events")
+    val base = t(s, dir, "events")
       .filter(col("user_id") % 10 === 3)
       .select(col("event_id"), col("event_type"), col("value"))
-      .withColumn("r", row_number().over(wr))
-      .withColumn("n", count(lit(1)).over(wn))
+    val ranked = graft.operators.Packing.globalRowNumber(
+      base, struct(col("event_type"), col("value"), col("event_id")), "gpos")
+    val groups = ranked.groupBy(col("event_type"))
+      .agg(min(col("gpos")).as("gstart"), count(lit(1)).as("n"))
+    ranked.join(groups, "event_type")
       .select(col("event_id"), col("event_type"),
-        call_function("div", (col("r") - 1).cast(LongType) * 1000,
-          (col("n") - 1).cast(LongType)).as("q_mille"))
+        call_function("div", (col("gpos") - col("gstart")) * 1000,
+          col("n") - 1).as("q_mille"))
       .orderBy(col("event_id"))
   }
 
