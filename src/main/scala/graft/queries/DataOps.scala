@@ -3408,17 +3408,30 @@ object DataOps extends QueryModule {
     * full postings at 100 TB live as (term, doc_id) rows, which is what
     * the first aggregate already produces.
     */
-  def invertedIndex(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
+  def invertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val postings = docs(s, dir)
       .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
-        sum(col("tf")).as("tf_total"),
-        expr("concat_ws(',', transform(slice(array_sort(collect_list(doc_id)), 1, 8), x -> cast(x as string)))")
-          .as("head_postings"))
+      .localCheckpoint(false) // feeds stats AND the head selection
+    val stats = postings.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_total"))
       .filter(col("df") >= 10)
+    // head-of-posting-list via salted two-level selection (the q184
+    // discipline): a frequent term's full posting list never passes
+    // through one window task or one aggregation buffer
+    val w1 = w.partitionBy(col("term"), col("salt")).orderBy(col("doc_id"))
+    val w2 = w.partitionBy(col("term")).orderBy(col("doc_id"))
+    val head = postings.withColumn("salt", pmod(col("doc_id"), lit(64L)))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= 8)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= 8)
+      .groupBy(col("term"))
+      .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(r2, doc_id))), x -> cast(x.doc_id as string)))")
+        .as("head_postings"))
+    stats.join(head, "term")
+      .select(col("term"), col("df"), col("tf_total"), col("head_postings"))
       .orderBy(col("term"))
+  }
 
   private val q187Oracle: String =
     """WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

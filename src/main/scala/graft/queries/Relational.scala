@@ -1082,24 +1082,37 @@ object Relational extends QueryModule {
   /** q184: argmax/argmin + per-group top-k battery — `max_by`/`min_by`
     * with a STRUCT ordering key (value, then id — ties impossible by
     * construction, so both engines' "an arbitrary maximal row" freedom
-    * never bites), plus the top-3 ids per group emitted as one ordered
-    * string. The top-k is per-group bounded: a sorted collect_list over
-    * each group's rows sliced to 3 — at 100 TB the same shape holds
-    * because the slice bounds the retained state, and groups are
-    * event-type-cardinality few; for high-cardinality groups the
-    * window-rank form (q06) is the scale path.
+    * never bites; O(1) aggregation state), plus the top-3 ids per group
+    * as one ordered string via SALTED two-level selection: top-3 per
+    * (group, salt) in 64-way parallel windows, then top-3 of the ≤192
+    * survivors per group — aggregation state and window tasks both
+    * bounded no matter how large a group grows (a collect-the-group
+    * aggregate or a per-group window would wall at 100× on few giant
+    * groups).
     */
-  def argmaxBattery(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
-      .groupBy(col("event_type"))
+  def argmaxBattery(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("event_id"), col("value"))
+    val aggs = ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         expr("max_by(event_id, struct(value, event_id))").as("argmax_eid"),
         expr("min_by(event_id, struct(value, event_id))").as("argmin_eid"),
-        max(col("value")).as("max_val"),
-        expr("concat_ws(',', transform(slice(reverse(array_sort(" +
-          "collect_list(struct(value, event_id)))), 1, 3), x -> cast(x.event_id as string)))")
-          .as("top3"))
+        max(col("value")).as("max_val"))
+    val w1 = Window.partitionBy(col("event_type"), col("salt"))
+      .orderBy(col("value").desc, col("event_id").desc)
+    val w2 = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id").desc)
+    val top3 = ev.withColumn("salt", pmod(col("event_id"), lit(64L)))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= 3)
+      .withColumn("r2", row_number().over(w2)).filter(col("r2") <= 3)
+      .groupBy(col("event_type"))
+      .agg(expr("concat_ws(',', transform(array_sort(collect_list(struct(r2, event_id))), x -> cast(x.event_id as string)))")
+        .as("top3"))
+    aggs.join(top3, "event_type")
+      .select(col("event_type"), col("n"), col("argmax_eid"),
+        col("argmin_eid"), col("max_val"), col("top3"))
       .orderBy(col("event_type"))
+  }
 
   private val q184Sql: String =
     """WITH r AS (
