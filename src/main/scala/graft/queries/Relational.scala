@@ -1684,6 +1684,63 @@ object Relational extends QueryModule {
       |SELECT event_type, ub AS mode_ub, c AS mode_n
       |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin
 
+  /** q211: peak session concurrency — "how many sessions were open at
+    * once, per day": gaps-and-islands sessions (q134's operator) become
+    * ±1 boundary events, and the running concurrency is their prefix
+    * sum under the (instant, delta, key) total order — computed with
+    * [[graft.operators.Packing.runningTotal]]'s two-phase distributed
+    * prefix sum, NEVER a single-partition window (the classic
+    * formulation's wall). End instants sort their −1 before a
+    * simultaneous +1 (end-exclusive sessions), ties then break on the
+    * session key, so the trajectory — not just the peak — is
+    * deterministic. One range shuffle over 2·|sessions| boundary rows.
+    */
+  def peakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.operators.Sessionize.stats(
+      t(s, dir, "events"), col("user_id"), col("ts"), col("event_id"),
+      gapSeconds = 1800)
+    val bounds = sess.select(col("key"), col("session_seq"),
+        unix_micros(col("start_ts").cast(TimestampType)).as("at"), lit(1L).as("delta"))
+      .unionByName(sess.select(col("key"), col("session_seq"),
+        unix_micros(col("end_ts").cast(TimestampType)).as("at"), lit(-1L).as("delta")))
+    val traj = graft.operators.Packing.runningTotal(
+      bounds, struct(col("at"), col("delta"), col("key"), col("session_seq")),
+      col("delta"), "conc")
+    traj
+      .groupBy(to_date(timestamp_micros(col("at"))).as("d"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_starts"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("peak_concurrency"), col("n_starts"))
+      .orderBy(col("day"))
+  }
+
+  private val q211Sql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (SELECT user_id, ts,
+      |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x),
+      |sess AS (SELECT user_id, sid, epoch_us(MIN(ts)) AS s, epoch_us(MAX(ts)) AS e
+      |         FROM y GROUP BY 1, 2),
+      |b AS (
+      |  SELECT user_id, sid, s AS at, CAST(1 AS BIGINT) AS delta FROM sess
+      |  UNION ALL
+      |  SELECT user_id, sid, e, CAST(-1 AS BIGINT) FROM sess),
+      |t AS (
+      |  SELECT at, delta,
+      |    SUM(delta) OVER (ORDER BY at, delta, user_id, sid
+      |      ROWS UNBOUNDED PRECEDING) AS conc
+      |  FROM b)
+      |SELECT strftime(CAST(make_timestamp(at) AS DATE), '%Y-%m-%d') AS day,
+      |  CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+      |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+      |FROM t GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -2198,7 +2255,8 @@ object Relational extends QueryModule {
     "q203_scd2_apply" -> (scd2Apply _),
     "q206_table_checksum" -> (tableChecksum _),
     "q208_dynamic_pruning" -> (dynamicPartitionPruning _),
-    "q207_deterministic_mode" -> (deterministicMode _))
+    "q207_deterministic_mode" -> (deterministicMode _),
+    "q211_peak_concurrency" -> (peakConcurrency _))
 
   val family: String = "relational"
 
@@ -2574,7 +2632,8 @@ object Relational extends QueryModule {
     "q203_scd2_apply" -> q203Sql,
     "q206_table_checksum" -> q206Sql,
     "q208_dynamic_pruning" -> q208Sql,
-    "q207_deterministic_mode" -> q207Sql)
+    "q207_deterministic_mode" -> q207Sql,
+    "q211_peak_concurrency" -> q211Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
