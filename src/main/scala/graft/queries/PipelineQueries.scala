@@ -519,6 +519,132 @@ object PipelineQueries extends QueryModule {
        | ${graft.functions.TextFns.hash60Sql(edgePayloadSql)} AS h
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q212–q214: scan efficiency + format robustness -------------------
+
+  /** q212: NESTED-schema pruning — events re-laid as two struct columns
+    * and read back selecting one subfield from each: Spark's nested
+    * schema pruning pushes `meta.type` / `payload.value` into the
+    * parquet ReadSchema, so the scan decodes two leaf columns instead
+    * of six (props is the big one skipped). At 100 TB wide nested
+    * payloads are the norm and subfield pruning is the difference
+    * between reading 2% and 100% of the bytes. Values pinned here;
+    * the pruned ReadSchema is pinned by NestedPruningSpec.
+    */
+  def nestedPruning(s: SparkSession, dir: String): DataFrame =
+    nestedPruningInner(s, dir)
+
+  /** The staged-nested read q212 and its spec share. */
+  private[queries] def nestedPruningInner(s: SparkSession, dir: String): DataFrame = {
+    val out = freshWorkDir("q212", dir)
+    Tables(s, dir, "events").select(
+        col("event_id"),
+        struct(col("event_type").as("type"), to_date(col("ts")).as("day")).as("meta"),
+        struct(col("value"), col("props"), col("user_id")).as("payload"))
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .select(col("meta.type").as("event_type"),
+        round(col("payload.value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q212Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q213: parquet compression-codec matrix — the same slice written
+    * under snappy / gzip / zstd and read back to the same
+    * order-independent signature (q206's checksum discipline): count,
+    * exact cents sum, and the XOR of row hashes must be IDENTICAL
+    * across codecs, pinning that codec choice is a pure
+    * size/speed trade with zero value effect — the invariant a
+    * 100 TB storage-tiering policy (hot snappy, cold zstd) rests on.
+    */
+  def parquetCodecMatrix(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val codecs = Seq("snappy", "gzip", "zstd")
+    codecs.map { c =>
+      val out = freshWorkDir(s"q213_$c", dir)
+      base.write.mode("overwrite").option("compression", c).parquet(out)
+      s.read.parquet(out)
+        .select(graft.functions.TextFns.hash60(
+          concat_ws("|", col("event_id"), col("event_type"), col("cents"))).as("h"),
+          col("cents"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          expr("bit_xor(h)").as("xor_sig"))
+        .withColumn("codec", lit(c))
+    }.reduce(_ unionByName _)
+      .select(col("codec"), col("n"), col("sum_cents"), col("xor_sig"))
+      .orderBy(col("codec"))
+  }
+
+  private val q213Oracle: String = {
+    val h = graft.functions.TextFns.hash60Sql(
+      "(event_id || '|' || event_type || '|' || CAST(round(value * 100, 0) AS BIGINT))")
+    s"""WITH sig AS (
+       |  SELECT COUNT(*) AS n,
+       |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents,
+       |    bit_xor($h) AS xor_sig
+       |  FROM events)
+       |SELECT codec, n, sum_cents, xor_sig
+       |FROM sig CROSS JOIN (VALUES ('gzip'), ('snappy'), ('zstd')) c(codec)
+       |ORDER BY codec""".stripMargin
+  }
+
+  /** q214: malformed-record handling — the ingestion-robustness
+    * contract the reference's bad-row path (O13/O16) embodies, at the
+    * CSV reader level: a staged line file where every 7th record's
+    * value field is non-numeric, read in PERMISSIVE mode with a
+    * corrupt-record column (typed fields null, raw line captured — the
+    * dead-letter shape) and again in DROPMALFORMED (silent discard).
+    * Counts, the surviving exact sum, and the corrupt-row id sum must
+    * all reconcile — q20's good/bad split for the built-in reader.
+    */
+  def permissiveCsv(s: SparkSession, dir: String): DataFrame = {
+    val out = freshWorkDir("q214", dir)
+    Tables(s, dir, "events")
+      .select(concat_ws(",", col("event_id"),
+        when(col("event_id") % 7 === 0, concat(lit("bad_"), col("event_type")))
+          .otherwise(round(col("value") * 100).cast("long").cast("string")))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_bad", org.apache.spark.sql.types.StringType)))
+    val perm = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(out)
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("_bad")).as("n_corrupt"),
+        sum(col("cents")).as("sum_good_cents"),
+        sum(when(col("_bad").isNotNull, col("event_id"))).as("sum_corrupt_ids"))
+    val dropped = s.read.schema(org.apache.spark.sql.types.StructType(schema.fields.dropRight(1)))
+      .option("mode", "DROPMALFORMED").csv(out)
+      // the sum FORCES the typed column through the parser: a bare
+      // count(1) prunes every column, the parser then converts nothing,
+      // and no row is ever "malformed" — the classic CSV count gotcha
+      .agg(count(lit(1)).as("n_dropmalformed"),
+        sum(col("cents")).as("dropmalformed_sum"))
+    perm.crossJoin(dropped)
+  }
+
+  private val q214Oracle: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+      |  CAST(SUM(CASE WHEN event_id % 7 <> 0
+      |    THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT) AS sum_good_cents,
+      |  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN event_id END) AS BIGINT) AS sum_corrupt_ids,
+      |  CAST(SUM(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropmalformed,
+      |  CAST(SUM(CASE WHEN event_id % 7 <> 0
+      |    THEN CAST(round(value * 100, 0) AS BIGINT) END) AS BIGINT) AS dropmalformed_sum
+      |FROM events""".stripMargin
+
   // ---- q159: initial position semantics (O2) ----------------------------
 
   /** The three stream seek semantics (reference `Config.scala:62-106`,
@@ -646,7 +772,10 @@ object PipelineQueries extends QueryModule {
     "q95_csv_roundtrip" -> (csvRoundtrip _),
     "q96_json_roundtrip" -> (jsonRoundtrip _),
     "q103_resharded_cycles" -> (reshardedCycles _),
-    "q159_initial_position" -> (initialPositions _))
+    "q159_initial_position" -> (initialPositions _),
+    "q212_nested_pruning" -> (nestedPruning _),
+    "q213_codec_matrix" -> (parquetCodecMatrix _),
+    "q214_permissive_csv" -> (permissiveCsv _))
 
   val family: String = "pipeline"
 
@@ -662,5 +791,8 @@ object PipelineQueries extends QueryModule {
     "q95_csv_roundtrip" -> q95Oracle,
     "q96_json_roundtrip" -> q95Oracle,
     "q103_resharded_cycles" -> q103Oracle,
-    "q159_initial_position" -> q159Oracle)
+    "q159_initial_position" -> q159Oracle,
+    "q212_nested_pruning" -> q212Oracle,
+    "q213_codec_matrix" -> q213Oracle,
+    "q214_permissive_csv" -> q214Oracle)
 }
