@@ -1692,6 +1692,104 @@ object StreamingQueries extends QueryModule {
        |FROM win WHERE emit_batch IS NOT NULL
        |ORDER BY emit_batch, side, day""".stripMargin
 
+  /** q215: UPDATE-mode windowed aggregation across batches — the third
+    * output mode, distinct from q30 (Complete re-emits everything) and
+    * q42/q81 (Append emits once, at watermark close): Update emits a
+    * (window, type) row in EVERY batch that changes it, carrying the
+    * CUMULATIVE aggregate so far — the mode a live dashboard consumes.
+    * Time-ordered chunked arrival makes the emission set exact: a cell
+    * emits in batch f iff chunk f contains rows of that (day, type),
+    * with the running count/sum through chunk f — a day split across a
+    * chunk boundary emits twice with growing values, which is precisely
+    * the behavior the oracle's per-chunk cumulative replay pins.
+    */
+  def mbUpdateWindow(s: SparkSession, dir: String): DataFrame = {
+    val windows = eventsChunkedStream(s, dir, 5)
+      .select(col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    drainBatches(s, windows, OutputMode.Update())
+      .select(col("emit_batch"), col("w.start").as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("emit_batch"), col("day"), col("event_type"))
+  }
+
+  private val q215Oracle: String =
+    s"""WITH ${mbCtes(5)},
+       |cum AS (
+       |  SELECT f, date_trunc('day', ts) AS day, event_type,
+       |    COUNT(*) AS dn,
+       |    SUM(CAST(value AS DECIMAL(38,2))) AS ds
+       |  FROM ev GROUP BY 1, 2, 3)
+       |SELECT CAST(c.f AS BIGINT) AS emit_batch, c.day, c.event_type,
+       |  CAST((SELECT SUM(dn) FROM cum c2
+       |    WHERE c2.day = c.day AND c2.event_type = c.event_type
+       |      AND c2.f <= c.f) AS BIGINT) AS n,
+       |  CAST((SELECT SUM(ds) FROM cum c2
+       |    WHERE c2.day = c.day AND c2.event_type = c.event_type
+       |      AND c2.f <= c.f) AS DOUBLE) AS sum_value
+       |FROM cum c
+       |ORDER BY emit_batch, day, event_type""".stripMargin
+
+  /** q216: EVENT-TIME TIMEOUT on the v1 state API — the same
+    * timer-closed inactivity sessions as q202, but through
+    * `flatMapGroupsWithState(EventTimeTimeout)`: interior sessions emit
+    * on the gap path, the tail session emits in the timed-out
+    * invocation (`hasTimedOut`, empty row iterator), and
+    * `setTimeoutTimestamp(last + gap)` reschedules on every update
+    * (legal here BY TIME-ORDERED ARRIVAL: a chunk's events all sit ≥
+    * the previous chunk's max, which is the watermark + 1 h, so the new
+    * timeout is always ahead of the watermark). SHARING q202's oracle
+    * is the point — the two state APIs must implement the same timeout
+    * semantics down to the watermark boundary.
+    */
+  def timeoutSessionsV1(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val GapMs = 30L * 60 * 1000
+    // the v1 event-time-timeout check requires the WATERMARKED event-time
+    // column to still be present on the grouped input — keep ts through
+    // the projection (q202's v2 path only needs the upstream node)
+    val stream = eventsChunkedStream(s, dir, 5)
+      .select(col("ts"), col("user_id").cast("long").as("user"),
+        unix_millis(col("ts")).as("ms"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withWatermark("ts", "1 hour")
+      .as[(java.sql.Timestamp, Long, Long, Long)]
+    val sess = stream.groupByKey(_._2)
+      .flatMapGroupsWithState[SessTimerState, (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows0: Iterator[(java.sql.Timestamp, Long, Long, Long)],
+         state: GroupState[SessTimerState]) =>
+          val rows = rows0.map(r => (r._2, r._3, r._4))
+          if (state.hasTimedOut) {
+            val cur = state.get
+            state.remove()
+            Iterator.single((user, cur.start, cur.n, cur.cents))
+          } else {
+            val evs = rows.toArray.sortBy(r => (r._2, r._1))
+            val closed = collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+            var cur = state.getOption.orNull
+            evs.foreach { case (_, ms, cents) =>
+              if (cur == null) cur = SessTimerState(ms, ms, 1L, cents, 0L)
+              else if (ms - cur.last >= GapMs) {
+                closed += ((user, cur.start, cur.n, cur.cents))
+                cur = SessTimerState(ms, ms, 1L, cents, 0L)
+              } else cur = cur.copy(last = math.max(cur.last, ms),
+                n = cur.n + 1, cents = cur.cents + cents)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.last + GapMs)
+            }
+            closed.iterator
+          }
+      }
+    drain(s, sess.toDF("user_id", "start_ms", "n_events", "sum_cents"),
+        OutputMode.Append())
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
   // ---- q202: event-time timers (transformWithState) --------------------
 
   /** [[SessionTimerProcessor]] over the 5-chunk stream — inactivity
@@ -2056,6 +2154,8 @@ object StreamingQueries extends QueryModule {
     "q204_mapstate_counts" -> (mapStateCounts _),
     "q205_liststate_lastk" -> (listStateLastK _),
     "q209_union_watermark" -> (unionWatermarkAlignment _),
+    "q215_mb_update_window" -> (mbUpdateWindow _),
+    "q216_timeout_sessions_v1" -> (timeoutSessionsV1 _),
     "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
@@ -2093,6 +2193,8 @@ object StreamingQueries extends QueryModule {
     "q204_mapstate_counts" -> q204Oracle,
     "q205_liststate_lastk" -> q205Oracle,
     "q209_union_watermark" -> q209Oracle,
+    "q215_mb_update_window" -> q215Oracle,
+    "q216_timeout_sessions_v1" -> q202Oracle,
     "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
