@@ -1741,6 +1741,73 @@ object Relational extends QueryModule {
       |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
       |FROM t GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** q217: join-type matrix — all six batch join types over ONE keyed
+    * pair WITH NULL KEYS on both sides, side by side: a NULL key
+    * matches nothing in every type (the SQL rule engines must share),
+    * null-keyed left rows still survive left/full outer, and semi/anti
+    * are existence tests that never duplicate. One query, one row per
+    * type: row count, surviving left-side exact sum, and the
+    * unmatched-right count — the compact contract every downstream
+    * join in the engine builds on.
+    */
+  def joinMatrix(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "customer")
+      .select(when(col("c_custkey") % 19 === 0, lit(null)).otherwise(col("c_custkey")).as("k"),
+        round(col("c_acctbal") * 100).cast(LongType).as("lcents"))
+    val r = t(s, dir, "orders").filter(col("o_orderkey") % 3 === 0)
+      .select(when(col("o_custkey") % 23 === 0, lit(null)).otherwise(col("o_custkey")).as("rk"),
+        col("o_orderkey"))
+    def leg(jt: String): DataFrame = {
+      val j = l.join(r, col("k") === col("rk"), jt)
+      val miss = jt match {
+        case "left_semi" | "left_anti" => lit(0L)
+        case _ => sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+      }
+      j.agg(count(lit(1)).as("n_rows"), sum(col("lcents")).as("sum_left_cents"),
+          miss.as("n_right_miss"))
+        .withColumn("join_type", lit(jt))
+    }
+    Seq("inner", "left", "right", "full", "left_semi", "left_anti")
+      .map(leg).reduce(_ unionByName _)
+      .select(col("join_type"), col("n_rows"), col("sum_left_cents"), col("n_right_miss"))
+      .orderBy(col("join_type"))
+  }
+
+  private val q217Sql: String =
+    """WITH l AS (
+      |  SELECT CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_custkey END AS k,
+      |    CAST(round(c_acctbal * 100, 0) AS BIGINT) AS lcents
+      |  FROM customer),
+      |r AS (
+      |  SELECT CASE WHEN o_custkey % 23 = 0 THEN NULL ELSE o_custkey END AS rk,
+      |    o_orderkey
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |legs AS (
+      |  SELECT 'inner' AS join_type, COUNT(*) AS n_rows,
+      |    CAST(SUM(lcents) AS BIGINT) AS sum_left_cents,
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_miss
+      |  FROM l JOIN r ON k = rk
+      |  UNION ALL
+      |  SELECT 'left', COUNT(*), CAST(SUM(lcents) AS BIGINT),
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM l LEFT JOIN r ON k = rk
+      |  UNION ALL
+      |  SELECT 'right', COUNT(*), CAST(SUM(lcents) AS BIGINT),
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM l RIGHT JOIN r ON k = rk
+      |  UNION ALL
+      |  SELECT 'full', COUNT(*), CAST(SUM(lcents) AS BIGINT),
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM l FULL JOIN r ON k = rk
+      |  UNION ALL
+      |  SELECT 'left_semi', COUNT(*), CAST(SUM(lcents) AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM l WHERE EXISTS (SELECT 1 FROM r WHERE r.rk = l.k)
+      |  UNION ALL
+      |  SELECT 'left_anti', COUNT(*), CAST(SUM(lcents) AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.rk = l.k))
+      |SELECT join_type, n_rows, sum_left_cents, n_right_miss
+      |FROM legs ORDER BY join_type""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -2256,7 +2323,8 @@ object Relational extends QueryModule {
     "q206_table_checksum" -> (tableChecksum _),
     "q208_dynamic_pruning" -> (dynamicPartitionPruning _),
     "q207_deterministic_mode" -> (deterministicMode _),
-    "q211_peak_concurrency" -> (peakConcurrency _))
+    "q211_peak_concurrency" -> (peakConcurrency _),
+    "q217_join_matrix" -> (joinMatrix _))
 
   val family: String = "relational"
 
@@ -2633,7 +2701,8 @@ object Relational extends QueryModule {
     "q206_table_checksum" -> q206Sql,
     "q208_dynamic_pruning" -> q208Sql,
     "q207_deterministic_mode" -> q207Sql,
-    "q211_peak_concurrency" -> q211Sql)
+    "q211_peak_concurrency" -> q211Sql,
+    "q217_join_matrix" -> q217Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */

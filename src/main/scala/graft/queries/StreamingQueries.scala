@@ -260,7 +260,8 @@ object StreamingQueries extends QueryModule {
     * increasing mtimes so batch i == chunk i under maxFilesPerTrigger=1. */
   private def stagedChunkStream(s: SparkSession, dir: String, nFiles: Int,
       variant: String, prefix: String,
-      assign: (DataFrame, Long) => DataFrame): DataFrame = {
+      assign: (DataFrame, Long) => DataFrame,
+      filesPerTrigger: Int = 1): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val stage = Paths.get(sys.props("java.io.tmpdir"), "graft_work", s"${prefix}_${nFiles}_$tag")
@@ -296,15 +297,17 @@ object StreamingQueries extends QueryModule {
       chunkStaged += ((dir, variant, nFiles))
     }
     Tables.normalizeTs(
-      s.readStream.schema(raw.schema).option("maxFilesPerTrigger", "1").parquet(stage.toString))
+      s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(stage.toString))
   }
 
-  private def eventsChunkedStream(s: SparkSession, dir: String, nFiles: Int): DataFrame =
+  private def eventsChunkedStream(s: SparkSession, dir: String, nFiles: Int,
+                                  filesPerTrigger: Int = 1): DataFrame =
     stagedChunkStream(s, dir, nFiles, "time", "chunkstream", (raw, n) => {
       val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
       raw.withColumn("__rn", row_number().over(w) - 1)
         .withColumn("__f", expr(s"CAST((CAST(__rn AS BIGINT) * $nFiles) DIV ${n}L AS INT)"))
-    })
+    }, filesPerTrigger)
 
   /** The events table staged as `nFiles` chunks by `event_id mod n` —
     * deliberately OUT of time order, so every micro-batch after the
@@ -1790,6 +1793,41 @@ object StreamingQueries extends QueryModule {
       .orderBy(col("user_id"), col("start_ms"))
   }
 
+  /** q218: TRIGGER batching — the q81 append windows over SIX staged
+    * files read TWO per micro-batch (`maxFilesPerTrigger=2`): batch b
+    * consumes chunks {2b, 2b+1}, so the watermark advances on PAIR
+    * maxima and every window's emission batch halves relative to the
+    * one-file feed. Pins that trigger sizing controls the
+    * latency/throughput trade WITHOUT changing any emitted value — the
+    * knob a production file-ingest pipeline tunes first.
+    */
+  def twoFileTriggerWindow(s: SparkSession, dir: String): DataFrame = {
+    val windows = eventsChunkedStream(s, dir, 6, filesPerTrigger = 2)
+      .select(col("ts"), col("event_type"), col("value"))
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    drainBatches(s, windows, OutputMode.Append())
+      .select(col("emit_batch"), col("w.start").as("day"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("emit_batch"), col("day"), col("event_type"))
+  }
+
+  private val q218Oracle: String =
+    """WITH ev AS (SELECT *, CAST(((row_number() OVER (ORDER BY ts, event_id) - 1) * 6)
+      |        // (SELECT COUNT(*) FROM events) AS INT) AS f FROM events),
+      |fm AS (SELECT f // 2 AS b, MAX(ts) AS mx FROM ev GROUP BY 1),
+      |wm AS (SELECT b, MAX(mx) OVER (ORDER BY b) AS cmx FROM fm),
+      |win AS (
+      |  SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(38,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST((SELECT MIN(b) + 1 FROM wm
+      |             WHERE cmx >= day + INTERVAL 1 DAY + INTERVAL 2 DAY) AS BIGINT) AS emit_batch,
+      |  day, event_type, n, sum_value
+      |FROM win WHERE emit_batch IS NOT NULL
+      |ORDER BY emit_batch, day, event_type""".stripMargin
+
   // ---- q202: event-time timers (transformWithState) --------------------
 
   /** [[SessionTimerProcessor]] over the 5-chunk stream — inactivity
@@ -2156,6 +2194,7 @@ object StreamingQueries extends QueryModule {
     "q209_union_watermark" -> (unionWatermarkAlignment _),
     "q215_mb_update_window" -> (mbUpdateWindow _),
     "q216_timeout_sessions_v1" -> (timeoutSessionsV1 _),
+    "q218_two_file_trigger" -> (twoFileTriggerWindow _),
     "q153_dynamic_sessions" -> (dynamicSessionWindows _),
     "q52_stream_enrich" -> (streamStaticEnrich _),
     "q75_incremental_dedup" -> (incrementalDedup _),
@@ -2195,6 +2234,7 @@ object StreamingQueries extends QueryModule {
     "q209_union_watermark" -> q209Oracle,
     "q215_mb_update_window" -> q215Oracle,
     "q216_timeout_sessions_v1" -> q202Oracle,
+    "q218_two_file_trigger" -> q218Oracle,
     "q153_dynamic_sessions" -> q153Oracle,
     "q52_stream_enrich" -> q52Oracle,
     "q75_incremental_dedup" -> q75Oracle,
