@@ -200,6 +200,45 @@ object SketchQueries extends QueryModule {
        |  FROM events GROUP BY 1, 2)
        |WHERE rnk <= $CmsTopN ORDER BY rnk""".stripMargin
 
+  /** q219: sketch SET ALGEBRA — the HLL union is native (merge the
+    * registers) but the intersection is NOT; the production estimator
+    * is inclusion–exclusion, `|A∩B| ≈ est(A) + est(B) − est(A∪B)`,
+    * whose error COMPOUNDS additively across the three estimates. The
+    * query pins both sides: exact click/purchase user-set sizes and
+    * their exact union/intersection, next to the HLL legs with
+    * certificates — the union within its own rsd bound, the I-E
+    * intersection within the additive 3-estimate envelope. At 100 TB
+    * the exact legs drop and the certificate discipline (q56/q61) is
+    * what says the estimates can be trusted.
+    */
+  def sketchSetAlgebra(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val a = ev.filter(col("event_type") === "click").select(col("user_id"))
+    val b = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val u = a.union(b)
+    val exact = a.agg(countDistinct(col("user_id")).as("a_n"),
+        approx_count_distinct(col("user_id"), 0.02).as("a_est"))
+      .crossJoin(b.agg(countDistinct(col("user_id")).as("b_n"),
+        approx_count_distinct(col("user_id"), 0.02).as("b_est")))
+      .crossJoin(u.agg(countDistinct(col("user_id")).as("u_n"),
+        approx_count_distinct(col("user_id"), 0.02).as("u_est")))
+      .crossJoin(a.distinct().join(b.distinct(), "user_id")
+        .agg(count(lit(1)).as("i_n")))
+    exact.select(col("a_n"), col("b_n"), col("u_n"), col("i_n"),
+      (abs(col("u_est") - col("u_n")) <= col("u_n") * 0.05).as("union_ok"),
+      (abs(col("a_est") + col("b_est") - col("u_est") - col("i_n"))
+        <= (col("a_n") + col("b_n") + col("u_n")) * 0.05).as("inter_ok"))
+  }
+
+  private val q219Oracle: String =
+    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT (SELECT COUNT(*) FROM a) AS a_n,
+      |  (SELECT COUNT(*) FROM b) AS b_n,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS u_n,
+      |  (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS i_n,
+      |  TRUE AS union_ok, TRUE AS inter_ok""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -207,7 +246,8 @@ object SketchQueries extends QueryModule {
     "q57_approx_quantiles" -> (approxQuantiles _),
     "q58_sketch_merge" -> (sketchMerge _),
     "q59_heavy_hitters" -> (heavyHitters _),
-    "q125_cms_frequency" -> (cmsFrequency _))
+    "q125_cms_frequency" -> (cmsFrequency _),
+    "q219_sketch_set_algebra" -> (sketchSetAlgebra _))
 
   val family: String = "sketches"
 
@@ -216,5 +256,6 @@ object SketchQueries extends QueryModule {
     "q57_approx_quantiles" -> q57Oracle,
     "q58_sketch_merge" -> q58Oracle,
     "q59_heavy_hitters" -> q59Oracle,
-    "q125_cms_frequency" -> q125Oracle)
+    "q125_cms_frequency" -> q125Oracle,
+    "q219_sketch_set_algebra" -> q219Oracle)
 }
