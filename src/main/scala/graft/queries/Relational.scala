@@ -1808,6 +1808,313 @@ object Relational extends QueryModule {
       |SELECT join_type, n_rows, sum_left_cents, n_right_miss
       |FROM legs ORDER BY join_type""".stripMargin
 
+  /** q220: data-quality constraint audit — the Deequ-style validation
+    * suite every ingest gate runs before data is admitted downstream:
+    * key uniqueness, non-null, domain bounds, referential integrity,
+    * and a business-rule threshold, each emitted as one audit row
+    * (constraint, n_checked, n_violations, pass). Shape: ONE
+    * conditional-aggregation pass per table covers all of that table's
+    * row-local checks (never a scan per check); uniqueness rides the
+    * same pass as count−count(DISTINCT key); the two FK checks are
+    * key-projected anti-join counts. At 100 TB that is three scans +
+    * two key-only shuffle joins, total — and the audit result is a
+    * dozen rows regardless of input size.
+    */
+  def constraintAudit(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val c = t(s, dir, "customer")
+    def cviol(p: Column): Column = sum(when(p, 1L).otherwise(0L))
+    // all row-local orders checks in one pass
+    val oAgg = o.agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_uniq"),
+      cviol(col("o_custkey").isNull).as("v_null"),
+      cviol(col("o_totalprice") <= 0).as("v_pos"),
+      cviol(col("o_orderdate") < lit("1992-01-01").cast(TimestampType) ||
+        col("o_orderdate") >= lit("2002-01-01").cast(TimestampType)).as("v_date"),
+      cviol(col("o_totalprice") > 400000.0).as("v_cap"))
+    val oChecks = oAgg.selectExpr(
+      """stack(5,
+        |  'orders.key_unique',        n, v_uniq,
+        |  'orders.custkey_not_null',  n, v_null,
+        |  'orders.totalprice_positive', n, v_pos,
+        |  'orders.date_in_range',     n, v_date,
+        |  'orders.totalprice_cap_400k', n, v_cap
+        |) AS (check_name, n_checked, n_violations)""".stripMargin)
+    val lAgg = l.agg(
+      count(lit(1)).as("n"),
+      cviol(col("l_quantity") < 1 || col("l_quantity") > 50).as("v_qty"),
+      cviol(col("l_discount") < 0 || col("l_discount") > 0.1).as("v_disc"))
+    val lChecks = lAgg.selectExpr(
+      """stack(2,
+        |  'lineitem.quantity_domain', n, v_qty,
+        |  'lineitem.discount_domain', n, v_disc
+        |) AS (check_name, n_checked, n_violations)""".stripMargin)
+    val cChecks = c.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("c_custkey"))).as("v"))
+      .select(lit("customer.key_unique").as("check_name"),
+        col("n").as("n_checked"), col("v").as("n_violations"))
+    // referential integrity: key-projected anti-join counts
+    def fk(name: String, fact: DataFrame, fkCol: String,
+        dim: DataFrame, pkCol: String): DataFrame = {
+      val keys = fact.select(col(fkCol).as("fk"))
+      val orphans = keys
+        .join(dim.select(col(pkCol).as("fk")), Seq("fk"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      keys.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(orphans)
+        .select(lit(name).as("check_name"), col("n_checked"), col("n_violations"))
+    }
+    oChecks.unionByName(lChecks).unionByName(cChecks)
+      .unionByName(fk("orders.fk_customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(fk("lineitem.fk_orders", l, "l_orderkey", o, "o_orderkey"))
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("check_name"))
+  }
+
+  private val q220Sql: String =
+    """WITH oa AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_uniq,
+      |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+      |    SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS v_pos,
+      |    SUM(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+      |      OR o_orderdate >= TIMESTAMP '2002-01-01' THEN 1 ELSE 0 END) AS v_date,
+      |    SUM(CASE WHEN o_totalprice > 400000.0 THEN 1 ELSE 0 END) AS v_cap
+      |  FROM orders),
+      |la AS (
+      |  SELECT COUNT(*) AS n,
+      |    SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_qty,
+      |    SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v_disc
+      |  FROM lineitem),
+      |rows_ AS (
+      |  SELECT 'orders.key_unique' AS check_name, n AS n_checked, v_uniq AS n_violations FROM oa
+      |  UNION ALL SELECT 'orders.custkey_not_null', n, v_null FROM oa
+      |  UNION ALL SELECT 'orders.totalprice_positive', n, v_pos FROM oa
+      |  UNION ALL SELECT 'orders.date_in_range', n, v_date FROM oa
+      |  UNION ALL SELECT 'orders.totalprice_cap_400k', n, v_cap FROM oa
+      |  UNION ALL SELECT 'lineitem.quantity_domain', n, v_qty FROM la
+      |  UNION ALL SELECT 'lineitem.discount_domain', n, v_disc FROM la
+      |  UNION ALL SELECT 'customer.key_unique', COUNT(*),
+      |    COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer
+      |  UNION ALL SELECT 'orders.fk_customer', (SELECT COUNT(*) FROM orders),
+      |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL SELECT 'lineitem.fk_orders', (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem li WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)))
+      |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+      |  CAST(n_violations AS BIGINT) AS n_violations,
+      |  n_violations = 0 AS pass
+      |FROM rows_ ORDER BY check_name""".stripMargin
+
+  /** q221: association-rule mining (a-priori at the pair level) — the
+    * market-basket family: baskets are (user, day), items the DISTINCT
+    * event types seen that day, and every ordered rule a→b gets exact
+    * integer fixed-point support/confidence/lift (×10⁶, floor
+    * division — no float in the pipeline, so ranking never drifts).
+    * Shape: one distinct-aggregate builds baskets, items per basket
+    * collect into a sorted array BOUNDED by the event-type vocabulary
+    * (never unbounded), pairs explode in-plan from that array (no
+    * basket self-join), and the item-frequency table broadcasts back
+    * twice. At 100 TB: one shuffle for baskets, one for pair counts —
+    * pair blowup is |items-per-basket|² with a vocabulary-sized cap,
+    * the classic a-priori bound.
+    */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val baskets = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      .distinct()
+    val arrs = baskets.groupBy(col("user_id"), col("d"))
+      .agg(sort_array(collect_set(col("event_type"))).as("items"))
+    val pairs = arrs.select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 20)
+    val itemFreq = baskets.groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+    val nB = arrs.agg(count(lit(1)).as("nb"))
+    val joined = pairs
+      .join(broadcast(itemFreq.select(col("event_type").as("a"), col("c").as("ca"))), "a")
+      .join(broadcast(itemFreq.select(col("event_type").as("b"), col("c").as("cb"))), "b")
+      .crossJoin(broadcast(nB))
+    // emit both rule directions from the canonical a<b pair
+    val fwd = joined.select(col("a").as("antecedent"), col("b").as("consequent"),
+      col("c_ab"), col("ca").as("c_ante"), col("cb").as("c_cons"), col("nb"))
+    val rev = joined.select(col("b").as("antecedent"), col("a").as("consequent"),
+      col("c_ab"), col("cb").as("c_ante"), col("ca").as("c_cons"), col("nb"))
+    fwd.unionByName(rev)
+      .select(col("antecedent"), col("consequent"), col("c_ab"),
+        idiv(col("c_ab") * 1000000L, col("nb")).as("support_fp"),
+        idiv(col("c_ab") * 1000000L, col("c_ante")).as("confidence_fp"),
+        idiv(col("c_ab") * col("nb") * 1000000L,
+          col("c_ante") * col("c_cons")).as("lift_fp"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
+  private val q221Sql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type
+      |  FROM events),
+      |nb AS (SELECT COUNT(*) AS nb FROM
+      |  (SELECT DISTINCT user_id, d FROM baskets)),
+      |freq AS (SELECT event_type, COUNT(*) AS c FROM baskets GROUP BY 1),
+      |pairs AS (
+      |  SELECT b1.event_type AS a, b2.event_type AS b, COUNT(*) AS c_ab
+      |  FROM baskets b1 JOIN baskets b2
+      |    ON b1.user_id = b2.user_id AND b1.d = b2.d
+      |    AND b1.event_type < b2.event_type
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+      |rules AS (
+      |  SELECT a AS antecedent, b AS consequent, c_ab FROM pairs
+      |  UNION ALL
+      |  SELECT b, a, c_ab FROM pairs)
+      |SELECT r.antecedent, r.consequent, r.c_ab,
+      |  (r.c_ab * 1000000) // (SELECT nb FROM nb) AS support_fp,
+      |  (r.c_ab * 1000000) // fa.c AS confidence_fp,
+      |  (r.c_ab * (SELECT nb FROM nb) * 1000000) // (fa.c * fc.c) AS lift_fp
+      |FROM rules r
+      |JOIN freq fa ON fa.event_type = r.antecedent
+      |JOIN freq fc ON fc.event_type = r.consequent
+      |ORDER BY antecedent, consequent""".stripMargin
+
+  /** q224: algebraic incremental view maintenance — a materialized
+    * (day, type) → (count, exact cent sum) aggregate kept current under
+    * INSERT and DELETE deltas by combining AGGREGATES, never rescanning
+    * the base: view ⊕ agg(inserts) ⊖ agg(deletes), groups whose count
+    * reaches zero dropped. The pin is incremental ≡ full recompute over
+    * (base ∖ deletes) ∪ inserts. count/sum are self-maintainable
+    * (min/max are not — those need the q164 merge-on-read path); cost
+    * per refresh is O(|delta| + |view|), the property that makes a
+    * 100 TB base with GB-sized deltas maintainable at all.
+    */
+  def viewMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(
+      col("event_id"), to_date(col("ts")).as("d"), col("event_type"),
+      round(col("value") * 100).cast(LongType).as("cents"))
+    val base = e.filter(col("event_id") % 10 < 8)
+    val ins = e.filter(col("event_id") % 10 >= 8)
+    val del = base.filter(col("event_id") % 7 === 3)
+    def agg(df: DataFrame, sign: Long): DataFrame =
+      df.groupBy(col("d"), col("event_type"))
+        .agg((count(lit(1)) * sign).as("n"), (sum(col("cents")) * sign).as("sum_cents"))
+    agg(base, 1L) // the standing view
+      .unionByName(agg(ins, 1L)) // ⊕ insert delta
+      .unionByName(agg(del, -1L)) // ⊖ delete delta (retraction)
+      .groupBy(col("d"), col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+      .filter(col("n") > 0)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val q224Sql: String =
+    """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events
+      |WHERE NOT (event_id % 10 < 8 AND event_id % 7 = 3)
+      |GROUP BY 1, 2 HAVING COUNT(*) > 0
+      |ORDER BY day, event_type""".stripMargin
+
+  /** q225: session path mining — the top event-type TRIGRAM paths
+    * users walk inside a session (the clickstream "what flows happen"
+    * query): 30-minute-gap sessions (q134's operator semantics), two
+    * leads inside each session under the (ts, event_id) total order,
+    * count per path. One window pass + one hash aggregate; path
+    * cardinality is |types|³-bounded so the result is tiny at any
+    * scale. Count ties break on the path string.
+    */
+  def pathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withSid = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >=
+          1800L * 1000000L || lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val ws = Window.partitionBy(col("user_id"), col("sid"))
+      .orderBy(col("ts"), col("event_id"))
+    withSid
+      .withColumn("t1", lead(col("event_type"), 1).over(ws))
+      .withColumn("t2", lead(col("event_type"), 2).over(ws))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  private val q225Sql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (SELECT user_id, ts, event_id, event_type,
+      |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |          ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM x),
+      |z AS (
+      |  SELECT event_type,
+      |    lead(event_type, 1) OVER ws AS t1,
+      |    lead(event_type, 2) OVER ws AS t2
+      |  FROM y WINDOW ws AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+      |SELECT concat_ws('>', event_type, t1, t2) AS path, COUNT(*) AS n
+      |FROM z WHERE t2 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  /** q226: trailing EWMA, integer-exact — exponential smoothing with
+    * α = 1/2 truncated at 16 lags, scaled by 2¹⁶ so every weight
+    * 2^(15−i) is an integer and the smoothed value is an exact BIGINT
+    * on any engine (a float EWMA's low bits depend on summation order;
+    * this one cannot). The 16 lag terms ride ONE window pass (shared
+    * sort), and each user's final smoothed value comes off a max_by —
+    * no second window. The |lags|-term form is the bounded-horizon
+    * EWMA streaming scorers use for rate/quality smoothing.
+    */
+  def ewmaSmoothing(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val v = round(col("value") * 100).cast(LongType)
+    val ewma = (0 to 15).map(i =>
+        coalesce(lag(v, i).over(w), lit(0L)) * (1L << (15 - i)))
+      .reduce(_ + _)
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("ewma_fp", ewma)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("max_by(ewma_fp, struct(ts, event_id))").as("last_ewma_fp"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q226Sql: String = {
+    val terms = (0 to 15).map(i =>
+      s"COALESCE(lag(CAST(round(value * 100, 0) AS BIGINT), $i) OVER w, 0) * ${1L << (15 - i)}")
+      .mkString(" + ")
+    s"""WITH x AS (
+       |  SELECT user_id, ts, event_id, $terms AS ewma_fp
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |r AS (
+       |  SELECT user_id, ewma_fp,
+       |    row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |  FROM x)
+       |SELECT x.user_id, CAST(x.n AS BIGINT) AS n_events,
+       |  r.ewma_fp AS last_ewma_fp
+       |FROM (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1) x
+       |JOIN r ON r.user_id = x.user_id AND r.rn = 1
+       |ORDER BY x.user_id""".stripMargin
+  }
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -2324,7 +2631,12 @@ object Relational extends QueryModule {
     "q208_dynamic_pruning" -> (dynamicPartitionPruning _),
     "q207_deterministic_mode" -> (deterministicMode _),
     "q211_peak_concurrency" -> (peakConcurrency _),
-    "q217_join_matrix" -> (joinMatrix _))
+    "q217_join_matrix" -> (joinMatrix _),
+    "q220_constraint_audit" -> (constraintAudit _),
+    "q221_assoc_rules" -> (assocRules _),
+    "q224_view_maintenance" -> (viewMaintenance _),
+    "q225_path_trigrams" -> (pathTrigrams _),
+    "q226_ewma" -> (ewmaSmoothing _))
 
   val family: String = "relational"
 
@@ -2702,7 +3014,12 @@ object Relational extends QueryModule {
     "q208_dynamic_pruning" -> q208Sql,
     "q207_deterministic_mode" -> q207Sql,
     "q211_peak_concurrency" -> q211Sql,
-    "q217_join_matrix" -> q217Sql)
+    "q217_join_matrix" -> q217Sql,
+    "q220_constraint_audit" -> q220Sql,
+    "q221_assoc_rules" -> q221Sql,
+    "q224_view_maintenance" -> q224Sql,
+    "q225_path_trigrams" -> q225Sql,
+    "q226_ewma" -> q226Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
