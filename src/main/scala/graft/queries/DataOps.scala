@@ -2103,6 +2103,70 @@ object DataOps extends QueryModule {
       |    AS BIGINT) AS n_tri
       |FROM documents d ORDER BY d.doc_id""".stripMargin
 
+  // ---- q222: multi-source BFS shortest paths ------------------------------
+
+  /** Multi-source BFS distances over the q165 link graph — "how many
+    * hops is every page from the nearest trusted seed", the
+    * TrustRank/seed-distance signal crawl prioritization and spam
+    * demotion rank with. Seeds are doc_id ≡ 0 (mod 100); six
+    * synchronous frontier expansions, each ONE src-keyed equi-join of
+    * the frontier against the (deduped) edge table + ONE anti-join
+    * against the settled set — the frontier never revisits settled
+    * nodes, so total work is O(Σ|frontier_i|·out-degree), not
+    * O(levels·|E|). Control flow on the driver, every set
+    * localCheckpointed so the plan stays flat; at 100 TB the edge
+    * table is bucketed on src (q47) and each expansion is a
+    * zero-reshuffle bucket join. Unreached nodes report dist −1.
+    */
+  def bfsDistances(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id")).localCheckpoint(false)
+    val n = d.count()
+    val edges = d.select(col("doc_id").as("src"),
+        explode(array((0 to 2).map(j =>
+          (col("doc_id") * 31 + lit(j * 17)) % n): _*)).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(false)
+    var dist = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), lit(0L).as("dist")).localCheckpoint(false)
+    var frontier = dist.select(col("doc_id"))
+    for (i <- 1 to 6) {
+      val neigh = frontier.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id")).distinct()
+      val fresh = neigh.join(dist, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(i.toLong).as("dist"))
+        .localCheckpoint(false)
+      dist = dist.unionByName(fresh).localCheckpoint(false)
+      frontier = fresh.select(col("doc_id"))
+    }
+    d.join(dist, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dist"), lit(-1L)).as("dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q222Oracle: String = {
+    val levels = (1 to 6).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS doc_id
+         |  FROM e JOIN r${i - 1} f ON e.src = f.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to 6).map(i => s"SELECT doc_id, $i AS lev FROM r$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH n AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id AS src,
+       |    (doc_id * 31 + j * 17) % (SELECT n FROM n) AS dst
+       |  FROM documents, (SELECT unnest(range(0, 3)) AS j)
+       |  WHERE doc_id <> (doc_id * 31 + j * 17) % (SELECT n FROM n)),
+       |r0 AS MATERIALIZED (
+       |  SELECT doc_id FROM documents WHERE doc_id % 100 = 0),
+       |$levels,
+       |lv AS ($union)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE((SELECT MIN(lev) FROM lv WHERE lv.doc_id = d.doc_id), -1)
+       |    AS BIGINT) AS dist
+       |FROM documents d ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- q179: binaryFile source (multimodal ingestion door) ---------------
 
   /** The `binaryFile` DataSource — how a real multimodal corpus (image/
@@ -3677,6 +3741,7 @@ object DataOps extends QueryModule {
     "q165_pagerank" -> (pagerank _),
     "q170_pmi_collocations" -> (pmiCollocations _),
     "q171_triangles" -> (triangleCounts _),
+    "q222_bfs_distances" -> (bfsDistances _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -3767,6 +3832,7 @@ object DataOps extends QueryModule {
     "q165_pagerank" -> q165Oracle,
     "q170_pmi_collocations" -> q170Oracle,
     "q171_triangles" -> q171Oracle,
+    "q222_bfs_distances" -> q222Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

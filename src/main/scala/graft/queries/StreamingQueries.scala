@@ -159,6 +159,51 @@ class LastKProcessor
   }
 }
 
+/** Per-user token bucket for q223 (top-level for the state encoder):
+  * last-seen event time (µs) and the remaining token balance in
+  * µs-units (1 unit accrues per elapsed µs — integer-exact refill). */
+case class BucketState(lastTs: Long, tokens: Long)
+
+/** q223: per-key TOKEN-BUCKET rate limiting — streaming admission
+  * control (API quotas, per-tenant ingest caps, crawler politeness):
+  * capacity 5 tokens, refill 1 token/hour, cost 1 token per event.
+  * All arithmetic is integer µs-units (1 token = 3.6·10⁹ units, one
+  * unit accrues per elapsed µs), so every admit/deny decision is
+  * engine-exact — no float refill drift. Decisions depend only on each
+  * key's event ORDER, never on trigger boundaries, so the oracle (an
+  * exact lockstep replay of the recurrence) pins trigger-batching
+  * invariance for free. State is one (ts, balance) pair per key —
+  * bounded by key cardinality, the 100 TB-safe shape.
+  */
+class TokenBucketProcessor
+    extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long)] {
+
+  @transient private var st: ValueState[BucketState] = _
+  private val CapU = 5L * 3600000000L
+  private val CostU = 3600000000L
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[BucketState]("bucket",
+      Encoders.product[BucketState], TTLConfig.NONE)
+
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
+                               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    // within-batch arrival order is not time order: sort this key's slice
+    val evs = rows.toArray.sortBy(r => (r._2, r._3))
+    var cur = if (st.exists()) st.get() else null
+    val out = evs.map { case (_, ts, eid) =>
+      val avail =
+        if (cur == null) CapU
+        else math.min(CapU, cur.tokens + (ts - cur.lastTs))
+      val allowed = avail >= CostU
+      cur = BucketState(ts, if (allowed) avail - CostU else avail)
+      (user, eid, if (allowed) 1L else 0L)
+    }
+    if (cur != null) st.update(cur)
+    out.iterator
+  }
+}
+
 /** Structured Streaming surface beyond the file pipeline (SURVEY §2.2
   * rows the reference lacks but the engine ships): event-time tumbling
   * windows + watermark, session windows, streaming dedup state, and
@@ -1616,6 +1661,55 @@ object StreamingQueries extends QueryModule {
     """SELECT user_id, event_type, COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
 
+  /** [[TokenBucketProcessor]] drained over the chunked stream; per-user
+    * admit/deny totals. The oracle replays the bucket recurrence in
+    * lockstep (all users advance by per-user row number), so a green
+    * row pins the refill/cap/cost algebra AND that chunk boundaries
+    * never change a decision.
+    */
+  def rateLimiter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = eventsChunkedStream(s, dir, 5)
+      .select(col("user_id").cast("long").as("user"),
+        unix_micros(col("ts")).as("t"), col("event_id").cast("long"))
+      .as[(Long, Long, Long)]
+    val decisions = stream.groupByKey(_._1)
+      .transformWithState(new TokenBucketProcessor,
+        TimeMode.None(), OutputMode.Update())
+    drain(s, decisions.toDF("user_id", "event_id", "allowed"), OutputMode.Update())
+      .groupBy(col("user_id"))
+      .agg(sum(col("allowed")).as("n_allowed"),
+        (count(lit(1)) - sum(col("allowed"))).as("n_denied"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q223Oracle: String =
+    """WITH RECURSIVE e AS MATERIALIZED (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS t,
+      |    CAST(18000000000 AS BIGINT) AS tokens,
+      |    CAST(0 AS BIGINT) AS n_allowed, CAST(0 AS BIGINT) AS n_denied
+      |  FROM (SELECT DISTINCT user_id FROM e)
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.t,
+      |    CASE WHEN LEAST(18000000000, st.tokens + e.t - COALESCE(st.t, e.t))
+      |           >= 3600000000
+      |      THEN LEAST(18000000000, st.tokens + e.t - COALESCE(st.t, e.t))
+      |           - 3600000000
+      |      ELSE LEAST(18000000000, st.tokens + e.t - COALESCE(st.t, e.t)) END,
+      |    st.n_allowed + CASE WHEN LEAST(18000000000,
+      |      st.tokens + e.t - COALESCE(st.t, e.t)) >= 3600000000 THEN 1 ELSE 0 END,
+      |    st.n_denied + CASE WHEN LEAST(18000000000,
+      |      st.tokens + e.t - COALESCE(st.t, e.t)) >= 3600000000 THEN 0 ELSE 1 END
+      |  FROM st JOIN e ON e.user_id = st.user_id AND e.rn = st.rn + 1)
+      |SELECT user_id, n_allowed, n_denied
+      |FROM st
+      |WHERE rn = (SELECT MAX(rn) FROM e e2 WHERE e2.user_id = st.user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** [[LastKProcessor]] over the chunked stream; the final per-user
     * buffer is the highest-emit-batch emission (drainBatches tags
     * them), and the oracle recomputes the last-3 window from the full
@@ -2190,6 +2284,7 @@ object StreamingQueries extends QueryModule {
     "q191_exactly_once_sink" -> (exactlyOnceSink _),
     "q202_timer_sessions" -> (timerSessions _),
     "q204_mapstate_counts" -> (mapStateCounts _),
+    "q223_rate_limiter" -> (rateLimiter _),
     "q205_liststate_lastk" -> (listStateLastK _),
     "q209_union_watermark" -> (unionWatermarkAlignment _),
     "q215_mb_update_window" -> (mbUpdateWindow _),
@@ -2230,6 +2325,7 @@ object StreamingQueries extends QueryModule {
     "q191_exactly_once_sink" -> q191Oracle,
     "q202_timer_sessions" -> q202Oracle,
     "q204_mapstate_counts" -> q204Oracle,
+    "q223_rate_limiter" -> q223Oracle,
     "q205_liststate_lastk" -> q205Oracle,
     "q209_union_watermark" -> q209Oracle,
     "q215_mb_update_window" -> q215Oracle,
