@@ -2115,6 +2115,129 @@ object Relational extends QueryModule {
        |ORDER BY x.user_id""".stripMargin
   }
 
+  /** q227: k-anonymity audit across a generalization lattice — the
+    * privacy gate a dataset passes before release: at each
+    * generalization level the quasi-identifier tuple coarsens
+    * (day→week→month, user bucket 10→5→2), and the audit reports how
+    * many QI groups and records fall below k=5 (re-identifiable).
+    * One hash aggregate per level over the same scan + a tiny rollup —
+    * the release decision ("which level first passes") is a three-row
+    * report at any scale. date_trunc is ISO-Monday in both engines.
+    */
+  def kAnonymityAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    def level(name: String, keys: Seq[Column]): DataFrame =
+      e.groupBy(keys: _*).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_groups"),
+          min(col("sz")).as("min_size"),
+          sum(when(col("sz") < 5, 1L).otherwise(0L)).as("risky_groups"),
+          sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("risky_records"))
+        .select(lit(name).as("level"), col("n_groups"), col("min_size"),
+          col("risky_groups"), col("risky_records"))
+    level("L0_day_b10",
+        Seq(col("event_type"), to_date(col("ts")), col("user_id") % 10))
+      .unionByName(level("L1_week_b5",
+        Seq(col("event_type"), date_trunc("week", col("ts")), col("user_id") % 5)))
+      .unionByName(level("L2_month_b2",
+        Seq(col("event_type"), date_trunc("month", col("ts")), col("user_id") % 2)))
+      .orderBy(col("level"))
+  }
+
+  private val q227Sql: String =
+    """WITH l0 AS (
+      |  SELECT COUNT(*) AS sz FROM events
+      |  GROUP BY event_type, CAST(ts AS DATE), user_id % 10),
+      |l1 AS (
+      |  SELECT COUNT(*) AS sz FROM events
+      |  GROUP BY event_type, date_trunc('week', ts), user_id % 5),
+      |l2 AS (
+      |  SELECT COUNT(*) AS sz FROM events
+      |  GROUP BY event_type, date_trunc('month', ts), user_id % 2),
+      |r AS (
+      |  SELECT 'L0_day_b10' AS level, COUNT(*) AS n_groups, MIN(sz) AS min_size,
+      |    SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS risky_groups,
+      |    SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS risky_records FROM l0
+      |  UNION ALL
+      |  SELECT 'L1_week_b5', COUNT(*), MIN(sz),
+      |    SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END),
+      |    SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) FROM l1
+      |  UNION ALL
+      |  SELECT 'L2_month_b2', COUNT(*), MIN(sz),
+      |    SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END),
+      |    SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) FROM l2)
+      |SELECT level, CAST(n_groups AS BIGINT) AS n_groups,
+      |  CAST(min_size AS BIGINT) AS min_size,
+      |  CAST(risky_groups AS BIGINT) AS risky_groups,
+      |  CAST(risky_records AS BIGINT) AS risky_records
+      |FROM r ORDER BY level""".stripMargin
+
+  /** q228: inter-arrival spectrum — each user's consecutive-event gap
+    * in whole seconds, bucketed on ⌊log₂(gap+1)⌋ (the MSB position via
+    * `length(bin(x))−1`, integer-exact in both engines — float log2
+    * forks at power-of-two boundaries) and counted per (event type of
+    * the later event, bucket). The latency-profile / burstiness
+    * fingerprint: one window pass + one hash aggregate, output bounded
+    * by |types|·64 rows at any scale.
+    */
+  def interarrivalSpectrum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_s",
+        idiv(unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)), 1000000L))
+      .filter(col("gap_s").isNotNull)
+      .select(col("event_type"),
+        (length(bin(col("gap_s") + 1)) - 1).cast(LongType).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
+  private val q228Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id))) // 1000000 AS gap_s
+      |  FROM events)
+      |SELECT event_type,
+      |  CAST(length(bin(gap_s + 1)) - 1 AS BIGINT) AS bucket,
+      |  COUNT(*) AS n
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
+  /** q229: binary codec battery — base64 and hex round-trips over real
+    * document text plus md5-derived bytes, proving the engine's
+    * byte↔text codecs are lossless and RFC 4648-identical across
+    * engines (no MIME line-wrapping variant). Per-row codegen scalar
+    * functions, zero shuffle before the final three-row-per-nothing
+    * aggregate.
+    */
+  def codecBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        // Spark's base64 emits MIME 76-char CRLF lines; normalize to
+        // the RFC 4648 basic form DuckDB produces
+        translate(base64(encode(col("text"), "UTF-8")), "\r\n", "").as("b64"),
+        upper(md5(encode(col("text"), "UTF-8"))).as("md5hex"))
+      .select(
+        (decode(unbase64(col("b64")), "UTF-8") === col("text")).as("b64_rt"),
+        (upper(hex(unhex(col("md5hex")))) === col("md5hex")).as("hex_rt"),
+        length(col("b64")).as("b64_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("b64_rt"), 1L).otherwise(0L)).as("n_b64_ok"),
+        sum(when(col("hex_rt"), 1L).otherwise(0L)).as("n_hex_ok"),
+        sum(col("b64_len")).as("total_b64_len"))
+
+  private val q229Sql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN decode(from_base64(base64(encode(text)))) = text
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_b64_ok,
+      |  CAST(SUM(CASE WHEN upper(hex(unhex(upper(md5(text))))) = upper(md5(text))
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_hex_ok,
+      |  CAST(SUM(length(base64(encode(text)))) AS BIGINT) AS total_b64_len
+      |FROM documents""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -2636,7 +2759,10 @@ object Relational extends QueryModule {
     "q221_assoc_rules" -> (assocRules _),
     "q224_view_maintenance" -> (viewMaintenance _),
     "q225_path_trigrams" -> (pathTrigrams _),
-    "q226_ewma" -> (ewmaSmoothing _))
+    "q226_ewma" -> (ewmaSmoothing _),
+    "q227_k_anonymity" -> (kAnonymityAudit _),
+    "q228_interarrival" -> (interarrivalSpectrum _),
+    "q229_codec_battery" -> (codecBattery _))
 
   val family: String = "relational"
 
@@ -3019,7 +3145,10 @@ object Relational extends QueryModule {
     "q221_assoc_rules" -> q221Sql,
     "q224_view_maintenance" -> q224Sql,
     "q225_path_trigrams" -> q225Sql,
-    "q226_ewma" -> q226Sql)
+    "q226_ewma" -> q226Sql,
+    "q227_k_anonymity" -> q227Sql,
+    "q228_interarrival" -> q228Sql,
+    "q229_codec_battery" -> q229Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
