@@ -2167,6 +2167,77 @@ object DataOps extends QueryModule {
        |FROM documents d ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- q230: weighted shortest paths (Bellman-Ford rounds) ----------------
+
+  /** Weighted seed distances — q222's BFS generalized to edge COSTS
+    * (crawl politeness budgets, weighted trust propagation): the same
+    * link graph with integer weight (src+dst) mod 7 + 1 per edge, six
+    * synchronous Bellman-Ford relaxation rounds from the mod-100
+    * seeds. Each round is ONE src-keyed join producing candidate
+    * relaxations + ONE dst-keyed min-aggregate + ONE left join back
+    * onto the vertex table — the min-plus matrix-vector product, all
+    * map-side combinable, plan kept flat by localCheckpoint. Costs are
+    * pure integers so the fixpoint is engine-exact; nodes a 6-round
+    * horizon never reaches report −1.
+    */
+  def weightedDistances(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id")).localCheckpoint(false)
+    val n = d.count()
+    val edges = d.select(col("doc_id").as("src"),
+        explode(array((0 to 2).map(j =>
+          (col("doc_id") * 31 + lit(j * 17)) % n): _*)).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .withColumn("w", (col("src") + col("dst")) % 7 + 1)
+      .localCheckpoint(false)
+    var dist = d.select(col("doc_id"),
+        when(col("doc_id") % 100 === 0, 0L).otherwise(lit(null).cast("long")).as("dist"))
+      .localCheckpoint(false)
+    for (_ <- 1 to 6) {
+      val relax = dist.filter(col("dist").isNotNull)
+        .join(edges, col("doc_id") === col("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("dist") + col("w")).as("best"))
+      dist = dist
+        .join(relax.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("best").isNull, col("dist"))
+            .when(col("dist").isNull || col("best") < col("dist"), col("best"))
+            .otherwise(col("dist")).as("dist"))
+        .localCheckpoint(false)
+    }
+    dist.select(col("doc_id"), coalesce(col("dist"), lit(-1L)).as("cost"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q230Oracle: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT dd.doc_id,
+         |    CASE WHEN m.best IS NULL THEN dd.dist
+         |         WHEN dd.dist IS NULL OR m.best < dd.dist THEN m.best
+         |         ELSE dd.dist END AS dist
+         |  FROM d${i - 1} dd LEFT JOIN (
+         |    SELECT e.dst AS doc_id, MIN(p.dist + e.w) AS best
+         |    FROM e JOIN d${i - 1} p ON p.doc_id = e.src
+         |    WHERE p.dist IS NOT NULL GROUP BY e.dst) m
+         |  ON m.doc_id = dd.doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, (src + dst) % 7 + 1 AS w FROM (
+       |    SELECT DISTINCT doc_id AS src,
+       |      (doc_id * 31 + j * 17) % (SELECT n FROM n) AS dst
+       |    FROM documents, (SELECT unnest(range(0, 3)) AS j))
+       |  WHERE src <> dst),
+       |d0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 100 = 0 THEN CAST(0 AS BIGINT) ELSE NULL END AS dist
+       |  FROM documents),
+       |$rounds
+       |SELECT doc_id, CAST(COALESCE(dist, -1) AS BIGINT) AS cost
+       |FROM d6 ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q179: binaryFile source (multimodal ingestion door) ---------------
 
   /** The `binaryFile` DataSource — how a real multimodal corpus (image/
@@ -3742,6 +3813,7 @@ object DataOps extends QueryModule {
     "q170_pmi_collocations" -> (pmiCollocations _),
     "q171_triangles" -> (triangleCounts _),
     "q222_bfs_distances" -> (bfsDistances _),
+    "q230_weighted_paths" -> (weightedDistances _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -3833,6 +3905,7 @@ object DataOps extends QueryModule {
     "q170_pmi_collocations" -> q170Oracle,
     "q171_triangles" -> q171Oracle,
     "q222_bfs_distances" -> q222Oracle,
+    "q230_weighted_paths" -> q230Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

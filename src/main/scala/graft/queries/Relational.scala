@@ -2238,6 +2238,180 @@ object Relational extends QueryModule {
       |  CAST(SUM(length(base64(encode(text)))) AS BIGINT) AS total_b64_len
       |FROM documents""".stripMargin
 
+  /** q231: position-based (U-shaped) multi-touch attribution — q199's
+    * last-touch generalized to the 40/20/40 split ad-tech actually
+    * bills on: every click in the 24 h before a purchase shares the
+    * credit — solo 100%, two touches 50/50, otherwise first 40%, last
+    * 40%, middle split evenly (integer basis points, floor division,
+    * remainder to the LAST touch so every purchase credits EXACTLY 10000).
+    * The purchase↔click pairing is the canonical-bin interval join
+    * (q39/q141's shape): purchases probe their two covering day bins,
+    * so a user's full history is never crossed with their purchases.
+    */
+  def positionAttribution(s: SparkSession, dir: String): DataFrame = {
+    val HB = 86400L * 1000000L
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val e = t(s, dir, "events")
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ct"),
+        col("event_id").as("click_id"))
+      .withColumn("bin", idiv(col("ct"), lit(HB)))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pt"),
+        col("event_id").as("purchase_id"))
+      .withColumn("bin", explode(array(idiv(col("pt"), lit(HB)),
+        idiv(col("pt"), lit(HB)) - 1)))
+    val touches = purchases.join(clicks, Seq("user_id", "bin"))
+      .filter(col("ct") >= col("pt") - HB && col("ct") < col("pt"))
+    val wp = Window.partitionBy(col("purchase_id"))
+    val wo = wp.orderBy(col("ct"), col("click_id"))
+    val credited = touches
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("k", count(lit(1)).over(wp))
+      .withColumn("mid_each",
+        when(col("k") >= 3, idiv(lit(2000L), col("k") - 2)).otherwise(lit(0L)))
+      .withColumn("bp",
+        when(col("k") === 1, 10000L)
+          .when(col("k") === 2, 5000L)
+          .when(col("rn") === 1, 4000L)
+          .when(col("rn") === col("k"),
+            lit(4000L) + (lit(2000L) - (col("k") - 2) * col("mid_each")))
+          .otherwise(col("mid_each")))
+      .withColumn("position",
+        when(col("k") === 1, "solo")
+          .when(col("rn") === 1, "first")
+          .when(col("rn") === col("k"), "last")
+          .otherwise("middle"))
+    credited.groupBy(col("position"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("bp")).as("sum_bp"),
+        countDistinct(col("purchase_id")).as("n_purchases"))
+      .orderBy(col("position"))
+  }
+
+  private val q231Sql: String =
+    """WITH touches AS (
+      |  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+      |    epoch_us(c.ts) AS ct
+      |  FROM events p JOIN events c
+      |    ON c.user_id = p.user_id
+      |    AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |    AND epoch_us(c.ts) >= epoch_us(p.ts) - 86400000000
+      |    AND epoch_us(c.ts) < epoch_us(p.ts)),
+      |ranked AS (
+      |  SELECT purchase_id, click_id,
+      |    row_number() OVER (PARTITION BY purchase_id
+      |      ORDER BY ct, click_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY purchase_id) AS k
+      |  FROM touches),
+      |credited AS (
+      |  SELECT *,
+      |    CASE WHEN k >= 3 THEN 2000 // (k - 2) ELSE 0 END AS mid_each,
+      |    CASE WHEN k = 1 THEN 10000
+      |         WHEN k = 2 THEN 5000
+      |         WHEN rn = 1 THEN 4000
+      |         WHEN rn = k THEN 4000 + (2000 - (k - 2) * (2000 // (k - 2)))
+      |         ELSE 2000 // (k - 2) END AS bp,
+      |    CASE WHEN k = 1 THEN 'solo'
+      |         WHEN rn = 1 THEN 'first'
+      |         WHEN rn = k THEN 'last'
+      |         ELSE 'middle' END AS position
+      |  FROM ranked)
+      |SELECT position, COUNT(*) AS n_touches,
+      |  CAST(SUM(bp) AS BIGINT) AS sum_bp,
+      |  CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases
+      |FROM credited GROUP BY position ORDER BY position""".stripMargin
+
+  /** q232: chi-square independence cells — is event type independent of
+    * the user-parity cohort: per-cell observed count, milli-count
+    * expectation e_m = (R·C·1000) div N, and the chi-square
+    * contribution (dev_m² div e_m, ≈1000·cell term) — ALL integer
+    * floor arithmetic, so the A/B-test verdict is engine-exact.
+    * One cell aggregate + two vocabulary-sized margin broadcasts.
+    * (Magnitudes: dev_m ≤ 10³·N fits int64 through sf1ci; a 100 TB
+    * deployment moves the grid to per-million shares — same algebra,
+    * one more floor div.)
+    */
+  def chiSquareCells(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val base = t(s, dir, "events")
+      .select(col("event_type"), (col("user_id") % 2).as("cohort"))
+    val cells = base.groupBy(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colTot = cells.groupBy(col("cohort")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    cells
+      .join(broadcast(rowTot), "event_type")
+      .join(broadcast(colTot), "cohort")
+      .crossJoin(broadcast(n))
+      .withColumn("e_m", idiv(col("r") * col("c") * 1000L, col("n")))
+      .withColumn("dev_m", col("o") * 1000L - col("e_m"))
+      .select(col("event_type"), col("cohort"), col("o"), col("e_m"),
+        idiv(col("dev_m") * col("dev_m"), col("e_m")).as("chi2_cell_m"))
+      .orderBy(col("event_type"), col("cohort"))
+  }
+
+  private val q232Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type, user_id % 2 AS cohort, COUNT(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |c AS (SELECT cohort, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+      |SELECT cells.event_type, cells.cohort, cells.o,
+      |  (r.r * c.c * 1000) // (SELECT n FROM n) AS e_m,
+      |  ((cells.o * 1000 - (r.r * c.c * 1000) // (SELECT n FROM n))
+      |   * (cells.o * 1000 - (r.r * c.c * 1000) // (SELECT n FROM n)))
+      |    // ((r.r * c.c * 1000) // (SELECT n FROM n)) AS chi2_cell_m
+      |FROM cells
+      |JOIN r ON r.event_type = cells.event_type
+      |JOIN c ON c.cohort = cells.cohort
+      |ORDER BY cells.event_type, cells.cohort""".stripMargin
+
+  /** q233: Benford first-digit audit — the fraud/synthetic-data
+    * screen: the leading significant digit of every line item's cent
+    * price against Benford's log₁₀(1+1/d) law. Digit shares in ppm by
+    * floor division; the nine Benford constants are fixed public
+    * literals on BOTH sides (no runtime log10 — libm low bits differ).
+    * One scan, digit extraction per-row codegen, 9-row output.
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val benford = typedLit(Map(
+      1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+      6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L))
+    val cents = round(col("l_extendedprice") * 100).cast(LongType)
+    val digits = t(s, dir, "lineitem")
+      .select(substring(cents.cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    digits
+      .crossJoin(broadcast(digits.agg(sum(col("n")).as("total"))))
+      .select(col("digit").cast(LongType).as("digit"), col("n"),
+        idiv(col("n") * 1000000L, col("total")).as("share_ppm"),
+        element_at(benford, col("digit")).as("benford_ppm"))
+      .withColumn("dev_ppm", abs(col("share_ppm") - col("benford_ppm")))
+      .orderBy(col("digit"))
+  }
+
+  private val q233Sql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM lineitem),
+      |h AS (SELECT digit, COUNT(*) AS n FROM d WHERE digit >= 1 GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM h),
+      |b AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+      |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+      |  (9, 45757)) AS v(digit, benford_ppm))
+      |SELECT CAST(h.digit AS BIGINT) AS digit, h.n,
+      |  (h.n * 1000000) // (SELECT total FROM t) AS share_ppm,
+      |  CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+      |  abs((h.n * 1000000) // (SELECT total FROM t) - b.benford_ppm) AS dev_ppm
+      |FROM h JOIN b ON b.digit = h.digit
+      |ORDER BY digit""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -2762,7 +2936,10 @@ object Relational extends QueryModule {
     "q226_ewma" -> (ewmaSmoothing _),
     "q227_k_anonymity" -> (kAnonymityAudit _),
     "q228_interarrival" -> (interarrivalSpectrum _),
-    "q229_codec_battery" -> (codecBattery _))
+    "q229_codec_battery" -> (codecBattery _),
+    "q231_position_attribution" -> (positionAttribution _),
+    "q232_chi_square" -> (chiSquareCells _),
+    "q233_benford" -> (benfordAudit _))
 
   val family: String = "relational"
 
@@ -3148,7 +3325,10 @@ object Relational extends QueryModule {
     "q226_ewma" -> q226Sql,
     "q227_k_anonymity" -> q227Sql,
     "q228_interarrival" -> q228Sql,
-    "q229_codec_battery" -> q229Sql)
+    "q229_codec_battery" -> q229Sql,
+    "q231_position_attribution" -> q231Sql,
+    "q232_chi_square" -> q232Sql,
+    "q233_benford" -> q233Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
