@@ -2412,6 +2412,98 @@ object Relational extends QueryModule {
       |FROM h JOIN b ON b.digit = h.digit
       |ORDER BY digit""".stripMargin
 
+  /** q234: largest-remainder apportionment — allocate an EXACT sample
+    * budget of 1000 across (lang, source) strata proportionally (the
+    * Hare-quota method elections and exact-budget curation mixes use):
+    * floor quota per stratum, then the leftover seats go to the
+    * largest remainders (ties by stratum key). Allocations always sum
+    * to exactly 1000 — the property q93's proportional mix only
+    * approximates. The stratum table is vocabulary-bounded, so the
+    * remainder-ranking window is over a tiny frame; the only
+    * data-sized work is the one stratum-count aggregate.
+    */
+  def apportionment(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val K = 1000L
+    val strata = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_docs"))
+    val withBase = strata.crossJoin(broadcast(
+        strata.agg(sum(col("n_docs")).cast(LongType).as("total"))))
+      .withColumn("base", idiv(lit(K) * col("n_docs"), col("total")))
+      .withColumn("rem", lit(K) * col("n_docs") - col("base") * col("total"))
+    val leftover = withBase.agg((lit(K) - sum(col("base"))).cast(LongType).as("l"))
+    withBase.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+      .select(col("lang"), col("source"), col("n_docs"),
+        (col("base") + when(col("rk") <= col("l"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val q234Sql: String =
+    """WITH strata AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM strata),
+      |base AS (
+      |  SELECT lang, source, n_docs,
+      |    (1000 * n_docs) // (SELECT total FROM tot) AS base,
+      |    1000 * n_docs - ((1000 * n_docs) // (SELECT total FROM tot))
+      |      * (SELECT total FROM tot) AS rem
+      |  FROM strata),
+      |l AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS l FROM base),
+      |rk AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source) AS rk
+      |  FROM base)
+      |SELECT lang, source, n_docs,
+      |  CAST(base + CASE WHEN rk <= (SELECT l FROM l) THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc
+      |FROM rk ORDER BY lang, source""".stripMargin
+
+  /** q235: timezone battery — the IANA/DST semantics every
+    * multi-region pipeline leans on: UTC event instants rendered as
+    * America/New_York wall time (offset −4 h in EDT, −5 h in EST, both
+    * counted — the driver window is winter-only so EDT legitimately
+    * counts 0 there; the spec supplies the summer case) and
+    * Asia/Kolkata (+5:30 — the half-hour-offset class), plus the NY
+    * local-date count per type. The offset is derived as
+    * wall-epoch − utc-epoch in whole hours/minutes — pure integer —
+    * and both engines resolve zones from IANA tzdata.
+    */
+  def timezoneBattery(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
+    val e = t(s, dir, "events")
+    val ny = from_utc_timestamp(col("ts"), "America/New_York")
+    val ist = from_utc_timestamp(col("ts"), "Asia/Kolkata")
+    e.select(col("event_type"),
+        idiv(unix_micros(ny) - unix_micros(col("ts")), 3600000000L).as("ny_off_h"),
+        idiv(unix_micros(ist) - unix_micros(col("ts")), 60000000L).as("ist_off_m"),
+        to_date(ny).as("ny_date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ny_off_h") === -4, 1L).otherwise(0L)).as("n_edt"),
+        sum(when(col("ny_off_h") === -5, 1L).otherwise(0L)).as("n_est"),
+        sum(when(col("ist_off_m") === 330, 1L).otherwise(0L)).as("n_ist_530"),
+        countDistinct(col("ny_date")).as("n_ny_days"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q235Sql: String =
+    """WITH x AS (
+      |  SELECT event_type,
+      |    (epoch_us((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York')
+      |      - epoch_us(ts)) // 3600000000 AS ny_off_h,
+      |    (epoch_us((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Kolkata')
+      |      - epoch_us(ts)) // 60000000 AS ist_off_m,
+      |    CAST((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' AS DATE)
+      |      AS ny_date
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN ny_off_h = -4 THEN 1 ELSE 0 END) AS BIGINT) AS n_edt,
+      |  CAST(SUM(CASE WHEN ny_off_h = -5 THEN 1 ELSE 0 END) AS BIGINT) AS n_est,
+      |  CAST(SUM(CASE WHEN ist_off_m = 330 THEN 1 ELSE 0 END) AS BIGINT) AS n_ist_530,
+      |  CAST(COUNT(DISTINCT ny_date) AS BIGINT) AS n_ny_days
+      |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -2939,7 +3031,9 @@ object Relational extends QueryModule {
     "q229_codec_battery" -> (codecBattery _),
     "q231_position_attribution" -> (positionAttribution _),
     "q232_chi_square" -> (chiSquareCells _),
-    "q233_benford" -> (benfordAudit _))
+    "q233_benford" -> (benfordAudit _),
+    "q234_apportionment" -> (apportionment _),
+    "q235_timezone_battery" -> (timezoneBattery _))
 
   val family: String = "relational"
 
@@ -3328,7 +3422,9 @@ object Relational extends QueryModule {
     "q229_codec_battery" -> q229Sql,
     "q231_position_attribution" -> q231Sql,
     "q232_chi_square" -> q232Sql,
-    "q233_benford" -> q233Sql)
+    "q233_benford" -> q233Sql,
+    "q234_apportionment" -> q234Sql,
+    "q235_timezone_battery" -> q235Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */

@@ -81,6 +81,22 @@ class AdmissionMaintenanceSpec extends SparkSpec {
     }
   }
 
+  describe("Relational.timezoneBattery (q235)") {
+    it("counts EDT vs EST across the DST boundary and the IST half-hour") {
+      withTempDir { dir =>
+        writeEvents(dir, Seq(
+          (1L, Timestamp.valueOf("2024-01-15 12:00:00"), 1L, "click", 1.0, "{}"),
+          (2L, Timestamp.valueOf("2024-07-15 12:00:00"), 1L, "click", 1.0, "{}")))
+        val r = Relational.timezoneBattery(spark, dir.toString).collect()
+        assert(r.length == 1)
+        // one EST (−5) winter row, one EDT (−4) summer row, both +5:30 IST
+        assert(r.head.getLong(2) == 1L) // n_edt
+        assert(r.head.getLong(3) == 1L) // n_est
+        assert(r.head.getLong(4) == 2L) // n_ist_530
+      }
+    }
+  }
+
   describe("DataOps.bfsDistances (q222)") {
     it("matches hand-checked levels on the n=5 formula graph") {
       withTempDir { dir =>
