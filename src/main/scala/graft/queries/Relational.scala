@@ -2504,6 +2504,136 @@ object Relational extends QueryModule {
       |  CAST(COUNT(DISTINCT ny_date) AS BIGINT) AS n_ny_days
       |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q236: MIN/MAX view maintenance with delete-scoped recompute —
+    * the non-self-maintainable complement to q224: max is algebraic
+    * under INSERTS (combine) but a delete can remove the maximum, so
+    * groups TOUCHED by the delete delta recompute from base∖del∪ins
+    * (a semi-join-scoped scan) while untouched groups stay on the
+    * O(|view|) combine path. Each row reports which path produced it
+    * — and the whole table is pinned ≡ the full recompute. At 100 TB
+    * the recompute leg reads only the touched groups' partitions
+    * (q147/q208's pruning), which is the entire point.
+    */
+  def minmaxMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(
+      col("event_id"), to_date(col("ts")).as("d"), col("event_type"),
+      round(col("value") * 100).cast(LongType).as("cents"))
+    val base = e.filter(col("event_id") % 10 < 8)
+    val ins = e.filter(col("event_id") % 10 >= 8)
+    val del = base.filter(col("event_id") % 7 === 3)
+    val touched = del.select(col("d"), col("event_type")).distinct()
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy(col("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("cents")).as("max_cents"))
+    // algebraic combine for groups the delete never touched
+    val algebraic = agg(base).unionByName(agg(ins))
+      .groupBy(col("d"), col("event_type"))
+      .agg(sum(col("n")).as("n"), max(col("max_cents")).as("max_cents"))
+      .join(touched, Seq("d", "event_type"), "left_anti")
+      .withColumn("path", lit("algebraic"))
+    // scoped recompute for touched groups only
+    val recomputed = agg(
+        base.join(del.select(col("event_id")), Seq("event_id"), "left_anti")
+          .unionByName(ins)
+          .join(touched, Seq("d", "event_type"), "left_semi"))
+      .withColumn("path", lit("recomputed"))
+    algebraic.unionByName(recomputed)
+      .filter(col("n") > 0)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("max_cents"), col("path"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
+  private val q236Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, CAST(ts AS DATE) AS d, event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events),
+      |touched AS (
+      |  SELECT DISTINCT d, event_type FROM e
+      |  WHERE event_id % 10 < 8 AND event_id % 7 = 3),
+      |survivors AS (
+      |  SELECT * FROM e WHERE NOT (event_id % 10 < 8 AND event_id % 7 = 3)),
+      |v AS (
+      |  SELECT d, event_type, COUNT(*) AS n, MAX(cents) AS max_cents
+      |  FROM survivors GROUP BY 1, 2 HAVING COUNT(*) > 0)
+      |SELECT strftime(v.d, '%Y-%m-%d') AS day, v.event_type, v.n, v.max_cents,
+      |  CASE WHEN t.d IS NOT NULL THEN 'recomputed' ELSE 'algebraic' END AS path
+      |FROM v LEFT JOIN touched t
+      |  ON t.d = v.d AND t.event_type = v.event_type
+      |ORDER BY day, v.event_type""".stripMargin
+
+  /** q237: smoothed target encoding — the ML feature-engineering
+    * staple (category → Laplace-smoothed mean target): enc =
+    * (Σy + α·μ)/(n + α) with α=20, all in integer milli-cents — the
+    * global mean enters as a broadcast scalar, one category aggregate
+    * does the rest, and the floor arithmetic makes encodings
+    * bit-identical across engines (a float encoder's low bits depend
+    * on the reduction tree — poison for cached feature reproducibility).
+    */
+  def targetEncoding(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val e = t(s, dir, "events").select(col("event_type"),
+      (col("user_id") % 5).as("cohort"),
+      round(col("value") * 100).cast(LongType).as("cents"))
+    val cats = e.groupBy(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    val glob = cats.agg(
+      idiv(sum(col("sum_cents")) * 1000L, sum(col("n"))).as("gmean_mc"))
+    cats.crossJoin(broadcast(glob))
+      .select(col("event_type"), col("cohort"), col("n"),
+        idiv(col("sum_cents") * 1000L + lit(20L) * col("gmean_mc"),
+          col("n") + 20L).as("enc_mc"))
+      .orderBy(col("event_type"), col("cohort"))
+  }
+
+  private val q237Sql: String =
+    """WITH cats AS (
+      |  SELECT event_type, user_id % 5 AS cohort, COUNT(*) AS n,
+      |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT CAST(SUM(sum_cents) * 1000 AS BIGINT)
+      |        // CAST(SUM(n) AS BIGINT) AS gmean_mc FROM cats)
+      |SELECT event_type, cohort, n,
+      |  (sum_cents * 1000 + 20 * (SELECT gmean_mc FROM g)) // (n + 20) AS enc_mc
+      |FROM cats ORDER BY event_type, cohort""".stripMargin
+
+  /** q238: capped dwell-time accounting — "how long did users stay on
+    * each step": the gap to the SAME user's next event, capped at
+    * 30 min (the standard abandonment convention — an overnight gap is
+    * not a 9-hour page view), summed per event type in whole seconds.
+    * One lead() window pass + one aggregate; the cap count is emitted
+    * so the convention's effect is visible, and last events (no next)
+    * are excluded rather than imputed.
+    */
+  def dwellTimes(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_s",
+        idiv(unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts")), 1000000L))
+      .filter(col("gap_s").isNotNull)
+      .withColumn("dwell_s", least(col("gap_s"), lit(1800L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("dwell_s")).as("total_dwell_s"),
+        sum(when(col("gap_s") > 1800L, 1L).otherwise(0L)).as("n_capped"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q238Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |      - epoch_us(ts)) // 1000000 AS gap_s
+      |  FROM events)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(LEAST(gap_s, 1800)) AS BIGINT) AS total_dwell_s,
+      |  CAST(SUM(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -3033,7 +3163,10 @@ object Relational extends QueryModule {
     "q232_chi_square" -> (chiSquareCells _),
     "q233_benford" -> (benfordAudit _),
     "q234_apportionment" -> (apportionment _),
-    "q235_timezone_battery" -> (timezoneBattery _))
+    "q235_timezone_battery" -> (timezoneBattery _),
+    "q236_minmax_maintenance" -> (minmaxMaintenance _),
+    "q237_target_encoding" -> (targetEncoding _),
+    "q238_dwell_times" -> (dwellTimes _))
 
   val family: String = "relational"
 
@@ -3424,7 +3557,10 @@ object Relational extends QueryModule {
     "q232_chi_square" -> q232Sql,
     "q233_benford" -> q233Sql,
     "q234_apportionment" -> q234Sql,
-    "q235_timezone_battery" -> q235Sql)
+    "q235_timezone_battery" -> q235Sql,
+    "q236_minmax_maintenance" -> q236Sql,
+    "q237_target_encoding" -> q237Sql,
+    "q238_dwell_times" -> q238Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
