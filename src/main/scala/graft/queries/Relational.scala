@@ -2634,6 +2634,111 @@ object Relational extends QueryModule {
       |FROM g WHERE gap_s IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q239: experiment exposure accounting (intent-to-treat) — the A/B
+    * bookkeeping every growth team runs: deterministic arm assignment
+    * (user parity — in production a salted hash, same shape), exposure
+    * = the user's FIRST view event, and only purchases strictly AFTER
+    * exposure count as conversions. Per arm: exposed users,
+    * converters, conversions, conversion ppm (floor). One min-
+    * aggregate for exposures + one user-keyed join of purchases —
+    * never purchases × full history. Feeds q232's chi-square cells.
+    */
+  def abExposure(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val e = t(s, dir, "events")
+    val exposure = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("exp_ts"))
+      .withColumn("arm", col("user_id") % 2)
+    val conv = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(exposure, "user_id")
+      .filter(col("ts") > col("exp_ts"))
+      .groupBy(col("arm"))
+      .agg(countDistinct(col("user_id")).as("n_converters"),
+        count(lit(1)).as("n_conversions"))
+    exposure.groupBy(col("arm")).agg(count(lit(1)).as("n_exposed"))
+      .join(conv, Seq("arm"), "left")
+      .select(col("arm"), col("n_exposed"),
+        coalesce(col("n_converters"), lit(0L)).as("n_converters"),
+        coalesce(col("n_conversions"), lit(0L)).as("n_conversions"))
+      .withColumn("conv_ppm",
+        idiv(col("n_converters") * 1000000L, col("n_exposed")))
+      .orderBy(col("arm"))
+  }
+
+  private val q239Sql: String =
+    """WITH exposure AS (
+      |  SELECT user_id, user_id % 2 AS arm, MIN(ts) AS exp_ts
+      |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+      |conv AS (
+      |  SELECT x.arm, COUNT(DISTINCT p.user_id) AS n_converters,
+      |    COUNT(*) AS n_conversions
+      |  FROM events p JOIN exposure x ON x.user_id = p.user_id
+      |  WHERE p.event_type = 'purchase' AND p.ts > x.exp_ts
+      |  GROUP BY 1),
+      |exp2 AS (SELECT arm, COUNT(*) AS n_exposed FROM exposure GROUP BY 1)
+      |SELECT exp2.arm, exp2.n_exposed,
+      |  CAST(COALESCE(conv.n_converters, 0) AS BIGINT) AS n_converters,
+      |  CAST(COALESCE(conv.n_conversions, 0) AS BIGINT) AS n_conversions,
+      |  (CAST(COALESCE(conv.n_converters, 0) AS BIGINT) * 1000000)
+      |    // exp2.n_exposed AS conv_ppm
+      |FROM exp2 LEFT JOIN conv ON conv.arm = exp2.arm
+      |ORDER BY exp2.arm""".stripMargin
+
+  /** q240: clamped running balance — the recurrence
+    * b_t = max(0, b_{t−1} + x_t) (wallet balances, inventory stock,
+    * token credits) looks driver-sequential, but has the closed form
+    * b_t = S_t − min(0, min_{j≤t} S_j) over the plain prefix sum S —
+    * so it runs as TWO window functions on ONE window spec (one sort,
+    * one pass), fully distributed, where the naive formulation
+    * collects each key's history. Deltas are integer cents (purchases
+    * debit, everything else credits); per user the final balance and
+    * how often the floor was hit.
+    */
+  def clampedBalance(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val delta = when(col("event_type") === "purchase",
+      -round(col("value") * 100).cast(LongType))
+      .otherwise(round(col("value") * 100).cast(LongType))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), delta.as("x"))
+      .withColumn("s", sum(col("x")).over(w))
+      .withColumn("m", least(lit(0L), min(col("s")).over(w)))
+      .withColumn("b", col("s") - col("m"))
+      .groupBy(col("user_id"))
+      .agg(expr("max_by(b, struct(ts, event_id))").as("final_balance"),
+        sum(when(col("b") === 0L, 1L).otherwise(0L)).as("n_floor_hits"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q240Sql: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN event_type = 'purchase'
+      |      THEN -CAST(round(value * 100, 0) AS BIGINT)
+      |      ELSE CAST(round(value * 100, 0) AS BIGINT) END AS x
+      |  FROM events),
+      |ps AS (
+      |  SELECT user_id, ts, event_id,
+      |    SUM(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS s
+      |  FROM x),
+      |p AS (
+      |  SELECT user_id, ts, event_id, s,
+      |    LEAST(0, MIN(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING)) AS m
+      |  FROM ps),
+      |b AS (
+      |  SELECT user_id, ts, event_id, s - m AS b,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM p)
+      |SELECT user_id,
+      |  CAST(MAX(CASE WHEN rn = 1 THEN b END) AS BIGINT) AS final_balance,
+      |  CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floor_hits
+      |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -3166,7 +3271,9 @@ object Relational extends QueryModule {
     "q235_timezone_battery" -> (timezoneBattery _),
     "q236_minmax_maintenance" -> (minmaxMaintenance _),
     "q237_target_encoding" -> (targetEncoding _),
-    "q238_dwell_times" -> (dwellTimes _))
+    "q238_dwell_times" -> (dwellTimes _),
+    "q239_ab_exposure" -> (abExposure _),
+    "q240_clamped_balance" -> (clampedBalance _))
 
   val family: String = "relational"
 
@@ -3560,7 +3667,9 @@ object Relational extends QueryModule {
     "q235_timezone_battery" -> q235Sql,
     "q236_minmax_maintenance" -> q236Sql,
     "q237_target_encoding" -> q237Sql,
-    "q238_dwell_times" -> q238Sql)
+    "q238_dwell_times" -> q238Sql,
+    "q239_ab_exposure" -> q239Sql,
+    "q240_clamped_balance" -> q240Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
