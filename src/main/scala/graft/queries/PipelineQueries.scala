@@ -442,6 +442,53 @@ object PipelineQueries extends QueryModule {
        | to_base64(encode(${lineSql(TsSql)})) AS payload
        |FROM events WHERE event_id % 11 = 0 ORDER BY payload""".stripMargin
 
+  // ---- q241: dead-letter replay --------------------------------------
+
+  /** The bad-row RECOVERY loop q20 stops short of: failed records go to
+    * the dead-letter channel carrying only the base64 payload
+    * (reference ISerializer.scala:46-74 — the payload IS the original
+    * line, that's the contract that makes replay possible at all);
+    * after the incident, replay decodes the payloads, re-parses them
+    * through the SAME TSV parse as the good path, and re-admits. The
+    * pin: per-type counts and exact cent sums computed from the
+    * good ∪ replayed union — every number a round trip through
+    * render → base64 → decode → parse — reconcile with the direct
+    * table, and the recovered count is exactly the simulated-failure
+    * population. One scan + the union; nothing leaves executors.
+    */
+  def badrowReplay(s: SparkSession, dir: String): DataFrame = {
+    val line = lineCol(tsStr)
+    val rendered = Tables(s, dir, "events")
+      .select(col("event_id").as("eid"), line.as("value"))
+    val bad = rendered.filter(col("eid") % 11 === 0)
+      .select(BadRows.genericError(col("value"),
+        array(lit("Error writing raw event to output stream. simulated"))).as("br"))
+      .select(col("br.payload").as("payload"))
+    // the dead-letter detour: only the base64 payload survives
+    val replayed = bad
+      .select(decode(unbase64(col("payload")), "UTF-8").as("value"),
+        lit(1L).as("recovered"))
+    val good = rendered.filter(col("eid") % 11 =!= 0)
+      .select(col("value"), lit(0L).as("recovered"))
+    good.unionByName(replayed)
+      .select(split(col("value"), "\t").as("f"), col("recovered"))
+      .select(element_at(col("f"), 3).as("event_type"),
+        element_at(col("f"), 6).cast("long").as("cents"),
+        col("recovered"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("recovered")).as("n_recovered"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q241Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_recovered,
+      |  CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
   // ---- q95/q96: CSV and JSON source round-trips ------------------------
 
   /** The documents table re-rendered with the characters that break
@@ -771,6 +818,7 @@ object PipelineQueries extends QueryModule {
     "q87_sharded_cycles" -> (shardedCycles _),
     "q95_csv_roundtrip" -> (csvRoundtrip _),
     "q96_json_roundtrip" -> (jsonRoundtrip _),
+    "q241_badrow_replay" -> (badrowReplay _),
     "q103_resharded_cycles" -> (reshardedCycles _),
     "q159_initial_position" -> (initialPositions _),
     "q212_nested_pruning" -> (nestedPruning _),
@@ -790,6 +838,7 @@ object PipelineQueries extends QueryModule {
     "q87_sharded_cycles" -> q87Oracle,
     "q95_csv_roundtrip" -> q95Oracle,
     "q96_json_roundtrip" -> q95Oracle,
+    "q241_badrow_replay" -> q241Oracle,
     "q103_resharded_cycles" -> q103Oracle,
     "q159_initial_position" -> q159Oracle,
     "q212_nested_pruning" -> q212Oracle,
