@@ -2739,6 +2739,95 @@ object Relational extends QueryModule {
       |  CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_floor_hits
       |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q242: hierarchical share-of-parent rollup — revenue contribution
+    * at two levels of the region→nation hierarchy in exact ppm (floor):
+    * each nation's share of its region and each region's share of the
+    * total, computed from ONE fact aggregate with the dimension-sized
+    * parent totals broadcast back. The drill-down dashboard shape: the
+    * fact table is scanned once no matter how deep the hierarchy.
+    */
+  def hierarchyShares(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    val natRev = o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("rev_cents"))
+    val regRev = natRev.groupBy(col("r_name"))
+      .agg(sum(col("rev_cents")).as("reg_cents"))
+    val totRev = regRev.agg(sum(col("reg_cents")).as("tot_cents"))
+    natRev
+      .join(broadcast(regRev), "r_name")
+      .crossJoin(broadcast(totRev))
+      .select(col("r_name"), col("n_name"), col("rev_cents"),
+        idiv(col("rev_cents") * 1000000L, col("reg_cents")).as("nation_share_ppm"),
+        idiv(col("reg_cents") * 1000000L, col("tot_cents")).as("region_share_ppm"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val q242Sql: String =
+    """WITH nat AS (
+      |  SELECT r_name, n_name,
+      |    CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+      |      AS rev_cents
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |reg AS (SELECT r_name, CAST(SUM(rev_cents) AS BIGINT) AS reg_cents
+      |        FROM nat GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(reg_cents) AS BIGINT) AS tot_cents FROM reg)
+      |SELECT nat.r_name, nat.n_name, nat.rev_cents,
+      |  (nat.rev_cents * 1000000) // reg.reg_cents AS nation_share_ppm,
+      |  (reg.reg_cents * 1000000) // (SELECT tot_cents FROM tot)
+      |    AS region_share_ppm
+      |FROM nat JOIN reg ON reg.r_name = nat.r_name
+      |ORDER BY nat.r_name, nat.n_name""".stripMargin
+
+  /** q243: weighted exact quantiles — the p50/p90 of l_quantity where
+    * each value counts by its revenue WEIGHT (cents), from the
+    * value-frequency table: the least value whose cumulative weight
+    * crosses k/10 of the total, tested as 10·cum ≥ k·total so no
+    * division ever happens. q200's exact-quantile discipline extended
+    * to weights — the "median basket size by spend" family. One
+    * aggregate over values + one tiny cumulative window.
+    */
+  def weightedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val freq = t(s, dir, "lineitem")
+      .groupBy(col("l_quantity").cast(LongType).as("v"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast(LongType)).as("w"))
+    val wcum = freq
+      .withColumn("cum", sum(col("w")).over(
+        Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(freq.agg(sum(col("w")).as("total"))))
+    def pick(k: Int): DataFrame = wcum
+      .filter(col("cum") * 10 >= col("total") * k)
+      .agg(min(col("v")).as("value"))
+      .select(lit(s"wp$k").as("stat"), col("value"))
+    pick(5).unionByName(pick(9)).orderBy(col("stat"))
+  }
+
+  private val q243Sql: String =
+    """WITH freq AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS v,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1),
+      |wcum AS (
+      |  SELECT v, SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+      |    (SELECT CAST(SUM(w) AS BIGINT) FROM freq) AS total
+      |  FROM freq)
+      |SELECT 'wp5' AS stat, CAST(MIN(v) AS BIGINT) AS value
+      |FROM wcum WHERE cum * 10 >= total * 5
+      |UNION ALL
+      |SELECT 'wp9', CAST(MIN(v) AS BIGINT)
+      |FROM wcum WHERE cum * 10 >= total * 9
+      |ORDER BY stat""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -3273,7 +3362,9 @@ object Relational extends QueryModule {
     "q237_target_encoding" -> (targetEncoding _),
     "q238_dwell_times" -> (dwellTimes _),
     "q239_ab_exposure" -> (abExposure _),
-    "q240_clamped_balance" -> (clampedBalance _))
+    "q240_clamped_balance" -> (clampedBalance _),
+    "q242_hierarchy_shares" -> (hierarchyShares _),
+    "q243_weighted_quantiles" -> (weightedQuantiles _))
 
   val family: String = "relational"
 
@@ -3669,7 +3760,9 @@ object Relational extends QueryModule {
     "q237_target_encoding" -> q237Sql,
     "q238_dwell_times" -> q238Sql,
     "q239_ab_exposure" -> q239Sql,
-    "q240_clamped_balance" -> q240Sql)
+    "q240_clamped_balance" -> q240Sql,
+    "q242_hierarchy_shares" -> q242Sql,
+    "q243_weighted_quantiles" -> q243Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
