@@ -2828,6 +2828,141 @@ object Relational extends QueryModule {
       |FROM wcum WHERE cum * 10 >= total * 9
       |ORDER BY stat""".stripMargin
 
+  /** q244: exact penny allocation — split each order's total across its
+    * line items proportionally to extended price WITHOUT losing a cent
+    * (the fintech invariant naive rounding breaks): floor quotas per
+    * item, then the order's leftover cents go to the largest
+    * remainders (line-number tie-break) — q234's Hare quota at
+    * per-order granularity, the window frame bounded by items-per-
+    * order (≤7 in TPC-H shape). The pin aggregates the per-order
+    * conservation check: allocated ≡ total for EVERY order.
+    */
+  def pennyAllocation(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: Column, b: Column) = call_function("div", a, b)
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      col("l_linenumber"),
+      round(col("l_extendedprice") * 100).cast(LongType).as("w"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice") * 100).cast(LongType).as("total"))
+    val wo = Window.partitionBy(col("l_orderkey"))
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("wsum", sum(col("w")).over(wo))
+      .withColumn("base", idiv(col("total") * col("w"), col("wsum")))
+      .withColumn("rem", col("total") * col("w") - col("base") * col("wsum"))
+      .withColumn("rk", row_number().over(
+        wo.orderBy(col("rem").desc, col("l_linenumber"))))
+      .withColumn("leftover", col("total") - sum(col("base")).over(wo))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+    j.groupBy(col("l_orderkey"), col("total"))
+      .agg(sum(col("alloc")).as("allocated"), count(lit(1)).as("n_items"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("allocated") === col("total"), 1L).otherwise(0L))
+          .as("n_conserved"),
+        sum(col("allocated")).as("sum_allocated"),
+        sum(col("total")).as("sum_totals"),
+        max(col("n_items")).as("max_items"))
+  }
+
+  private val q244Sql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS w
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total
+      |  FROM orders),
+      |j AS (
+      |  SELECT li.l_orderkey, li.l_linenumber, li.w, o.total,
+      |    SUM(li.w) OVER (PARTITION BY li.l_orderkey) AS wsum
+      |  FROM li JOIN o ON o.o_orderkey = li.l_orderkey),
+      |q AS (
+      |  SELECT *, (total * w) // wsum AS base,
+      |    total * w - ((total * w) // wsum) * wsum AS rem
+      |  FROM j),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY l_orderkey
+      |      ORDER BY rem DESC, l_linenumber) AS rk,
+      |    total - SUM(base) OVER (PARTITION BY l_orderkey) AS leftover
+      |  FROM q),
+      |a AS (
+      |  SELECT l_orderkey, total,
+      |    CAST(SUM(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS allocated,
+      |    COUNT(*) AS n_items
+      |  FROM r GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_orders,
+      |  CAST(SUM(CASE WHEN allocated = total THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_conserved,
+      |  CAST(SUM(allocated) AS BIGINT) AS sum_allocated,
+      |  CAST(SUM(total) AS BIGINT) AS sum_totals,
+      |  CAST(MAX(n_items) AS BIGINT) AS max_items
+      |FROM a""".stripMargin
+
+  /** q245: event-order protocol audit — do user timelines respect the
+    * expected partial order (signup precedes first purchase, a view
+    * precedes the first click): per-user first-occurrence timestamps
+    * per type from ONE conditional-aggregation pass, then counted
+    * violations per rule. The sequence-constraint sibling of q220's
+    * value constraints — a protocol regression (SDK fires purchase
+    * before signup) surfaces as a nonzero audit row, engine-exactly.
+    */
+  def protocolAudit(s: SparkSession, dir: String): DataFrame = {
+    val firsts = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("f_signup"),
+        min(when(col("event_type") === "view", col("ts"))).as("f_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("f_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("f_purchase"))
+    def rule(name: String, violated: Column, applicable: Column): DataFrame =
+      firsts.agg(
+          sum(when(applicable, 1L).otherwise(0L)).as("n_applicable"),
+          sum(when(applicable && violated, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_applicable"), col("n_violations"))
+    rule("click_before_any_view",
+        col("f_view").isNull || col("f_click") < col("f_view"),
+        col("f_click").isNotNull)
+      .unionByName(rule("purchase_before_any_signup",
+        col("f_signup").isNull || col("f_purchase") < col("f_signup"),
+        col("f_purchase").isNotNull))
+      .unionByName(rule("purchase_before_any_view",
+        col("f_view").isNull || col("f_purchase") < col("f_view"),
+        col("f_purchase").isNotNull))
+      .orderBy(col("rule"))
+  }
+
+  private val q245Sql: String =
+    """WITH firsts AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS f_signup,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS f_view,
+      |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS f_click,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS f_purchase
+      |  FROM events GROUP BY 1)
+      |SELECT 'click_before_any_view' AS rule,
+      |  CAST(SUM(CASE WHEN f_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_applicable,
+      |  CAST(SUM(CASE WHEN f_click IS NOT NULL
+      |    AND (f_view IS NULL OR f_click < f_view) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_violations
+      |FROM firsts
+      |UNION ALL
+      |SELECT 'purchase_before_any_signup',
+      |  CAST(SUM(CASE WHEN f_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN f_purchase IS NOT NULL
+      |    AND (f_signup IS NULL OR f_purchase < f_signup) THEN 1 ELSE 0 END)
+      |    AS BIGINT)
+      |FROM firsts
+      |UNION ALL
+      |SELECT 'purchase_before_any_view',
+      |  CAST(SUM(CASE WHEN f_purchase IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN f_purchase IS NOT NULL
+      |    AND (f_view IS NULL OR f_purchase < f_view) THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM firsts
+      |ORDER BY rule""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -3364,7 +3499,9 @@ object Relational extends QueryModule {
     "q239_ab_exposure" -> (abExposure _),
     "q240_clamped_balance" -> (clampedBalance _),
     "q242_hierarchy_shares" -> (hierarchyShares _),
-    "q243_weighted_quantiles" -> (weightedQuantiles _))
+    "q243_weighted_quantiles" -> (weightedQuantiles _),
+    "q244_penny_allocation" -> (pennyAllocation _),
+    "q245_protocol_audit" -> (protocolAudit _))
 
   val family: String = "relational"
 
@@ -3762,7 +3899,9 @@ object Relational extends QueryModule {
     "q239_ab_exposure" -> q239Sql,
     "q240_clamped_balance" -> q240Sql,
     "q242_hierarchy_shares" -> q242Sql,
-    "q243_weighted_quantiles" -> q243Sql)
+    "q243_weighted_quantiles" -> q243Sql,
+    "q244_penny_allocation" -> q244Sql,
+    "q245_protocol_audit" -> q245Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
