@@ -2963,6 +2963,115 @@ object Relational extends QueryModule {
       |FROM firsts
       |ORDER BY rule""".stripMargin
 
+  /** q246: UTF-8 semantics battery — CHARACTER-based string functions
+    * over multi-byte text (Latin accents + CJK synthesized onto real
+    * document prefixes): length counts characters, octet length counts
+    * bytes (they must differ by exactly the multi-byte surplus),
+    * substring never splits a code point, upper() handles accents, and
+    * reverse() reverses characters, not bytes. The i18n contract a
+    * byte-oriented engine silently corrupts.
+    */
+  def utf8Battery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("café_"), substring(col("text"), 1, 5), lit("_日本語")).as("x"))
+      .select(col("doc_id"),
+        length(col("x")).cast(LongType).as("n_chars"),
+        octet_length(col("x")).cast(LongType).as("n_bytes"),
+        substring(col("x"), 1, 4).as("first4"),
+        upper(substring(col("x"), 1, 4)).as("up4"),
+        reverse(substring(col("x"), -3, 3)).as("rev3"))
+      .orderBy(col("doc_id"))
+
+  private val q246Sql: String =
+    """WITH x AS (
+      |  SELECT doc_id, 'café_' || substr(text, 1, 5) || '_日本語' AS x
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(x) AS BIGINT) AS n_chars,
+      |  CAST(strlen(x) AS BIGINT) AS n_bytes,
+      |  substr(x, 1, 4) AS first4,
+      |  upper(substr(x, 1, 4)) AS up4,
+      |  reverse(substr(x, length(x) - 2, 3)) AS rev3
+      |FROM x ORDER BY doc_id""".stripMargin
+
+  /** q247: duplicate-charge detection — two purchases by the SAME user
+    * in the SAME 10-dollar amount band within 24 hours (the double-
+    * submit / retry screen; real double charges repeat the amount, and
+    * the band absorbs cent-level fee jitter): pairs found via the
+    * canonical-bin interval self-join (each candidate probes its two
+    * covering 24 h bins on the (user, band) key — never a user-history
+    * cross join), ordered pairs counted once under the (ts, event_id)
+    * total order. Per flagged user: pair count and cents at risk.
+    */
+  def doubleCharges(s: SparkSession, dir: String): DataFrame = {
+    val B = 86400L * 1000000L
+    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
+    val p = t(s, dir, "events").filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), round(col("value") * 100).cast(LongType).as("cents"))
+      .withColumn("band", call_function("div", col("cents"), lit(1000L)))
+    val a = p.withColumn("bin", explode(array(idiv(col("t"), B), idiv(col("t"), B) + 1)))
+      .select(col("user_id"), col("band"), col("bin"),
+        col("t").as("ta"), col("event_id").as("ida"), col("cents"))
+    val b = p.withColumn("bin", idiv(col("t"), B))
+      .select(col("user_id"), col("band"), col("bin"),
+        col("t").as("tb"), col("event_id").as("idb"))
+    a.join(b, Seq("user_id", "band", "bin"))
+      .filter((col("ta") < col("tb") ||
+        (col("ta") === col("tb") && col("ida") < col("idb"))) &&
+        col("tb") - col("ta") <= B)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("cents")).as("cents_at_risk"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q247Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT a.user_id, COUNT(*) AS n_pairs,
+      |  CAST(SUM(a.cents) AS BIGINT) AS cents_at_risk
+      |FROM p a JOIN p b
+      |  ON b.user_id = a.user_id AND b.cents // 1000 = a.cents // 1000
+      |  AND (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))
+      |  AND b.t - a.t <= 86400000000
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
+  /** q248: activity streaks — each user's longest run of CONSECUTIVE
+    * active days (the retention/habit metric): distinct active days,
+    * then the gaps-and-islands identity day − row_number() = constant
+    * within a streak — one distinct aggregate + one window + one
+    * aggregate, no self-join, no recursion.
+    */
+  def activityStreaks(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days
+      .withColumn("island", date_sub(col("d"), row_number().over(w)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(max(col("len")).as("max_streak"), sum(col("len")).as("n_active_days"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q248Sql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |isl AS (
+      |  SELECT user_id,
+      |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+      |      AS INTEGER) AS island
+      |  FROM days),
+      |st AS (
+      |  SELECT user_id, island, COUNT(*) AS len FROM isl GROUP BY 1, 2)
+      |SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+      |  CAST(SUM(len) AS BIGINT) AS n_active_days
+      |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -3501,7 +3610,10 @@ object Relational extends QueryModule {
     "q242_hierarchy_shares" -> (hierarchyShares _),
     "q243_weighted_quantiles" -> (weightedQuantiles _),
     "q244_penny_allocation" -> (pennyAllocation _),
-    "q245_protocol_audit" -> (protocolAudit _))
+    "q245_protocol_audit" -> (protocolAudit _),
+    "q246_utf8_battery" -> (utf8Battery _),
+    "q247_double_charges" -> (doubleCharges _),
+    "q248_activity_streaks" -> (activityStreaks _))
 
   val family: String = "relational"
 
@@ -3901,7 +4013,10 @@ object Relational extends QueryModule {
     "q242_hierarchy_shares" -> q242Sql,
     "q243_weighted_quantiles" -> q243Sql,
     "q244_penny_allocation" -> q244Sql,
-    "q245_protocol_audit" -> q245Sql)
+    "q245_protocol_audit" -> q245Sql,
+    "q246_utf8_battery" -> q246Sql,
+    "q247_double_charges" -> q247Sql,
+    "q248_activity_streaks" -> q248Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
