@@ -97,6 +97,49 @@ class AdmissionMaintenanceSpec extends SparkSpec {
     }
   }
 
+  describe("Relational.apportionment (q234)") {
+    it("breaks remainder ties by stratum key and sums exactly to budget") {
+      withTempDir { dir =>
+        // three equal strata: base 333 each, one leftover seat — equal
+        // remainders, so the FIRST (lang, source) key takes it
+        Seq((1L, "t", "aa", "s1", 1L), (2L, "t", "bb", "s2", 1L),
+            (3L, "t", "cc", "s3", 1L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .repartition(1)
+          .write.mode("overwrite")
+          .parquet(new java.io.File(dir, "documents.parquet").toString)
+        val r = Relational.apportionment(spark, dir.toString)
+          .collect().map(x => (x.getString(0), x.getLong(3))).toSeq
+        assert(r == Seq(("aa", 334L), ("bb", 333L), ("cc", 333L)))
+        assert(r.map(_._2).sum == 1000L)
+      }
+    }
+  }
+
+  describe("Relational.pennyAllocation (q244)") {
+    it("conserves the odd cent on an equal-weight three-item order") {
+      withTempDir { dir =>
+        // total 100 cents over weights 1/1/1: floor quota 33 each,
+        // leftover cent to line 1 — allocated must equal total exactly
+        Seq((1L, 1, 0.01), (1L, 2, 0.01), (1L, 3, 0.01))
+          .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+          .repartition(1)
+          .write.mode("overwrite")
+          .parquet(new java.io.File(dir, "lineitem.parquet").toString)
+        Seq((1L, 1.00))
+          .toDF("o_orderkey", "o_totalprice")
+          .repartition(1)
+          .write.mode("overwrite")
+          .parquet(new java.io.File(dir, "orders.parquet").toString)
+        val r = Relational.pennyAllocation(spark, dir.toString).collect().head
+        assert(r.getLong(0) == 1L) // n_orders
+        assert(r.getLong(1) == 1L) // n_conserved
+        assert(r.getLong(2) == 100L) // sum_allocated
+        assert(r.getLong(3) == 100L) // sum_totals
+      }
+    }
+  }
+
   describe("DataOps.bfsDistances (q222)") {
     it("matches hand-checked levels on the n=5 formula graph") {
       withTempDir { dir =>
