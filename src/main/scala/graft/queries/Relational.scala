@@ -3072,6 +3072,125 @@ object Relational extends QueryModule {
       |  CAST(SUM(len) AS BIGINT) AS n_active_days
       |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q249: FIFO lot matching — the order-matching / cost-basis
+    * primitive (match each consumption against acquisitions oldest-
+    * first): per user, buys (views) and sells (purchases) become
+    * cumulative-quantity INTERVALS, and FIFO matching is exactly their
+    * interval overlap — matched(i,j) = max(0, min(hiB, hiS) −
+    * max(loB, loS)) — so the seemingly sequential ledger walk is one
+    * user-keyed join + an overlap filter, per-user bounded (at 100 TB
+    * band the cumulative ranges like q39 if single users carry huge
+    * ledgers). All quantities integer cents; per user: bought, sold,
+    * matched (≡ min(bought, sold) by algebra — the join must reproduce
+    * it), and the touched lot-pair count.
+    */
+  def fifoMatching(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast(LongType).as("q"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def lots(tpe: String, lo: String, hi: String) = e
+      .filter(col("event_type") === tpe)
+      .withColumn(hi, sum(col("q")).over(w))
+      .withColumn(lo, col(hi) - col("q"))
+    val buys = lots("view", "lob", "hib")
+      .select(col("user_id"), col("lob"), col("hib"))
+    val sells = lots("purchase", "los", "his")
+      .select(col("user_id").as("su"), col("los"), col("his"))
+    val pairs = buys.join(sells, col("user_id") === col("su") &&
+        col("hib") > col("los") && col("his") > col("lob"))
+      .select(col("user_id"),
+        (least(col("hib"), col("his")) - greatest(col("lob"), col("los"))).as("m"))
+    val totals = e.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "view", col("q")).otherwise(0L)).as("bought"),
+      sum(when(col("event_type") === "purchase", col("q")).otherwise(0L)).as("sold"))
+    totals.join(pairs.groupBy(col("user_id"))
+        .agg(sum(col("m")).as("matched"), count(lit(1)).as("n_lot_pairs")),
+        Seq("user_id"), "left")
+      .select(col("user_id"), col("bought"), col("sold"),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        coalesce(col("n_lot_pairs"), lit(0L)).as("n_lot_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q249Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CAST(round(value * 100, 0) AS BIGINT) AS q
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id,
+      |    SUM(q) OVER w - q AS lob, SUM(q) OVER w AS hib
+      |  FROM e WHERE event_type = 'view'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING)),
+      |s AS (
+      |  SELECT user_id,
+      |    SUM(q) OVER w - q AS los, SUM(q) OVER w AS his
+      |  FROM e WHERE event_type = 'purchase'
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING)),
+      |m AS (
+      |  SELECT b.user_id,
+      |    LEAST(b.hib, s.his) - GREATEST(b.lob, s.los) AS m
+      |  FROM b JOIN s ON s.user_id = b.user_id
+      |    AND b.hib > s.los AND s.his > b.lob),
+      |tot AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN q ELSE 0 END) AS BIGINT)
+      |      AS bought,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN q ELSE 0 END) AS BIGINT)
+      |      AS sold
+      |  FROM e GROUP BY 1),
+      |mm AS (
+      |  SELECT user_id, CAST(SUM(m) AS BIGINT) AS matched,
+      |    COUNT(*) AS n_lot_pairs
+      |  FROM m GROUP BY 1)
+      |SELECT tot.user_id, tot.bought, tot.sold,
+      |  CAST(COALESCE(mm.matched, 0) AS BIGINT) AS matched,
+      |  CAST(COALESCE(mm.n_lot_pairs, 0) AS BIGINT) AS n_lot_pairs
+      |FROM tot LEFT JOIN mm ON mm.user_id = tot.user_id
+      |ORDER BY tot.user_id""".stripMargin
+
+  /** q250: tiered marginal commission — the tax-bracket computation
+    * (first $10k at 5%, next $40k at 3%, the rest at 1%, each tier's
+    * cut floored separately in cents — marginal, so crossing a
+    * threshold never reduces take-home, the property flat-rate CASE
+    * ladders get wrong): pure per-row integer arithmetic rolled up per
+    * order priority. The billing/royalty primitive.
+    */
+  def tieredCommission(s: SparkSession, dir: String): DataFrame = {
+    def idiv(a: Column, b: Long) = call_function("div", a, lit(b))
+    val total = round(col("o_totalprice") * 100).cast(LongType)
+    val t1 = least(total, lit(1000000L))
+    val t2 = least(greatest(total - 1000000L, lit(0L)), lit(4000000L))
+    val t3 = greatest(total - 5000000L, lit(0L))
+    val comm = idiv(t1 * 5, 100L) + idiv(t2 * 3, 100L) + idiv(t3 * 1, 100L)
+    t(s, dir, "orders")
+      .select(col("o_orderpriority"), comm.as("c"), total.as("tc"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("tc")).as("sum_cents"),
+        sum(col("c")).as("sum_commission_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q250Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS tc
+      |  FROM orders),
+      |c AS (
+      |  SELECT o_orderpriority, tc,
+      |    (LEAST(tc, 1000000) * 5) // 100
+      |    + (LEAST(GREATEST(tc - 1000000, 0), 4000000) * 3) // 100
+      |    + (GREATEST(tc - 5000000, 0) * 1) // 100 AS c
+      |  FROM o)
+      |SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(tc) AS BIGINT) AS sum_cents,
+      |  CAST(SUM(c) AS BIGINT) AS sum_commission_cents
+      |FROM c GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -3613,7 +3732,9 @@ object Relational extends QueryModule {
     "q245_protocol_audit" -> (protocolAudit _),
     "q246_utf8_battery" -> (utf8Battery _),
     "q247_double_charges" -> (doubleCharges _),
-    "q248_activity_streaks" -> (activityStreaks _))
+    "q248_activity_streaks" -> (activityStreaks _),
+    "q249_fifo_matching" -> (fifoMatching _),
+    "q250_tiered_commission" -> (tieredCommission _))
 
   val family: String = "relational"
 
@@ -4016,7 +4137,9 @@ object Relational extends QueryModule {
     "q245_protocol_audit" -> q245Sql,
     "q246_utf8_battery" -> q246Sql,
     "q247_double_charges" -> q247Sql,
-    "q248_activity_streaks" -> q248Sql)
+    "q248_activity_streaks" -> q248Sql,
+    "q249_fifo_matching" -> q249Sql,
+    "q250_tiered_commission" -> q250Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
