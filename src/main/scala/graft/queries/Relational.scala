@@ -3191,6 +3191,130 @@ object Relational extends QueryModule {
       |  CAST(SUM(c) AS BIGINT) AS sum_commission_cents
       |FROM c GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** q251: exact distributed AUC via rank statistics — the model-eval
+    * primitive at corpus scale. For each candidate scoring model, AUC
+    * is the Mann-Whitney pair statistic: with per-distinct-score
+    * positive/negative counts p(s), n(s) and the running count of
+    * negatives strictly below s, 2·P·N·AUC = 2·Σ p(s)·negBelow(s) +
+    * Σ p(s)·n(s) (ties count half) — all integer, no sort of raw rows.
+    * The plan is one groupBy(model, score) that collapses 100 TB of
+    * rows to the score domain BEFORE the per-model ordered prefix sum
+    * (window over the tiny distinct-score set), so the window never
+    * sees raw data. Three models with different tie structure pin the
+    * tie-correction arithmetic; auc_ppm is floor(1e6·num/den).
+    */
+  def aucExact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(
+      round(col("value") * 100).cast(LongType).as("cents"),
+      col("user_id"),
+      (col("event_type") === "purchase").cast(LongType).as("y"))
+    val scored = e.select(explode(array(
+        struct(lit("m1_cents997").as("model"), pmod(col("cents"), lit(997L)).as("score")),
+        struct(lit("m2_cents101").as("model"), pmod(col("cents"), lit(101L)).as("score")),
+        struct(lit("m3_user31").as("model"), pmod(col("user_id"), lit(31L)).as("score"))))
+        .as("ms"), col("y"))
+      .select(col("ms.model").as("model"), col("ms.score").as("score"), col("y"))
+    val perScore = scored.groupBy(col("model"), col("score"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("n"))
+    val w = Window.partitionBy(col("model")).orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withBelow = perScore
+      .withColumn("neg_below", sum(col("n")).over(w) - col("n"))
+    withBelow.groupBy(col("model"))
+      .agg(sum(col("p")).as("pos"), sum(col("n")).as("neg"),
+        sum(col("p") * col("neg_below")).as("concordant"),
+        sum(col("p") * col("n")).as("tied"))
+      .select(col("model"), col("pos"), col("neg"), col("concordant"), col("tied"),
+        call_function("div",
+          (lit(2L) * col("concordant") + col("tied")) * 1000000L,
+          lit(2L) * col("pos") * col("neg")).as("auc_ppm"))
+      .orderBy(col("model"))
+  }
+
+  private val q251Sql: String =
+    """WITH e AS (
+      |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents, user_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |scored AS (
+      |  SELECT 'm1_cents997' AS model, cents % 997 AS score, y FROM e
+      |  UNION ALL
+      |  SELECT 'm2_cents101' AS model, cents % 101 AS score, y FROM e
+      |  UNION ALL
+      |  SELECT 'm3_user31' AS model, user_id % 31 AS score, y FROM e),
+      |per_score AS (
+      |  SELECT model, score, SUM(y) AS p, SUM(1 - y) AS n
+      |  FROM scored GROUP BY 1, 2),
+      |below AS (
+      |  SELECT model, score, p, n,
+      |    SUM(n) OVER (PARTITION BY model ORDER BY score
+      |      ROWS UNBOUNDED PRECEDING) - n AS neg_below
+      |  FROM per_score)
+      |SELECT model, CAST(SUM(p) AS BIGINT) AS pos,
+      |  CAST(SUM(n) AS BIGINT) AS neg,
+      |  CAST(SUM(p * neg_below) AS BIGINT) AS concordant,
+      |  CAST(SUM(p * n) AS BIGINT) AS tied,
+      |  CAST(((2 * SUM(p * neg_below) + SUM(p * n)) * 1000000)
+      |    // (2 * SUM(p) * SUM(n)) AS BIGINT) AS auc_ppm
+      |FROM below GROUP BY model ORDER BY model""".stripMargin
+
+  /** q252: classifier threshold-sweep evaluation — confusion matrix +
+    * precision/recall/F1 across a threshold grid, the other half of
+    * the model-eval pair (q251 is threshold-free). Rows collapse to
+    * per-distinct-score (pos, neg) counts first — the 100 TB scan
+    * reduces to the score domain — then a broadcast cross join against
+    * the 9-row threshold grid aggregates cumulative counts per τ.
+    * Ratios are floor-divided ppm; a threshold with no predicted
+    * positives yields NULL precision/F1 (nullif guard in both engines,
+    * not a fabricated 0).
+    */
+  def classifierEval(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(
+      pmod(col("n_chars"), lit(100L)).as("score"),
+      (col("lang") === "en").cast(LongType).as("y"))
+    val perScore = d.groupBy(col("score"))
+      .agg(sum(col("y")).as("p"), sum(lit(1L) - col("y")).as("n"))
+    val taus = s.range(1, 10).select((col("id") * 10L).as("tau"))
+    def ppm(num: Column, den: Column) =
+      call_function("div", num * 1000000L, nullif(den, lit(0L)))
+    perScore.crossJoin(broadcast(taus))
+      .groupBy(col("tau"))
+      .agg(sum(when(col("score") >= col("tau"), col("p")).otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("tau"), col("n")).otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("tau"), col("p")).otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("tau"), col("n")).otherwise(0L)).as("tn"))
+      .select(col("tau"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ppm(col("tp"), col("tp") + col("fp")).as("precision_ppm"),
+        ppm(col("tp"), col("tp") + col("fn")).as("recall_ppm"),
+        ppm(lit(2L) * col("tp"),
+          lit(2L) * col("tp") + col("fp") + col("fn")).as("f1_ppm"))
+      .orderBy(col("tau"))
+  }
+
+  private val q252Sql: String =
+    """WITH d AS (
+      |  SELECT n_chars % 100 AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |per_score AS (
+      |  SELECT score, SUM(y) AS p, SUM(1 - y) AS n FROM d GROUP BY 1),
+      |taus AS (SELECT (i + 1) * 10 AS tau FROM range(9) r(i)),
+      |cm AS (
+      |  SELECT tau,
+      |    SUM(CASE WHEN score >= tau THEN p ELSE 0 END) AS tp,
+      |    SUM(CASE WHEN score >= tau THEN n ELSE 0 END) AS fp,
+      |    SUM(CASE WHEN score < tau THEN p ELSE 0 END) AS fn,
+      |    SUM(CASE WHEN score < tau THEN n ELSE 0 END) AS tn
+      |  FROM per_score CROSS JOIN taus GROUP BY tau)
+      |SELECT CAST(tau AS BIGINT) AS tau, CAST(tp AS BIGINT) AS tp,
+      |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+      |  CAST(tn AS BIGINT) AS tn,
+      |  CAST((tp * 1000000) // NULLIF(tp + fp, 0) AS BIGINT) AS precision_ppm,
+      |  CAST((tp * 1000000) // NULLIF(tp + fn, 0) AS BIGINT) AS recall_ppm,
+      |  CAST((2 * tp * 1000000) // NULLIF(2 * tp + fp + fn, 0) AS BIGINT)
+      |    AS f1_ppm
+      |FROM cm ORDER BY tau""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -3734,7 +3858,9 @@ object Relational extends QueryModule {
     "q247_double_charges" -> (doubleCharges _),
     "q248_activity_streaks" -> (activityStreaks _),
     "q249_fifo_matching" -> (fifoMatching _),
-    "q250_tiered_commission" -> (tieredCommission _))
+    "q250_tiered_commission" -> (tieredCommission _),
+    "q251_auc_exact" -> (aucExact _),
+    "q252_classifier_eval" -> (classifierEval _))
 
   val family: String = "relational"
 
@@ -4139,7 +4265,9 @@ object Relational extends QueryModule {
     "q247_double_charges" -> q247Sql,
     "q248_activity_streaks" -> q248Sql,
     "q249_fifo_matching" -> q249Sql,
-    "q250_tiered_commission" -> q250Sql)
+    "q250_tiered_commission" -> q250Sql,
+    "q251_auc_exact" -> q251Sql,
+    "q252_classifier_eval" -> q252Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
