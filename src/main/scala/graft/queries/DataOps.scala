@@ -2238,6 +2238,72 @@ object DataOps extends QueryModule {
        |FROM d6 ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q253: critical-path DAG layering (longest path) --------------------
+
+  /** Critical-path layering — q222's BFS inverted to LONGEST path over
+    * a DAG: the build-system / task-DAG scheduling depth, and the
+    * "earliest epoch a derived dataset can materialize" question in a
+    * lineage graph. Edges (u → 2u + suppkey%2, capped at the max part
+    * key) strictly increase the node id, so the graph is acyclic by
+    * construction and every path at least doubles its node value —
+    * depth ≤ log2(maxKey), bounding the synchronous rounds at 12.
+    * Unlike BFS the settled set can't prune (a longer path may still
+    * arrive), so each round re-derives the frontier and the final
+    * per-node MAX over all (node, round) states picks the layer; state
+    * count is ≤ N·depth, never path-enumerating (the naive all-paths
+    * walk is 2^depth). At 100 TB the edge table is bucketed on u and
+    * each round is one co-located join. Output is the layer histogram.
+    */
+  def criticalPath(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables(s, dir, "part").select(col("p_partkey").as("node"))
+      .localCheckpoint(false)
+    val mx = p.agg(max(col("node")).as("mx"))
+    val edges = Tables(s, dir, "lineitem")
+      .select(col("l_partkey").as("u"),
+        (col("l_partkey") * 2 + pmod(col("l_suppkey"), lit(2L))).as("v"))
+      .crossJoin(broadcast(mx))
+      .filter(col("v") <= col("mx") && col("v") > col("u"))
+      .select(col("u"), col("v")).distinct()
+      .localCheckpoint(false)
+    val roots = p.join(edges.select(col("v").as("node")).distinct(),
+      Seq("node"), "left_anti").localCheckpoint(false)
+    var frontier = roots
+    var acc = roots.select(col("node"), lit(0L).as("len"))
+    for (i <- 1 to 12) {
+      frontier = frontier.join(edges, col("node") === col("u"))
+        .select(col("v").as("node")).distinct().localCheckpoint(false)
+      acc = acc.unionByName(frontier.select(col("node"), lit(i.toLong).as("len")))
+    }
+    acc.groupBy(col("node")).agg(max(col("len")).as("level"))
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_nodes"))
+      .orderBy(col("level"))
+  }
+
+  private val q253Oracle: String = {
+    val rounds = (1 to 12).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.v AS node FROM e JOIN r${i - 1} f ON e.u = f.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = (0 to 12).map(i => s"SELECT node, $i AS len FROM r$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT l_partkey AS u, l_partkey * 2 + (l_suppkey % 2) AS v
+       |  FROM lineitem
+       |  WHERE l_partkey * 2 + (l_suppkey % 2) <= (SELECT MAX(p_partkey) FROM part)
+       |    AND l_partkey * 2 + (l_suppkey % 2) > l_partkey),
+       |r0 AS MATERIALIZED (
+       |  SELECT p_partkey AS node FROM part
+       |  WHERE p_partkey NOT IN (SELECT v FROM e)),
+       |$rounds,
+       |lv AS ($union),
+       |mx AS (SELECT node, MAX(len) AS level FROM lv GROUP BY 1)
+       |SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_nodes,
+       |  CAST(SUM(node) AS BIGINT) AS sum_nodes
+       |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---- q179: binaryFile source (multimodal ingestion door) ---------------
 
   /** The `binaryFile` DataSource — how a real multimodal corpus (image/
@@ -3814,6 +3880,7 @@ object DataOps extends QueryModule {
     "q171_triangles" -> (triangleCounts _),
     "q222_bfs_distances" -> (bfsDistances _),
     "q230_weighted_paths" -> (weightedDistances _),
+    "q253_critical_path" -> (criticalPath _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -3906,6 +3973,7 @@ object DataOps extends QueryModule {
     "q171_triangles" -> q171Oracle,
     "q222_bfs_distances" -> q222Oracle,
     "q230_weighted_paths" -> q230Oracle,
+    "q253_critical_path" -> q253Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

@@ -3315,6 +3315,65 @@ object Relational extends QueryModule {
       |    AS f1_ppm
       |FROM cm ORDER BY tau""".stripMargin
 
+  /** q254: functional-dependency audit — data-profiling primitive
+    * (schema inference, key discovery, denormalization safety): for
+    * each candidate FD A → B, count LHS groups, groups with more than
+    * one distinct RHS (violations), and the exact g3 repair size (min
+    * rows to delete so the FD holds = Σ per-group (n − majority
+    * count)), reported as floor-divided ppm. Each candidate is two
+    * cascaded hash aggregations — (A, B) counts then per-A rollup — so
+    * 100 TB reduces at the first groupBy and the FD verdict never
+    * sorts or self-joins; candidates run independently and union.
+    */
+  def fdAudit(s: SparkSession, dir: String): DataFrame = {
+    def fd(name: String, df: DataFrame, a: Column, b: Column): DataFrame =
+      df.groupBy(a.as("lhs"), b.as("rhs")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("lhs"))
+        .agg(sum(col("cnt")).as("grp_n"), max(col("cnt")).as("max_n"),
+          count(lit(1)).as("n_rhs"))
+        .agg(count(lit(1)).as("n_lhs"),
+          sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating"),
+          sum(col("grp_n")).as("n_rows"),
+          sum(col("grp_n") - col("max_n")).as("n_delete"))
+        .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+          col("n_rows"), col("n_delete"),
+          call_function("div", col("n_delete") * 1000000L, col("n_rows"))
+            .as("g3_ppm"))
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    fd("li_orderkey_to_returnflag", li, col("l_orderkey"), col("l_returnflag"))
+      .unionByName(fd("li_partkey_to_suppkey", li, col("l_partkey"), col("l_suppkey")))
+      .unionByName(fd("o_custkey_to_priority", o, col("o_custkey"), col("o_orderpriority")))
+      .unionByName(fd("o_orderkey_to_custkey", o, col("o_orderkey"), col("o_custkey")))
+      .orderBy(col("fd"))
+  }
+
+  private val q254Sql: String = {
+    def leg(name: String, table: String, a: String, b: String) =
+      s"""SELECT '$name' AS fd, COUNT(*) AS n_lhs,
+         |  SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS n_violating,
+         |  SUM(grp_n) AS n_rows, SUM(grp_n - max_n) AS n_delete
+         |FROM (
+         |  SELECT lhs, SUM(cnt) AS grp_n, MAX(cnt) AS max_n, COUNT(*) AS n_rhs
+         |  FROM (SELECT $a AS lhs, $b AS rhs, COUNT(*) AS cnt
+         |        FROM $table GROUP BY 1, 2) g
+         |  GROUP BY 1) gg""".stripMargin
+    s"""WITH legs AS (
+       |${leg("li_orderkey_to_returnflag", "lineitem", "l_orderkey", "l_returnflag")}
+       |UNION ALL
+       |${leg("li_partkey_to_suppkey", "lineitem", "l_partkey", "l_suppkey")}
+       |UNION ALL
+       |${leg("o_custkey_to_priority", "orders", "o_custkey", "o_orderpriority")}
+       |UNION ALL
+       |${leg("o_orderkey_to_custkey", "orders", "o_orderkey", "o_custkey")})
+       |SELECT fd, CAST(n_lhs AS BIGINT) AS n_lhs,
+       |  CAST(n_violating AS BIGINT) AS n_violating,
+       |  CAST(n_rows AS BIGINT) AS n_rows,
+       |  CAST(n_delete AS BIGINT) AS n_delete,
+       |  CAST((n_delete * 1000000) // n_rows AS BIGINT) AS g3_ppm
+       |FROM legs ORDER BY fd""".stripMargin
+  }
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -3860,7 +3919,8 @@ object Relational extends QueryModule {
     "q249_fifo_matching" -> (fifoMatching _),
     "q250_tiered_commission" -> (tieredCommission _),
     "q251_auc_exact" -> (aucExact _),
-    "q252_classifier_eval" -> (classifierEval _))
+    "q252_classifier_eval" -> (classifierEval _),
+    "q254_fd_audit" -> (fdAudit _))
 
   val family: String = "relational"
 
@@ -4267,7 +4327,8 @@ object Relational extends QueryModule {
     "q249_fifo_matching" -> q249Sql,
     "q250_tiered_commission" -> q250Sql,
     "q251_auc_exact" -> q251Sql,
-    "q252_classifier_eval" -> q252Sql)
+    "q252_classifier_eval" -> q252Sql,
+    "q254_fd_audit" -> q254Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
