@@ -2304,6 +2304,70 @@ object DataOps extends QueryModule {
        |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---- q256: sparse matrix multiply (SpMM) --------------------------------
+
+  /** Distributed sparse matrix multiply — the doc-term × term-topic
+    * product behind LDA-style topic scoring, embedding projection, and
+    * co-occurrence factorization, in its scale-correct join form:
+    * A(doc, term, count) ⋈ B(term, topic, weight) on term, then one
+    * hash aggregation to C(doc, topic). B derives deterministically
+    * from the vocabulary (length-keyed weights mod 7), so it is
+    * vocabulary-bounded and never materializes outside the plan. The
+    * per-topic argmax uses the max-then-join-back two-pass (q184's
+    * discipline) instead of a 5-partition window — no skew, no global
+    * sort. All integer.
+    */
+  def sparseMatmul(s: SparkSession, dir: String): DataFrame = {
+    val a = docs(s, dir)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("av"))
+    val b = a.select(col("term")).distinct()
+      .withColumn("k", explode(array((0 to 4).map(k => lit(k.toLong)): _*)))
+      .withColumn("w",
+        pmod(length(col("term")) * (col("k") * 2 + 3) + col("k") + 1, lit(7L)))
+    val cCells = a.join(b, "term")
+      .groupBy(col("doc_id"), col("k")).agg(sum(col("av") * col("w")).as("cv"))
+      .localCheckpoint(false)
+    val tops = cCells.groupBy(col("k"))
+      .agg(sum(col("cv")).as("total"),
+        sum(when(col("cv") > 0, 1L).otherwise(0L)).as("n_nonzero"),
+        max(col("cv")).as("max_cell"))
+    val arg = cCells
+      .join(tops.select(col("k"), col("max_cell").as("mc")), "k")
+      .filter(col("cv") === col("mc"))
+      .groupBy(col("k")).agg(min(col("doc_id")).as("top_doc"))
+    tops.join(arg, "k")
+      .select(col("k"), col("total"), col("n_nonzero"), col("max_cell"),
+        col("top_doc"))
+      .orderBy(col("k"))
+  }
+
+  private val q256Oracle: String =
+    """WITH a AS (
+      |  SELECT doc_id, term, COUNT(*) AS av FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |    FROM documents) t GROUP BY 1, 2),
+      |b AS (
+      |  SELECT term, k, (length(term) * (k * 2 + 3) + k + 1) % 7 AS w
+      |  FROM (SELECT DISTINCT term FROM a) v,
+      |       (SELECT unnest(range(0, 5)) AS k) ks),
+      |c AS (
+      |  SELECT doc_id, k, SUM(a.av * b.w) AS cv
+      |  FROM a JOIN b USING (term) GROUP BY 1, 2),
+      |tops AS (
+      |  SELECT k, CAST(SUM(cv) AS BIGINT) AS total,
+      |    SUM(CASE WHEN cv > 0 THEN 1 ELSE 0 END) AS n_nonzero,
+      |    MAX(cv) AS max_cell
+      |  FROM c GROUP BY 1),
+      |arg AS (
+      |  SELECT c.k, MIN(c.doc_id) AS top_doc
+      |  FROM c JOIN tops ON tops.k = c.k AND c.cv = tops.max_cell
+      |  GROUP BY 1)
+      |SELECT CAST(tops.k AS BIGINT) AS k, tops.total,
+      |  CAST(tops.n_nonzero AS BIGINT) AS n_nonzero,
+      |  CAST(tops.max_cell AS BIGINT) AS max_cell, arg.top_doc
+      |FROM tops JOIN arg ON arg.k = tops.k ORDER BY k""".stripMargin
+
   // ---- q179: binaryFile source (multimodal ingestion door) ---------------
 
   /** The `binaryFile` DataSource — how a real multimodal corpus (image/
@@ -3881,6 +3945,7 @@ object DataOps extends QueryModule {
     "q222_bfs_distances" -> (bfsDistances _),
     "q230_weighted_paths" -> (weightedDistances _),
     "q253_critical_path" -> (criticalPath _),
+    "q256_sparse_matmul" -> (sparseMatmul _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -3974,6 +4039,7 @@ object DataOps extends QueryModule {
     "q222_bfs_distances" -> q222Oracle,
     "q230_weighted_paths" -> q230Oracle,
     "q253_critical_path" -> q253Oracle,
+    "q256_sparse_matmul" -> q256Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

@@ -3374,6 +3374,69 @@ object Relational extends QueryModule {
        |FROM legs ORDER BY fd""".stripMargin
   }
 
+  /** q255: grid-bucketed spatial neighbor join — the geo self-join
+    * primitive (points-of-interest clustering, fraud co-location,
+    * store catchment overlap) done the way it scales: points land in
+    * 20×20 grid cells, the LEFT side replicates into its 3×3 cell
+    * neighborhood (9 rows) and the join is a plain equi-join on cell —
+    * because the radius (20) equals the cell width, every qualifying
+    * pair differs by ≤1 cell per axis and matches on EXACTLY one
+    * offset, so no pair dedup is needed and no all-pairs product ever
+    * forms (the oracle IS the brute-force all-pairs semantics; the
+    * engine plan is the scale path). Integer planar coordinates derive
+    * from the seeded md5 hash (a multiplicative `k·c mod m` lattice
+    * has NO near-but-distinct pairs — the filter would never fire);
+    * distances compare squared.
+    */
+  def geoGridJoin(s: SparkSession, dir: String): DataFrame = {
+    val cell = 20L
+    val c = t(s, dir, "customer").select(col("c_custkey").as("k"),
+      pmod(graft.functions.TextFns.seededHash(1,
+        col("c_custkey").cast(StringType)), lit(1000L)).as("x"),
+      pmod(graft.functions.TextFns.seededHash(2,
+        col("c_custkey").cast(StringType)), lit(1000L)).as("y"),
+      col("c_mktsegment").as("seg"))
+    val cells = c
+      .withColumn("cx", call_function("div", col("x"), lit(cell)))
+      .withColumn("cy", call_function("div", col("y"), lit(cell)))
+    val offs = for (dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L))
+      yield struct(lit(dx).as("dx"), lit(dy).as("dy"))
+    val left = cells.withColumn("off", explode(array(offs: _*)))
+      .select(col("k").as("ka"), col("x").as("xa"), col("y").as("ya"),
+        col("seg").as("sega"),
+        (col("cx") + col("off.dx")).as("jx"), (col("cy") + col("off.dy")).as("jy"))
+    val right = cells.select(col("k").as("kb"), col("x").as("xb"),
+      col("y").as("yb"), col("seg").as("segb"),
+      col("cx").as("jx"), col("cy").as("jy"))
+    left.join(right, Seq("jx", "jy"))
+      .filter(col("ka") < col("kb"))
+      .withColumn("d2",
+        (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+      .filter(col("d2") <= cell * cell)
+      .select(least(col("sega"), col("segb")).as("seg_lo"),
+        greatest(col("sega"), col("segb")).as("seg_hi"), col("d2"))
+      .groupBy(col("seg_lo"), col("seg_hi"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("d2")).as("sum_d2"))
+      .orderBy(col("seg_lo"), col("seg_hi"))
+  }
+
+  private val q255Sql: String =
+    s"""WITH c AS (
+      |  SELECT c_custkey AS k,
+      |    ${graft.functions.TextFns.seededHashSql(1, "CAST(c_custkey AS VARCHAR)")} % 1000 AS x,
+      |    ${graft.functions.TextFns.seededHashSql(2, "CAST(c_custkey AS VARCHAR)")} % 1000 AS y,
+      |    c_mktsegment AS seg
+      |  FROM customer),
+      |p AS (
+      |  SELECT LEAST(a.seg, b.seg) AS seg_lo, GREATEST(a.seg, b.seg) AS seg_hi,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM c a JOIN c b ON a.k < b.k
+      |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 400)
+      |SELECT seg_lo, seg_hi, COUNT(*) AS n_pairs,
+      |  CAST(SUM(d2) AS BIGINT) AS sum_d2
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Math scalar functions, per-row (IEEE-deterministic: sqrt is correctly
     * rounded in both engines; no transcendental fns in the oracle path).
     */
@@ -3920,7 +3983,8 @@ object Relational extends QueryModule {
     "q250_tiered_commission" -> (tieredCommission _),
     "q251_auc_exact" -> (aucExact _),
     "q252_classifier_eval" -> (classifierEval _),
-    "q254_fd_audit" -> (fdAudit _))
+    "q254_fd_audit" -> (fdAudit _),
+    "q255_geo_grid_join" -> (geoGridJoin _))
 
   val family: String = "relational"
 
@@ -4328,7 +4392,8 @@ object Relational extends QueryModule {
     "q250_tiered_commission" -> q250Sql,
     "q251_auc_exact" -> q251Sql,
     "q252_classifier_eval" -> q252Sql,
-    "q254_fd_audit" -> q254Sql)
+    "q254_fd_audit" -> q254Sql,
+    "q255_geo_grid_join" -> q255Sql)
 
   /** DuckDB replay of the 6-bit 3-D Morton interleave
     * (Layout.zOrderValueN): bit b of dim j lands at position 3b+j. */
