@@ -239,7 +239,12 @@ object Layout {
       val out = fs.create(lp, false)
       try out.write(holder.getBytes("UTF-8")) finally out.close()
     } catch {
-      case e: java.io.IOException =>
+      // Only a create-no-overwrite CONTENTION is "lock held"; a transient
+      // FS fault or permission error propagates as-is so an operator is
+      // never advised to break a lock that was never contended (ADVICE r10).
+      case e: java.io.IOException
+          if e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] ||
+            fs.exists(lp) =>
         val who = try {
           val in = fs.open(lp)
           try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")

@@ -2246,13 +2246,17 @@ object DataOps extends QueryModule {
     * lineage graph. Edges (u → 2u + suppkey%2, capped at the max part
     * key) strictly increase the node id, so the graph is acyclic by
     * construction and every path at least doubles its node value —
-    * depth ≤ log2(maxKey), bounding the synchronous rounds at 12.
+    * depth ≤ ceil(log2(maxKey)), so the loop terminates in
+    * O(log maxKey) synchronous rounds. The loop runs until the
+    * frontier empties rather than to a precomputed count, so the
+    * depth bound is a termination guarantee, not a truncation.
     * Unlike BFS the settled set can't prune (a longer path may still
     * arrive), so each round re-derives the frontier and the final
     * per-node MAX over all (node, round) states picks the layer; state
     * count is ≤ N·depth, never path-enumerating (the naive all-paths
     * walk is 2^depth). At 100 TB the edge table is bucketed on u and
-    * each round is one co-located join. Output is the layer histogram.
+    * each round is one co-located join; the per-round isEmpty probe
+    * reads one checkpointed partition, not a recount of the graph.
     */
   def criticalPath(s: SparkSession, dir: String): DataFrame = {
     val p = Tables(s, dir, "part").select(col("p_partkey").as("node"))
@@ -2269,10 +2273,14 @@ object DataOps extends QueryModule {
       Seq("node"), "left_anti").localCheckpoint(false)
     var frontier = roots
     var acc = roots.select(col("node"), lit(0L).as("len"))
-    for (i <- 1 to 12) {
+    var i = 0
+    var done = false
+    while (!done) {
+      i += 1
       frontier = frontier.join(edges, col("node") === col("u"))
         .select(col("v").as("node")).distinct().localCheckpoint(false)
-      acc = acc.unionByName(frontier.select(col("node"), lit(i.toLong).as("len")))
+      if (frontier.isEmpty) done = true
+      else acc = acc.unionByName(frontier.select(col("node"), lit(i.toLong).as("len")))
     }
     acc.groupBy(col("node")).agg(max(col("len")).as("level"))
       .groupBy(col("level"))
@@ -2280,29 +2288,26 @@ object DataOps extends QueryModule {
       .orderBy(col("level"))
   }
 
-  private val q253Oracle: String = {
-    val rounds = (1 to 12).map { i =>
-      s"""r$i AS MATERIALIZED (
-         |  SELECT DISTINCT e.v AS node FROM e JOIN r${i - 1} f ON e.u = f.node)"""
-        .stripMargin
-    }.mkString(",\n")
-    val union = (0 to 12).map(i => s"SELECT node, $i AS len FROM r$i")
-      .mkString("\n  UNION ALL ")
-    s"""WITH e AS MATERIALIZED (
+  // Recursive CTE with UNION (not UNION ALL): DuckDB dedups each step's
+  // (node, len) states against everything seen, so the walk carries at
+  // most N·depth states and terminates when a round adds nothing new —
+  // the same until-frontier-empty semantics as the Spark loop, with no
+  // round count baked in.
+  private val q253Oracle: String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (
        |  SELECT DISTINCT l_partkey AS u, l_partkey * 2 + (l_suppkey % 2) AS v
        |  FROM lineitem
        |  WHERE l_partkey * 2 + (l_suppkey % 2) <= (SELECT MAX(p_partkey) FROM part)
        |    AND l_partkey * 2 + (l_suppkey % 2) > l_partkey),
-       |r0 AS MATERIALIZED (
-       |  SELECT p_partkey AS node FROM part
-       |  WHERE p_partkey NOT IN (SELECT v FROM e)),
-       |$rounds,
-       |lv AS ($union),
+       |lv AS (
+       |  SELECT p_partkey AS node, 0 AS len FROM part
+       |  WHERE p_partkey NOT IN (SELECT v FROM e)
+       |  UNION
+       |  SELECT e.v AS node, lv.len + 1 AS len FROM e JOIN lv ON e.u = lv.node),
        |mx AS (SELECT node, MAX(len) AS level FROM lv GROUP BY 1)
        |SELECT CAST(level AS BIGINT) AS level, COUNT(*) AS n_nodes,
        |  CAST(SUM(node) AS BIGINT) AS sum_nodes
        |FROM mx GROUP BY 1 ORDER BY 1""".stripMargin
-  }
 
   // ---- q256: sparse matrix multiply (SpMM) --------------------------------
 
@@ -3608,13 +3613,19 @@ object DataOps extends QueryModule {
       .orderBy(col("site"))
   }
 
+  // The cap window partitions by SITE on both sides: two langs that map
+  // to the same ccTLD ('cn' branch) share one site and one cap, exactly
+  // as a per-registrable-domain crawl cap behaves.
   private val q185Oracle: String =
-    """WITH u AS (
+    """WITH u0 AS (
       |  SELECT doc_id, n_chars AS qs,
       |    source || '.' || CASE lang WHEN 'en' THEN 'com' WHEN 'de' THEN 'de'
-      |      WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es' ELSE 'cn' END AS site,
-      |    row_number() OVER (PARTITION BY source, lang ORDER BY doc_id) AS rn
-      |  FROM documents)
+      |      WHEN 'fr' THEN 'fr' WHEN 'es' THEN 'es' ELSE 'cn' END AS site
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id, qs, site,
+      |    row_number() OVER (PARTITION BY site ORDER BY doc_id) AS rn
+      |  FROM u0)
       |SELECT site, string_split(site, '.')[-1] AS tld,
       |  COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
