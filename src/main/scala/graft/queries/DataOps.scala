@@ -2373,6 +2373,68 @@ object DataOps extends QueryModule {
       |  CAST(tops.max_cell AS BIGINT) AS max_cell, arg.top_doc
       |FROM tops JOIN arg ON arg.k = tops.k ORDER BY k""".stripMargin
 
+  // ---- q257: k-means centroid training, driver-pinned ---------------------
+
+  /** Lloyd's k-means TRAINING pinned end-to-end (q60 pinned PQ search by
+    * fixing iters=0 codebooks; this pins the training loop itself):
+    * [[Similarity.trainCentroids]] with k=4, iters=2 over the embeddings
+    * table, the trained centroids posexploded to scalar (centroid_id,
+    * pos, value) rows. The oracle replays both Lloyd's rounds as CTEs —
+    * argmax-cosine assignment (ties → lowest centroid id, exactly
+    * [[Similarity.assign]]'s max_by ordering) then per-dimension AVG —
+    * so init, assignment metric, tie-break, and the mean update are all
+    * hash-checked, not just the search that consumes them. round(…,6)
+    * absorbs the ≤1e-13 summation-order skew of double AVG between
+    * engines (q24's discipline); assignments themselves are exact
+    * because centroid gaps are O(1e-2), nine decades above the noise.
+    */
+  def kmeansTrain(s: SparkSession, dir: String): DataFrame = {
+    Similarity.trainCentroids(emb(s, dir), 4, 2)
+      .select(col("vec_id").as("centroid_id"),
+        posexplode(col("embedding").cast("array<double>")))
+      .select(col("centroid_id"), col("pos").cast("long").as("pos"),
+        round(col("col"), 6).as("val_r"))
+      .sortOnce(col("centroid_id"), col("pos"))
+  }
+
+  private val q257Oracle: String = {
+    def assignRound(cents: String, out: String) = {
+      val cos = "list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), i.c)"
+      s"""$out AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT v.vec_id, v.embedding, i.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id
+         |        ORDER BY $cos DESC, i.cid) AS rn
+         |    FROM embeddings v, $cents i) WHERE rn = 1)""".stripMargin
+    }
+    def meanRound(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT cid, pos, AVG(x) AS m FROM (
+         |    SELECT cid,
+         |      generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+         |      unnest(CAST(embedding AS DOUBLE[])) AS x
+         |    FROM $assigned) t GROUP BY 1, 2)""".stripMargin
+    s"""WITH init AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings ORDER BY vec_id LIMIT 4),
+       |${assignRound("init", "a1")},
+       |${meanRound("a1", "g1")},
+       |c1 AS (
+       |  SELECT cid, list(m ORDER BY pos) AS c FROM g1 GROUP BY 1
+       |  UNION ALL
+       |  SELECT cid, c FROM init WHERE cid NOT IN (SELECT cid FROM g1)),
+       |${assignRound("c1", "a2")},
+       |${meanRound("a2", "g2")},
+       |outv AS (
+       |  SELECT cid, pos, m FROM g2
+       |  UNION ALL
+       |  SELECT cid, generate_subscripts(c, 1) - 1 AS pos, unnest(c) AS m
+       |  FROM c1 WHERE cid NOT IN (SELECT cid FROM g2))
+       |SELECT CAST(cid AS BIGINT) AS centroid_id, CAST(pos AS BIGINT) AS pos,
+       |  round(m, 6) AS val_r
+       |FROM outv ORDER BY 1, 2""".stripMargin
+  }
+
   // ---- q179: binaryFile source (multimodal ingestion door) ---------------
 
   /** The `binaryFile` DataSource — how a real multimodal corpus (image/
@@ -3957,6 +4019,7 @@ object DataOps extends QueryModule {
     "q230_weighted_paths" -> (weightedDistances _),
     "q253_critical_path" -> (criticalPath _),
     "q256_sparse_matmul" -> (sparseMatmul _),
+    "q257_kmeans_train" -> (kmeansTrain _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -4051,6 +4114,7 @@ object DataOps extends QueryModule {
     "q230_weighted_paths" -> q230Oracle,
     "q253_critical_path" -> q253Oracle,
     "q256_sparse_matmul" -> q256Oracle,
+    "q257_kmeans_train" -> q257Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,
