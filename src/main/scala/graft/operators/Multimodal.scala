@@ -847,6 +847,61 @@ object Multimodal {
       StructField("phash", LongType, nullable = true))))
   }
 
+  /** Bootstrap a perceptual-fingerprint STORE from a media snapshot:
+    * (media_id, payload_fp, phash, src='decoded') where `payload_fp` is
+    * the byte-level `xxhash64(payload)` (cheap — no decode) and `phash`
+    * comes from the caller's decode+fingerprint pass ([[imagePhash]] /
+    * [[audioPhash]]). The store is what survives between crawls —
+    * ~24 bytes/row against the multi-KB payloads — and is the `prev`
+    * side of [[incrementalPhash]]; persist it with parquet +
+    * `Staging.ensureFresh` keyed on the corpus source.
+    */
+  def phashStore(media: DataFrame, fingerprint: DataFrame => DataFrame): DataFrame =
+    fingerprint(media)
+      .join(media.select(col("media_id"), xxhash64(col("payload")).as("payload_fp")),
+        "media_id")
+      .select(col("media_id"), col("payload_fp"), col("phash"),
+        lit("decoded").as("src"))
+
+  /** Incremental perceptual-fingerprint maintenance — at 100 TB nobody
+    * re-decodes the corpus to re-dedup it. Given the previous crawl's
+    * fingerprint store ([[phashStore]] schema) and the NEW media
+    * snapshot, [[SnapshotDiff.diffStored]] classifies every id by
+    * byte-level xxhash64 — the old payloads are never re-read — and
+    * only `added`/`changed` payloads go through the caller's decode
+    * pass; `unchanged` ids keep their stored phash, `removed` ids drop.
+    * The decode delta is surfaced as an `observe` metric
+    * (`incr_phash_decodes`) so a pipeline can alert when decode volume
+    * stops tracking the crawl delta. Returns the NEXT store: same
+    * schema, `src` marking `decoded` vs `retained` provenance, so the
+    * output of crawl N is the input of crawl N+1 and the decode cost of
+    * every run is O(delta), never O(corpus).
+    */
+  def incrementalPhash(newMedia: DataFrame, prevStore: DataFrame,
+                       fingerprint: DataFrame => DataFrame): DataFrame = {
+    val d = SnapshotDiff.diffStored(
+      prevStore.select(col("media_id").as("id"), col("payload_fp").as("fp")),
+      newMedia, col("media_id"), xxhash64(col("payload")))
+    // The change set is reused twice (decode input + payload_fp carry);
+    // the lazy checkpoint keeps the diff join from re-running — it is
+    // O(delta) rows of (id, fp), never payloads.
+    val changes = d.filter(col("status").isin("added", "changed"))
+      .select(col("id").as("media_id"), col("new_fp"))
+      .localCheckpoint(false)
+    val toDecode = newMedia.join(changes, "media_id")
+    val fresh = fingerprint(
+        toDecode.observe("incr_phash_decodes", count(lit(1)).as("n_decoded")))
+      .join(changes.select(col("media_id"), col("new_fp").as("payload_fp")), "media_id")
+      .select(col("media_id"), col("payload_fp"), col("phash"),
+        lit("decoded").as("src"))
+    val retained = prevStore
+      .join(d.filter(col("status") === "unchanged").select(col("id").as("media_id")),
+        "media_id")
+      .select(col("media_id"), col("payload_fp"), col("phash"),
+        lit("retained").as("src"))
+    fresh.unionByName(retained)
+  }
+
   /** Synthesize REAL multi-frame grayscale GIF payloads, one per doc:
     * `id % 20 + 2` frames of `(id%12+4)×(id%8+4)`, frame `fr` pixel(x,y)
     * = `(id + fr·31 + y) % 256` — a per-frame row gradient the SQL

@@ -31,9 +31,23 @@ object SnapshotDiff {
     *         are NULL on the side the id is absent from.
     */
   def diff(oldDf: DataFrame, newDf: DataFrame,
-           id: Column, payload: Column): DataFrame = {
-    val o = oldDf.select(id.as("id"), TextFns.hash60(payload).as("old_fp"))
-    val n = newDf.select(id.as("id"), TextFns.hash60(payload).as("new_fp"))
+           id: Column, payload: Column): DataFrame =
+    diffStored(oldDf.select(id.as("id"), TextFns.hash60(payload).as("fp")),
+      newDf, id, TextFns.hash60(payload))
+
+  /** Diff a new snapshot against a PERSISTED fingerprint table — the
+    * store-driven variant behind incremental derived-data maintenance
+    * ([[Multimodal.incrementalPhash]]): the previous snapshot's
+    * payloads are never re-read, only its ~16-byte/row (id, fp) store.
+    * `prevFps` must carry columns (id, fp); `newFp` is the fingerprint
+    * expression evaluated over the new snapshot (byte-level — e.g.
+    * `xxhash64(payload)` for binary media; it must match how the store
+    * was built). Output schema matches [[diff]].
+    */
+  def diffStored(prevFps: DataFrame, newDf: DataFrame,
+                 id: Column, newFp: Column): DataFrame = {
+    val o = prevFps.select(col("id"), col("fp").as("old_fp"))
+    val n = newDf.select(id.as("id"), newFp.as("new_fp"))
     o.join(n, Seq("id"), "full_outer")
       .select(
         col("id"),

@@ -2435,6 +2435,75 @@ object DataOps extends QueryModule {
        |FROM outv ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- q258: incremental perceptual-fingerprint maintenance ---------------
+
+  /** Incremental phash maintenance pinned incremental ≡ full (q203's
+    * SCD2-apply discipline): a previous crawl is simulated as the corpus
+    * minus `doc_id % 7 = 3` (added since), with `doc_id % 5 = 0`
+    * payloads byte-different (changed since; their old image comes from
+    * a shifted generator seed) and a batch of since-removed ids beyond
+    * the corpus. Its [[graft.operators.Multimodal.phashStore]] is
+    * PERSISTED (parquet under Staging.ensureFresh, keyed on the corpus
+    * source-sig — repeat runs never re-bootstrap), then
+    * [[graft.operators.Multimodal.incrementalPhash]] maintains it
+    * against the full corpus: only added/changed payloads are decoded
+    * (the spec asserts the decode set exactly; the operator `observe`s
+    * it), unchanged ids keep their stored phash, removed ids drop. The
+    * oracle predicts every output phash in closed form from q113's
+    * cell-image bit model and the decoded/retained provenance from the
+    * delta definition — so a green row proves the maintained store is
+    * bit-identical to a full recompute while doing O(delta) decode work.
+    */
+  def incrPhashMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val d = docs(s, dir).select(col("doc_id"))
+    val isOld = col("doc_id") % 7 =!= 3
+    val isChanged = (col("doc_id") % 5 === 0) && isOld
+    val shift = 10000000L
+    val oldMedia = Multimodal.syntheticCellImages(d.filter(isOld && !isChanged))
+      .unionByName(Multimodal.syntheticCellImages(
+          d.filter(isChanged).select((col("doc_id") + shift).as("doc_id")))
+        .withColumn("media_id", col("media_id") - shift))
+      .unionByName(Multimodal.syntheticCellImages(
+        d.filter(col("doc_id") % 13 === 1).select((col("doc_id") + 2 * shift).as("doc_id"))))
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val storeP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"phash_store_$tag")
+    graft.Staging.ensureFresh(
+      java.nio.file.Paths.get(dir, "documents.parquet"), storeP) {
+      Multimodal.phashStore(oldMedia, Multimodal.imagePhash)
+        .write.mode("overwrite").parquet(storeP.toString)
+    }
+    val prevStore = s.read.parquet(storeP.toString)
+    val newMedia = Multimodal.syntheticCellImages(d)
+    Multimodal.incrementalPhash(newMedia, prevStore, Multimodal.imagePhash)
+      .select(col("media_id"), col("phash"), col("src"))
+      .sortOnce(col("media_id"))
+  }
+
+  private val q258Oracle: String =
+    s"""WITH bits AS (
+       |  SELECT doc_id, r.r * 8 + c.c AS pos,
+       |    CASE WHEN
+       |      ${cellHashSql("c.c + 1")} % 200
+       |        + CASE WHEN doc_id % 3 = 2 AND c.c + 1 = 4 AND r.r < 2 THEN 55 ELSE 0 END
+       |      > ${cellHashSql("c.c")} % 200
+       |        + CASE WHEN doc_id % 3 = 2 AND c.c = 4 AND r.r < 2 THEN 55 ELSE 0 END
+       |    THEN 1 ELSE 0 END AS bit
+       |  FROM (SELECT doc_id, doc_id // 3 AS seed FROM documents),
+       |       (SELECT unnest(range(8)) AS r) r,
+       |       (SELECT unnest(range(8)) AS c) c),
+       |ph AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN pos < 63 THEN CAST(bit AS BIGINT) << pos ELSE 0 END) AS BIGINT)
+       |    + CASE WHEN MAX(CASE WHEN pos = 63 THEN bit ELSE 0 END) = 1
+       |        THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END AS fp
+       |  FROM bits GROUP BY doc_id)
+       |SELECT doc_id AS media_id, fp AS phash,
+       |  CASE WHEN doc_id % 7 = 3 OR doc_id % 5 = 0 THEN 'decoded'
+       |       ELSE 'retained' END AS src
+       |FROM ph ORDER BY media_id""".stripMargin
+
   // ---- q179: binaryFile source (multimodal ingestion door) ---------------
 
   /** The `binaryFile` DataSource — how a real multimodal corpus (image/
@@ -4020,6 +4089,7 @@ object DataOps extends QueryModule {
     "q253_critical_path" -> (criticalPath _),
     "q256_sparse_matmul" -> (sparseMatmul _),
     "q257_kmeans_train" -> (kmeansTrain _),
+    "q258_incr_phash" -> (incrPhashMaintain _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -4115,6 +4185,7 @@ object DataOps extends QueryModule {
     "q253_critical_path" -> q253Oracle,
     "q256_sparse_matmul" -> q256Oracle,
     "q257_kmeans_train" -> q257Oracle,
+    "q258_incr_phash" -> q258Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

@@ -224,4 +224,46 @@ class MultimodalSpec extends SparkSpec {
       assert(out(2L).isNullAt(1))
     }
   }
+
+  describe("Multimodal.incrementalPhash") {
+    // id -> a distinct tiny PNG; `variant` flips content without changing id
+    def png(id: Long, variant: Int = 0) =
+      Multimodal.ImageCodec.encodeGrayPng(8, 8)((x, y) =>
+        ((id * 31 + variant * 97 + x * 5 + y * 11) % 200).toInt)
+    def media(rows: (Long, Int)*) =
+      mediaDf(rows.map { case (id, v) => Row(id, "image", png(id, v), meta(8, 8, null, null)) })
+
+    it("decodes EXACTLY the added+changed delta, retains the rest, drops removed") {
+      val prev = media((1L, 0), (2L, 0), (3L, 0), (4L, 0), (9L, 0))
+      val store = Multimodal.phashStore(prev, Multimodal.imagePhash)
+      // next crawl: 9 removed; 3 changed (variant 1); 5, 6 added; 1,2,4 unchanged
+      val next = media((1L, 0), (2L, 0), (3L, 1), (4L, 0), (5L, 0), (6L, 0))
+      var decoded: Set[Long] = Set.empty
+      val countingFp: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        m => {
+          decoded = m.select("media_id").collect().map(_.getLong(0)).toSet
+          Multimodal.imagePhash(m)
+        }
+      val out = Multimodal.incrementalPhash(next, store, countingFp)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+      assert(decoded == Set(3L, 5L, 6L), "decode set must be the delta only")
+      val full = Multimodal.imagePhash(next)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.view.mapValues(_._1).toMap == full,
+        "maintained store must equal a full recompute")
+      assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L)) // 9 dropped
+      assert(out.filter(_._2._2 == "decoded").keySet == Set(3L, 5L, 6L))
+      assert(out.filter(_._2._2 == "retained").keySet == Set(1L, 2L, 4L))
+    }
+
+    it("is a fixpoint on an unchanged crawl: zero decodes") {
+      val m = media((1L, 0), (2L, 0))
+      val store = Multimodal.phashStore(m, Multimodal.imagePhash)
+      var called = false
+      val out = Multimodal.incrementalPhash(m, store,
+        df => { called = df.select("media_id").count() > 0; Multimodal.imagePhash(df) })
+      assert(out.filter(out("src") === "retained").count() == 2)
+      assert(!called, "no payload may reach decode on an unchanged crawl")
+    }
+  }
 }
