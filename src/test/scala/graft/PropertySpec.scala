@@ -243,4 +243,102 @@ class PropertySpec extends AnyFunSpec {
       }, minTests = 8)
     }
   }
+
+  describe("Hocon parser totality (config loader hardening, ADVICE r10)") {
+    import graft.pipeline.Hocon
+
+    // arbitrary text — unicode, braces, quotes, $, CRLF, comments — must
+    // parse or yield a readable Left; never throw, never hang
+    val junkGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf('{', '}', ':', '=', ',', '"', '\\', '$', '?', '#', '/',
+        '\n', '\r', '\t', ' ', '.', '-', '_', 'é', '台', ' '))).map(_.mkString)
+
+    it("never throws on arbitrary garbage, and errors carry a message") {
+      check(forAll(junkGen) { text =>
+        Hocon.parse(text) match {
+          case Right(_) => true
+          case Left(msg) => msg.nonEmpty
+        }
+      }, minTests = 200)
+    }
+
+    // AST round-trip: random nested configs rendered with mixed
+    // separators (: vs =), mixed line endings (LF vs CRLF), interleaved
+    // comments, trailing commas, quoted unicode keys
+    val strGen: Gen[Hocon.Value] =
+      Gen.listOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf(' ', '.', '-', '/', 'é', '台', ':')))
+        .map(cs => Hocon.Str(cs.mkString))
+    val numGen: Gen[Hocon.Value] =
+      Gen.oneOf(Gen.choose(Long.MinValue, Long.MaxValue).map(n => Hocon.Num(BigDecimal(n))),
+        Gen.zip(Gen.choose(-9999L, 9999L), Gen.choose(0, 99))
+          .map { case (a, b) => Hocon.Num(BigDecimal(s"$a.$b")) })
+    val keyGen: Gen[String] = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf('_', '-', 'é', '台'))).map(_.mkString),
+      Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf(' ', '{', ':', ',', '台'))).map("\"" + _.mkString + "\""))
+    def objGen(depth: Int): Gen[Hocon.Obj] =
+      Gen.choose(0, 4).flatMap { n =>
+        Gen.listOfN(n, Gen.zip(keyGen,
+          if (depth <= 0) Gen.oneOf(strGen, numGen, Gen.oneOf(Hocon.Bool(true), Hocon.Bool(false)))
+          else Gen.oneOf(strGen, numGen, Gen.oneOf(Hocon.Bool(true), Hocon.Bool(false)),
+            objGen(depth - 1))))
+          .map(fs => Hocon.Obj(fs.map { case (k, v) =>
+            (if (k.startsWith("\"")) k.substring(1, k.length - 1) else k) -> v }))
+      }
+    def renderKey(k: String): String =
+      if (k.forall(c => c.isLetterOrDigit || c == '_' || c == '-') && k.nonEmpty) k
+      else "\"" + k.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def render(o: Hocon.Obj, depth: Int): String = {
+      val nl = if (depth % 2 == 0) "\n" else "\r\n"
+      o.fields.zipWithIndex.map { case ((k, v), i) =>
+        val sep = if ((k.length + i) % 2 == 0) ": " else " = "
+        val comment = if (i % 3 == 2) s"  # c$i$nl" else nl
+        val field = v match {
+          case obj: Hocon.Obj =>
+            renderKey(k) + (if (i % 2 == 0) " " else sep) +
+              "{" + nl + render(obj, depth + 1) + nl + "}"
+          case Hocon.Str(s) =>
+            renderKey(k) + sep + "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case Hocon.Num(n)  => renderKey(k) + sep + n.toString
+          case Hocon.Bool(b) => renderKey(k) + sep + b.toString
+        }
+        field + (if (i % 2 == 1) "," else "") + comment
+      }.mkString
+    }
+
+    it("round-trips arbitrary nested configs through mixed-style rendering") {
+      check(Prop.forAllNoShrink(objGen(3)) { ast =>
+        Hocon.parse(render(ast, 0)) == Right(ast)
+      }, minTests = 200)
+    }
+
+    it("round-trips survive arbitrary truncation without throwing") {
+      check(Prop.forAllNoShrink(objGen(2), Gen.choose(0, 1000)) { (ast, cut) =>
+        val text = render(ast, 0)
+        Hocon.parse(text.take(math.min(cut, text.length))).isInstanceOf[Either[_, _]]
+      }, minTests = 100)
+    }
+
+    it("env substitution: optional-unset is empty, required-unset is a readable Left") {
+      val unset = "GRAFT_SURELY_UNSET_VAR_993"
+      assert(Hocon.parse(s"""k = "pre${"$"}{?$unset}post"""") ==
+        Right(Hocon.Obj(List("k" -> Hocon.Str("prepost")))))
+      Hocon.parse(s"""k = "${"$"}{$unset}"""") match {
+        case Left(msg) => assert(msg.contains(unset))
+        case Right(v)  => fail(s"required unset env var must not parse: $v")
+      }
+      // a set var substitutes; substitution is single-pass (a value that
+      // itself looks like ${...} is NOT re-resolved — no cycles possible)
+      val (name, value) = sys.env.head
+      if (name.matches("[A-Za-z0-9_]+")) {
+        assert(Hocon.parse(s"""k = "${"$"}{$name}"""") ==
+          Right(Hocon.Obj(List("k" -> Hocon.Str(value)))))
+      }
+      assert(Hocon.parse("k = \"a${?}b\"") ==
+        Right(Hocon.Obj(List("k" -> Hocon.Str("a${?}b"))))) // empty name: literal
+    }
+  }
 }
