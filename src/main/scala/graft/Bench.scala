@@ -129,9 +129,12 @@ object Bench {
     val startLoad = loadavg()
     val gatedStart = startLoad <= gateThreshold
 
-    // Warmup: run everything once, untimed.
+    // Warmup: run everything once, untimed. SPARK_GRAFT_BENCH_WARMUP=0
+    // skips it for big-SF legs where data time dwarfs JVM warmup and a
+    // second full sweep is the cost that matters.
     val loads = collection.mutable.ArrayBuffer(startLoad)
-    queries.foreach { case (n, f) => runOne(n, f) }
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+      queries.foreach { case (n, f) => runOne(n, f) }
 
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val gateWaits = collection.mutable.ArrayBuffer.empty[Double]
