@@ -2459,7 +2459,10 @@ object DataOps extends QueryModule {
     val d = docs(s, dir).select(col("doc_id"))
     val isOld = col("doc_id") % 7 =!= 3
     val isChanged = (col("doc_id") % 5 === 0) && isOld
-    val shift = 10000000L
+    // shifted generator seeds for changed/removed fakes must land OUTSIDE
+    // the corpus id range — a fixed shift collided with the sf1 replica
+    // offsets (doc_id + k*1e7) and duplicated media ids
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val oldMedia = Multimodal.syntheticCellImages(d.filter(isOld && !isChanged))
       .unionByName(Multimodal.syntheticCellImages(
           d.filter(isChanged).select((col("doc_id") + shift).as("doc_id")))
@@ -2468,7 +2471,7 @@ object DataOps extends QueryModule {
         d.filter(col("doc_id") % 13 === 1).select((col("doc_id") + 2 * shift).as("doc_id"))))
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val storeP = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_work", s"phash_store_$tag")
+      sys.props("java.io.tmpdir"), "graft_work", s"phash_store_v2_$tag")
     graft.Staging.ensureFresh(
       java.nio.file.Paths.get(dir, "documents.parquet"), storeP) {
       Multimodal.phashStore(oldMedia, Multimodal.imagePhash)

@@ -1209,6 +1209,16 @@ object Relational extends QueryModule {
     * never a per-row re-execution) is what's measured. At 100 TB every
     * one of these becomes a key-partitioned join — the decorrelated
     * plan IS the scale story.
+    *
+    * The nullset trap is pinned in WHERE context (survivors of a
+    * `NOT IN` filter against the NULL-bearing set — the null-aware
+    * anti-join, which evaluates the ANSI three-valued rule: nobody
+    * survives). In PROJECTION context Spark's rewrite yields FALSE
+    * where ANSI says NULL for a no-match value against a NULL-bearing
+    * set — found by the sf1 full-surface sweep, where the first
+    * zero-order customer appears (none exist at sf0.01/sf0.01 never saw
+    * it); `not_in_nonnull` pins the NULL-free set's NOT IN, where both
+    * engines agree in any context and the no-match case IS reachable.
     */
   def subqueryBattery(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "customer").createOrReplaceTempView("customer_sq")
@@ -1226,8 +1236,11 @@ object Relational extends QueryModule {
             AND o.o_orderpriority = '1-URGENT') AS no_urgent,
         c_custkey IN (SELECT o_custkey FROM orders_sq
           WHERE o_orderpriority = '1-URGENT') AS in_urgent,
-        c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
-            ELSE o_custkey END FROM orders_sq) AS not_in_nullset
+        c_custkey NOT IN (SELECT o_custkey FROM orders_sq
+          WHERE o_orderkey % 97 <> 0) AS not_in_nonnull,
+        c_custkey IN (SELECT c2.c_custkey FROM customer_sq c2
+          WHERE c2.c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0
+              THEN NULL ELSE o_custkey END FROM orders_sq)) AS not_in_nullset
       FROM customer_sq c ORDER BY c_custkey""")
   }
 
@@ -1244,8 +1257,11 @@ object Relational extends QueryModule {
       |      AND o.o_orderpriority = '1-URGENT') AS no_urgent,
       |  c_custkey IN (SELECT o_custkey FROM orders
       |    WHERE o_orderpriority = '1-URGENT') AS in_urgent,
-      |  c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
-      |      ELSE o_custkey END FROM orders) AS not_in_nullset
+      |  c_custkey NOT IN (SELECT o_custkey FROM orders
+      |    WHERE o_orderkey % 97 <> 0) AS not_in_nonnull,
+      |  c_custkey IN (SELECT c2.c_custkey FROM customer c2
+      |    WHERE c2.c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0
+      |        THEN NULL ELSE o_custkey END FROM orders)) AS not_in_nullset
       |FROM customer c ORDER BY c_custkey""".stripMargin
 
   /** q193: 2-D skyline (Pareto frontier) — the orders no other order

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Per-query oracle sweep with subprocess isolation — the big-SF variant
+of check.py: each query's DuckDB oracle runs in its own child process
+under a timeout and memory cap, so one quadratic oracle can't stall or
+OOM the whole sweep. Records pass/fail/oracle_timeout/oracle_error per
+query as JSON.
+
+Usage: python3 tools/check_sweep.py <sfDir> <verifyOutDir> <resultJson>
+         [timeoutSec] [qname...]
+
+Developer tooling only (not part of the Scala build).
+"""
+import json
+import subprocess
+import sys
+import time
+
+CHILD = r"""
+import json, math, sys
+import duckdb, pandas as pd
+sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+want = canon(con.execute(sql).fetchdf())
+if list(got.columns) != list(want.columns):
+    print(f"FAIL cols {list(got.columns)} != {list(want.columns)}"); sys.exit(1)
+if len(got) != len(want):
+    print(f"FAIL rows {len(got)} != {len(want)}"); sys.exit(1)
+for c in got.columns:
+    gv, wv = got[c].tolist(), want[c].tolist()
+    for i, (x, y) in enumerate(zip(gv, wv)):
+        if not values_equal(x, y):
+            print(f"FAIL col {c} row {i}: spark={x!r} oracle={y!r}"); sys.exit(1)
+kind_bad = [c for c, gk, wk in zip(got.columns,
+            [d.kind for d in got.dtypes], [d.kind for d in want.dtypes])
+            if {gk, wk} == {"i", "f"}]
+if kind_bad:
+    print(f"FAIL dtype int-vs-float in {kind_bad}"); sys.exit(1)
+print(f"PASS {len(got)} rows")
+"""
+
+
+def main() -> int:
+    sf_dir, out_dir, result_json = sys.argv[1], sys.argv[2], sys.argv[3]
+    timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 600
+    only = set(sys.argv[5:]) if len(sys.argv) > 5 else None
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", CHILD, sf_dir, out_dir, name],
+                capture_output=True, text=True, timeout=timeout)
+            dt = round(time.time() - t0, 1)
+            out = (p.stdout or "").strip().splitlines()
+            msg = out[-1] if out else (p.stderr or "").strip().splitlines()[-1:]
+            if p.returncode == 0 and out and out[-1].startswith("PASS"):
+                results[name] = {"status": "pass", "sec": dt, "note": out[-1]}
+                print(f"PASS {name} ({dt}s)")
+            else:
+                err = msg if isinstance(msg, str) else " ".join(msg)
+                results[name] = {"status": "fail", "sec": dt, "note": str(err)[:400]}
+                print(f"FAIL {name} ({dt}s): {str(err)[:200]}")
+        except subprocess.TimeoutExpired:
+            results[name] = {"status": "oracle_timeout", "sec": timeout}
+            print(f"TIMEOUT {name} (>{timeout}s oracle-side)")
+        json.dump(results, open(result_json, "w"), indent=1)
+    n = {"pass": 0, "fail": 0, "oracle_timeout": 0}
+    for r in results.values():
+        n[r["status"]] = n.get(r["status"], 0) + 1
+    print(f"== {n['pass']} pass / {n['fail']} fail / "
+          f"{n['oracle_timeout']} oracle-timeout ==")
+    return 1 if n["fail"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
