@@ -1593,6 +1593,11 @@ object StreamingQueries extends QueryModule {
     res.orderBy(col("doc_id"))
   }
 
+  // The eval side comes from the static `documents` table directly
+  // (matching the Spark side's `eval`), NOT from the corpus CTE with an
+  // id-threshold discriminator — planted-wave ids interleave with real
+  // ids once the corpus outgrows the offset (the sf1 replica range),
+  // where a value cut silently shrinks the eval set.
   private val q89Oracle: String =
     s"""WITH corpus AS (
        |  SELECT doc_id, text FROM documents
@@ -1603,9 +1608,13 @@ object StreamingQueries extends QueryModule {
        |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
        |                               for i in range(1, len(t) - 1)])) AS shingle
        |       FROM toks WHERE len(t) >= 3),
+       |ttoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |          WHERE doc_id % 17 = 0),
        |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 17 <> 0),
-       |te AS (SELECT doc_id AS test_id, shingle FROM sh
-       |       WHERE doc_id % 17 = 0 AND doc_id < 1000000),
+       |te AS (SELECT doc_id AS test_id,
+       |         unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                               for i in range(1, len(t) - 1)])) AS shingle
+       |       FROM ttoks WHERE len(t) >= 3),
        |flag AS (SELECT DISTINCT train_id FROM (
        |  SELECT train_id, test_id FROM tr JOIN te USING (shingle)
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 3))
