@@ -183,6 +183,68 @@ object Dedup {
     post.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Persisted MinHash signature STORE — the text-dedup analogue of
+    * [[graft.operators.Multimodal.phashStore]]: one row per signable doc
+    * (≥ w tokens) carrying the numPerms MinHash slots PLUS a 60-bit
+    * content fingerprint of the raw text — ~8·(numPerms+2) bytes/row
+    * against the multi-KB texts. The store is the `prev` side of
+    * [[incrementalSignatures]]; persist it as parquet under
+    * `Staging.ensureFresh` keyed on the corpus source so crawl N's
+    * output is crawl N+1's input.
+    */
+  def signatureStore(docs: DataFrame, id: Column, text: Column,
+                     numPerms: Int, w: Int = 3): DataFrame = {
+    val sigCols = (0 until numPerms).map(i => col(s"sig$i"))
+    minhashSignatures(docs, id, text, numPerms, w)
+      .join(docs.select(id.as("doc_id"), TextFns.hash60(text).as("content_fp")), "doc_id")
+      .select(col("doc_id") +: col("content_fp") +: sigCols :+
+        lit("computed").as("src"): _*)
+  }
+
+  /** Incremental MinHash signature maintenance — at 100 TB nobody
+    * re-shingles the corpus to refresh its dedup index. Given the
+    * previous crawl's signature store ([[signatureStore]] schema) and
+    * the NEW document snapshot, [[SnapshotDiff.diffStored]] classifies
+    * every id by text-level [[TextFns.hash60]] — the old texts are
+    * never re-read, only the ~24 B/row (id, fp) slice of the store —
+    * and ONLY `added`/`changed` texts go through the shingle + MinHash
+    * pass; `unchanged` ids keep their stored slots, `removed` ids drop.
+    * The shingling delta is surfaced as an `observe` metric
+    * (`incr_sig_texts`) so a pipeline can alert when compute volume
+    * stops tracking the crawl delta. Returns the NEXT store: same
+    * schema, `src` marking `computed` vs `retained` provenance, so
+    * signature maintenance costs O(delta) shingling per crawl, never
+    * O(corpus) — and the maintained store keeps feeding
+    * [[lshCandidates]] / [[minhashNearDups]]' banding unchanged.
+    */
+  def incrementalSignatures(newDocs: DataFrame, prevStore: DataFrame,
+                            id: Column, text: Column,
+                            numPerms: Int, w: Int = 3): DataFrame = {
+    val d = SnapshotDiff.diffStored(
+      prevStore.select(col("doc_id").as("id"), col("content_fp").as("fp")),
+      newDocs, id, TextFns.hash60(text))
+    // The change set is reused twice (compute input + content_fp carry);
+    // the lazy checkpoint keeps the diff join from re-running — it is
+    // O(delta) rows of (id, fp), never texts.
+    val changes = d.filter(col("status").isin("added", "changed"))
+      .select(col("id").as("doc_id"), col("new_fp"))
+      .localCheckpoint(false)
+    val toCompute = newDocs.select(id.as("doc_id"), text.as("text")).join(changes, "doc_id")
+    val sigCols = (0 until numPerms).map(i => col(s"sig$i"))
+    val fresh = minhashSignatures(
+        toCompute.observe("incr_sig_texts", count(lit(1)).as("n_texts")),
+        col("doc_id"), col("text"), numPerms, w)
+      .join(changes.select(col("doc_id"), col("new_fp").as("content_fp")), "doc_id")
+      .select(col("doc_id") +: col("content_fp") +: sigCols :+
+        lit("computed").as("src"): _*)
+    val retained = prevStore
+      .join(d.filter(col("status") === "unchanged").select(col("id").as("doc_id")),
+        "doc_id")
+      .select(col("doc_id") +: col("content_fp") +: sigCols :+
+        lit("retained").as("src"): _*)
+    fresh.unionByName(retained)
+  }
+
   /** Banded-LSH candidate pairs from MinHash signatures: bands of
     * `rowsPerBand` signature slots; docs sharing any band key are
     * candidates. Bucket-grouped on (band, key) and pair-expanded in the

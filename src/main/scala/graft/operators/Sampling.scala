@@ -237,4 +237,97 @@ object Sampling {
         numRanges = numRanges)
       .drop("__sh_h")
   }
+
+  /** Leakage-safe GROUPED split: assign every row to a named split by
+    * hashing its GROUP key (user, site, domain …), never the row key —
+    * all rows of a group land in the same split BY CONSTRUCTION, so no
+    * entity leaks across train/validation/test. `splits` is an ordered
+    * (name, weight) list; group g goes to the split whose cumulative
+    * weight range contains `hash60(g) mod Σweights`. A zero-shuffle
+    * narrow map (the CASE chain is a per-row codegen expression), and
+    * deterministic across runs, partitionings, and engines
+    * ([[TextFns.hash60]] replays bit-for-bit in SQL) — the split of a
+    * group never changes when the corpus around it grows, which is what
+    * makes incremental corpus refreshes split-stable.
+    */
+  def groupedSplit(df: DataFrame, group: Column,
+                   splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      s"splits must be non-empty positive weights, got $splits")
+    val total = splits.map(_._2.toLong).sum
+    val bucket = TextFns.hash60(group) % lit(total)
+    val cum = splits.scanLeft(0L)(_ + _._2).tail
+    val label = splits.tail.zip(cum.tail).foldLeft(
+      when(bucket < lit(cum.head), lit(splits.head._1))) {
+      case (c, ((name, _), hi)) => c.when(bucket < lit(hi), lit(name))
+    }
+    df.withColumn("split", label)
+  }
+
+  /** Epoch-capped proportional data mixture by exact water-filling: a
+    * token `budget` is split across strata ∝ `weight`, but no stratum
+    * may be allocated more than `maxEpochsMilli/1000 ×` its available
+    * tokens (the LLM-pipeline "never repeat a source more than N
+    * epochs" rule — upsampling a tiny high-weight source past a few
+    * epochs only memorizes it). Strata whose fair share exceeds their
+    * cap are clamped to it and the surplus re-flows to the rest —
+    * iterated to the fixed point in CLOSED FORM: sorted by cap/weight
+    * ascending, the clamped set is provably a prefix, so one window
+    * pass of prefix sums decides `capped` per stratum
+    * (cap·sufW ≤ remaining·w, all int64 cross-multiplies — exact up to
+    * ~10^14 tokens/stratum at weight sums ≤ 10^4). Uncapped strata get
+    * floor(remaining·w/W) plus largest-remainder distribution of the
+    * leftover, so Σ alloc = min(budget, Σ cap) EXACTLY. Everything is a
+    * stratum-level aggregate (one shuffle on `stratum`, then window
+    * passes over |strata| rows — a bounded source vocabulary, not the
+    * corpus), and integer-deterministic across engines.
+    *
+    * Output: (stratum, avail_tok, weight, capped, alloc_tok,
+    * epochs_milli = ⌊alloc·1000/avail⌋).
+    */
+  def epochCappedMixture(df: DataFrame, stratum: Column, tok: Column,
+                         weight: Column, budget: Long,
+                         maxEpochsMilli: Long): DataFrame = {
+    require(budget >= 0 && maxEpochsMilli >= 0,
+      s"budget and maxEpochsMilli must be >= 0, got $budget, $maxEpochsMilli")
+    import org.apache.spark.sql.expressions.Window
+    val fdiv = (a: Column, b: Column) => call_function("div", a, b)
+    val strata = df.groupBy(stratum.as("stratum"))
+      .agg(sum(tok).as("avail_tok"), max(weight).as("weight"))
+      .withColumn("cap", fdiv(col("avail_tok") * lit(maxEpochsMilli), lit(1000L)))
+    // Ratio-ascending order; the double division is an ORDER key only
+    // (ties broken on stratum), so IEEE round-to-nearest matches SQL.
+    val byRatio = Window.orderBy(
+      (col("cap").cast("double") / col("weight")).as("ratio"), col("stratum"))
+    val marked = strata
+      .withColumn("pref_cap",
+        coalesce(sum(col("cap")).over(byRatio.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("suf_w",
+        sum(col("weight")).over(byRatio.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("capped",
+        col("cap") * col("suf_w") <= (lit(budget) - col("pref_cap")) * col("weight"))
+    // Remaining budget and uncapped weight are stratum-vocabulary-sized
+    // scalars; the cross join broadcasts one row.
+    val totals = marked.agg(
+      sum(when(col("capped"), col("cap")).otherwise(lit(0L))).as("capped_tok"),
+      sum(when(col("capped"), lit(0L)).otherwise(col("weight"))).as("unc_w"))
+    val shared = marked.crossJoin(broadcast(totals))
+      .withColumn("remaining", greatest(lit(budget) - col("capped_tok"), lit(0L)))
+      .withColumn("base", when(col("capped"), col("cap"))
+        .otherwise(fdiv(col("remaining") * col("weight"), col("unc_w"))))
+      .withColumn("frac", when(col("capped"), lit(-1L))
+        .otherwise((col("remaining") * col("weight")) % col("unc_w")))
+    val byFrac = Window.orderBy(col("frac").desc, col("stratum"))
+    shared
+      .withColumn("extra_rank", row_number().over(byFrac))
+      .withColumn("n_extra",
+        col("remaining") - sum(when(col("capped"), lit(0L)).otherwise(col("base")))
+          .over(Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("alloc_tok",
+        col("base") + when(!col("capped") && col("extra_rank") <= col("n_extra"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("epochs_milli", fdiv(col("alloc_tok") * lit(1000L), col("avail_tok")))
+      .select(col("stratum"), col("avail_tok"), col("weight"), col("capped"),
+        col("alloc_tok"), col("epochs_milli"))
+  }
 }

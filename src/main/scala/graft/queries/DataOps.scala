@@ -2507,6 +2507,174 @@ object DataOps extends QueryModule {
        |       ELSE 'retained' END AS src
        |FROM ph ORDER BY media_id""".stripMargin
 
+  // ---- q259: incremental MinHash signature-store maintenance --------------
+
+  /** Incremental MinHash signature maintenance pinned incremental ≡ full
+    * (q258's discipline applied to the TEXT dedup index): a previous
+    * crawl is simulated as the corpus minus `doc_id % 7 = 3` (added
+    * since), with `doc_id % 5 = 0` texts carrying an older revision
+    * (changed since) and a batch of since-removed ids beyond the corpus.
+    * Its [[graft.operators.Dedup.signatureStore]] is PERSISTED (parquet
+    * under Staging.ensureFresh, keyed on the corpus source-sig), then
+    * [[graft.operators.Dedup.incrementalSignatures]] maintains it
+    * against the full corpus: only added/changed texts are re-shingled
+    * (the spec asserts the compute set exactly; the operator `observe`s
+    * it), unchanged ids keep their stored slots, removed ids drop. The
+    * oracle recomputes every MinHash slot from scratch over the full
+    * corpus (q23's signature CTE) and the computed/retained provenance
+    * from the delta definition — a green row proves the maintained
+    * store is bit-identical to a full re-index at O(delta) cost.
+    */
+  def incrSigMaintain(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val isOld = col("doc_id") % 7 =!= 3
+    val isChanged = (col("doc_id") % 5 === 0) && isOld
+    // removed-doc fake ids must land OUTSIDE the corpus id range at any
+    // SF (q258's sf1 lesson: fixed shifts collide with replica offsets)
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val prevCrawl = d.filter(isOld && !isChanged)
+      .unionByName(d.filter(isChanged)
+        .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val storeP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"sig_store_$tag")
+    graft.Staging.ensureFresh(
+      java.nio.file.Paths.get(dir, "documents.parquet"), storeP) {
+      Dedup.signatureStore(prevCrawl, col("doc_id"), col("text"), NumPerms)
+        .write.mode("overwrite").parquet(storeP.toString)
+    }
+    val prevStore = s.read.parquet(storeP.toString)
+    Dedup.incrementalSignatures(d, prevStore, col("doc_id"), col("text"), NumPerms)
+      .select(col("doc_id"),
+        concat_ws("_", (0 until NumPerms).map(i => col(s"sig$i")): _*).as("sig_key"),
+        col("src"))
+      .sortOnce(col("doc_id"))
+  }
+
+  private val q259Oracle: String = {
+    val sigCols = (0 until NumPerms)
+      .map(i => s"MIN(${TextFns.minhashPermSql(i, "h")}) AS s$i").mkString(", ")
+    val key = (0 until NumPerms).map(i => s"CAST(s$i AS VARCHAR)").mkString(" || '_' || ")
+    s"""WITH $shingleBaseCtes,
+       |hashed AS (SELECT doc_id, ${TextFns.hash60Sql("shingle")} AS h FROM sh),
+       |sigs AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id)
+       |SELECT doc_id, $key AS sig_key,
+       |  CASE WHEN doc_id % 7 = 3 OR doc_id % 5 = 0 THEN 'computed'
+       |       ELSE 'retained' END AS src
+       |FROM sigs ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q260: leakage-safe grouped split -----------------------------------
+
+  /** Train/val/test split that is leakage-safe BY CONSTRUCTION
+    * ([[graft.operators.Sampling.groupedSplit]]): the split is decided
+    * by hashing the GROUP key (here: the user behind each event), so an
+    * entity's rows can never straddle splits — the classic eval-leak
+    * when row-level sampling puts half a user's history in train and
+    * half in test. The query audits its own guarantee from the DATA
+    * (count of users observed in >1 split — must be 0) rather than
+    * trusting the construction, and the oracle replays the hash-ranged
+    * assignment bit-for-bit.
+    */
+  def groupedSplitAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val ev = Tables(s, dir, "events")
+    val labeled = Sampling.groupedSplit(
+      ev.select(col("user_id"), col("event_id")), col("user_id"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+    val leak = labeled.groupBy(col("user_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("n_leaky_users"))
+    labeled.groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(leak))
+      .orderBy(col("split"))
+  }
+
+  private val q260Oracle: String = {
+    val b = TextFns.hash60Sql("CAST(user_id AS VARCHAR)")
+    s"""WITH labeled AS (
+       |  SELECT user_id, event_id,
+       |    CASE WHEN $b % 100 < 80 THEN 'train'
+       |         WHEN $b % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM events),
+       |leak AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_users FROM (
+       |    SELECT user_id FROM labeled GROUP BY user_id
+       |    HAVING COUNT(DISTINCT split) > 1))
+       |SELECT split, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events, n_leaky_users
+       |FROM labeled, leak GROUP BY split, n_leaky_users ORDER BY split""".stripMargin
+  }
+
+  // ---- q261: epoch-capped mixture water-filling ---------------------------
+
+  /** Epoch-capped data mixture ([[graft.operators.Sampling
+    * .epochCappedMixture]]): a 2×-corpus token budget split across
+    * sources ∝ a per-source weight (1–5, derived from the source id),
+    * but no source upsampled past 2.5 epochs — the surplus from clamped
+    * sources re-flows to the rest by exact integer water-filling
+    * (closed-form prefix decision + largest-remainder, Σ alloc ≡
+    * budget). The oracle replays the whole computation — ratio-sorted
+    * window prefix sums, the capping inequality in int64
+    * cross-multiplies, floor shares, remainder ranks — so a green row
+    * pins the allocation algebra itself, not just row counts.
+    */
+  def epochCappedMix(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = docs(s, dir)
+    val budget = 2L * d.agg(sum(col("n_chars"))).head.getLong(0)
+    Sampling.epochCappedMixture(d, col("source"), col("n_chars"),
+        (substring(col("source"), 4, 10).cast("int") % 5 + 1).cast("long"),
+        budget, maxEpochsMilli = 2500L)
+      .orderBy(col("stratum"))
+  }
+
+  private val q261Oracle: String =
+    """WITH strata AS (
+      |  SELECT source AS stratum, CAST(SUM(n_chars) AS BIGINT) AS avail_tok,
+      |    CAST(CAST(substr(source, 4) AS INT) % 5 + 1 AS BIGINT) AS weight
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT 2 * CAST(SUM(avail_tok) AS BIGINT) AS budget FROM strata),
+      |capd AS (
+      |  SELECT stratum, avail_tok, weight, avail_tok * 2500 // 1000 AS cap
+      |  FROM strata),
+      |marked AS (
+      |  SELECT s.*, budget,
+      |    COALESCE(SUM(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / weight, stratum
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pref_cap,
+      |    SUM(weight) OVER (ORDER BY CAST(cap AS DOUBLE) / weight, stratum
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf_w
+      |  FROM capd s, tot),
+      |flagged AS (
+      |  SELECT *, cap * suf_w <= (budget - pref_cap) * weight AS capped
+      |  FROM marked),
+      |totals AS (
+      |  SELECT SUM(CASE WHEN capped THEN cap ELSE 0 END) AS capped_tok,
+      |    SUM(CASE WHEN capped THEN 0 ELSE weight END) AS unc_w FROM flagged),
+      |shared AS (
+      |  SELECT f.*, GREATEST(budget - capped_tok, 0) AS remaining, unc_w
+      |  FROM flagged f, totals),
+      |based AS (
+      |  SELECT *,
+      |    CASE WHEN capped THEN cap ELSE remaining * weight // unc_w END AS base,
+      |    CASE WHEN capped THEN -1 ELSE (remaining * weight) % unc_w END AS frac
+      |  FROM shared),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (ORDER BY frac DESC, stratum) AS extra_rank,
+      |    remaining - SUM(CASE WHEN capped THEN 0 ELSE base END) OVER () AS n_extra
+      |  FROM based)
+      |SELECT stratum, avail_tok, weight, capped,
+      |  CAST(base + CASE WHEN NOT capped AND extra_rank <= n_extra THEN 1 ELSE 0 END
+      |    AS BIGINT) AS alloc_tok,
+      |  CAST((base + CASE WHEN NOT capped AND extra_rank <= n_extra THEN 1 ELSE 0 END)
+      |    * 1000 // avail_tok AS BIGINT) AS epochs_milli
+      |FROM ranked ORDER BY stratum""".stripMargin
+
   // ---- q179: binaryFile source (multimodal ingestion door) ---------------
 
   /** The `binaryFile` DataSource — how a real multimodal corpus (image/
@@ -4093,6 +4261,9 @@ object DataOps extends QueryModule {
     "q256_sparse_matmul" -> (sparseMatmul _),
     "q257_kmeans_train" -> (kmeansTrain _),
     "q258_incr_phash" -> (incrPhashMaintain _),
+    "q259_incr_signatures" -> (incrSigMaintain _),
+    "q260_grouped_split" -> (groupedSplitAudit _),
+    "q261_epoch_capped_mix" -> (epochCappedMix _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -4189,6 +4360,9 @@ object DataOps extends QueryModule {
     "q256_sparse_matmul" -> q256Oracle,
     "q257_kmeans_train" -> q257Oracle,
     "q258_incr_phash" -> q258Oracle,
+    "q259_incr_signatures" -> q259Oracle,
+    "q260_grouped_split" -> q260Oracle,
+    "q261_epoch_capped_mix" -> q261Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

@@ -440,4 +440,42 @@ class DedupSpec extends SparkSpec {
       assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
     }
   }
+
+  describe("Dedup.incrementalSignatures") {
+    val nPerms = 4
+    val current = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // unchanged
+      (2L, "one two three four five six"),      // changed since prev
+      (3L, "red green blue yellow purple"),     // added since prev
+      (4L, "north south east west center")      // unchanged
+    ).toDF("doc_id", "text")
+    val prev = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five OLD"),      // older revision of 2
+      (4L, "north south east west center"),
+      (9L, "gone gone gone gone gone"))         // removed since prev
+      .toDF("doc_id", "text")
+    def store(df: org.apache.spark.sql.DataFrame) =
+      Dedup.signatureStore(df, col("doc_id"), col("text"), nPerms)
+
+    it("maintained store ≡ full recompute, with exact provenance") {
+      val out = Dedup.incrementalSignatures(current, store(prev),
+        col("doc_id"), col("text"), nPerms)
+      val full = store(current)
+      val key = (0 until nPerms).map(i => col(s"sig$i"))
+      assert(out.select(col("doc_id") +: col("content_fp") +: key: _*)
+        .except(full.select(col("doc_id") +: col("content_fp") +: key: _*)).count() == 0)
+      assert(out.count() == full.count())
+      val src = out.select("doc_id", "src").as[(Long, String)].collect().toMap
+      assert(src == Map(1L -> "retained", 2L -> "computed",
+        3L -> "computed", 4L -> "retained"))
+    }
+
+    it("an unchanged crawl recomputes nothing and drops nothing") {
+      val out = Dedup.incrementalSignatures(current, store(current),
+        col("doc_id"), col("text"), nPerms)
+      val src = out.select("src").as[String].collect()
+      assert(src.length == 4 && src.forall(_ == "retained"))
+    }
+  }
 }

@@ -191,4 +191,83 @@ class SamplingSpec extends SparkSpec {
       assert(e.getMessage.contains("__ts_"))
     }
   }
+
+  describe("Sampling.groupedSplit") {
+    val rows = (1L to 3000L).toDF("id").withColumn("grp", col("id") % 97)
+
+    it("no group ever straddles two splits, and rates land near weights") {
+      val out = Sampling.groupedSplit(rows, col("grp"),
+        Seq("train" -> 8, "val" -> 1, "test" -> 1))
+      val perGroup = out.groupBy("grp")
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count()
+      assert(perGroup == 0)
+      val byLabel = out.groupBy("split").count()
+        .as[(String, Long)].collect().toMap
+      assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+      assert(byLabel("train") > 1800, byLabel.toString) // ~80% of 3000
+    }
+
+    it("assignment is the documented hash range, stable under growth") {
+      val out = Sampling.groupedSplit(rows, col("grp"),
+          Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .select("grp", "split").distinct()
+        .as[(Long, String)].collect().toMap
+      out.foreach { case (g, label) =>
+        val b = graft.functions.TextFns.hash60Value(g.toString) % 10
+        val want = if (b < 8) "train" else if (b < 9) "val" else "test"
+        assert(label == want, s"group $g: $label != $want")
+      }
+      // adding rows never moves an existing group
+      val grown = Sampling.groupedSplit(
+          (1L to 6000L).toDF("id").withColumn("grp", col("id") % 97),
+          col("grp"), Seq("train" -> 8, "val" -> 1, "test" -> 1))
+        .select("grp", "split").distinct()
+        .as[(Long, String)].collect().toMap
+      assert(grown == out)
+    }
+  }
+
+  describe("Sampling.epochCappedMixture") {
+    // two rows per stratum — the avail side is a real aggregate
+    val mix = Seq(
+      ("big", 400L, 1L), ("big", 600L, 1L), ("tiny", 4L, 5L),
+      ("tiny", 6L, 5L), ("mid", 150L, 2L), ("mid", 50L, 2L))
+      .toDF("src", "tok", "w")
+
+    it("clamps at the epoch cap and re-flows surplus, conserving the budget") {
+      // budget 1210·2 = 2420; fair shares ∝ (1,5,2) would give tiny
+      // 1512 tokens = 151 epochs — the 2.5-epoch cap clamps it to 25,
+      // and mid to 500; the rest flows to big (uncapped).
+      val out = Sampling.epochCappedMixture(mix, col("src"), col("tok"),
+          col("w"), budget = 2420L, maxEpochsMilli = 2500L)
+        .as[(String, Long, Long, Boolean, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(out("tiny")._4 && out("tiny")._5 == 25L && out("tiny")._6 == 2500L)
+      assert(out("mid")._4 && out("mid")._5 == 500L)
+      assert(!out("big")._4 && out("big")._5 == 2420L - 25L - 500L)
+      assert(out.values.map(_._5).sum == 2420L)
+    }
+
+    it("all-capped mixtures allocate Σcap and report the shortfall via epochs") {
+      val out = Sampling.epochCappedMixture(mix, col("src"), col("tok"),
+          col("w"), budget = 100000L, maxEpochsMilli = 1000L)
+        .as[(String, Long, Long, Boolean, Long, Long)].collect()
+      assert(out.forall(_._4))
+      assert(out.map(_._5).sum == 1210L) // Σcap = 1.0 epoch each
+      assert(out.forall(_._6 == 1000L))
+    }
+
+    it("uncapped mixtures are exact largest-remainder proportional shares") {
+      val out = Sampling.epochCappedMixture(mix, col("src"), col("tok"),
+          col("w"), budget = 10L, maxEpochsMilli = 100000L)
+        .as[(String, Long, Long, Boolean, Long, Long)].collect()
+        .map(r => r._1 -> r._5).toMap
+      // shares ∝ (1,5,2) of 10 → floors (1,6,2) + 1 remainder to the
+      // largest fractional part (big: 10/8=1.25 rem 2; tiny: 50/8=6.25
+      // rem 2; mid: 20/8=2.5 rem 4) → mid gets the extra
+      assert(out == Map("big" -> 1L, "tiny" -> 6L, "mid" -> 3L))
+      assert(out.values.sum == 10L)
+    }
+  }
 }
