@@ -245,6 +245,130 @@ object Dedup {
     fresh.unionByName(retained)
   }
 
+  /** Delta-scoped banded-LSH PAIR maintenance — the third leg of the
+    * incremental dedup index next to [[incrementalSignatures]]: given
+    * the MAINTAINED signature store (its `src` marks `computed` vs
+    * `retained` provenance) and the PREVIOUS crawl's candidate-pair
+    * set, produce crawl N+1's pair set without re-expanding untouched
+    * buckets. Two disjoint legs:
+    *  - survivors: prev pairs whose BOTH endpoints are `retained` —
+    *    their signature slots are unchanged, so they share exactly the
+    *    bands they shared last crawl (pairs with a removed or changed
+    *    endpoint drop out here by construction);
+    *  - new pairs: banding over the store, but buckets with NO
+    *    `computed` member are discarded BEFORE pair expansion (the
+    *    `max(touched)` filter — at a 1% crawl delta that kills ~99% of
+    *    the quadratic bucket work), and expanded pairs keep only those
+    *    with ≥1 `computed` endpoint (a retained–retained pair inside a
+    *    touched bucket is already a survivor).
+    * The union is EXACTLY `lshCandidates(store)` — a retained–retained
+    * pair shares a band now iff it did last crawl (slots unchanged) and
+    * was hence in `prevPairs`; every other pair has a computed endpoint
+    * and its bucket survives the touched filter. Output carries an
+    * `origin` column (`survivor`/`new`) so downstream Jaccard
+    * verification can also run delta-only.
+    */
+  def incrementalLshPairs(store: DataFrame, prevPairs: DataFrame,
+                          numPerms: Int, rowsPerBand: Int,
+                          maxBucket: Int = 100000): DataFrame = {
+    val numBands = numPerms / rowsPerBand
+    val bands = array((0 until numBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"sig${bnd * rowsPerBand + r}")): _*).as("key"))
+    }: _*)
+    val exploded = store
+      .select(col("doc_id"), (col("src") === "computed").cast("long").as("n"),
+        explode(bands).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"), col("n"))
+    val fresh = pairsFromBuckets(
+      exploded.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"),
+          max(col("n")).as("touched"))
+        .filter(col("touched") === 1L)
+        .drop("touched"),
+      maxBucket)
+      .filter(col("na") === 1L || col("nb") === 1L)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val retained = store.filter(col("src") === "retained")
+    val survivors = prevPairs.select(col("doc_a"), col("doc_b"))
+      .join(retained.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(retained.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    survivors.withColumn("origin", lit("survivor"))
+      .unionByName(fresh.withColumn("origin", lit("new")))
+  }
+
+  /** Incremental connected-component maintenance — the CLUSTER leg of
+    * the crawl-incremental dedup index ([[incrementalSignatures]] →
+    * [[incrementalLshPairs]] → here): maintain per-doc component labels
+    * across a crawl without re-propagating over the whole graph.
+    *
+    * Additions only MERGE clusters, so prior components collapse to
+    * their representative (label = min member id) and merging happens
+    * on the contracted graph; only components that LOST a member
+    * (removed, or changed — its old edges are gone) can split, and
+    * exactly those are re-propagated from their surviving edges:
+    *  - a prev component is DIRTY iff some member is no longer
+    *    `retained` in the store; clean components keep their label
+    *    unless the contracted propagation merges them;
+    *  - survivor pairs inside clean components are self-loops by
+    *    construction (both endpoints share the prev label) and are
+    *    dropped WITHOUT entering propagation — only `new` pairs
+    *    (endpoints contracted to their clean representative) and
+    *    survivor pairs of dirty components feed
+    *    [[connectedComponents]], so propagation runs on an
+    *    O(delta + dirty) graph, never O(corpus edges);
+    *  - labels stay canonical: a representative is its component's min
+    *    id, so the min over a merged contracted cluster is the true min
+    *    over all underlying members.
+    * Output: (doc_id, component) for EVERY doc in the store (docs in no
+    * pair label themselves) — exactly `connectedComponents(pairs)` over
+    * the current pair set plus singleton coalesce, proven by the q265
+    * oracle's from-scratch replay.
+    *
+    * @param prevLabels (doc_id, component) from crawl N (same
+    *                   singleton-coalesced convention as this output)
+    * @param store      maintained signature store (`src` provenance)
+    * @param pairs      crawl N+1 pair set with `origin` — the
+    *                   [[incrementalLshPairs]] output
+    */
+  def incrementalComponents(prevLabels: DataFrame, store: DataFrame,
+                            pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val retained = store.filter(col("src") === "retained").select(col("doc_id"))
+    val current = store.select(col("doc_id"))
+    val prevL = prevLabels.select(col("doc_id"), col("component"))
+    val dirty = prevL.join(retained, Seq("doc_id"), "left_anti")
+      .select(col("component")).distinct()
+    val cleanMap = prevL
+      .join(dirty, Seq("component"), "left_anti")
+      .select(col("doc_id"), col("component"))
+      .localCheckpoint(false) // feeds contraction, the survivor filter, and the final union
+    val survivorsDirty = pairs.filter(col("origin") === "survivor")
+      .join(cleanMap.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .select(col("doc_a"), col("doc_b"))
+    val newContracted = pairs.filter(col("origin") === "new")
+      .join(cleanMap.select(col("doc_id").as("doc_a"), col("component").as("ca")),
+        Seq("doc_a"), "left")
+      .join(cleanMap.select(col("doc_id").as("doc_b"), col("component").as("cb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    val cc = connectedComponents(
+      survivorsDirty.unionByName(newContracted), maxIter)
+      .localCheckpoint(false) // joined twice below
+    val cleanFinal = cleanMap.as("m")
+      .join(cc.select(col("doc_id").as("component"), col("component").as("cc_label")),
+        Seq("component"), "left")
+      .select(col("m.doc_id"),
+        coalesce(col("cc_label"), col("component")).as("component"))
+    val othersFinal = current
+      .join(cleanMap.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    cleanFinal.unionByName(othersFinal)
+  }
+
   /** Banded-LSH candidate pairs from MinHash signatures: bands of
     * `rowsPerBand` signature slots; docs sharing any band key are
     * candidates. Bucket-grouped on (band, key) and pair-expanded in the

@@ -330,4 +330,27 @@ object Sampling {
       .select(col("stratum"), col("avail_tok"), col("weight"), col("capped"),
         col("alloc_tok"), col("epochs_milli"))
   }
+
+  /** Near-dup-cluster-safe split — [[groupedSplit]] keyed on the dedup
+    * COMPONENT of each row instead of a metadata entity: rows connected
+    * by a `pairs` edge (near-duplicates, shared spans, translations …)
+    * land in the same split BY CONSTRUCTION, closing the eval leak a
+    * user/site-level split cannot see (a near-copy of a training doc
+    * sitting in the test set scores as memorization). Components come
+    * from [[Dedup.connectedComponents]]' min-label propagation over the
+    * pair graph; rows in no pair label themselves (their own id IS the
+    * component — the left join + coalesce keeps them split-stable under
+    * corpus growth just like any other group). One component shuffle on
+    * top of the pair plan; the split itself stays the zero-shuffle
+    * hash-range CASE chain.
+    */
+  def componentSafeSplit(df: DataFrame, id: Column, pairs: DataFrame,
+                         splits: Seq[(String, Int)], maxIter: Int = 20): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, maxIter)
+    val labeled = df.withColumn("__csp_id", id)
+      .join(comp.select(col("doc_id").as("__csp_id"), col("component")), Seq("__csp_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("__csp_id")))
+      .drop("__csp_id")
+    groupedSplit(labeled, col("component"), splits)
+  }
 }

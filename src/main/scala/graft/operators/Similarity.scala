@@ -108,6 +108,64 @@ object Similarity {
         col("neighbor_id"), col("neighbor_label"), col("sim"))
   }
 
+  /** Margin-based parallel-pair mining (the ratio-margin criterion of
+    * Artetxe & Schwenk, "Margin-based Parallel Corpus Mining with
+    * Multilingual Sentence Embeddings", ACL 2019 — public method): a
+    * candidate (x, y) across two collections scores
+    * `cos(x,y) / ((avgₖNN(x→Y) + avgₖNN(y→X)) / 2)` — raw cosine is a
+    * poor alignment signal because "hubs" are near everything; dividing
+    * by each side's average k-NN similarity cancels the hubness — and a
+    * pair is mined when it is the MUTUAL margin-best of both sides.
+    *
+    * Engine-exact determinism: cosines land in ×10⁶ fixed point first
+    * (`round`, the q24/q37 replay idiom), the k-NN averages stay exact
+    * integer SUMS, and the margin is the single integer division
+    * `simfp·2k·10⁶ div (sumX + sumY)` — so ranking keys and output
+    * values replay bit-for-bit in SQL. Non-positive similarities and
+    * denominators never enter the ranking (they are not mineable pairs
+    * and would mix floor/trunc division semantics across engines).
+    *
+    * Scale shape: `ys` broadcasts against a single `xs` scan (the
+    * mining batch × target-shard pattern), then everything downstream
+    * is keyed shuffles over (x, y, simfp) rows. Work is |X|·|Y| scoring
+    * by construction — at corpus×corpus scale route BOTH sides through
+    * [[ivfTopK]]'s buckets first and margin-score candidates only;
+    * mining tolerates approximate candidate recall the way
+    * [[hardNegatives]] does.
+    *
+    * @return (x_id, y_id, simfp, margin_micro) — mutual-best pairs with
+    *         margin ≥ `minMarginMicro`, one row per mined pair
+    */
+  def marginMutualPairs(xs: DataFrame, ys: DataFrame, k: Int,
+                        minMarginMicro: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val x = xs.select(col("vec_id").as("x_id"), col("embedding").as("xv"))
+    val y = ys.select(col("vec_id").as("y_id"), col("embedding").as("yv"))
+    val scored = x.join(broadcast(y), lit(true))
+      .withColumn("simfp",
+        round(VectorFns.cosine(col("xv"), col("yv")) * lit(1000000d), 0).cast("long"))
+      .select(col("x_id"), col("y_id"), col("simfp"))
+      .localCheckpoint(false) // feeds three branches: two k-NN sums + the margin join
+    val wx = Window.partitionBy(col("x_id")).orderBy(col("simfp").desc, col("y_id"))
+    val wy = Window.partitionBy(col("y_id")).orderBy(col("simfp").desc, col("x_id"))
+    val sumX = scored.withColumn("r", row_number().over(wx))
+      .filter(col("r") <= k).groupBy(col("x_id")).agg(sum(col("simfp")).as("sx"))
+    val sumY = scored.withColumn("r", row_number().over(wy))
+      .filter(col("r") <= k).groupBy(col("y_id")).agg(sum(col("simfp")).as("sy"))
+    val margins = scored
+      .join(sumX, "x_id").join(sumY, "y_id")
+      .filter(col("simfp") > 0 && (col("sx") + col("sy")) > 0)
+      .withColumn("margin_micro",
+        call_function("div", col("simfp") * lit(2L * k * 1000000L), col("sx") + col("sy")))
+    val bx = Window.partitionBy(col("x_id")).orderBy(col("margin_micro").desc, col("y_id"))
+    val by = Window.partitionBy(col("y_id")).orderBy(col("margin_micro").desc, col("x_id"))
+    margins
+      .withColumn("bx", row_number().over(bx))
+      .withColumn("by", row_number().over(by))
+      .filter(col("bx") === 1 && col("by") === 1 && col("margin_micro") >= minMarginMicro)
+      .select(col("x_id"), col("y_id"), col("simfp"), col("margin_micro"))
+  }
+
   /** EXACT embedding-cosine near-duplicate pairs — all unordered pairs
     * with cosine ≥ threshold — via a BLOCKED pairwise equi-join, not a
     * nested-loop cartesian.

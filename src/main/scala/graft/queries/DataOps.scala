@@ -2675,6 +2675,182 @@ object DataOps extends QueryModule {
       |    * 1000 // avail_tok AS BIGINT) AS epochs_milli
       |FROM ranked ORDER BY stratum""".stripMargin
 
+  // ---- q262: delta-scoped LSH pair maintenance ----------------------------
+
+  /** Incremental banded-LSH candidate maintenance pinned incremental ≡
+    * full — the pair leg completing q259's signature leg: the same
+    * simulated previous crawl yields a prev signature store AND its
+    * full banding pair set; [[graft.operators.Dedup
+    * .incrementalLshPairs]] then maintains the pairs against the
+    * maintained store, expanding ONLY buckets containing a computed
+    * (added/changed) doc and re-using prev pairs whose endpoints are
+    * both retained. The oracle recomputes the ENTIRE banding from
+    * scratch over the current corpus (q23's CTE chain) and classifies
+    * origin purely from the delta definition — a green row proves the
+    * delta-scoped union reproduces the full quadratic recompute exactly,
+    * which is the property that makes per-crawl dedup-index refresh
+    * O(delta-touched buckets) instead of O(corpus²/buckets) at 100 TB.
+    */
+  def incrLshMaintain(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val isOld = col("doc_id") % 7 =!= 3
+    val isChanged = (col("doc_id") % 5 === 0) && isOld
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val prevCrawl = d.filter(isOld && !isChanged)
+      .unionByName(d.filter(isChanged)
+        .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
+    val prevStore = Dedup.signatureStore(prevCrawl, col("doc_id"), col("text"), NumPerms)
+      .localCheckpoint(false) // two consumers: prev banding + the diff side
+    val prevPairs = Dedup.lshCandidates(prevStore, NumPerms, RowsPerBand)
+    val store = Dedup.incrementalSignatures(d, prevStore, col("doc_id"), col("text"), NumPerms)
+    Dedup.incrementalLshPairs(store, prevPairs, NumPerms, RowsPerBand)
+      .sortOnce(col("doc_a"), col("doc_b"))
+  }
+
+  private val q262Oracle: String = {
+    val sigCols = (0 until NumPerms)
+      .map(i => s"MIN(${TextFns.minhashPermSql(i, "h")}) AS s$i").mkString(", ")
+    val bandSelects = (0 until NumPerms / RowsPerBand).map { bnd =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(s${bnd * RowsPerBand + r} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleBaseCtes,
+       |hashed AS (SELECT doc_id, ${TextFns.hash60Sql("shingle")} AS h FROM sh),
+       |sigs AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CASE WHEN doc_a % 7 <> 3 AND doc_a % 5 <> 0
+       |        AND doc_b % 7 <> 3 AND doc_b % 5 <> 0 THEN 'survivor'
+       |       ELSE 'new' END AS origin
+       |FROM cands ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- q263: near-dup-cluster-safe split -----------------------------------
+
+  /** Split assignment that cannot leak near-duplicates across
+    * train/val/test ([[graft.operators.Sampling.componentSafeSplit]]):
+    * q260 closes the ENTITY leak, this closes the CONTENT leak — a
+    * near-copy of a training doc in the test set is memorization
+    * disguised as generalization (the q63/q186 decontamination family
+    * audits it after the fact; this split makes it impossible by
+    * construction). Components over the exact-Jaccard≥0.8 near-dup
+    * graph, singletons label themselves, split by hashed component.
+    * The audit output counts near-dup pairs straddling two splits —
+    * pinned ZERO — plus per-split doc/component counts; the oracle
+    * replays pairs (q22 chain), components (recursive-CTE closure),
+    * hash-range assignment, and the audit join.
+    */
+  def componentSplitAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val d = docs(s, dir)
+    val pairs = Dedup.nearDupPairs(d, col("doc_id"), col("text"), threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(false) // feeds components AND the straddle audit
+    val labeled = Sampling.componentSafeSplit(
+      d.select(col("doc_id")), col("doc_id"), pairs,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .localCheckpoint(false) // feeds the audit join + per-split stats
+    val straddle = pairs
+      .join(labeled.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(labeled.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("n_leaky_pairs"))
+    labeled.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_components"))
+      .crossJoin(broadcast(straddle))
+      .orderBy(col("split"))
+  }
+
+  private val q263Oracle: String = {
+    val b = TextFns.hash60Sql("CAST(component AS VARCHAR)")
+    s"""WITH $shingleCtes,
+       |nodes AS (SELECT doc_a AS n FROM exact UNION SELECT doc_b FROM exact),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM exact
+       |          UNION SELECT doc_b, doc_a FROM exact),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT n, n FROM nodes
+       |    UNION
+       |    SELECT r.src, e.v FROM r JOIN edges e ON e.u = r.dst)
+       |  SELECT * FROM r),
+       |cc AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY 1),
+       |comp AS (
+       |  SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+       |  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id),
+       |labeled AS (
+       |  SELECT doc_id, component,
+       |    CASE WHEN $b % 100 < 80 THEN 'train'
+       |         WHEN $b % 100 < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM comp),
+       |leak AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_pairs
+       |  FROM exact e
+       |  JOIN labeled a ON a.doc_id = e.doc_a
+       |  JOIN labeled b2 ON b2.doc_id = e.doc_b
+       |  WHERE a.split <> b2.split)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components, n_leaky_pairs
+       |FROM labeled, leak GROUP BY split, n_leaky_pairs ORDER BY split""".stripMargin
+  }
+
+  // ---- q264: margin-based parallel-pair mining ------------------------------
+
+  /** Margin-criterion alignment mining ([[graft.operators.Similarity
+    * .marginMutualPairs]], the Artetxe & Schwenk ACL'19 ratio margin):
+    * a mining batch (every 10th vector) against a target collection
+    * (even vectors), k=4 neighborhood normalization, mutual-best filter,
+    * margin ≥ 1.0 (the above-average-alignment gate). The oracle
+    * replays the full chain — fixed-point cosines, k-NN sum windows,
+    * the single integer division, both best-rank windows — so a green
+    * row pins hubness-corrected RANKING, not just pair membership.
+    */
+  def marginMining(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    graft.operators.Similarity.marginMutualPairs(
+        e.filter(col("vec_id") % 10 === 1), e.filter(col("vec_id") % 2 === 0),
+        k = 4, minMarginMicro = 1000000L)
+      .sortOnce(col("x_id"))
+  }
+
+  private val q264Oracle: String = {
+    val cos = VectorFns.cosineSql("xv", "yv")
+    s"""WITH x AS (SELECT vec_id AS x_id, embedding AS xv FROM embeddings WHERE vec_id % 10 = 1),
+       |y AS (SELECT vec_id AS y_id, embedding AS yv FROM embeddings WHERE vec_id % 2 = 0),
+       |scored AS (
+       |  SELECT x_id, y_id,
+       |    CAST(round($cos * 1000000, 0) AS BIGINT) AS simfp
+       |  FROM x, y),
+       |rk AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY x_id ORDER BY simfp DESC, y_id) AS rx,
+       |    row_number() OVER (PARTITION BY y_id ORDER BY simfp DESC, x_id) AS ry
+       |  FROM scored),
+       |sx AS (SELECT x_id, SUM(simfp) AS sx FROM rk WHERE rx <= 4 GROUP BY 1),
+       |sy AS (SELECT y_id, SUM(simfp) AS sy FROM rk WHERE ry <= 4 GROUP BY 1),
+       |m AS (
+       |  SELECT s.x_id, s.y_id, s.simfp,
+       |    CAST(s.simfp * 8000000 // (sx + sy) AS BIGINT) AS margin_micro
+       |  FROM scored s JOIN sx USING (x_id) JOIN sy USING (y_id)
+       |  WHERE s.simfp > 0 AND sx + sy > 0),
+       |best AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY x_id ORDER BY margin_micro DESC, y_id) AS bx,
+       |    row_number() OVER (PARTITION BY y_id ORDER BY margin_micro DESC, x_id) AS by
+       |  FROM m)
+       |SELECT x_id, y_id, simfp, margin_micro FROM best
+       |WHERE bx = 1 AND by = 1 AND margin_micro >= 1000000
+       |ORDER BY x_id""".stripMargin
+  }
+
   // ---- q179: binaryFile source (multimodal ingestion door) ---------------
 
   /** The `binaryFile` DataSource — how a real multimodal corpus (image/
@@ -4264,6 +4440,9 @@ object DataOps extends QueryModule {
     "q259_incr_signatures" -> (incrSigMaintain _),
     "q260_grouped_split" -> (groupedSplitAudit _),
     "q261_epoch_capped_mix" -> (epochCappedMix _),
+    "q262_incr_lsh_pairs" -> (incrLshMaintain _),
+    "q263_component_split" -> (componentSplitAudit _),
+    "q264_margin_mining" -> (marginMining _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -4363,6 +4542,9 @@ object DataOps extends QueryModule {
     "q259_incr_signatures" -> q259Oracle,
     "q260_grouped_split" -> q260Oracle,
     "q261_epoch_capped_mix" -> q261Oracle,
+    "q262_incr_lsh_pairs" -> q262Oracle,
+    "q263_component_split" -> q263Oracle,
+    "q264_margin_mining" -> q264Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

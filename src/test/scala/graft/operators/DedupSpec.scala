@@ -478,4 +478,64 @@ class DedupSpec extends SparkSpec {
       assert(src.length == 4 && src.forall(_ == "retained"))
     }
   }
+
+  describe("Dedup.incrementalLshPairs") {
+    val nPerms = 4
+    val rpb = 2
+    val current = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),  // dup of 1; both unchanged
+      (3L, "one two three four five six"),     // changed since prev
+      (4L, "one two three four five six"),     // dup of 3 (after 3's change)
+      (5L, "red green blue yellow purple"),    // added since prev
+      (6L, "red green blue yellow purple")     // dup of 5; itself unchanged
+    ).toDF("doc_id", "text")
+    val prev = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five OLD"),
+      (4L, "one two three four five six"),
+      (6L, "red green blue yellow purple"),
+      (9L, "gone gone gone gone gone gone"),   // removed since prev
+      (10L, "gone gone gone gone gone gone"))  // dup of 9, also removed
+      .toDF("doc_id", "text")
+    def run() = {
+      val prevStore = Dedup.signatureStore(prev, col("doc_id"), col("text"), nPerms)
+      val prevPairs = Dedup.lshCandidates(prevStore, nPerms, rpb)
+      val store = Dedup.incrementalSignatures(current, prevStore,
+        col("doc_id"), col("text"), nPerms)
+      Dedup.incrementalLshPairs(store, prevPairs, nPerms, rpb)
+    }
+
+    it("maintained pairs ≡ full banding recompute, dropped endpoints gone") {
+      val inc = run().select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val full = Dedup.lshCandidates(
+        Dedup.minhashSignatures(current, col("doc_id"), col("text"), nPerms),
+        nPerms, rpb).as[(Long, Long)].collect().toSet
+      assert(inc == full)
+      assert(inc.contains((1L, 2L)) && inc.contains((3L, 4L)) && inc.contains((5L, 6L)))
+      assert(!inc.exists(p => p._1 >= 9L || p._2 >= 9L)) // (9,10) dropped
+    }
+
+    it("origin is survivor exactly when both endpoints are retained") {
+      val delta = Set(3L, 5L) // changed + added
+      run().select("doc_a", "doc_b", "origin").as[(Long, Long, String)].collect()
+        .foreach { case (a, b, o) =>
+          val expected = if (delta.contains(a) || delta.contains(b)) "new" else "survivor"
+          assert(o == expected, s"pair ($a,$b)")
+        }
+    }
+
+    it("an unchanged crawl re-expands nothing — every pair is a survivor") {
+      val prevStore = Dedup.signatureStore(current, col("doc_id"), col("text"), nPerms)
+      val prevPairs = Dedup.lshCandidates(prevStore, nPerms, rpb)
+      val store = Dedup.incrementalSignatures(current, prevStore,
+        col("doc_id"), col("text"), nPerms)
+      val out = Dedup.incrementalLshPairs(store, prevPairs, nPerms, rpb)
+        .select("doc_a", "doc_b", "origin").as[(Long, Long, String)].collect()
+      assert(out.nonEmpty && out.forall(_._3 == "survivor"))
+      assert(out.map(p => (p._1, p._2)).toSet ==
+        prevPairs.as[(Long, Long)].collect().toSet)
+    }
+  }
 }

@@ -270,4 +270,36 @@ class SamplingSpec extends SparkSpec {
       assert(out.values.sum == 10L)
     }
   }
+
+  describe("Sampling.componentSafeSplit") {
+    // chain 1-2-3, pair 10-11, singletons 20 and 21
+    val rows = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val splits = Seq("train" -> 80, "val" -> 10, "test" -> 10)
+
+    it("connected rows share a split; singletons hash their own id") {
+      val out = Sampling.componentSafeSplit(rows, col("doc_id"), pairs, splits)
+        .select("doc_id", "component", "split").as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(Set(1L, 2L, 3L).map(out(_)).size == 1 && out(1L)._1 == 1L)
+      assert(out(10L) == out(11L) && out(10L)._1 == 10L)
+      assert(out(20L)._1 == 20L && out(21L)._1 == 21L)
+      // the split is groupedSplit's documented hash range on the component
+      out.values.foreach { case (comp, split) =>
+        val b = graft.functions.TextFns.hash60Value(comp.toString) % 100
+        val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+        assert(split == expect, s"component $comp")
+      }
+    }
+
+    it("assignments are stable when an unrelated component joins the corpus") {
+      val before = Sampling.componentSafeSplit(rows, col("doc_id"), pairs, splits)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      val grown = Sampling.componentSafeSplit(
+        rows.unionByName(Seq(30L, 31L).toDF("doc_id")),
+        col("doc_id"), pairs.unionByName(Seq((30L, 31L)).toDF("doc_a", "doc_b")), splits)
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(before.forall { case (id, s) => grown(id) == s })
+    }
+  }
 }

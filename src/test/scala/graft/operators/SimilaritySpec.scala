@@ -337,4 +337,50 @@ class SimilaritySpec extends SparkSpec {
       assert(out.filter(col("kept")).count() == n)
     }
   }
+
+  describe("Similarity.marginMutualPairs") {
+    it("mines exactly the mutual-best pairs with exact integer margins") {
+      // x1∥y1 and x2∥y3 are perfect matches; y2 sits between them
+      val xs = Seq((100L, Array(1.0f, 0.0f)), (101L, Array(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      val ys = Seq((200L, Array(1.0f, 0.0f)), (201L, Array(0.6f, 0.8f)),
+        (202L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+      val out = Similarity.marginMutualPairs(xs, ys, k = 1, minMarginMicro = 1000000L)
+        .select("x_id", "y_id", "simfp", "margin_micro")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // sim(x1,y1)=sim(x2,y3)=1.0 exactly; k=1 sums are 10^6 each side →
+      // margin = 10^6·2·10^6 / 2·10^6 = 10^6 exactly
+      assert(out == Set((100L, 200L, 1000000L, 1000000L),
+        (101L, 202L, 1000000L, 1000000L)))
+    }
+
+    it("corrects hubness: the raw-cosine best loses to the margin best") {
+      // yh is closest to x1 by raw cosine BUT is also near x2 (a hub →
+      // large k-NN sum); yd is slightly farther from x1 yet isolated.
+      val xs = Seq((1L, Array(1.0f, 0.0f, 0.0f)), (2L, Array(0.0f, 0.0f, 1.0f)))
+        .toDF("vec_id", "embedding")
+      val ys = Seq((10L, Array(0.98f, 0.0f, 0.199f)),  // yh: the hub
+        (11L, Array(0.96f, 0.28f, 0.0f)))              // yd: isolated
+        .toDF("vec_id", "embedding")
+      val rawBest = Similarity.bruteTopK(ys, xs.filter(col("vec_id") === 1), k = 1)
+        .select("neighbor_id").as[Long].head()
+      assert(rawBest == 10L) // cosine alone picks the hub
+      val mined = Similarity.marginMutualPairs(xs, ys, k = 2, minMarginMicro = 1000000L)
+        .select("x_id", "y_id").as[(Long, Long)].collect().toSet
+      assert(mined == Set((1L, 11L))) // margin demotes the hub
+    }
+
+    it("is invariant under partitioning") {
+      val xs = randomCorpus(40, 8, seed = 7).filter(col("vec_id") % 4 === 0)
+      val ys = randomCorpus(40, 8, seed = 7).filter(col("vec_id") % 4 =!= 0)
+      val a = Similarity.marginMutualPairs(xs, ys, k = 3, minMarginMicro = 0L)
+        .select("x_id", "y_id", "margin_micro").as[(Long, Long, Long)].collect().toSet
+      val b = Similarity.marginMutualPairs(xs.repartition(13), ys.repartition(7),
+          k = 3, minMarginMicro = 0L)
+        .select("x_id", "y_id", "margin_micro").as[(Long, Long, Long)].collect().toSet
+      assert(a == b && a.nonEmpty)
+      // mutual-best: no id appears twice on either side
+      assert(a.map(_._1).size == a.size && a.map(_._2).size == a.size)
+    }
+  }
 }
