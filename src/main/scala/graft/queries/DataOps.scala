@@ -2733,6 +2733,79 @@ object DataOps extends QueryModule {
        |FROM cands ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q265: incremental component maintenance ------------------------------
+
+  /** Crawl-incremental CLUSTER maintenance pinned incremental ≡ full
+    * ([[graft.operators.Dedup.incrementalComponents]], closing the
+    * q259→q262 chain): the same simulated crawl delta, its previous
+    * labels from a full propagation over the previous pair set, then
+    * the maintained store + maintained pairs feed the contracted
+    * O(delta + dirty) propagation — clean components ride along as
+    * single representative nodes, only components that lost a member
+    * re-propagate, merges happen on the contracted graph. The oracle
+    * recomputes per-doc labels from scratch (banding → recursive-CTE
+    * closure → min label → singleton coalesce), so a green row proves
+    * label maintenance including SPLITS (a changed doc's old edges
+    * vanish) and MERGES (new pairs joining old clusters) is exact.
+    */
+  def incrComponents(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val isOld = col("doc_id") % 7 =!= 3
+    val isChanged = (col("doc_id") % 5 === 0) && isOld
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val prevCrawl = d.filter(isOld && !isChanged)
+      .unionByName(d.filter(isChanged)
+        .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
+      .localCheckpoint(false) // feeds the store AND the prev-label coalesce
+    val prevStore = Dedup.signatureStore(prevCrawl, col("doc_id"), col("text"), NumPerms)
+      .localCheckpoint(false)
+    val prevPairs = Dedup.lshCandidates(prevStore, NumPerms, RowsPerBand)
+      .localCheckpoint(false) // feeds prev labels AND pair maintenance
+    val prevLabels = prevCrawl.select(col("doc_id"))
+      .join(Dedup.connectedComponents(prevPairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    val store = Dedup.incrementalSignatures(d, prevStore, col("doc_id"), col("text"), NumPerms)
+      .localCheckpoint(false) // feeds pair maintenance AND component maintenance
+    val pairs = Dedup.incrementalLshPairs(store, prevPairs, NumPerms, RowsPerBand)
+      .localCheckpoint(false) // the maintained pair set feeds propagation twice
+    Dedup.incrementalComponents(prevLabels, store, pairs)
+      .sortOnce(col("doc_id"))
+  }
+
+  private val q265Oracle: String = {
+    val sigCols = (0 until NumPerms)
+      .map(i => s"MIN(${TextFns.minhashPermSql(i, "h")}) AS s$i").mkString(", ")
+    val bandSelects = (0 until NumPerms / RowsPerBand).map { bnd =>
+      val key = (0 until RowsPerBand)
+        .map(r => s"CAST(s${bnd * RowsPerBand + r} AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $key AS key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleBaseCtes,
+       |hashed AS (SELECT doc_id, ${TextFns.hash60Sql("shingle")} AS h FROM sh),
+       |sigs AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cands AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT doc_a AS n FROM cands UNION SELECT doc_b FROM cands),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM cands
+       |          UNION SELECT doc_b, doc_a FROM cands),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT n, n FROM nodes
+       |    UNION
+       |    SELECT r.src, e.v FROM r JOIN edges e ON e.u = r.dst)
+       |  SELECT * FROM r),
+       |cc AS (SELECT src AS doc_id, MIN(dst) AS component FROM reach GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+       |FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -4443,6 +4516,7 @@ object DataOps extends QueryModule {
     "q262_incr_lsh_pairs" -> (incrLshMaintain _),
     "q263_component_split" -> (componentSplitAudit _),
     "q264_margin_mining" -> (marginMining _),
+    "q265_incr_components" -> (incrComponents _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -4545,6 +4619,7 @@ object DataOps extends QueryModule {
     "q262_incr_lsh_pairs" -> q262Oracle,
     "q263_component_split" -> q263Oracle,
     "q264_margin_mining" -> q264Oracle,
+    "q265_incr_components" -> q265Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

@@ -526,6 +526,26 @@ class DedupSpec extends SparkSpec {
         }
     }
 
+    it("maintained components ≡ full recompute through the whole chain") {
+      val prevStore = Dedup.signatureStore(prev, col("doc_id"), col("text"), nPerms)
+      val prevPairs = Dedup.lshCandidates(prevStore, nPerms, rpb)
+      val prevLabels = prev.select(col("doc_id"))
+        .join(Dedup.connectedComponents(prevPairs), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+      val store = Dedup.incrementalSignatures(current, prevStore,
+        col("doc_id"), col("text"), nPerms)
+      val pairs = Dedup.incrementalLshPairs(store, prevPairs, nPerms, rpb)
+      val inc = Dedup.incrementalComponents(prevLabels, store, pairs)
+        .as[(Long, Long)].collect().toMap
+      val full = current.select(col("doc_id"))
+        .join(Dedup.connectedComponents(pairs.select("doc_a", "doc_b")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full)
+    }
+
     it("an unchanged crawl re-expands nothing — every pair is a survivor") {
       val prevStore = Dedup.signatureStore(current, col("doc_id"), col("text"), nPerms)
       val prevPairs = Dedup.lshCandidates(prevStore, nPerms, rpb)
