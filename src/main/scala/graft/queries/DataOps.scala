@@ -2806,6 +2806,136 @@ object DataOps extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- q266: GloVe-style co-occurrence matrix -------------------------------
+
+  /** Distance-weighted co-occurrence counts ([[graft.operators.Cooccur
+    * .pairWeights]], window 3, exact ×60 weights): the corpus statistic
+    * GloVe-style embedding training consumes, built as one per-row
+    * codegen comprehension + one pair-keyed shuffle. The ×60 fixed
+    * point makes every 1/d weight an integer, so the aggregated matrix
+    * replays cell-exact in DuckDB's nested list comprehension; the
+    * HAVING floor prunes the singleton tail on both engines identically
+    * (an exact output contract, not a sample).
+    */
+  def cooccurMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cooccur.pairWeights(docs(s, dir), col("text"),
+        window = 3, minWeight60 = 600L)
+      .sortOnce(col("a"), col("b"))
+
+  private val q266Oracle: String =
+    """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |pairs AS (
+      |  SELECT unnest(flatten(
+      |    [[{'a': least(t[i], t[j]), 'b': greatest(t[i], t[j]), 'w': 60 // (j - i)}
+      |      for j in range(i + 1, least(i + 3, len(t)) + 1)]
+      |     for i in range(1, len(t))])) AS p
+      |  FROM toks)
+      |SELECT p.a AS a, p.b AS b, CAST(SUM(p.w) AS BIGINT) AS w60,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hits
+      |FROM pairs WHERE p.a <> p.b
+      |GROUP BY 1, 2 HAVING SUM(p.w) >= 600
+      |ORDER BY a, b""".stripMargin
+
+  // ---- q267: JL sign projection + recall audit -------------------------------
+
+  /** Random-projection dimensionality reduction with an in-data recall
+    * audit ([[graft.operators.Projection.signProject]], 64 → 16 dims):
+    * the pre-ANN compression leg of the similarity family. For q24's
+    * fixed query batch the exact fixed-point top-3 is computed in BOTH
+    * spaces and the per-query overlap reported, next to the query's
+    * projected-coordinate checksum — so the oracle pins the projection
+    * VALUES bit-for-bit (sign matrix re-derived from the public hash60
+    * formula, exact integer Σ ±e) and the ranking arithmetic
+    * (int64 dot, IEEE sqrt norms, ×10⁶ round), not just a recall
+    * number.
+    */
+  def jlRecall(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Projection
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") < NumQueries)
+    val origScored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
+      .join(broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))),
+        col("neighbor_id") =!= col("query_id"))
+      .withColumn("simfp",
+        round(VectorFns.cosine(col("qvec"), col("cvec")) * lit(1000000d), 0).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("simfp").desc, col("neighbor_id"))
+    val origTop = origScored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK).select(col("query_id"), col("neighbor_id"))
+    val proj = Projection.signProject(e, col("vec_id"), col("embedding"),
+        inDim = 64, outDim = 16)
+      .localCheckpoint(false) // feeds corpus side, query side, and the checksum
+    val pq = proj.select(col("vec_id").as("query_id"), col("proj").as("qp"),
+      col("norm2").as("qn")).filter(col("query_id") < NumQueries)
+    val projScored = proj.select(col("vec_id").as("neighbor_id"), col("proj").as("cp"),
+        col("norm2").as("cn"))
+      .join(broadcast(pq), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qp"), col("cp"), (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v))
+      .withColumn("psimfp",
+        round(col("dot").cast("double") /
+          (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))) *
+          lit(1000000d), 0).cast("long"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("psimfp").desc, col("neighbor_id"))
+    val projTop = projScored.withColumn("rnk", row_number().over(wp))
+      .filter(col("rnk") <= TopK).select(col("query_id"), col("neighbor_id"))
+    val overlap = origTop.join(projTop, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_overlap"))
+    val chk = pq.select(col("query_id"),
+      aggregate(col("qp"), lit(0L), (acc, v) => acc + v).as("q_proj_sum"))
+    chk.join(overlap, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        col("q_proj_sum"))
+      .sortOnce(col("query_id"))
+  }
+
+  private val q267Oracle: String = {
+    val cos = VectorFns.cosineSql("q.embedding", "c.embedding")
+    val sign = "CASE WHEN CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || " +
+      "CAST(i - 1 AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END"
+    s"""WITH qs AS (SELECT * FROM embeddings WHERE vec_id < $NumQueries),
+       |orig AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY CAST(round($cos * 1000000, 0) AS BIGINT) DESC, c.vec_id) AS rnk
+       |  FROM qs q JOIN embeddings c ON c.vec_id <> q.vec_id),
+       |orig_top AS (SELECT query_id, neighbor_id FROM orig WHERE rnk <= $TopK),
+       |efp AS (
+       |  SELECT vec_id,
+       |    [CAST(round(CAST(embedding[i] AS DOUBLE) * 1000, 0) AS BIGINT)
+       |     for i in range(1, len(embedding) + 1)] AS f
+       |  FROM embeddings),
+       |proj AS (
+       |  SELECT vec_id,
+       |    [CAST(list_sum([($sign) * f[i] for i in range(1, len(f) + 1)]) AS BIGINT)
+       |     for j in range(0, 16)] AS p
+       |  FROM efp),
+       |normed AS (
+       |  SELECT vec_id, p,
+       |    CAST(list_sum([p[i] * p[i] for i in range(1, 17)]) AS BIGINT) AS n2
+       |  FROM proj),
+       |pscore AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      CAST(round(CAST(list_sum([q.p[i] * c.p[i] for i in range(1, 17)]) AS DOUBLE)
+       |        / (sqrt(CAST(q.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE)))
+       |        * 1000000, 0) AS BIGINT) DESC, c.vec_id) AS rnk
+       |  FROM normed q JOIN normed c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NumQueries),
+       |proj_top AS (SELECT query_id, neighbor_id FROM pscore WHERE rnk <= $TopK),
+       |overlap AS (
+       |  SELECT o.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+       |  FROM orig_top o JOIN proj_top p USING (query_id, neighbor_id)
+       |  GROUP BY 1)
+       |SELECT n.vec_id AS query_id, COALESCE(ov.n_overlap, 0) AS n_overlap,
+       |  CAST(list_sum([n.p[i] for i in range(1, 17)]) AS BIGINT) AS q_proj_sum
+       |FROM normed n LEFT JOIN overlap ov ON ov.query_id = n.vec_id
+       |WHERE n.vec_id < $NumQueries
+       |ORDER BY query_id""".stripMargin
+  }
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -4517,6 +4647,8 @@ object DataOps extends QueryModule {
     "q263_component_split" -> (componentSplitAudit _),
     "q264_margin_mining" -> (marginMining _),
     "q265_incr_components" -> (incrComponents _),
+    "q266_cooccurrence" -> (cooccurMatrix _),
+    "q267_jl_recall" -> (jlRecall _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -4620,6 +4752,8 @@ object DataOps extends QueryModule {
     "q263_component_split" -> q263Oracle,
     "q264_margin_mining" -> q264Oracle,
     "q265_incr_components" -> q265Oracle,
+    "q266_cooccurrence" -> q266Oracle,
+    "q267_jl_recall" -> q267Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,
