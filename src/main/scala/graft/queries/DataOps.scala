@@ -2936,6 +2936,44 @@ object DataOps extends QueryModule {
        |ORDER BY query_id""".stripMargin
   }
 
+  // ---- q268: typed-Aggregator bounded top-k ---------------------------------
+
+  /** Per-group top-k through the typed `Aggregator` extension surface
+    * ([[graft.operators.TopK.perGroup]]): top-5 orders by price cents
+    * per order priority. Unlike the `row_number()` window (which
+    * shuffles EVERY group row to sort it), the aggregator's bounded
+    * buffer participates in map-side partial aggregation — at most ~2k
+    * entries per group leave a task, so shuffle bytes scale with
+    * k·partitions·groups, not with group sizes. The oracle replays the
+    * semantics with the window form, pinning the aggregator's
+    * reduce/merge law equal to the sort definition; prices land in
+    * exact integer CENTS on both engines.
+    */
+  def typedTopK(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderpriority").as("priority"),
+        round(col("o_totalprice") * lit(100d), 0).cast("long").as("cents"),
+        col("o_orderkey"))
+    graft.operators.TopK.perGroup(o, Seq(col("priority")), col("cents"),
+        col("o_orderkey"), k = 5)
+      .select(col("g0").as("priority"), col("rnk").cast("long").as("rnk"),
+        col("id").as("o_orderkey"), col("v").as("cents"))
+      .sortOnce(col("priority"), col("rnk"))
+  }
+
+  private val q268Oracle: String =
+    """WITH o AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents, o_orderkey
+      |  FROM orders),
+      |r AS (
+      |  SELECT priority, cents, o_orderkey,
+      |    row_number() OVER (PARTITION BY priority
+      |      ORDER BY cents DESC, o_orderkey) AS rnk
+      |  FROM o)
+      |SELECT priority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, cents
+      |FROM r WHERE rnk <= 5 ORDER BY priority, rnk""".stripMargin
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -4649,6 +4687,7 @@ object DataOps extends QueryModule {
     "q265_incr_components" -> (incrComponents _),
     "q266_cooccurrence" -> (cooccurMatrix _),
     "q267_jl_recall" -> (jlRecall _),
+    "q268_typed_topk" -> (typedTopK _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -4754,6 +4793,7 @@ object DataOps extends QueryModule {
     "q265_incr_components" -> q265Oracle,
     "q266_cooccurrence" -> q266Oracle,
     "q267_jl_recall" -> q267Oracle,
+    "q268_typed_topk" -> q268Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,
