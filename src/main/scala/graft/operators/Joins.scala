@@ -125,4 +125,30 @@ object Joins {
     val outRight = rightPayload.map(c => col(s"__match.$c").as(s"asof_$c"))
     joined.select((outLeft ++ outRight).toIndexedSeq: _*)
   }
+
+  /** Incremental JOIN view maintenance (the delta algebra of classic
+    * counting IVM, insert deltas: Blakeley et al., SIGMOD 1986 — public
+    * method), the join-view complement of the aggregate IVM family
+    * (q224/q236): with V = A ⋈ B materialized, applying insert deltas
+    * needs only
+    *   ΔV = (ΔA ⋈ B_old) ∪ (A_old ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    * — the four legs PARTITION the new join exactly (each output row
+    * joins an old/new A row with an old/new B row, and each of the
+    * four combinations appears in exactly one leg), so
+    * V_prev ∪ ΔV ≡ (A_old ∪ ΔA) ⋈ (B_old ∪ ΔB) with no dedup pass.
+    *
+    * Scale shape: the stored view is UNIONED, never re-joined — at
+    * warehouse scale ΔV is an append to the view table; each delta leg
+    * BROADCASTS the delta side (deltas are small by contract, and the
+    * hint keeps a 100 TB base table from shuffling to meet a
+    * megabyte-scale delta). Maintenance cost ∝ |Δ| · match rate,
+    * independent of |V|.
+    */
+  def incrementalJoinView(prevView: DataFrame, aOld: DataFrame, aDelta: DataFrame,
+                          bOld: DataFrame, bDelta: DataFrame,
+                          key: String): DataFrame =
+    prevView
+      .unionByName(broadcast(aDelta).join(bOld, key))
+      .unionByName(aOld.join(broadcast(bDelta), key))
+      .unionByName(broadcast(aDelta).join(bDelta, key))
 }

@@ -2974,6 +2974,60 @@ object DataOps extends QueryModule {
       |SELECT priority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, cents
       |FROM r WHERE rnk <= 5 ORDER BY priority, rnk""".stripMargin
 
+  // ---- q269: incremental JOIN view maintenance -------------------------------
+
+  /** Join-view IVM ([[graft.operators.Joins.incrementalJoinView]]):
+    * orders ⋈ lineitem maintained under insert deltas (every-10th
+    * order, every-5th lineitem arrive "since the view was built"). The
+    * maintained view is audited per DELTA LEG — each output row is
+    * classified prev / a_new / b_new / both_new from the same modular
+    * conditions the deltas were carved with — and the oracle computes
+    * the FULL join with identical leg classification, so a green row
+    * proves the four legs partition the new join exactly (no row
+    * duplicated, none missed): the algebra that lets a 100 TB stored
+    * view absorb a delta by appending ΔV instead of re-joining.
+    */
+  def joinViewMaintain(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority").as("priority"),
+      round(col("o_totalprice") * lit(100d), 0).cast("long").as("cents"))
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+      col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+    val aNew = col("o_orderkey") % 10 === 7
+    // independent moduli: %10 and %7 overlap without implication, so
+    // all four legs are non-empty (a %5 carve would make aNew ⊆ bNew)
+    val bNew = col("o_orderkey") % 7 === 3
+    val (aOld, aDelta) = (o.filter(!aNew), o.filter(aNew))
+    val (bOld, bDelta) = (l.filter(!bNew), l.filter(bNew))
+    val prevView = aOld.join(bOld, "o_orderkey")
+    graft.operators.Joins
+      .incrementalJoinView(prevView, aOld, aDelta, bOld, bDelta, "o_orderkey")
+      .withColumn("leg",
+        when(aNew && bNew, "both_new").when(aNew, "a_new")
+          .when(bNew, "b_new").otherwise("prev"))
+      .groupBy(col("leg"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("qty")).as("sum_qty"),
+        sum(col("cents")).as("sum_cents"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("leg"))
+  }
+
+  private val q269Oracle: String =
+    """WITH v AS (
+      |  SELECT o.o_orderkey,
+      |    CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+      |    CAST(l.l_quantity AS BIGINT) AS qty,
+      |    CASE WHEN o.o_orderkey % 10 = 7 AND o.o_orderkey % 7 = 3 THEN 'both_new'
+      |         WHEN o.o_orderkey % 10 = 7 THEN 'a_new'
+      |         WHEN o.o_orderkey % 7 = 3 THEN 'b_new'
+      |         ELSE 'prev' END AS leg
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+      |SELECT leg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+      |FROM v GROUP BY leg ORDER BY leg""".stripMargin
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -4688,6 +4742,7 @@ object DataOps extends QueryModule {
     "q266_cooccurrence" -> (cooccurMatrix _),
     "q267_jl_recall" -> (jlRecall _),
     "q268_typed_topk" -> (typedTopK _),
+    "q269_join_view_ivm" -> (joinViewMaintain _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -4794,6 +4849,7 @@ object DataOps extends QueryModule {
     "q266_cooccurrence" -> q266Oracle,
     "q267_jl_recall" -> q267Oracle,
     "q268_typed_topk" -> q268Oracle,
+    "q269_join_view_ivm" -> q269Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

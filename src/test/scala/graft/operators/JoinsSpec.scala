@@ -111,4 +111,35 @@ class JoinsSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
     }
   }
+
+  describe("Joins.incrementalJoinView") {
+    import spark.implicits._
+    val aAll = Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (4L, "a4"))
+      .toDF("k", "av")
+    val bAll = Seq((1L, "b1"), (1L, "b1x"), (2L, "b2"), (3L, "b3"), (5L, "b5"))
+      .toDF("k", "bv")
+
+    it("prev ∪ delta legs ≡ the full join, with every leg populated") {
+      // deltas: a row 3 and 4 are new; b rows for keys 2 and 3 are new
+      val (aOld, aD) = (aAll.filter(col("k") < 3), aAll.filter(col("k") >= 3))
+      val (bOld, bD) = (bAll.filter(col("k") < 2 || col("k") > 3),
+        bAll.filter(col("k") === 2 || col("k") === 3))
+      val prev = aOld.join(bOld, "k")
+      val maintained = Joins.incrementalJoinView(prev, aOld, aD, bOld, bD, "k")
+        .as[(Long, String, String)].collect().sorted.toSeq
+      val full = aAll.join(bAll, "k")
+        .as[(Long, String, String)].collect().sorted.toSeq
+      assert(maintained == full) // exact multiset: no row duplicated, none missed
+      assert(maintained.size == 4)
+    }
+
+    it("empty deltas are the identity") {
+      val empty = aAll.filter(lit(false))
+      val prev = aAll.join(bAll, "k")
+      val out = Joins.incrementalJoinView(prev, aAll, empty, bAll,
+          bAll.filter(lit(false)).select(col("k"), col("bv")), "k")
+        .as[(Long, String, String)].collect().sorted.toSeq
+      assert(out == prev.as[(Long, String, String)].collect().sorted.toSeq)
+    }
+  }
 }
