@@ -1219,6 +1219,21 @@ object Relational extends QueryModule {
     * zero-order customer appears (none exist at sf0.01/sf0.01 never saw
     * it); `not_in_nonnull` pins the NULL-free set's NOT IN, where both
     * engines agree in any context and the no-match case IS reachable.
+    * The null-bearing set is bounded (`o_orderkey < 2000` — present and
+    * NULL-bearing at every SF): Spark executes a NOT IN against a
+    * nullable set as a null-aware anti-join, a BroadcastNestedLoopJoin
+    * whose cost is |outer|·|set|, and the zero-survivors rule being
+    * pinned holds for ANY null-bearing set and any outer slice (both
+    * bounds leave the anti-join's verdict — zero survivors — intact),
+    * so the bounded plan pins the same rule orders of magnitude
+    * cheaper. `not_in_nonnull`'s set is bounded too
+    * (`o_custkey < 50`, keeping both the match and no-match cases
+    * reachable): Spark plans ANY projection-context NOT IN as the
+    * `(= OR isnull(=))` BroadcastNestedLoopJoin — the isnull disjunct
+    * is emitted regardless of static nullability (coalesce on both
+    * sides was tried; the rewrite ignores it) — so |outer|·|set| evals
+    * is the unavoidable plan shape and the set bound is the only
+    * lever. Both bounds are semantic identities for the pinned rules.
     */
   def subqueryBattery(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "customer").createOrReplaceTempView("customer_sq")
@@ -1237,10 +1252,12 @@ object Relational extends QueryModule {
         c_custkey IN (SELECT o_custkey FROM orders_sq
           WHERE o_orderpriority = '1-URGENT') AS in_urgent,
         c_custkey NOT IN (SELECT o_custkey FROM orders_sq
-          WHERE o_orderkey % 97 <> 0) AS not_in_nonnull,
+          WHERE o_orderkey % 97 <> 0 AND o_custkey < 50) AS not_in_nonnull,
         c_custkey IN (SELECT c2.c_custkey FROM customer_sq c2
-          WHERE c2.c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0
-              THEN NULL ELSE o_custkey END FROM orders_sq)) AS not_in_nullset
+          WHERE c2.c_custkey < 500
+            AND c2.c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0
+              THEN NULL ELSE o_custkey END FROM orders_sq
+            WHERE o_orderkey < 2000)) AS not_in_nullset
       FROM customer_sq c ORDER BY c_custkey""")
   }
 
@@ -1258,10 +1275,12 @@ object Relational extends QueryModule {
       |  c_custkey IN (SELECT o_custkey FROM orders
       |    WHERE o_orderpriority = '1-URGENT') AS in_urgent,
       |  c_custkey NOT IN (SELECT o_custkey FROM orders
-      |    WHERE o_orderkey % 97 <> 0) AS not_in_nonnull,
+      |    WHERE o_orderkey % 97 <> 0 AND o_custkey < 50) AS not_in_nonnull,
       |  c_custkey IN (SELECT c2.c_custkey FROM customer c2
-      |    WHERE c2.c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0
-      |        THEN NULL ELSE o_custkey END FROM orders)) AS not_in_nullset
+      |    WHERE c2.c_custkey < 500
+      |      AND c2.c_custkey NOT IN (SELECT CASE WHEN o_orderkey % 97 = 0
+      |        THEN NULL ELSE o_custkey END FROM orders
+      |      WHERE o_orderkey < 2000)) AS not_in_nullset
       |FROM customer c ORDER BY c_custkey""".stripMargin
 
   /** q193: 2-D skyline (Pareto frontier) — the orders no other order
