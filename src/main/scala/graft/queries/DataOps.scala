@@ -3028,6 +3028,64 @@ object DataOps extends QueryModule {
       |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
       |FROM v GROUP BY leg ORDER BY leg""".stripMargin
 
+  // ---- q270: time-respecting temporal reachability ---------------------------
+
+  private val TemporalHops = 6
+
+  /** Temporal-graph earliest arrival ([[graft.operators.TemporalGraph
+    * .earliestArrival]]): the q222/q230 graph family's TIME dimension —
+    * an edge is traversable only at t ≥ the arrival at its source, so
+    * the result is what can actually PROPAGATE (information, contagion,
+    * causality), which static reachability overstates. Same bounded-
+    * hop discipline as q222: ≤6 hops on both engines, the oracle
+    * enumerating each hop level's (node, arrival) pairs and taking the
+    * min — a green row proves the dominance-pruned label-correcting
+    * rounds equal the full path enumeration.
+    */
+  def temporalReach(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.TemporalGraph
+    val d = docs(s, dir).select(col("doc_id")).localCheckpoint(false)
+    val n = d.count()
+    val edges = d.select(col("doc_id").as("src"),
+        explode(array((0 to 2).map(j => struct(
+          ((col("doc_id") * 31 + lit(j * 17)) % n).as("dst"),
+          ((col("doc_id") * 7 + lit(j * 13)) % 1000).as("t"))): _*)).as("e"))
+      .select(col("src"), col("e.dst"), col("e.t"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val sources = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("node"))
+    val best = TemporalGraph.earliestArrival(edges, sources, TemporalHops)
+    d.join(best, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("arrival"), lit(-1L)).as("arrival"))
+      .sortOnce(col("doc_id"))
+  }
+
+  private val q270Oracle: String = {
+    val levels = (1 to TemporalHops).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node, e.t AS arr
+         |  FROM e JOIN r${i - 1} f ON e.src = f.node AND e.t >= f.arr)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to TemporalHops).map(i => s"SELECT node, arr FROM r$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH n AS MATERIALIZED (SELECT COUNT(*) AS n FROM documents),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id AS src,
+       |    (doc_id * 31 + j * 17) % (SELECT n FROM n) AS dst,
+       |    (doc_id * 7 + j * 13) % 1000 AS t
+       |  FROM documents, (SELECT unnest(range(0, 3)) AS j)
+       |  WHERE doc_id <> (doc_id * 31 + j * 17) % (SELECT n FROM n)),
+       |r0 AS MATERIALIZED (
+       |  SELECT doc_id AS node, CAST(0 AS BIGINT) AS arr
+       |  FROM documents WHERE doc_id % 100 = 0),
+       |$levels,
+       |reach AS (
+       |  $union)
+       |SELECT d.doc_id, COALESCE(MIN(r.arr), -1) AS arrival
+       |FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -4743,6 +4801,7 @@ object DataOps extends QueryModule {
     "q267_jl_recall" -> (jlRecall _),
     "q268_typed_topk" -> (typedTopK _),
     "q269_join_view_ivm" -> (joinViewMaintain _),
+    "q270_temporal_reach" -> (temporalReach _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -4850,6 +4909,7 @@ object DataOps extends QueryModule {
     "q267_jl_recall" -> q267Oracle,
     "q268_typed_topk" -> q268Oracle,
     "q269_join_view_ivm" -> q269Oracle,
+    "q270_temporal_reach" -> q270Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,
