@@ -3086,6 +3086,86 @@ object DataOps extends QueryModule {
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- q271: schema + stats drift audit ---------------------------------------
+
+  /** Data-contract drift audit ([[graft.operators.SchemaDrift.audit]]):
+    * the previous export is simulated from documents — rows `%9=4`
+    * gone, `lang`/`source` columns absent, `text` nulled where
+    * `%11=0`, `n_chars` narrowed to int — and audited against the
+    * current snapshot. Pins column add/remove detection, the TYPE
+    * change, and the exact null/NDV movement of every surviving
+    * column; the oracle recomputes all of it from the same derivation
+    * rules. Two scans total, no row-level join — the audit's cost is
+    * independent of how much data sits between the snapshots.
+    */
+  def schemaDriftAudit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val oldSnap = d.filter(col("doc_id") % 9 =!= 4)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 =!= 0, col("text")).as("text"),
+        col("n_chars").cast("int").as("n_chars"))
+    val newSnap = d.select(col("doc_id"), col("text"), col("n_chars"),
+      col("lang"), col("source"))
+    graft.operators.SchemaDrift.audit(oldSnap, newSnap)
+      .sortOnce(col("column"))
+  }
+
+  private val q271Oracle: String =
+    """WITH old AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 11 <> 0 THEN text END AS text, n_chars
+      |  FROM documents WHERE doc_id % 9 <> 4),
+      |os AS (
+      |  SELECT * FROM (VALUES
+      |    ('doc_id', 'bigint',
+      |      (SELECT COUNT(*) FROM old),
+      |      (SELECT COUNT(*) FROM old WHERE doc_id IS NULL),
+      |      (SELECT COUNT(DISTINCT doc_id) FROM old)),
+      |    ('text', 'string',
+      |      (SELECT COUNT(*) FROM old),
+      |      (SELECT COUNT(*) FROM old WHERE text IS NULL),
+      |      (SELECT COUNT(DISTINCT text) FROM old)),
+      |    ('n_chars', 'int',
+      |      (SELECT COUNT(*) FROM old),
+      |      (SELECT COUNT(*) FROM old WHERE n_chars IS NULL),
+      |      (SELECT COUNT(DISTINCT n_chars) FROM old))
+      |  ) t(column_name, old_type, old_rows, old_nulls, old_ndv)),
+      |ns AS (
+      |  SELECT * FROM (VALUES
+      |    ('doc_id', 'bigint'), ('text', 'string'), ('n_chars', 'bigint'),
+      |    ('lang', 'string'), ('source', 'string')
+      |  ) t(column_name, new_type)),
+      |nstats AS (
+      |  SELECT n.column_name, n.new_type,
+      |    (SELECT COUNT(*) FROM documents) AS new_rows,
+      |    CASE n.column_name
+      |      WHEN 'doc_id' THEN (SELECT COUNT(*) FROM documents WHERE doc_id IS NULL)
+      |      WHEN 'text' THEN (SELECT COUNT(*) FROM documents WHERE text IS NULL)
+      |      WHEN 'n_chars' THEN (SELECT COUNT(*) FROM documents WHERE n_chars IS NULL)
+      |      WHEN 'lang' THEN (SELECT COUNT(*) FROM documents WHERE lang IS NULL)
+      |      ELSE (SELECT COUNT(*) FROM documents WHERE source IS NULL) END AS new_nulls,
+      |    CASE n.column_name
+      |      WHEN 'doc_id' THEN (SELECT COUNT(DISTINCT doc_id) FROM documents)
+      |      WHEN 'text' THEN (SELECT COUNT(DISTINCT text) FROM documents)
+      |      WHEN 'n_chars' THEN (SELECT COUNT(DISTINCT n_chars) FROM documents)
+      |      WHEN 'lang' THEN (SELECT COUNT(DISTINCT lang) FROM documents)
+      |      ELSE (SELECT COUNT(DISTINCT source) FROM documents) END AS new_ndv
+      |  FROM ns n)
+      |SELECT COALESCE(os.column_name, nstats.column_name) AS "column",
+      |  CASE WHEN os.old_type IS NULL THEN 'added'
+      |       WHEN nstats.new_type IS NULL THEN 'removed'
+      |       ELSE 'common' END AS status,
+      |  CASE WHEN os.old_type IS NOT NULL AND nstats.new_type IS NOT NULL
+      |       THEN os.old_type <> nstats.new_type ELSE false END AS type_changed,
+      |  os.old_type, nstats.new_type,
+      |  CAST(os.old_rows AS BIGINT) AS old_rows,
+      |  CAST(os.old_nulls AS BIGINT) AS old_nulls,
+      |  CAST(os.old_ndv AS BIGINT) AS old_ndv,
+      |  CAST(nstats.new_rows AS BIGINT) AS new_rows,
+      |  CAST(nstats.new_nulls AS BIGINT) AS new_nulls,
+      |  CAST(nstats.new_ndv AS BIGINT) AS new_ndv
+      |FROM os FULL OUTER JOIN nstats ON nstats.column_name = os.column_name
+      |ORDER BY "column"""".stripMargin
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -4802,6 +4882,7 @@ object DataOps extends QueryModule {
     "q268_typed_topk" -> (typedTopK _),
     "q269_join_view_ivm" -> (joinViewMaintain _),
     "q270_temporal_reach" -> (temporalReach _),
+    "q271_schema_drift" -> (schemaDriftAudit _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -4910,6 +4991,7 @@ object DataOps extends QueryModule {
     "q268_typed_topk" -> q268Oracle,
     "q269_join_view_ivm" -> q269Oracle,
     "q270_temporal_reach" -> q270Oracle,
+    "q271_schema_drift" -> q271Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,
