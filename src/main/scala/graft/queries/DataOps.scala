@@ -3166,6 +3166,105 @@ object DataOps extends QueryModule {
       |FROM os FULL OUTER JOIN nstats ON nstats.column_name = os.column_name
       |ORDER BY "column"""".stripMargin
 
+  // ---- q272: CUPED variance-reduced A/B readout ------------------------------
+
+  /** CUPED experiment readout ([[graft.operators.Cuped.adjustedMeans]],
+    * Deng et al. WSDM'13): users split into two arms by id parity,
+    * pre-period spend (first 15 days) as the covariate, post-period
+    * spend as the outcome. The oracle replays the unit aggregation,
+    * every decimal-exact moment, pooled θ, and the adjusted arm means
+    * — pinning the variance-reduction ALGEBRA, not just totals (q239
+    * pins exposure accounting; this pins the sensitive readout on
+    * top).
+    */
+  def cupedReadout(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Cuped
+    val e = Tables(s, dir, "events")
+    val cents = round(col("value") * lit(100d), 0).cast("long")
+    val cut = lit("2024-01-16").cast("timestamp")
+    Cuped.adjustedMeans(e, col("user_id"), (col("user_id") % 2).as("arm"),
+        when(col("ts") < cut, cents).otherwise(lit(0L)),
+        when(col("ts") >= cut, cents).otherwise(lit(0L)))
+      .sortOnce(col("arm"))
+  }
+
+  private val q272Oracle: String =
+    """WITH units AS (
+      |  SELECT user_id AS unit, user_id % 2 AS arm,
+      |    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+      |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS ux,
+      |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+      |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS uy
+      |  FROM events GROUP BY 1, 2),
+      |grand AS (
+      |  SELECT COUNT(*) AS n_all, CAST(SUM(ux) AS BIGINT) AS sx_all,
+      |    CAST(SUM(uy) AS BIGINT) AS sy_all,
+      |    CAST(SUM(ux * uy) AS BIGINT) AS sxy_all,
+      |    CAST(SUM(ux * ux) AS BIGINT) AS sxx_all
+      |  FROM units),
+      |arms AS (
+      |  SELECT arm, COUNT(*) AS n_units, CAST(SUM(ux) AS BIGINT) AS sum_x,
+      |    CAST(SUM(uy) AS BIGINT) AS sum_y
+      |  FROM units GROUP BY 1)
+      |SELECT arm, n_units, sum_x, sum_y,
+      |  round(CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE), 6) AS mean_y_r,
+      |  round(CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE)
+      |    - (CAST(n_all * sxy_all - sx_all * sy_all AS DOUBLE)
+      |       / CAST(n_all * sxx_all - sx_all * sx_all AS DOUBLE))
+      |      * (CAST(sum_x AS DOUBLE) / CAST(n_units AS DOUBLE)
+      |         - CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6) AS adj_mean_y_r,
+      |  round(CAST(n_all * sxy_all - sx_all * sy_all AS DOUBLE)
+      |    / CAST(n_all * sxx_all - sx_all * sx_all AS DOUBLE), 6) AS theta_r
+      |FROM arms, grand ORDER BY arm""".stripMargin
+
+  // ---- q273: multi-epoch shuffle schedule -------------------------------------
+
+  /** Deterministic MULTI-EPOCH data-order schedule: epoch e's order is
+    * the corpus sorted by `hash60(e || ':' || id)` (ties on id), each
+    * epoch numbered by [[graft.operators.Packing.globalRowNumber]]'s
+    * two-phase prefix sum — never a single-reducer window. Training
+    * runs need every epoch to be a DIFFERENT deterministic permutation
+    * (same-order epochs correlate gradient noise; nondeterministic
+    * orders kill reproducibility/resume). Output: each epoch's first
+    * ten schedule slots (pinning the ORDER itself) plus an in-data
+    * permutation audit — n_rows ≡ distinct positions ≡ max position.
+    */
+  def epochSchedule(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Packing
+    val d = docs(s, dir).select(col("doc_id")).localCheckpoint(false)
+    val sched = (0 to 1).map { ep =>
+      val ord = struct(
+        TextFns.hash60(concat(lit(s"$ep:"), col("doc_id").cast("string"))).as("h"),
+        col("doc_id").as("id"))
+      Packing.globalRowNumber(d, ord).withColumn("epoch", lit(ep.toLong))
+    }.reduce(_ unionByName _).localCheckpoint(false)
+    val audit = sched.groupBy(col("epoch")).agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("pos")).as("n_distinct_pos"), max(col("pos")).as("max_pos"))
+    sched.filter(col("pos") <= 10)
+      .join(audit, "epoch")
+      .select(col("epoch"), col("pos"), col("doc_id"), col("n_rows"),
+        col("n_distinct_pos"), col("max_pos"))
+      .sortOnce(col("epoch"), col("pos"))
+  }
+
+  private val q273Oracle: String = {
+    val h = (ep: Int) => TextFns.hash60Sql(s"'$ep:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH sched AS (
+       |  SELECT CAST(0 AS BIGINT) AS epoch, doc_id,
+       |    row_number() OVER (ORDER BY ${h(0)}, doc_id) AS pos FROM documents
+       |  UNION ALL
+       |  SELECT CAST(1 AS BIGINT), doc_id,
+       |    row_number() OVER (ORDER BY ${h(1)}, doc_id) FROM documents),
+       |audit AS (
+       |  SELECT epoch, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_distinct_pos,
+       |    CAST(MAX(pos) AS BIGINT) AS max_pos
+       |  FROM sched GROUP BY 1)
+       |SELECT s.epoch, s.pos, s.doc_id, a.n_rows, a.n_distinct_pos, a.max_pos
+       |FROM sched s JOIN audit a USING (epoch)
+       |WHERE s.pos <= 10 ORDER BY epoch, pos""".stripMargin
+  }
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -4883,6 +4982,8 @@ object DataOps extends QueryModule {
     "q269_join_view_ivm" -> (joinViewMaintain _),
     "q270_temporal_reach" -> (temporalReach _),
     "q271_schema_drift" -> (schemaDriftAudit _),
+    "q272_cuped_readout" -> (cupedReadout _),
+    "q273_epoch_schedule" -> (epochSchedule _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -4992,6 +5093,8 @@ object DataOps extends QueryModule {
     "q269_join_view_ivm" -> q269Oracle,
     "q270_temporal_reach" -> q270Oracle,
     "q271_schema_drift" -> q271Oracle,
+    "q272_cuped_readout" -> q272Oracle,
+    "q273_epoch_schedule" -> q273Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,
