@@ -3265,6 +3265,65 @@ object DataOps extends QueryModule {
        |WHERE s.pos <= 10 ORDER BY epoch, pos""".stripMargin
   }
 
+  // ---- q274: deterministic Poisson bootstrap CI -------------------------------
+
+  /** Poisson-bootstrap confidence intervals
+    * ([[graft.operators.Bootstrap.meanCi]], the Chamandy et al.
+    * distributed bootstrap): per event type, a 95%-ish percentile CI
+    * of the mean per-user spend from 100 deterministic replicas —
+    * every (unit, replica) weight is an inverse-CDF draw on
+    * `hash60(rep:unit)`, so the oracle replays ALL 100 resamples
+    * weight-for-weight and the CI order statistics exactly. The
+    * uncertainty-quantification leg the exact-AUC/threshold-sweep
+    * family (q251/q252) was missing.
+    */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bootstrap
+    val e = Tables(s, dir, "events")
+    Bootstrap.meanCi(e, col("user_id"), col("event_type"),
+        round(col("value") * lit(100d), 0).cast("long"),
+        b = 100, loIdx = 3, hiIdx = 98)
+      .select(col("group").as("event_type"), col("n_units"), col("mean_r"),
+        col("lo_r"), col("hi_r"))
+      .sortOnce(col("event_type"))
+  }
+
+  private val q274Oracle: String = {
+    val h = TextFns.hash60Sql(
+      "CAST(r.rep AS VARCHAR) || ':' || CAST(u.unit AS VARCHAR)")
+    s"""WITH units AS (
+       |  SELECT event_type AS grp, user_id AS unit,
+       |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS uv
+       |  FROM events GROUP BY 1, 2),
+       |point AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_units,
+       |    CAST(SUM(uv) AS BIGINT) AS sv FROM units GROUP BY 1),
+       |weighted AS (
+       |  SELECT u.grp, u.uv, r.rep,
+       |    CASE WHEN $h % 1000000 < 367879 THEN 0
+       |         WHEN $h % 1000000 < 735759 THEN 1
+       |         WHEN $h % 1000000 < 919699 THEN 2
+       |         WHEN $h % 1000000 < 981012 THEN 3
+       |         WHEN $h % 1000000 < 996340 THEN 4 ELSE 5 END AS w
+       |  FROM units u, (SELECT unnest(range(1, 101)) AS rep) r),
+       |reps AS (
+       |  SELECT grp, rep, CAST(SUM(w * uv) AS BIGINT) AS swv,
+       |    CAST(SUM(w) AS BIGINT) AS sw
+       |  FROM weighted GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT grp, rep, CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE) AS m,
+       |    row_number() OVER (PARTITION BY grp
+       |      ORDER BY CAST(swv AS DOUBLE) / CAST(sw AS DOUBLE), rep) AS rnk
+       |  FROM reps WHERE sw > 0)
+       |SELECT p.grp AS event_type, p.n_units,
+       |  round(CAST(p.sv AS DOUBLE) / CAST(p.n_units AS DOUBLE), 6) AS mean_r,
+       |  round(lo.m, 6) AS lo_r, round(hi.m, 6) AS hi_r
+       |FROM point p
+       |JOIN ranked lo ON lo.grp = p.grp AND lo.rnk = 3
+       |JOIN ranked hi ON hi.grp = p.grp AND hi.rnk = 98
+       |ORDER BY event_type""".stripMargin
+  }
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -4984,6 +5043,7 @@ object DataOps extends QueryModule {
     "q271_schema_drift" -> (schemaDriftAudit _),
     "q272_cuped_readout" -> (cupedReadout _),
     "q273_epoch_schedule" -> (epochSchedule _),
+    "q274_bootstrap_ci" -> (bootstrapCi _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -5095,6 +5155,7 @@ object DataOps extends QueryModule {
     "q271_schema_drift" -> q271Oracle,
     "q272_cuped_readout" -> q272Oracle,
     "q273_epoch_schedule" -> q273Oracle,
+    "q274_bootstrap_ci" -> q274Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,
