@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Two-sample test statistics for experiment readouts, computed
+  * engine-exactly (public formulas: Welch, Biometrika 1947;
+  * Mann & Whitney, Ann. Math. Stat. 1947) — the inference legs next
+  * to [[Cuped]]'s adjusted means and [[Bootstrap]]'s intervals.
+  *
+  * Determinism discipline (q168's): unit values are integer cents;
+  * every moment and rank sum is EXACT (decimal-exact sums cast back,
+  * tie handling in ×2 integer "double-ranks" so average ranks never
+  * leave ℤ); doubles appear only in the final fixed-shape t/df/z
+  * expressions, which replay bit-for-bit in SQL.
+  */
+object AbTests {
+
+  private def dsum(c: Column) = sum(c.cast(DecimalType(38, 0))).cast("long")
+
+  /** Welch's unequal-variance t: per group, arms keyed by `arm` (two
+    * expected). Moments n, Σy, Σy² are exact; s² = (nΣy² − (Σy)²) /
+    * (n(n−1)) with the integer numerator built in decimal(38) (the
+    * cross products overflow int64 at warehouse unit counts).
+    *
+    * @return (group, n0, n1, mean0_r, mean1_r, t_r, df_r)
+    */
+  def welch(df: DataFrame, unit: Column, group: Column, arm: Column,
+            value: Column): DataFrame = {
+    val units = df.groupBy(group.as("group"), unit.as("unit"))
+      .agg(first(arm).as("arm"), dsum(value).as("uy"))
+    val arms = units.groupBy(col("group"), col("arm"))
+      .agg(count(lit(1)).as("n"), dsum(col("uy")).as("s1"),
+        sum((col("uy") * col("uy")).cast(DecimalType(38, 0))).as("s2"))
+      .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("varr",
+        (col("n").cast(DecimalType(38, 0)) * col("s2") -
+          (col("s1").cast(DecimalType(38, 0)) * col("s1").cast(DecimalType(38, 0))))
+          .cast("double") /
+          (col("n") * (col("n") - 1)).cast("double"))
+    val a0 = arms.filter(col("arm") === 0)
+      .select(col("group"), col("n").as("n0"), col("mean").as("m0"), col("varr").as("v0"))
+    val a1 = arms.filter(col("arm") === 1)
+      .select(col("group"), col("n").as("n1"), col("mean").as("m1"), col("varr").as("v1"))
+    val se0 = col("v0") / col("n0").cast("double")
+    val se1 = col("v1") / col("n1").cast("double")
+    a0.join(a1, "group")
+      .withColumn("t", (col("m0") - col("m1")) / sqrt(se0 + se1))
+      .withColumn("df",
+        (se0 + se1) * (se0 + se1) /
+          (se0 * se0 / (col("n0") - 1).cast("double") +
+            se1 * se1 / (col("n1") - 1).cast("double")))
+      .select(col("group"), col("n0"), col("n1"),
+        round(col("m0"), 6).as("mean0_r"), round(col("m1"), 6).as("mean1_r"),
+        round(col("t"), 6).as("t_r"), round(col("df"), 6).as("df_r"))
+  }
+
+  /** Exact tie-corrected Mann–Whitney U: within each group, units are
+    * ranked by value with AVERAGE ranks on ties, carried as ×2 integer
+    * double-ranks (avg rank of a tie run = (first + last)/2, so twice
+    * it is min_rank + max_rank — never fractional). U₁ follows from
+    * the arm-0 rank sum; U₁ + U₂ ≡ n₀n₁ is a structural identity the
+    * output exposes for free.
+    *
+    * Scale shape: one per-group rank window (units, not events), one
+    * (group, value) tie aggregation, arm sums.
+    *
+    * @return (group, n0, n1, u0_x2, u1_x2) — ×2 integer U statistics
+    */
+  def mannWhitneyU(df: DataFrame, unit: Column, group: Column, arm: Column,
+                   value: Column): DataFrame = {
+    val units = df.groupBy(group.as("group"), unit.as("unit"))
+      .agg(first(arm).as("arm"), dsum(value).as("uy"))
+      .localCheckpoint(false) // ranked once, tie-aggregated once
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("uy"), col("unit"))
+    val ranked = units.withColumn("rnk", row_number().over(w).cast("long"))
+      .localCheckpoint(false)
+    val ties = ranked.groupBy(col("group"), col("uy"))
+      .agg(min(col("rnk")).as("lo"), max(col("rnk")).as("hi"))
+    val r2 = ranked.join(ties, Seq("group", "uy"))
+      .withColumn("rank2", col("lo") + col("hi")) // 2 × average rank
+    val arms = r2.groupBy(col("group"), col("arm"))
+      .agg(count(lit(1)).as("n"), dsum(col("rank2")).as("rsum2"))
+    val a0 = arms.filter(col("arm") === 0)
+      .select(col("group"), col("n").as("n0"), col("rsum2").as("r0"))
+    val a1 = arms.filter(col("arm") === 1)
+      .select(col("group"), col("n").as("n1"), col("rsum2").as("r1"))
+    a0.join(a1, "group")
+      .select(col("group"), col("n0"), col("n1"),
+        (col("r0") - col("n0") * (col("n0") + 1)).as("u0_x2"),
+        (col("r1") - col("n1") * (col("n1") + 1)).as("u1_x2"))
+  }
+}

@@ -3324,6 +3324,86 @@ object DataOps extends QueryModule {
        |ORDER BY event_type""".stripMargin
   }
 
+  // ---- q275/q276: Welch t and exact Mann–Whitney U ---------------------------
+
+  /** Welch unequal-variance t per event type between the parity arms
+    * ([[graft.operators.AbTests.welch]]): the parametric inference leg
+    * of the experiment family (q272 CUPED point estimates, q274
+    * bootstrap intervals). Exact decimal moments; the oracle replays
+    * t and the Welch–Satterthwaite df expression-shape-identically.
+    */
+  def welchReadout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AbTests.welch(Tables(s, dir, "events"),
+        col("user_id"), col("event_type"), (col("user_id") % 2).as("arm"),
+        round(col("value") * lit(100d), 0).cast("long"))
+      .select(col("group").as("event_type"), col("n0"), col("n1"),
+        col("mean0_r"), col("mean1_r"), col("t_r"), col("df_r"))
+      .sortOnce(col("event_type"))
+
+  private val q275Oracle: String =
+    """WITH units AS (
+      |  SELECT event_type AS grp, user_id AS unit, user_id % 2 AS arm,
+      |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS uy
+      |  FROM events GROUP BY 1, 2, 3),
+      |arms AS (
+      |  SELECT grp, arm, COUNT(*) AS n, CAST(SUM(uy) AS BIGINT) AS s1,
+      |    SUM(CAST(uy AS HUGEINT) * uy) AS s2
+      |  FROM units GROUP BY 1, 2),
+      |m AS (
+      |  SELECT grp, arm, n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(n * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |      / CAST(n * (n - 1) AS DOUBLE) AS varr
+      |  FROM arms),
+      |j AS (
+      |  SELECT a0.grp, a0.n AS n0, a1.n AS n1, a0.mean AS m0, a1.mean AS m1,
+      |    a0.varr / CAST(a0.n AS DOUBLE) AS se0, a1.varr / CAST(a1.n AS DOUBLE) AS se1
+      |  FROM m a0 JOIN m a1 ON a1.grp = a0.grp AND a0.arm = 0 AND a1.arm = 1)
+      |SELECT grp AS event_type, n0, n1,
+      |  round(m0, 6) AS mean0_r, round(m1, 6) AS mean1_r,
+      |  round((m0 - m1) / sqrt(se0 + se1), 6) AS t_r,
+      |  round((se0 + se1) * (se0 + se1)
+      |    / (se0 * se0 / CAST(n0 - 1 AS DOUBLE)
+      |       + se1 * se1 / CAST(n1 - 1 AS DOUBLE)), 6) AS df_r
+      |FROM j ORDER BY event_type""".stripMargin
+
+  /** Exact tie-corrected Mann–Whitney U per event type
+    * ([[graft.operators.AbTests.mannWhitneyU]]): the nonparametric leg
+    * — heavy-tailed spend distributions violate the t-test's variance
+    * assumptions, and the U statistic is pure integer arithmetic here
+    * (×2 double-ranks keep tie-averaged ranks in ℤ), so the pin is
+    * hash-exact with no floating point anywhere.
+    */
+  def mannWhitneyReadout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.AbTests.mannWhitneyU(Tables(s, dir, "events"),
+        col("user_id"), col("event_type"), (col("user_id") % 2).as("arm"),
+        round(col("value") * lit(100d), 0).cast("long"))
+      .select(col("group").as("event_type"), col("n0"), col("n1"),
+        col("u0_x2"), col("u1_x2"))
+      .sortOnce(col("event_type"))
+
+  private val q276Oracle: String =
+    """WITH units AS (
+      |  SELECT event_type AS grp, user_id AS unit, user_id % 2 AS arm,
+      |    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS uy
+      |  FROM events GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY uy, unit) AS rnk
+      |  FROM units),
+      |ties AS (
+      |  SELECT grp, uy, MIN(rnk) AS lo, MAX(rnk) AS hi
+      |  FROM ranked GROUP BY 1, 2),
+      |arms AS (
+      |  SELECT r.grp, r.arm, COUNT(*) AS n,
+      |    CAST(SUM(t.lo + t.hi) AS BIGINT) AS rsum2
+      |  FROM ranked r JOIN ties t ON t.grp = r.grp AND t.uy = r.uy
+      |  GROUP BY 1, 2)
+      |SELECT a0.grp AS event_type,
+      |  a0.n AS n0, a1.n AS n1,
+      |  CAST(a0.rsum2 - a0.n * (a0.n + 1) AS BIGINT) AS u0_x2,
+      |  CAST(a1.rsum2 - a1.n * (a1.n + 1) AS BIGINT) AS u1_x2
+      |FROM arms a0 JOIN arms a1 ON a1.grp = a0.grp AND a0.arm = 0 AND a1.arm = 1
+      |ORDER BY event_type""".stripMargin
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -5044,6 +5124,8 @@ object DataOps extends QueryModule {
     "q272_cuped_readout" -> (cupedReadout _),
     "q273_epoch_schedule" -> (epochSchedule _),
     "q274_bootstrap_ci" -> (bootstrapCi _),
+    "q275_welch_t" -> (welchReadout _),
+    "q276_mann_whitney" -> (mannWhitneyReadout _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -5156,6 +5238,8 @@ object DataOps extends QueryModule {
     "q272_cuped_readout" -> q272Oracle,
     "q273_epoch_schedule" -> q273Oracle,
     "q274_bootstrap_ci" -> q274Oracle,
+    "q275_welch_t" -> q275Oracle,
+    "q276_mann_whitney" -> q276Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,
