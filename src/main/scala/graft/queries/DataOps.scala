@@ -3404,6 +3404,46 @@ object DataOps extends QueryModule {
       |FROM arms a0 JOIN arms a1 ON a1.grp = a0.grp AND a0.arm = 0 AND a1.arm = 1
       |ORDER BY event_type""".stripMargin
 
+  // ---- q277: exact half-life decay scoring -------------------------------------
+
+  /** Recency-weighted engagement scoring with an EXACT half-life: the
+    * classic feature `Σ value·2^(−age/h)` is irrational per-day, so
+    * engines disagree in the last ulp — the step form
+    * `2^(−⌊age_days/h⌋)` keeps the half-life semantics and becomes a
+    * pure integer SHIFT in ×2²⁰ fixed point (`1048576 >> steps`,
+    * steps capped at 20 — anything older than 20 half-lives
+    * contributes an exact 0). Per-row codegen weight, one group
+    * shuffle, hash-exact across engines — the decay idiom the
+    * EWMA (q226) and dwell (q238) family uses, applied to calendar
+    * half-lives.
+    */
+  def decayScore(s: SparkSession, dir: String): DataFrame = {
+    val age = datediff(lit("2024-01-31").cast("date"), col("ts").cast("date"))
+    val steps = least(call_function("div", age.cast("long"), lit(7L)), lit(20L))
+    val w = call_function("shiftright", lit(1048576L), steps.cast("int"))
+    Tables(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        (round(col("value") * lit(100d), 0).cast("long") * w).as("dv"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dv")).as("score_x220"),
+        max_by(col("user_id"), struct(col("dv"), -col("user_id"))).as("top_user"))
+      .sortOnce(col("event_type"))
+  }
+
+  private val q277Oracle: String =
+    """WITH d AS (
+      |  SELECT event_type, user_id,
+      |    CAST(round(value * 100, 0) AS BIGINT)
+      |      * (1048576 >> LEAST(datediff('day', CAST(ts AS DATE), DATE '2024-01-31') // 7, 20))
+      |      AS dv
+      |  FROM events)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(dv) AS BIGINT) AS score_x220,
+      |  (SELECT d2.user_id FROM d d2 WHERE d2.event_type = d.event_type
+      |   ORDER BY d2.dv DESC, d2.user_id LIMIT 1) AS top_user
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -5126,6 +5166,7 @@ object DataOps extends QueryModule {
     "q274_bootstrap_ci" -> (bootstrapCi _),
     "q275_welch_t" -> (welchReadout _),
     "q276_mann_whitney" -> (mannWhitneyReadout _),
+    "q277_decay_score" -> (decayScore _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -5240,6 +5281,7 @@ object DataOps extends QueryModule {
     "q274_bootstrap_ci" -> q274Oracle,
     "q275_welch_t" -> q275Oracle,
     "q276_mann_whitney" -> q276Oracle,
+    "q277_decay_score" -> q277Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,
