@@ -3444,6 +3444,90 @@ object DataOps extends QueryModule {
       |   ORDER BY d2.dv DESC, d2.user_id LIMIT 1) AS top_user
       |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q278: near-dup label-conflict audit --------------------------------------
+
+  /** Label-noise detector over the near-dup graph: if two documents
+    * are near-duplicates but carry DIFFERENT labels, at most one label
+    * can be right — and if they straddle train/eval, the model is
+    * graded on memorizing a contradiction (the q263 cluster-safe split
+    * prevents the straddle; this audit finds the noise itself). Pairs
+    * from the exact-Jaccard≥0.8 chain, labels joined from the
+    * embedding table's labeled overlap on both endpoints, aggregated
+    * into the (label_lo, label_hi) matrix — off-diagonal cells ARE the
+    * conflicts. One pair plan + two label joins (the label table
+    * broadcasts), nothing all-pairs.
+    */
+  def labelConflictAudit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.nearDupPairs(docs(s, dir), col("doc_id"), col("text"),
+        threshold = 0.8)
+      .select(col("doc_a"), col("doc_b"))
+    val lab = emb(s, dir).select(col("vec_id"), col("label").cast("long").as("label"))
+    pairs
+      .join(lab.select(col("vec_id").as("doc_a"), col("label").as("la")), "doc_a")
+      .join(lab.select(col("vec_id").as("doc_b"), col("label").as("lb")), "doc_b")
+      .groupBy(least(col("la"), col("lb")).as("label_lo"),
+        greatest(col("la"), col("lb")).as("label_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_conflict", col("label_lo") =!= col("label_hi"))
+      .sortOnce(col("label_lo"), col("label_hi"))
+  }
+
+  private val q278Oracle: String =
+    s"""WITH $shingleCtes,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |j AS (
+       |  SELECT LEAST(a.label, b.label) AS label_lo,
+       |    GREATEST(a.label, b.label) AS label_hi
+       |  FROM exact e
+       |  JOIN lab a ON a.vec_id = e.doc_a
+       |  JOIN lab b ON b.vec_id = e.doc_b)
+       |SELECT label_lo, label_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  label_lo <> label_hi AS is_conflict
+       |FROM j GROUP BY 1, 2 ORDER BY label_lo, label_hi""".stripMargin
+
+  // ---- q279: rendezvous-hash shard routing ---------------------------------------
+
+  private val ShardList = ('A' to 'I').map(_.toString)
+
+  /** Rendezvous routing with the minimal-disruption law pinned IN-DATA
+    * ([[graft.operators.Rendezvous.assign]]): every doc routed under 9
+    * shards and under 9+1; per new-topology shard the output carries
+    * how many docs MOVED — rendezvous guarantees movement lands ONLY
+    * on the added shard (n_moved = n_docs there, exact 0 everywhere
+    * else), which the oracle replays assignment-for-assignment. The
+    * `key mod N` strawman would remap ~90% of the corpus on the same
+    * change.
+    */
+  def rendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rendezvous
+    val d = docs(s, dir).select(col("doc_id"))
+      .withColumn("s9", Rendezvous.assign(col("doc_id"), ShardList))
+      .withColumn("s10", Rendezvous.assign(col("doc_id"), ShardList :+ "J"))
+    d.groupBy(col("s10").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s9") =!= col("s10"), 1L).otherwise(0L)).as("n_moved"))
+      .sortOnce(col("shard"))
+  }
+
+  private val q279Oracle: String = {
+    val h = TextFns.hash60Sql("s.sh || ':' || CAST(doc_id AS VARCHAR)")
+    s"""WITH cand AS (
+       |  SELECT doc_id, s.sh, $h AS h
+       |  FROM documents, (SELECT unnest(['A','B','C','D','E','F','G','H','I','J']) AS sh) s),
+       |a10 AS (
+       |  SELECT doc_id, sh AS s10 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, sh DESC) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |a9 AS (
+       |  SELECT doc_id, sh AS s9 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, sh DESC) AS rn
+       |    FROM cand WHERE sh <> 'J') WHERE rn = 1)
+       |SELECT a10.s10 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN a9.s9 <> a10.s10 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |FROM a10 JOIN a9 USING (doc_id)
+       |GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -5167,6 +5251,8 @@ object DataOps extends QueryModule {
     "q275_welch_t" -> (welchReadout _),
     "q276_mann_whitney" -> (mannWhitneyReadout _),
     "q277_decay_score" -> (decayScore _),
+    "q278_label_conflicts" -> (labelConflictAudit _),
+    "q279_rendezvous_shards" -> (rendezvousShards _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -5282,6 +5368,8 @@ object DataOps extends QueryModule {
     "q275_welch_t" -> q275Oracle,
     "q276_mann_whitney" -> q276Oracle,
     "q277_decay_score" -> q277Oracle,
+    "q278_label_conflicts" -> q278Oracle,
+    "q279_rendezvous_shards" -> q279Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,
