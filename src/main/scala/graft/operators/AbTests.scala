@@ -30,9 +30,12 @@ object AbTests {
             value: Column): DataFrame = {
     val units = df.groupBy(group.as("group"), unit.as("unit"))
       .agg(first(arm).as("arm"), dsum(value).as("uy"))
+    // uy² multiplies IN decimal(38) — squaring in int64 first wraps for
+    // |uy| > ~3.0e9, exactly the unit totals the decimal guard targets.
     val arms = units.groupBy(col("group"), col("arm"))
       .agg(count(lit(1)).as("n"), dsum(col("uy")).as("s1"),
-        sum((col("uy") * col("uy")).cast(DecimalType(38, 0))).as("s2"))
+        sum(col("uy").cast(DecimalType(38, 0)) *
+          col("uy").cast(DecimalType(38, 0))).as("s2"))
       .withColumn("mean", col("s1").cast("double") / col("n").cast("double"))
       .withColumn("varr",
         (col("n").cast(DecimalType(38, 0)) * col("s2") -

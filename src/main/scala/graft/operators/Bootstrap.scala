@@ -43,7 +43,9 @@ object Bootstrap {
     * `loIdx`/`hiIdx` (1-based ranks of the sorted replica means —
     * callers pick e.g. 3 and 98 of B=100 for a ~95% interval).
     *
-    * @return (group, n_units, mean_r, lo_r, hi_r) — ×10⁻⁶-rounded
+    * @return (group, n_units, mean_r, lo_r, hi_r) — ×10⁻⁶-rounded;
+    *         lo_r/hi_r are NULL when the group is so small that the
+    *         requested order statistic fell to zero-weight replicas
     */
   def meanCi(df: DataFrame, unit: Column, group: Column, value: Column,
              b: Int, loIdx: Int, hiIdx: Int): DataFrame = {
@@ -68,7 +70,11 @@ object Bootstrap {
         .partitionBy(col("group")).orderBy(col("m"), col("rep"))))
     val lo = ranked.filter(col("rnk") === loIdx).select(col("group"), col("m").as("lo"))
     val hi = ranked.filter(col("rnk") === hiIdx).select(col("group"), col("m").as("hi"))
-    point.join(lo, "group").join(hi, "group")
+    // LEFT joins: a tiny group can lose >b−hiIdx replicas to the
+    // all-zero-weight filter, leaving no hiIdx-th order statistic. Such
+    // a group must surface with NULL CI bounds (visibly degraded), not
+    // silently vanish from the readout.
+    point.join(lo, Seq("group"), "left").join(hi, Seq("group"), "left")
       .select(col("group"), col("n_units"),
         round(col("sv").cast("double") / col("n_units").cast("double"), 6).as("mean_r"),
         round(col("lo"), 6).as("lo_r"), round(col("hi"), 6).as("hi_r"))

@@ -32,21 +32,30 @@ object Cuped {
 
   def adjustedMeans(df: DataFrame, unit: Column, arm: Column,
                     x: Column, y: Column): DataFrame = {
-    def dsum(c: Column) = sum(c.cast(DecimalType(38, 0))).cast("long")
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    def dsum(c: Column) = sum(dec(c)).cast("long")
     val units = df.groupBy(unit.as("unit"))
       .agg(first(arm).as("arm"), dsum(x).as("ux"), dsum(y).as("uy"))
       .localCheckpoint(false) // feeds the grand moments AND the arm sums
+    // Cross products multiply IN decimal(38): ux·uy in int64 wraps at
+    // |u| ≳ 3e9 cents, exactly the warehouse volumes the decimal
+    // contract exists for. Σ-moments stay decimal (never cast to long —
+    // they are intermediates, not outputs).
     val grand = units.agg(
       count(lit(1)).as("n_all"), dsum(col("ux")).as("sx_all"),
       dsum(col("uy")).as("sy_all"),
-      dsum(col("ux") * col("uy")).as("sxy_all"),
-      dsum(col("ux") * col("ux")).as("sxx_all"))
+      sum(dec(col("ux")) * dec(col("uy"))).as("sxy_all"),
+      sum(dec(col("ux")) * dec(col("ux"))).as("sxx_all"))
     val arms = units.groupBy(col("arm"))
       .agg(count(lit(1)).as("n_units"), dsum(col("ux")).as("sum_x"),
         dsum(col("uy")).as("sum_y"))
-    val theta = (col("n_all") * col("sxy_all") - col("sx_all") * col("sy_all"))
-      .cast("double") /
-      (col("n_all") * col("sxx_all") - col("sx_all") * col("sx_all")).cast("double")
+    // θ numerator/denominator built entirely in decimal(38) — the
+    // n·Σxy − Σx·Σy products overflow int64 at corpus totals; only the
+    // final ratio drops to double.
+    val theta = (dec(col("n_all")) * col("sxy_all") -
+        dec(col("sx_all")) * dec(col("sy_all"))).cast("double") /
+      (dec(col("n_all")) * col("sxx_all") -
+        dec(col("sx_all")) * dec(col("sx_all"))).cast("double")
     arms.crossJoin(broadcast(grand))
       .withColumn("theta", theta)
       .withColumn("mean_y", col("sum_y").cast("double") / col("n_units").cast("double"))

@@ -261,10 +261,19 @@ object Dedup {
     *    the quadratic bucket work), and expanded pairs keep only those
     *    with ≥1 `computed` endpoint (a retained–retained pair inside a
     *    touched bucket is already a survivor).
-    * The union is EXACTLY `lshCandidates(store)` — a retained–retained
+    * The union equals `lshCandidates(store)` — a retained–retained
     * pair shares a band now iff it did last crawl (slots unchanged) and
     * was hence in `prevPairs`; every other pair has a computed endpoint
-    * and its bucket survives the touched filter. Output carries an
+    * and its bucket survives the touched filter. CAVEAT: the
+    * equivalence holds only while no bucket CROSSES `maxBucket`
+    * between crawls. A bucket that exceeded the cap last crawl (its
+    * pairs dropped from `prevPairs`) and shrank below it via removals
+    * while gaining no computed member is discarded by the touched
+    * filter here, so its retained–retained pairs appear in a full
+    * recompute but not in the maintained set. Callers that lower
+    * `maxBucket` or run heavy-removal crawls against capped-hot
+    * buckets should schedule a periodic full `lshCandidates` rebuild
+    * (the q262 oracle replays the no-crossing regime). Output carries an
     * `origin` column (`survivor`/`new`) so downstream Jaccard
     * verification can also run delta-only.
     */

@@ -7,6 +7,8 @@ query as JSON.
 
 Usage: python3 tools/check_sweep.py <sfDir> <verifyOutDir> <resultJson>
          [timeoutSec] [qname...]
+Env: GRAFT_ORACLE_MEM_GB (default 64) — per-child DuckDB memory_limit,
+     with RLIMIT_DATA at 2x as the hard backstop.
 
 Developer tooling only (not part of the Scala build).
 """
@@ -16,9 +18,19 @@ import sys
 import time
 
 CHILD = r"""
-import json, math, sys
+import json, math, os, sys
 import duckdb, pandas as pd
 sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+# Memory cap, two layers: DuckDB's own memory_limit (graceful — spills or
+# errors the query) plus RLIMIT_DATA at 2x as a hard backstop so a
+# quadratic oracle fails in-child instead of OOMing the host.
+mem_gb = int(os.environ.get("GRAFT_ORACLE_MEM_GB", "64"))
+try:
+    import resource
+    lim = mem_gb * 2 * (1 << 30)
+    resource.setrlimit(resource.RLIMIT_DATA, (lim, lim))
+except (ImportError, ValueError, OSError):
+    pass
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -43,6 +55,7 @@ def values_equal(a, b):
     return a == b
 
 con = duckdb.connect()
+con.execute(f"SET memory_limit='{mem_gb}GB'")
 for t in TABLES:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
