@@ -446,4 +446,115 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
   }
+
+  /** 8-byte content fingerprint of an embedding column — the diff key
+    * for [[incrementalAssignments]]' store maintenance. Byte-level
+    * (`xxhash64` over the raw array), so ANY component change reroutes
+    * the vector through re-assignment; semantically-equal re-encodes
+    * count as changes, which is the safe direction.
+    */
+  def embeddingFp(embedding: Column): Column = xxhash64(embedding)
+
+  /** Persisted IVF ASSIGNMENT STORE — the ANN-index analogue of
+    * [[Dedup.signatureStore]]: one row per vector carrying its
+    * nearest-centroid assignment under the CURRENT centroid set plus
+    * the embedding's content fingerprint — ~28 B/row against the
+    * KB-scale vectors, so crawl N's store is crawl N+1's cheap `prev`
+    * side. Embeddings themselves stay in the corpus table (the IVF
+    * bucket search joins them back by id); the store is pure routing
+    * state. Persist under `Staging.ensureFresh` keyed on the corpus
+    * source, exactly like the signature/phash stores.
+    *
+    * @return (vec_id, content_fp, centroid_id, src='computed')
+    */
+  def assignmentStore(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assign(vectors, centroids)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(vectors.select(col("vec_id"),
+        embeddingFp(col("embedding")).as("content_fp")), "vec_id")
+      .select(col("vec_id"), col("content_fp"), col("centroid_id"),
+        lit("computed").as("src"))
+
+  /** Incremental IVF assignment maintenance — the ANN leg of the
+    * crawl-incremental index chain ([[Dedup.incrementalSignatures]] →
+    * [[Dedup.incrementalLshPairs]] → [[Dedup.incrementalComponents]],
+    * now closed over the vector index too): at 100 TB nobody re-scores
+    * the corpus against the centroids to refresh its IVF routing.
+    * [[SnapshotDiff.diffStored]] classifies every id by embedding
+    * fingerprint — old embeddings are never re-read, only the store's
+    * (id, fp) slice — and ONLY `added`/`changed` vectors go through
+    * the broadcast-centroid argmax; `unchanged` ids keep their stored
+    * bucket, `removed` ids drop. The scored delta is surfaced as an
+    * `observe` metric (`incr_assign_vecs`) so a pipeline can alert
+    * when compute volume stops tracking the crawl delta. Centroids are
+    * FIXED across the maintenance step by design: re-bucketing is the
+    * retrain decision, which [[assignmentDrift]] informs.
+    *
+    * @return next store, same schema as [[assignmentStore]] with `src`
+    *         marking `computed` vs `retained` provenance — bit-equal
+    *         to a full re-assignment at O(delta) scoring cost
+    */
+  def incrementalAssignments(newVectors: DataFrame, prevStore: DataFrame,
+                             centroids: DataFrame): DataFrame = {
+    val d = SnapshotDiff.diffStored(
+      prevStore.select(col("vec_id").as("id"), col("content_fp").as("fp")),
+      newVectors, col("vec_id"), embeddingFp(col("embedding")))
+    // Reused twice (compute input + content_fp carry); the lazy
+    // checkpoint keeps the diff join from re-running — O(delta) rows of
+    // (id, fp), never embeddings.
+    val changes = d.filter(col("status").isin("added", "changed"))
+      .select(col("id").as("vec_id"), col("new_fp"))
+      .localCheckpoint(false)
+    val toCompute = newVectors.select(col("vec_id"), col("embedding"))
+      .join(changes, "vec_id")
+    val fresh = assign(
+        toCompute.observe("incr_assign_vecs", count(lit(1)).as("n_vecs")),
+        centroids)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(changes.select(col("vec_id"), col("new_fp").as("content_fp")), "vec_id")
+      .select(col("vec_id"), col("content_fp"), col("centroid_id"),
+        lit("computed").as("src"))
+    val retained = prevStore
+      .join(d.filter(col("status") === "unchanged").select(col("id").as("vec_id")),
+        "vec_id")
+      .select(col("vec_id"), col("content_fp"), col("centroid_id"),
+        lit("retained").as("src"))
+    fresh.unionByName(retained)
+  }
+
+  /** Centroid-drift audit over one maintenance step — the retrain
+    * signal: per centroid, how much routing churned between the
+    * previous and the maintained store. `moved` counts vectors present
+    * in BOTH stores whose bucket changed (an embedding revision landed
+    * elsewhere); arrivals/departures are population churn, not drift.
+    * The global reassignment fraction — Σ moved / Σ persisted, exposed
+    * here in exact ppm — is the classic "retrain when routing decays"
+    * trigger; fixed-centroid maintenance stays valid while it is low.
+    *
+    * @return (centroid_id, n_prev, n_next, n_moved_in, n_moved_out,
+    *         moved_ppm) — moved_ppm is the per-centroid outbound churn,
+    *         ⌊10⁶·n_moved_out/n_prev⌋, 0 when n_prev = 0
+    */
+  def assignmentDrift(prevStore: DataFrame, nextStore: DataFrame): DataFrame = {
+    val both = prevStore.select(col("vec_id"), col("centroid_id").as("prev_c"))
+      .join(nextStore.select(col("vec_id"), col("centroid_id").as("next_c")),
+        Seq("vec_id"), "full_outer")
+      .localCheckpoint(false) // aggregated once per side below
+    def side(c: Column, other: Column, n: String, movedIn: Boolean) =
+      both.filter(c.isNotNull).groupBy(c.as("centroid_id"))
+        .agg(count(lit(1)).as(n),
+          sum((other.isNotNull && other =!= c).cast("long"))
+            .as(if (movedIn) "n_moved_in" else "n_moved_out"))
+    val prev = side(col("prev_c"), col("next_c"), "n_prev", movedIn = false)
+    val next = side(col("next_c"), col("prev_c"), "n_next", movedIn = true)
+    prev.join(next, Seq("centroid_id"), "full_outer")
+      .select(col("centroid_id"),
+        coalesce(col("n_prev"), lit(0L)).as("n_prev"),
+        coalesce(col("n_next"), lit(0L)).as("n_next"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"),
+        coalesce(col("n_moved_out"), lit(0L)).as("n_moved_out"))
+      .withColumn("moved_ppm",
+        when(col("n_prev") === 0L, lit(0L)).otherwise(
+          call_function("div", col("n_moved_out") * lit(1000000L), col("n_prev"))))
+  }
 }

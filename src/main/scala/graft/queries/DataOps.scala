@@ -3528,6 +3528,88 @@ object DataOps extends QueryModule {
        |GROUP BY 1 ORDER BY shard""".stripMargin
   }
 
+  // ---- q280: incremental IVF assignment maintenance ------------------------
+
+  /** Incremental ANN/IVF routing maintenance pinned incremental ≡ full
+    * ([[graft.operators.Similarity.incrementalAssignments]] — the
+    * vector-index leg closing the crawl-incremental chain of
+    * q258/q259/q262/q265): a previous crawl is simulated as the
+    * embeddings table minus `vec_id % 7 = 3` (added since), with
+    * `vec_id % 5 = 0` vectors carrying an older revision (the REVERSED
+    * embedding — changed since, and replayable in SQL), plus a batch of
+    * since-removed ids beyond the corpus. Its [[graft.operators
+    * .Similarity.assignmentStore]] under the fixed first-8 centroid set
+    * is PERSISTED (parquet under Staging.ensureFresh, keyed on the
+    * corpus source-sig), then `incrementalAssignments` maintains it
+    * against the full table: only added/changed vectors are re-scored
+    * (the spec asserts the compute set; the operator `observe`s it),
+    * unchanged ids keep their stored bucket, removed ids drop. The
+    * output joins the prev store back for a per-vector `moved` flag —
+    * the drift signal [[graft.operators.Similarity.assignmentDrift]]
+    * aggregates into the retrain trigger. The oracle recomputes every
+    * assignment from scratch (q25's argmax-cosine CTE), the provenance
+    * from the delta definition, and `moved` by replaying the OLD
+    * revision's assignment — a green row proves the maintained routing
+    * is bit-identical to a full re-assignment at O(delta) scoring cost.
+    */
+  def incrAssignMaintain(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < NumCentroids)
+    val isOld = col("vec_id") % 7 =!= 3
+    val isChanged = (col("vec_id") % 5 === 0) && isOld
+    // removed-vector fake ids must land OUTSIDE the corpus id range at
+    // any SF (q258's sf1 lesson: fixed shifts collide with replica
+    // offsets)
+    val shift = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val prevCrawl = e.filter(isOld && !isChanged)
+      .unionByName(e.filter(isChanged)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 13 === 1)
+        .select((col("vec_id") + 2 * shift).as("vec_id"), col("embedding")))
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val storeP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"assign_store_$tag")
+    graft.Staging.ensureFresh(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"), storeP) {
+      Similarity.assignmentStore(prevCrawl, cents)
+        .write.mode("overwrite").parquet(storeP.toString)
+    }
+    val prevStore = s.read.parquet(storeP.toString)
+    Similarity.incrementalAssignments(e, prevStore, cents)
+      .join(prevStore.select(col("vec_id"), col("centroid_id").as("prev_cid")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("src"),
+        (col("prev_cid").isNotNull && col("prev_cid") =!= col("centroid_id"))
+          .as("moved"))
+      .sortOnce(col("vec_id"))
+  }
+
+  private val q280Oracle: String = {
+    val cos = "list_cosine_similarity(t.v, i.c)"
+    def argmax(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT t.vec_id, i.cid,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY $cos DESC, i.cid) AS rn
+         |    FROM $src t, cents i) WHERE rn = 1)""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings WHERE vec_id < $NumCentroids),
+       |cur AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |old AS (
+       |  SELECT vec_id, list_reverse(CAST(embedding AS DOUBLE[])) AS v
+       |  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 7 <> 3),
+       |${argmax("cur", "assigned")},
+       |${argmax("old", "prev")}
+       |SELECT a.vec_id, a.cid AS centroid_id,
+       |  CASE WHEN a.vec_id % 7 = 3 OR a.vec_id % 5 = 0 THEN 'computed'
+       |       ELSE 'retained' END AS src,
+       |  COALESCE(p.cid <> a.cid, FALSE) AS moved
+       |FROM assigned a LEFT JOIN prev p USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -5253,6 +5335,7 @@ object DataOps extends QueryModule {
     "q277_decay_score" -> (decayScore _),
     "q278_label_conflicts" -> (labelConflictAudit _),
     "q279_rendezvous_shards" -> (rendezvousShards _),
+    "q280_incr_assign" -> (incrAssignMaintain _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -5370,6 +5453,7 @@ object DataOps extends QueryModule {
     "q277_decay_score" -> q277Oracle,
     "q278_label_conflicts" -> q278Oracle,
     "q279_rendezvous_shards" -> q279Oracle,
+    "q280_incr_assign" -> q280Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

@@ -383,4 +383,59 @@ class SimilaritySpec extends SparkSpec {
       assert(a.map(_._1).size == a.size && a.map(_._2).size == a.size)
     }
   }
+
+  describe("Similarity.incrementalAssignments") {
+    // two well-separated clusters; centroids = vecs 0 and 2
+    val current = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),  // centroid A, unchanged
+      (1L, Array(0.9f, 0.1f, 0.0f)),  // unchanged
+      (2L, Array(0.0f, 0.0f, 1.0f)),  // centroid B, unchanged
+      (3L, Array(0.0f, 0.1f, 0.9f)),  // changed since prev (was near A)
+      (4L, Array(0.8f, 0.2f, 0.0f)))  // added since prev
+      .toDF("vec_id", "embedding")
+    val prev = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.0f, 0.1f)),  // older revision: sat in cluster A
+      (9L, Array(0.7f, 0.1f, 0.0f)))  // removed since prev
+      .toDF("vec_id", "embedding")
+    val cents = current.filter(col("vec_id").isin(0L, 2L))
+
+    it("maintained store ≡ full re-assignment, with exact provenance") {
+      val out = Similarity.incrementalAssignments(
+        current, Similarity.assignmentStore(prev, cents), cents)
+      val full = Similarity.assignmentStore(current, cents)
+      val key = Seq(col("vec_id"), col("content_fp"), col("centroid_id"))
+      assert(out.select(key: _*).except(full.select(key: _*)).count() == 0)
+      assert(out.count() == full.count())
+      val src = out.select("vec_id", "src").as[(Long, String)].collect().toMap
+      assert(src == Map(0L -> "retained", 1L -> "retained", 2L -> "retained",
+        3L -> "computed", 4L -> "computed"))
+      // the revision actually re-routed: 3 left cluster A for B
+      val c3 = out.filter(col("vec_id") === 3L).select("centroid_id")
+        .as[Long].head()
+      assert(c3 == 2L)
+    }
+
+    it("an unchanged crawl recomputes nothing and drops nothing") {
+      val out = Similarity.incrementalAssignments(
+        current, Similarity.assignmentStore(current, cents), cents)
+      val src = out.select("src").as[String].collect()
+      assert(src.length == 5 && src.forall(_ == "retained"))
+    }
+
+    it("assignmentDrift isolates routing churn from population churn") {
+      val prevStore = Similarity.assignmentStore(prev, cents)
+      val next = Similarity.incrementalAssignments(current, prevStore, cents)
+      val d = Similarity.assignmentDrift(prevStore, next)
+        .select("centroid_id", "n_prev", "n_next", "n_moved_in",
+          "n_moved_out", "moved_ppm")
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      // vec 3 moved A→B; vec 9 departed and vec 4 arrived (not drift)
+      assert(d == Set(
+        (0L, 4L, 3L, 0L, 1L, 250000L),
+        (2L, 1L, 2L, 1L, 0L, 0L)))
+    }
+  }
 }
