@@ -31,6 +31,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     modules.flatMap(_.oracles).toMap
 
+  /** Staged big-SF oracle variants (see [[QueryModule.stagedOracles]]):
+    * consumed by tools/check_sweep.py, never by the driver's gate. */
+  def stagedOracleSql: Map[String, String] =
+    modules.flatMap(_.stagedOracles).toMap
+
   /** query name → bench family, derived from the registering module
     * (cached: Bench looks this up once per query while assembling JSON). */
   lazy val familyOf: Map[String, String] =

@@ -45,6 +45,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Staged sf1 oracle variants (see QueryModule.stagedOracles): read by
+    // tools/check_sweep.py only — the driver's compare never sees them.
+    val staged = SparkEntry.stagedOracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_staged.json"), staged)
     spark.stop()
   }
 }

@@ -786,18 +786,11 @@ object DataOps extends QueryModule {
       .orderBy(col("stage"))
   }
 
-  private val q67Oracle: String =
-    s"""WITH $shingleBaseCtes,
-       |tsh AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
-       |esh AS (SELECT * FROM sh WHERE doc_id % 17 = 0),
-       |tsizes AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY 1),
-       |tpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-       |           FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |           GROUP BY 1, 2),
-       |texact AS (SELECT doc_a, doc_b FROM tpairs
-       |           JOIN tsizes sa ON sa.doc_id = doc_a JOIN tsizes sb ON sb.doc_id = doc_b
-       |           WHERE c / (sa.n + sb.n - c) >= 0.8),
-       |nodes AS (SELECT doc_a AS n FROM texact UNION SELECT doc_b FROM texact),
+  /** Everything downstream of the `texact` train-pair CTE — shared by
+    * the self-contained oracle and the STAGED sf1 variant (pairs from
+    * the Spark-verified q22 dump), so the replays can never fork. */
+  private val q67OracleBody: String =
+    s"""nodes AS (SELECT doc_a AS n FROM texact UNION SELECT doc_b FROM texact),
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM texact
        |          UNION SELECT doc_b, doc_a FROM texact),
        |reach AS (
@@ -831,6 +824,33 @@ object DataOps extends QueryModule {
        |  UNION ALL SELECT '5_after_sample', COUNT(*),
        |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM s5
        |) ORDER BY stage""".stripMargin
+
+  private val q67Oracle: String =
+    s"""WITH $shingleBaseCtes,
+       |tsh AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+       |esh AS (SELECT * FROM sh WHERE doc_id % 17 = 0),
+       |tsizes AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY 1),
+       |tpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |           FROM tsh a JOIN tsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2),
+       |texact AS (SELECT doc_a, doc_b FROM tpairs
+       |           JOIN tsizes sa ON sa.doc_id = doc_a JOIN tsizes sb ON sb.doc_id = doc_b
+       |           WHERE c / (sa.n + sb.n - c) >= 0.8),
+       |$q67OracleBody""".stripMargin
+
+  /** STAGED sf1 replay: Jaccard is pairwise, so the train-side pair set
+    * is EXACTLY the corpus-wide q22 pair set restricted to train
+    * endpoints — the Spark q22 dump (hash-verified by the same sweep)
+    * replaces the one CTE DuckDB cannot afford at sf1 (the shingle
+    * self-join, 93 GiB OOM); the contamination join, closure, quality
+    * gate and sampling hash all still replay from scratch. */
+  private val q67StagedOracle: String =
+    s"""WITH $shingleBaseCtes,
+       |tsh AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+       |esh AS (SELECT * FROM sh WHERE doc_id % 17 = 0),
+       |texact AS (SELECT doc_a, doc_b FROM q22_neardup
+       |           WHERE doc_a % 17 <> 0 AND doc_b % 17 <> 0),
+       |$q67OracleBody""".stripMargin
 
   // ---- q69/q70: sequence packing (training-data export) ----------------
 
@@ -3647,10 +3667,13 @@ object DataOps extends QueryModule {
       .orderBy(col("split"))
   }
 
-  private val q263Oracle: String = {
+  /** Everything downstream of the `exact` pair CTE — shared verbatim by
+    * the self-contained oracle (pairs recomputed from shingles) and the
+    * STAGED sf1 oracle (pairs read from the Spark-verified q22 dump),
+    * so the two replay variants can never fork semantically. */
+  private val q263OracleBody: String = {
     val b = TextFns.hash60Sql("CAST(component AS VARCHAR)")
-    s"""WITH $shingleCtes,
-       |nodes AS (SELECT doc_a AS n FROM exact UNION SELECT doc_b FROM exact),
+    s"""nodes AS (SELECT doc_a AS n FROM exact UNION SELECT doc_b FROM exact),
        |edges AS (SELECT doc_a AS u, doc_b AS v FROM exact
        |          UNION SELECT doc_b, doc_a FROM exact),
        |reach AS (
@@ -3678,6 +3701,16 @@ object DataOps extends QueryModule {
        |  CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components, n_leaky_pairs
        |FROM labeled, leak GROUP BY split, n_leaky_pairs ORDER BY split""".stripMargin
   }
+
+  private val q263Oracle: String = s"WITH $shingleCtes,\n$q263OracleBody"
+
+  /** STAGED sf1 replay: the exact-Jaccard pair set — the only stage
+    * DuckDB cannot afford at sf1 (>78 GB spill) — is read from the
+    * Spark q22 dump that the SAME sweep has already hash-verified, and
+    * DuckDB replays everything downstream (closure, hash-range split,
+    * straddle audit) from it. See `SparkEntry.stagedOracleSql`. */
+  private val q263StagedOracle: String =
+    s"WITH exact AS (SELECT doc_a, doc_b FROM q22_neardup),\n$q263OracleBody"
 
   // ---- q264: margin-based parallel-pair mining ------------------------------
 
@@ -5374,6 +5407,10 @@ object DataOps extends QueryModule {
     "q146_deletion_audit" -> (deletionAudit _))
 
   val family: String = "dataops"
+
+  override val stagedOracles: Map[String, String] = Map(
+    "q67_training_pipeline" -> q67StagedOracle,
+    "q263_component_split" -> q263StagedOracle)
 
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Oracle,

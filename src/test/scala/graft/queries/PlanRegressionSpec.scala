@@ -1,0 +1,84 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-snapshot regression battery for the planner-fragile query class
+  * — the q190 tripwire (VERDICT r11 #6): the round-10→11 BNLJ regression
+  * (a projection-context NOT IN planned as |customer|·|orders|
+  * BroadcastNestedLoopJoins) was only caught by BENCH, 11 s late. This
+  * suite EXPLAINs the known-fragile queries at sf0.001 and asserts the
+  * scale-critical facts of their INITIAL physical plans (pre-AQE — what
+  * the planner commits to before runtime stats), so planner drift fails
+  * in `sbt test`, not in the bench record.
+  *
+  * Facts pinned per query: BroadcastNestedLoopJoin count (0 everywhere
+  * except the two queries whose BNLJs are provably bounded — q190's one
+  * null-aware NOT IN over a BOUNDED value set, q200's single-row scalar
+  * broadcasts), BroadcastHashJoin vs SortMergeJoin counts (small dims
+  * must broadcast; nothing may silently fall to SMJ), shuffle-Exchange
+  * counts (a new shuffle at 100 TB is a new multi-TB stage), q02's
+  * no-shuffle TakeOrderedAndProject top-k, and q208's dynamicpruning
+  * subquery. Counts are EXACT snapshots of the known-good plans: a
+  * deliberate query change updates this table consciously; silent
+  * planner drift trips it.
+  *
+  * (q197's runtime bloom filter only materializes under AQE at runtime
+  * — RuntimeFilterSpec pins that separately; q208's partition-count
+  * read fact lives in DppPlanSpec.)
+  */
+class PlanRegressionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** (query, bnlj, bhj, smj, shuffles) expected in the initial plan. */
+  private val expected = Seq(
+    ("q02_top_orders",        0, 0, 0, 0), // TakeOrderedAndProject, no shuffle
+    ("q03_revenue_by_nation", 0, 2, 0, 2), // both dims broadcast
+    ("q04_semi_join",         0, 1, 0, 0), // broadcast LeftSemi, zero shuffles
+    ("q05_anti_join",         0, 1, 0, 0), // broadcast LeftAnti, zero shuffles
+    ("q13_big_join",          0, 1, 0, 2),
+    ("q39_range_join",        0, 1, 0, 2), // bucketed range prefilter stays equi
+    ("q40_asof_join",         0, 0, 0, 2), // union+window form — NO join node
+    ("q47_bucketed_join",     0, 1, 0, 2),
+    ("q49_salted_join",       0, 1, 0, 3), // salted side joins broadcast
+    ("q131_range_frame",      0, 0, 0, 2), // pure window — NO join node
+    ("q184_argmax_battery",   0, 1, 0, 4),
+    ("q190_subquery_battery", 1, 7, 0, 3), // exactly ONE bounded-set NAAJ BNLJ
+    ("q200_quantile_filter",  2, 0, 0, 6), // two single-row scalar broadcasts
+    ("q208_dynamic_pruning",  0, 1, 0, 2))
+
+  private def occurrences(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  describe("initial-plan facts of the planner-fragile queries") {
+    expected.foreach { case (name, bnlj, bhj, smj, shuf) =>
+      it(s"$name plans bnlj=$bnlj bhj=$bhj smj=$smj shuffles=$shuf") {
+        val df = graft.SparkEntry.queries(name)(spark, dir)
+        val p = df.queryExecution.executedPlan.toString
+        assert(occurrences(p, "BroadcastNestedLoopJoin") == bnlj,
+          s"BroadcastNestedLoopJoin drift — the q190-class regression:\n$p")
+        assert(occurrences(p, "BroadcastHashJoin") == bhj,
+          s"BroadcastHashJoin count drift (a dim stopped broadcasting?):\n$p")
+        assert(occurrences(p, "SortMergeJoin") == smj,
+          s"SortMergeJoin count drift (a broadcast fell to SMJ?):\n$p")
+        val shuffles = Seq("Exchange hashpartitioning",
+          "Exchange rangepartitioning", "Exchange SinglePartition")
+          .map(occurrences(p, _)).sum
+        assert(shuffles == shuf,
+          s"shuffle-Exchange count drift ($shuffles != $shuf):\n$p")
+      }
+    }
+
+    it("q02_top_orders takes its global top-k without a sort shuffle") {
+      val p = graft.SparkEntry.queries("q02_top_orders")(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), p)
+    }
+
+    it("q208_dynamic_pruning keeps its dynamicpruning subquery") {
+      val o = graft.SparkEntry.queries("q208_dynamic_pruning")(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(o.contains("dynamicpruning"), o)
+    }
+  }
+}

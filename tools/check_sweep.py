@@ -9,10 +9,18 @@ Usage: python3 tools/check_sweep.py <sfDir> <verifyOutDir> <resultJson>
          [timeoutSec] [qname...]
 Env: GRAFT_ORACLE_MEM_GB (default 64) — per-child DuckDB memory_limit,
      with RLIMIT_DATA at 2x as the hard backstop.
+     GRAFT_STAGED=1 — for queries listed in the Verify dump's
+     oracle_sql_staged.json, run the STAGED replay: every query dump in
+     verifyOutDir is registered as a DuckDB view named after its query,
+     so the staged SQL can read a stage another query has already
+     hash-verified in the same sweep (e.g. q67/q263 read the q22 pair
+     set instead of re-deriving it — the one stage DuckDB cannot afford
+     at sf1). The driver's sf0.01 gate never uses staged oracles.
 
 Developer tooling only (not part of the Scala build).
 """
 import json
+import os
 import subprocess
 import sys
 import time
@@ -21,6 +29,7 @@ CHILD = r"""
 import json, math, os, sys
 import duckdb, pandas as pd
 sf_dir, out_dir, name = sys.argv[1], sys.argv[2], sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "full"
 # Memory cap, two layers: DuckDB's own memory_limit (graceful — spills or
 # errors the query) plus RLIMIT_DATA at 2x as a hard backstop so a
 # quadratic oracle fails in-child instead of OOMing the host.
@@ -59,7 +68,20 @@ con.execute(f"SET memory_limit='{mem_gb}GB'")
 for t in TABLES:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
+if mode == "staged":
+    # Register every query dump as a view named after its query, so the
+    # staged SQL can consume a Spark-verified upstream stage.
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if os.path.isdir(p) and d.replace("_", "").isalnum() and d[0].isalpha():
+            try:
+                con.execute(f"CREATE VIEW {d} AS SELECT * "
+                            f"FROM read_parquet('{p}/*.parquet')")
+            except Exception:
+                pass
+    sql = json.load(open(f"{out_dir}/oracle_sql_staged.json"))[name]
+else:
+    sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
 got = canon(pd.read_parquet(f"{out_dir}/{name}"))
 want = canon(con.execute(sql).fetchdf())
 if list(got.columns) != list(want.columns):
@@ -85,21 +107,31 @@ def main() -> int:
     timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 600
     only = set(sys.argv[5:]) if len(sys.argv) > 5 else None
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    staged = {}
+    staged_path = f"{out_dir}/oracle_sql_staged.json"
+    if os.environ.get("GRAFT_STAGED", "") not in ("", "0") \
+            and os.path.exists(staged_path):
+        staged = json.load(open(staged_path))
     results = {}
     for name in sorted(oracle):
         if only and name not in only:
             continue
+        mode = "staged" if name in staged else "full"
         t0 = time.time()
         try:
             p = subprocess.run(
-                [sys.executable, "-c", CHILD, sf_dir, out_dir, name],
+                [sys.executable, "-c", CHILD, sf_dir, out_dir, name, mode],
                 capture_output=True, text=True, timeout=timeout)
             dt = round(time.time() - t0, 1)
             out = (p.stdout or "").strip().splitlines()
             msg = out[-1] if out else (p.stderr or "").strip().splitlines()[-1:]
             if p.returncode == 0 and out and out[-1].startswith("PASS"):
-                results[name] = {"status": "pass", "sec": dt, "note": out[-1]}
-                print(f"PASS {name} ({dt}s)")
+                note = out[-1] + (" [staged oracle: one Spark-verified "
+                                  "upstream stage read from the sweep's own "
+                                  "dump]" if mode == "staged" else "")
+                results[name] = {"status": "pass", "sec": dt, "note": note}
+                print(f"PASS {name} ({dt}s)" +
+                      (" [staged]" if mode == "staged" else ""))
             else:
                 err = msg if isinstance(msg, str) else " ".join(msg)
                 results[name] = {"status": "fail", "sec": dt, "note": str(err)[:400]}
