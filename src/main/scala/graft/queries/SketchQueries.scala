@@ -200,6 +200,59 @@ object SketchQueries extends QueryModule {
        |  FROM events GROUP BY 1, 2)
        |WHERE rnk <= $CmsTopN ORDER BY rnk""".stripMargin
 
+  // ---- q281: RAW count-min point estimates ------------------------------
+
+  /** The RAW CountMinSketch path, driver-pinned (q125 pins the
+    * in-plan [[graft.catalyst.CmsEstimate]] probe; this pins the other
+    * half of the §2.3 row): the sketch is built by the SQL
+    * `count_min_sketch` AGGREGATE — the distributed mergeable partial
+    * agg, i.e. exactly how a 100 TB pipeline persists per-shard
+    * sketch columns — its serialized bytes are read back with
+    * `CountMinSketch.readFrom`, and the exact top-10 keys are probed
+    * with raw `estimateCount` calls on the deserialized sketch (the
+    * API a monitoring job calls against a STORED sketch, no Spark plan
+    * around it). Certificates (q172's discipline): never undercounts
+    * (structural), overcounts ≤ ⌈ε·N⌉ (p ≥ δ = 0.99, deterministic for
+    * fixed data + seed); the 10-row collect is top-k-bounded.
+    */
+  def cmsRawEstimates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables(s, dir, "events").select(
+      col("event_type"), col("user_id"),
+      xxhash64(concat_ws(":", col("event_type"), col("user_id"))).as("key"))
+    val bytes = keyed
+      .agg(expr(s"count_min_sketch(key, CAST($CmsEps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .head.getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val top = keyed.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"), first(col("key")).as("key"))
+      .orderBy(col("n_exact").desc, col("event_type"), col("user_id"))
+      .limit(CmsTopN)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_exact").desc, col("event_type"), col("user_id"))))
+      .crossJoin(broadcast(keyed.agg(count(lit(1)).as("n_total"))))
+      .select(col("event_type"), col("user_id"), col("n_exact"), col("rnk"),
+        col("key"), col("n_total"))
+      .as[(String, Long, Long, Int, Long, Long)]
+      .collect() // CmsTopN rows — top-k-bounded driver probe
+    top.toSeq.map { case (et, uid, nExact, rnk, key, nTotal) =>
+      val est = cms.estimateCount(key)
+      (et, uid, nExact, rnk,
+        est >= nExact && est <= nExact + math.ceil(CmsEps * nTotal).toLong)
+    }.toDF("event_type", "user_id", "n_exact", "rnk", "raw_ok")
+      .orderBy(col("rnk"))
+  }
+
+  private val q281Oracle: String =
+    s"""SELECT event_type, user_id, n_exact, CAST(rnk AS INTEGER) AS rnk, TRUE AS raw_ok
+       |FROM (
+       |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |    ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type, user_id) AS rnk
+       |  FROM events GROUP BY 1, 2)
+       |WHERE rnk <= $CmsTopN ORDER BY rnk""".stripMargin
+
   /** q219: sketch SET ALGEBRA — the HLL union is native (merge the
     * registers) but the intersection is NOT; the production estimator
     * is inclusion–exclusion, `|A∩B| ≈ est(A) + est(B) − est(A∪B)`,
@@ -247,6 +300,7 @@ object SketchQueries extends QueryModule {
     "q58_sketch_merge" -> (sketchMerge _),
     "q59_heavy_hitters" -> (heavyHitters _),
     "q125_cms_frequency" -> (cmsFrequency _),
+    "q281_cms_raw" -> (cmsRawEstimates _),
     "q219_sketch_set_algebra" -> (sketchSetAlgebra _))
 
   val family: String = "sketches"
@@ -257,5 +311,6 @@ object SketchQueries extends QueryModule {
     "q58_sketch_merge" -> q58Oracle,
     "q59_heavy_hitters" -> q59Oracle,
     "q125_cms_frequency" -> q125Oracle,
+    "q281_cms_raw" -> q281Oracle,
     "q219_sketch_set_algebra" -> q219Oracle)
 }
