@@ -3630,6 +3630,62 @@ object DataOps extends QueryModule {
        |ORDER BY a.vec_id""".stripMargin
   }
 
+  // ---- q282: incremental inverted-index maintenance ------------------------
+
+  /** Incremental postings/inverted-index maintenance pinned incremental
+    * ≡ full ([[graft.operators.Retrieval.incrementalPostings]] — the
+    * RETRIEVAL leg of the crawl-incremental chain, q259/q262/q265/q280's
+    * discipline): the same simulated crawl as q259 (1/7 added since,
+    * 1/5 carrying an older " legacy rev" revision, a removed batch
+    * beyond the id range), its [[graft.operators.Retrieval
+    * .postingsStore]] persisted under Staging.ensureFresh, then
+    * maintained against the full corpus — only added/changed docs are
+    * re-tokenized, unchanged keep their posting rows, removed drop.
+    * Output is the per-term index the BM25 scorer actually consumes
+    * (df, Σtf) plus per-term computed-doc provenance; the oracle
+    * rebuilds the whole index from scratch in DuckDB and derives the
+    * provenance from the delta definition — a green row proves index
+    * freshness costs O(delta) tokenization, never O(corpus).
+    */
+  def incrPostingsMaintain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val isOld = col("doc_id") % 7 =!= 3
+    val isChanged = (col("doc_id") % 5 === 0) && isOld
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val prevCrawl = d.filter(isOld && !isChanged)
+      .unionByName(d.filter(isChanged)
+        .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val storeP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"postings_store_$tag")
+    graft.Staging.ensureFresh(
+      java.nio.file.Paths.get(dir, "documents.parquet"), storeP) {
+      Retrieval.postingsStore(prevCrawl, col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(storeP.toString)
+    }
+    val prevStore = s.read.parquet(storeP.toString)
+    Retrieval.incrementalPostings(d, prevStore, col("doc_id"), col("text"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"),
+        sum((col("src") === "computed").cast("long")).as("n_computed"))
+      .sortOnce(col("term"))
+  }
+
+  private val q282Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |post AS (
+      |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM toks GROUP BY 1, 2)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(SUM(tf) AS BIGINT) AS tf_sum,
+      |  CAST(SUM(CASE WHEN doc_id % 7 = 3 OR doc_id % 5 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_computed
+      |FROM post GROUP BY term ORDER BY term""".stripMargin
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -5369,6 +5425,7 @@ object DataOps extends QueryModule {
     "q278_label_conflicts" -> (labelConflictAudit _),
     "q279_rendezvous_shards" -> (rendezvousShards _),
     "q280_incr_assign" -> (incrAssignMaintain _),
+    "q282_incr_postings" -> (incrPostingsMaintain _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -5491,6 +5548,7 @@ object DataOps extends QueryModule {
     "q278_label_conflicts" -> q278Oracle,
     "q279_rendezvous_shards" -> q279Oracle,
     "q280_incr_assign" -> q280Oracle,
+    "q282_incr_postings" -> q282Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

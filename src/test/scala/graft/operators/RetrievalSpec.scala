@@ -78,4 +78,57 @@ class RetrievalSpec extends SparkSpec {
       assert(one == many)
     }
   }
+
+  describe("Retrieval.incrementalPostings") {
+    val current = Seq(
+      (1L, "alpha beta alpha"),          // unchanged
+      (2L, "one two three two"),         // changed since prev
+      (3L, "red green"),                 // added since prev
+      (4L, "north south north north"))   // unchanged
+      .toDF("doc_id", "text")
+    val prev = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "one two OLD two"),
+      (4L, "north south north north"),
+      (9L, "gone gone"))                 // removed since prev
+      .toDF("doc_id", "text")
+
+    it("maintained store ≡ full rebuild, with exact provenance") {
+      val out = Retrieval.incrementalPostings(current,
+        Retrieval.postingsStore(prev, col("doc_id"), col("text")),
+        col("doc_id"), col("text"))
+      val full = Retrieval.postingsStore(current, col("doc_id"), col("text"))
+      val key = Seq(col("doc_id"), col("content_fp"), col("term"),
+        col("tf"), col("dl"))
+      assert(out.select(key: _*).except(full.select(key: _*)).count() == 0)
+      assert(out.count() == full.count())
+      val src = out.select("doc_id", "src").distinct()
+        .as[(Long, String)].collect().toMap
+      assert(src == Map(1L -> "retained", 2L -> "computed",
+        3L -> "computed", 4L -> "retained"))
+    }
+
+    it("an unchanged crawl re-tokenizes nothing and drops nothing") {
+      val out = Retrieval.incrementalPostings(current,
+        Retrieval.postingsStore(current, col("doc_id"), col("text")),
+        col("doc_id"), col("text"))
+      val srcs = out.select("src").as[String].collect()
+      assert(srcs.nonEmpty && srcs.forall(_ == "retained"))
+    }
+
+    it("BM25 inputs derive from the maintained store exactly") {
+      // df / Σdl / N aggregated from the maintained store must equal
+      // the from-scratch index — the fact that keeps bm25TopK warm
+      val out = Retrieval.incrementalPostings(current,
+        Retrieval.postingsStore(prev, col("doc_id"), col("text")),
+        col("doc_id"), col("text"))
+      val df = out.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .as[(String, Long)].collect().toMap
+      assert(df("alpha") == 1L && df("two") == 1L && df("north") == 1L)
+      assert(!df.contains("OLD") && !df.contains("gone"))
+      val stats = out.select(col("doc_id"), col("dl")).distinct()
+        .agg(sum(col("dl")), count(lit(1))).as[(Long, Long)].head()
+      assert(stats == ((3L + 4L + 2L + 4L, 4L)))
+    }
+  }
 }
