@@ -976,4 +976,59 @@ object Dedup {
       .reduce(_ + _)
     counted.select(col("doc_id"), fp.as("simhash"))
   }
+
+  /** Asymmetric CONTAINMENT pairs — subset/clone detection, the
+    * relation symmetric Jaccard structurally misses: a short document
+    * embedded verbatim in a much longer one has
+    * C(A→B) = |sh(A)∩sh(B)| / |sh(A)| ≈ 1 while J(A,B) ≈ |A|/|B| ≈ 0,
+    * so quote-farms, boilerplate-wrapped mirrors, and excerpt spam
+    * survive every Jaccard dedup pass. Emits the pair when EITHER
+    * direction's containment reaches `threshold`, both directions
+    * reported in exact ppm (floor division — engine-replayable).
+    *
+    * Scale shape (the [[nearDupPairs]] machinery, re-derived for the
+    * DIRECTED filter): candidates from the PROBE side's prefix — if
+    * C(A→B) ≥ t then one of A's (n−⌈t·n⌉+1) rarest shingles must hit
+    * B, so each doc probes the full posting index with only its
+    * prefix; every doc is a probe, so both directions are covered.
+    * Verification joins the candidate pairs back to the STRING shingle
+    * sets (exact, collision-free) — candidate volume, never all pairs.
+    */
+  def containmentPairs(docs: DataFrame, id: Column, text: Column,
+                       threshold: Double, w: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tPpm = math.floor(threshold * 1e6).toLong
+    val sets = shingled(docs, id, text, w).localCheckpoint(false)
+    val post = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
+    val dfc = post.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    val prefix = post
+      .join(dfc, "sid")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(struct(col("df"), col("sid")))).as("ranked"))
+      .select(col("doc_id").as("probe_id"),
+        slice(col("ranked"), lit(1),
+          (size(col("ranked")) - ceil(lit(threshold) * size(col("ranked"))) + 1)
+            .cast("int")).as("pref"))
+      .select(col("probe_id"), explode(col("pref.sid")).as("sid"))
+    val cands = prefix
+      .join(post.select(col("doc_id").as("cand_id"), col("sid")), "sid")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(least(col("probe_id"), col("cand_id")).as("doc_a"),
+        greatest(col("probe_id"), col("cand_id")).as("doc_b"))
+      .distinct()
+    val strSets = sets.select(col("doc_id"), col("sh"))
+    cands
+      .join(strSets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(strSets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("c"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("div", col("c") * lit(1000000L), col("na")).as("cont_ab_ppm"),
+        call_function("div", col("c") * lit(1000000L), col("nb")).as("cont_ba_ppm"))
+      .filter(greatest(col("cont_ab_ppm"), col("cont_ba_ppm")) >= tPpm)
+  }
 }

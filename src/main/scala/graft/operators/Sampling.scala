@@ -353,4 +353,28 @@ object Sampling {
       .drop("__csp_id")
     groupedSplit(labeled, col("component"), splits)
   }
+
+  /** Stratified k-fold assignment with EXACT balance: within each
+    * stratum, rows are ordered by (hash60(id), id) — a deterministic
+    * shuffle — and dealt round-robin, fold = (rank−1) mod k, so fold
+    * sizes within a stratum differ by AT MOST ONE (the property
+    * hash-mod-k sampling only gives in expectation; k-fold CV wants it
+    * exactly, or small strata end up with empty folds). Deterministic,
+    * partitioning-invariant, and every row lands in exactly one fold.
+    *
+    * Scale shape: one shuffle by stratum + one within-partition sort
+    * (the window). Strata are assumed numerous relative to executors;
+    * a single corpus-sized stratum would serialize its sort into one
+    * task — pre-split such strata (salt the stratum key) or fall back
+    * to hash-mod-k where exact balance isn't required.
+    *
+    * @return input plus `fold` (0..k−1)
+    */
+  def stratifiedKFold(df: DataFrame, stratum: Column, id: Column,
+                      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(TextFns.hash60(id), id)
+    df.withColumn("fold", (row_number().over(w) - 1) % k)
+  }
 }

@@ -3686,6 +3686,77 @@ object DataOps extends QueryModule {
       |    AS BIGINT) AS n_computed
       |FROM post GROUP BY term ORDER BY term""".stripMargin
 
+  // ---- q283: stratified k-fold with exact balance ---------------------------
+
+  /** Stratified 5-fold cross-validation assignment
+    * ([[graft.operators.Sampling.stratifiedKFold]]): per event type,
+    * rows dealt round-robin over the (hash60(id), id) deterministic
+    * shuffle order, so fold sizes within a stratum differ by AT MOST
+    * one — the exact-balance property hash-mod-k only gives in
+    * expectation (and visibly violates on small strata). The output
+    * carries each stratum's observed max−min fold-size `spread` so the
+    * guarantee is pinned IN-DATA (q260's audit discipline), and the
+    * oracle replays the full deal — hash order, round-robin, counts,
+    * spread — bit-for-bit.
+    */
+  def stratifiedFolds(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val ev = Tables(s, dir, "events")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    Sampling.stratifiedKFold(ev.select(col("event_type"), col("event_id")),
+        col("event_type"), col("event_id"), k = 5)
+      .groupBy(col("event_type"), col("fold").cast("long").as("fold"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("spread", max(col("n_rows")).over(w) - min(col("n_rows")).over(w))
+      .sortOnce(col("event_type"), col("fold"))
+  }
+
+  private val q283Oracle: String = {
+    val h = TextFns.hash60Sql("CAST(event_id AS VARCHAR)")
+    s"""WITH f AS (
+       |  SELECT event_type,
+       |    (row_number() OVER (PARTITION BY event_type ORDER BY $h, event_id) - 1)
+       |      % 5 AS fold
+       |  FROM events),
+       |c AS (
+       |  SELECT event_type, fold, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM f GROUP BY 1, 2)
+       |SELECT event_type, fold, n_rows,
+       |  CAST(MAX(n_rows) OVER (PARTITION BY event_type)
+       |    - MIN(n_rows) OVER (PARTITION BY event_type) AS BIGINT) AS spread
+       |FROM c ORDER BY event_type, fold""".stripMargin
+  }
+
+  // ---- q284: containment / clone detection ----------------------------------
+
+  /** Directed containment pairs at 0.9
+    * ([[graft.operators.Dedup.containmentPairs]]): the subset-clone
+    * relation Jaccard dedup misses — an excerpt embedded in a longer
+    * page has near-1 containment at near-0 Jaccard. Both directions in
+    * exact ppm; the oracle recomputes every candidate from the shared
+    * shingle CTEs with the same floor divisions, so membership AND both
+    * ratios are hash-pinned.
+    */
+  def containmentClones(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), col("doc_id"), col("text"),
+        threshold = 0.9)
+      .sortOnce(col("doc_a"), col("doc_b"))
+
+  private val q284Oracle: String =
+    s"""WITH $shingleBaseCtes,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(1000000 * c // sa.n AS BIGINT) AS cont_ab_ppm,
+       |  CAST(1000000 * c // sb.n AS BIGINT) AS cont_ba_ppm
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE GREATEST(1000000 * c // sa.n, 1000000 * c // sb.n) >= 900000
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -5426,6 +5497,8 @@ object DataOps extends QueryModule {
     "q279_rendezvous_shards" -> (rendezvousShards _),
     "q280_incr_assign" -> (incrAssignMaintain _),
     "q282_incr_postings" -> (incrPostingsMaintain _),
+    "q283_stratified_kfold" -> (stratifiedFolds _),
+    "q284_containment" -> (containmentClones _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -5549,6 +5622,8 @@ object DataOps extends QueryModule {
     "q279_rendezvous_shards" -> q279Oracle,
     "q280_incr_assign" -> q280Oracle,
     "q282_incr_postings" -> q282Oracle,
+    "q283_stratified_kfold" -> q283Oracle,
+    "q284_containment" -> q284Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

@@ -558,4 +558,56 @@ class DedupSpec extends SparkSpec {
         prevPairs.as[(Long, Long)].collect().toSet)
     }
   }
+
+  describe("Dedup.containmentPairs") {
+    // doc 2 is a verbatim excerpt of doc 1 (every 3-shingle of 2 is in
+    // 1, but 1 is much longer → Jaccard low, containment 1.0); doc 3/4
+    // are symmetric dups; doc 5 shares a little with 1 (below 0.9)
+    val docsDF = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "delta epsilon zeta eta"),
+      (3L, "one two three four five"),
+      (4L, "one two three four five"),
+      (5L, "alpha beta gamma nope xyz war peace fire water earth"))
+      .toDF("doc_id", "text")
+
+    it("finds the excerpt Jaccard misses, with exact ppm ratios") {
+      val out = Dedup.containmentPairs(docsDF, col("doc_id"), col("text"), 0.9)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // doc2: 2 shingles, both in doc1's 8 → C(2→1)=1.0, C(1→2)=2/8
+      assert(out.contains((1L, 2L, 250000L, 1000000L)))
+      // symmetric dup: both directions 1.0
+      assert(out.contains((3L, 4L, 1000000L, 1000000L)))
+      // (1,5): 1 shared shingle of 8 — far below 0.9, absent
+      assert(!out.exists(p => p._1 == 1L && p._2 == 5L))
+      assert(out.size == 2)
+      // the motivating gap: symmetric Jaccard at 0.8 does NOT pair (1,2)
+      val jacc = Dedup.nearDupPairs(docsDF, col("doc_id"), col("text"), 0.8)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(!jacc.contains((1L, 2L)))
+    }
+
+    it("candidate prefix loses nothing vs an all-pairs recompute") {
+      val rnd = new scala.util.Random(7)
+      val vocab = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+      val corpus = (0 until 40).map { i =>
+        (i.toLong, Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val fast = Dedup.containmentPairs(corpus, col("doc_id"), col("text"), 0.7)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // brute force over string shingle sets
+      val sh = corpus.select(col("doc_id"),
+          graft.catalyst.WordShingles(col("text"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .as[(Long, Seq[String])].collect().toMap
+      val brute = (for {
+        a <- sh.keys.toSeq; b <- sh.keys.toSeq if a < b
+        c = sh(a).toSet.intersect(sh(b).toSet).size.toLong
+        ca = c * 1000000L / sh(a).size
+        cb = c * 1000000L / sh(b).size
+        if math.max(ca, cb) >= 700000L
+      } yield (a, b, ca, cb)).toSet
+      assert(fast == brute)
+    }
+  }
 }

@@ -302,4 +302,37 @@ class SamplingSpec extends SparkSpec {
       assert(before.forall { case (id, s) => grown(id) == s })
     }
   }
+
+  describe("Sampling.stratifiedKFold") {
+    val rows = (for (st <- Seq("a", "b"); i <- 0 until 13)
+      yield (st, s"$st$i")).toDF("stratum", "id")
+
+    it("fold sizes within a stratum differ by at most one, all rows covered") {
+      val out = Sampling.stratifiedKFold(rows, col("stratum"), col("id"), 5)
+      assert(out.count() == 26)
+      val sizes = out.groupBy(col("stratum"), col("fold")).count()
+        .groupBy(col("stratum"))
+        .agg(max(col("count")).as("mx"), min(col("count")).as("mn"),
+          sum(col("count")).as("tot"), count(lit(1)).as("nf"))
+        .as[(String, Long, Long, Long, Long)].collect()
+      // 13 rows into 5 folds: sizes {3,3,3,2,2} — spread exactly 1,
+      // every fold non-empty, totals preserved
+      assert(sizes.forall { case (_, mx, mn, tot, nf) =>
+        mx - mn == 1 && tot == 13 && nf == 5 })
+    }
+
+    it("is deterministic and partitioning-invariant") {
+      val a = Sampling.stratifiedKFold(rows, col("stratum"), col("id"), 5)
+        .as[(String, String, Int)].collect().toSet
+      val b = Sampling.stratifiedKFold(rows.repartition(7), col("stratum"), col("id"), 5)
+        .as[(String, String, Int)].collect().toSet
+      assert(a == b)
+    }
+
+    it("rejects k < 2") {
+      intercept[IllegalArgumentException] {
+        Sampling.stratifiedKFold(rows, col("stratum"), col("id"), 1)
+      }
+    }
+  }
 }
