@@ -3757,6 +3757,54 @@ object DataOps extends QueryModule {
        |WHERE GREATEST(1000000 * c // sa.n, 1000000 * c // sb.n) >= 900000
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q285: consistent-hash ring routing -----------------------------------
+
+  /** Consistent-hash ring with 8 virtual nodes per shard
+    * ([[graft.operators.Rendezvous.ringAssign]] — the ring counterpart
+    * to q279's HRW): every doc routed under 9 and under 9+1 nodes; per
+    * new-topology shard the output carries how many docs MOVED. The
+    * ring law is pinned IN-DATA exactly like q279: movement lands ONLY
+    * on the added node (a key moves iff one of J's vnodes claims its
+    * arc), and the oracle replays the clockwise-successor pick —
+    * wrapped-flag ordering, wraparound minimum and all —
+    * assignment-for-assignment.
+    */
+  def ringShards(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Rendezvous
+    val d = docs(s, dir).select(col("doc_id"))
+      .withColumn("s9", Rendezvous.ringAssign(col("doc_id"), ShardList, 8))
+      .withColumn("s10", Rendezvous.ringAssign(col("doc_id"), ShardList :+ "J", 8))
+    d.groupBy(col("s10").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s9") =!= col("s10"), 1L).otherwise(0L)).as("n_moved"))
+      .sortOnce(col("shard"))
+  }
+
+  private val q285Oracle: String = {
+    val ph = TextFns.hash60Sql("n.nd || '#' || CAST(v.v AS VARCHAR)")
+    val h = TextFns.hash60Sql("CAST(doc_id AS VARCHAR)")
+    def pick(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT doc_id, node FROM (
+         |    SELECT d.doc_id, r.node,
+         |      row_number() OVER (PARTITION BY d.doc_id
+         |        ORDER BY (r.ph <= d.h), r.ph, r.node) AS rn
+         |    FROM d, $src r) WHERE rn = 1)""".stripMargin
+    s"""WITH ring AS (
+       |  SELECT n.nd AS node, $ph AS ph
+       |  FROM (SELECT unnest(['A','B','C','D','E','F','G','H','I','J']) AS nd) n,
+       |       (SELECT unnest(range(0, 8)) AS v) v),
+       |ring9 AS (SELECT * FROM ring WHERE node <> 'J'),
+       |d AS (SELECT doc_id, $h AS h FROM documents),
+       |${pick("ring", "a10")},
+       |${pick("ring9", "a9")}
+       |SELECT a10.node AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN a9.node <> a10.node THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_moved
+       |FROM a10 JOIN a9 USING (doc_id)
+       |GROUP BY 1 ORDER BY shard""".stripMargin
+  }
+
   // ---- q263: near-dup-cluster-safe split -----------------------------------
 
   /** Split assignment that cannot leak near-duplicates across
@@ -5499,6 +5547,7 @@ object DataOps extends QueryModule {
     "q282_incr_postings" -> (incrPostingsMaintain _),
     "q283_stratified_kfold" -> (stratifiedFolds _),
     "q284_containment" -> (containmentClones _),
+    "q285_ring_shards" -> (ringShards _),
     "q179_binary_source" -> (binarySource _),
     "q185_domain_cap" -> (domainCap _),
     "q186_ngram_decontam" -> (ngramDecontam _),
@@ -5624,6 +5673,7 @@ object DataOps extends QueryModule {
     "q282_incr_postings" -> q282Oracle,
     "q283_stratified_kfold" -> q283Oracle,
     "q284_containment" -> q284Oracle,
+    "q285_ring_shards" -> q285Oracle,
     "q179_binary_source" -> q179Oracle,
     "q185_domain_cap" -> q185Oracle,
     "q186_ngram_decontam" -> q186Oracle,

@@ -2150,6 +2150,42 @@ object Relational extends QueryModule {
        |ORDER BY x.user_id""".stripMargin
   }
 
+  /** q286: l-diversity audit — the privacy gate k-anonymity (q227)
+    * cannot see: a QI group can hold ≥ k records yet expose everyone in
+    * it because they all share ONE sensitive value (the homogeneity
+    * attack, Machanavajjhala et al. ICDE'06 — public method). Per QI
+    * group (event type × ISO week × user bucket) the audit measures
+    * distinct-l over a derived sensitive class (value-cents mod 7) and
+    * reports, per event type: group count, the WORST group's l, and how
+    * many groups/records fall below l = 3 — the release decision next
+    * to q227's size gate. Same scale shape: one hash aggregate over the
+    * scan + a tiny rollup.
+    */
+  def lDiversityAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    e.groupBy(col("event_type"), date_trunc("week", col("ts")),
+        col("user_id") % 5)
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(round(col("value") * 100).cast("long") % 7).as("l"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"), min(col("l")).as("min_l"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("weak_groups"),
+        sum(when(col("l") < 3, col("sz")).otherwise(0L)).as("weak_records"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q286Sql: String =
+    """WITH g AS (
+      |  SELECT event_type, COUNT(*) AS sz,
+      |    COUNT(DISTINCT CAST(round(value * 100) AS BIGINT) % 7) AS l
+      |  FROM events
+      |  GROUP BY event_type, date_trunc('week', ts), user_id % 5)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(MIN(l) AS BIGINT) AS min_l,
+      |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS weak_groups,
+      |  CAST(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT) AS weak_records
+      |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** q227: k-anonymity audit across a generalization lattice — the
     * privacy gate a dataset passes before release: at each
     * generalization level the quasi-identifier tuple coarsens
@@ -3995,6 +4031,7 @@ object Relational extends QueryModule {
     "q225_path_trigrams" -> (pathTrigrams _),
     "q226_ewma" -> (ewmaSmoothing _),
     "q227_k_anonymity" -> (kAnonymityAudit _),
+    "q286_l_diversity" -> (lDiversityAudit _),
     "q228_interarrival" -> (interarrivalSpectrum _),
     "q229_codec_battery" -> (codecBattery _),
     "q231_position_attribution" -> (positionAttribution _),
@@ -4404,6 +4441,7 @@ object Relational extends QueryModule {
     "q225_path_trigrams" -> q225Sql,
     "q226_ewma" -> q226Sql,
     "q227_k_anonymity" -> q227Sql,
+    "q286_l_diversity" -> q286Sql,
     "q228_interarrival" -> q228Sql,
     "q229_codec_battery" -> q229Sql,
     "q231_position_attribution" -> q231Sql,

@@ -35,4 +35,37 @@ class RendezvousSpec extends SparkSpec {
       intercept[IllegalArgumentException](Rendezvous.assign(col("k"), Seq("a", "a")))
     }
   }
+
+  describe("Rendezvous.ringAssign") {
+    val V = 4
+    /** JVM replay of the clockwise-successor pick. */
+    def jvmRing(key: Long, ns: Seq[String]): String = {
+      val h = TextFns.hash60Value(key.toString)
+      val pts = for (n <- ns; v <- 0 until V)
+        yield (TextFns.hash60Value(s"$n#$v"), n)
+      val above = pts.filter(_._1 > h)
+      (if (above.nonEmpty) above.min else pts.min)._2
+    }
+
+    it("matches the JVM clockwise-successor replay for every key") {
+      val out = (0L until 200L).toDF("k")
+        .withColumn("s", Rendezvous.ringAssign(col("k"), shards, V))
+        .as[(Long, String)].collect().toMap
+      (0L until 200L).foreach(k => assert(out(k) == jvmRing(k, shards), s"key $k"))
+    }
+
+    it("adding a node only moves keys ONTO the new node") {
+      val grown = shards :+ "e"
+      val moves = (0L until 2000L).map(k => (jvmRing(k, shards), jvmRing(k, grown)))
+      val moved = moves.filter { case (old, nu) => old != nu }
+      assert(moved.nonEmpty && moved.forall(_._2 == "e"))
+      // ring arcs are noisier than HRW at V=4 — only bound loosely
+      assert(moved.size < 1200)
+    }
+
+    it("rejects bad node lists and vnode counts") {
+      intercept[IllegalArgumentException](Rendezvous.ringAssign(col("k"), Seq(), V))
+      intercept[IllegalArgumentException](Rendezvous.ringAssign(col("k"), shards, 0))
+    }
+  }
 }
