@@ -270,10 +270,11 @@ object Dedup {
     * pairs dropped from `prevPairs`) and shrank below it via removals
     * while gaining no computed member is discarded by the touched
     * filter here, so its retained–retained pairs appear in a full
-    * recompute but not in the maintained set. Callers that lower
-    * `maxBucket` or run heavy-removal crawls against capped-hot
-    * buckets should schedule a periodic full `lshCandidates` rebuild
-    * (the q262 oracle replays the no-crossing regime). Output carries an
+    * recompute but not in the maintained set. [[cappedBucketCrossings]]
+    * DETECTS exactly this case from the two stores (nothing extra to
+    * persist) — run it after each maintenance step and re-expand the
+    * flagged buckets, or schedule a full `lshCandidates` rebuild when
+    * it is non-empty (the q262 oracle replays the no-crossing regime). Output carries an
     * `origin` column (`survivor`/`new`) so downstream Jaccard
     * verification can also run delta-only.
     */
@@ -305,6 +306,45 @@ object Dedup {
       .join(retained.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
     survivors.withColumn("origin", lit("survivor"))
       .unionByName(fresh.withColumn("origin", lit("new")))
+  }
+
+  /** Detect the ONE case where [[incrementalLshPairs]]' maintained set
+    * can silently diverge from a full `lshCandidates` recompute (the
+    * docstring caveat, made checkable): a bucket that exceeded
+    * `maxBucket` last crawl (its pairs were cap-dropped from
+    * `prevPairs`) and shrank to ≤ cap via removals while gaining NO
+    * computed member — its retained–retained pairs are in a full
+    * recompute but in neither the survivor nor the fresh leg. Both
+    * crawls' bucket sizes are RE-DERIVED from the two stores' signature
+    * slots (nothing extra to persist; banding is a narrow projection +
+    * one count per store). Run it after each maintenance step: empty →
+    * the incremental ≡ full invariant provably held this crawl;
+    * non-empty → re-expand exactly these buckets (their doc lists are
+    * in the returned rows' band/key) or schedule a full rebuild.
+    *
+    * @return (band, key, prev_size, next_size) — the crossing buckets
+    */
+  def cappedBucketCrossings(prevStore: DataFrame, store: DataFrame,
+                            numPerms: Int, rowsPerBand: Int,
+                            maxBucket: Int): DataFrame = {
+    val numBands = numPerms / rowsPerBand
+    def bands = array((0 until numBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"sig${bnd * rowsPerBand + r}")): _*).as("key"))
+    }: _*)
+    def sized(st: DataFrame, n: String, withTouched: Boolean) = {
+      val g = st
+        .select(col("doc_id"), (col("src") === "computed").cast("long").as("c"),
+          explode(bands).as("b"))
+        .groupBy(col("b.band").as("band"), col("b.key").as("key"))
+      if (withTouched) g.agg(count(lit(1)).as(n), max(col("c")).as("touched"))
+      else g.agg(count(lit(1)).as(n))
+    }
+    sized(prevStore, "prev_size", withTouched = false)
+      .filter(col("prev_size") > maxBucket)
+      .join(sized(store, "next_size", withTouched = true), Seq("band", "key"))
+      .filter(col("next_size") <= maxBucket && col("touched") === 0L)
+      .select(col("band"), col("key"), col("prev_size"), col("next_size"))
   }
 
   /** Incremental connected-component maintenance — the CLUSTER leg of
@@ -1003,13 +1043,23 @@ object Dedup {
     val post = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .select(col("doc_id"), xxhash64(col("shingle")).as("sid"))
     val dfc = post.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    // The emit filter below is the exact cross-multiply c·10⁶ ≥ tPpm·n
+    // (⟺ floored ppm ≥ tPpm), so the smallest passing intersection is
+    // cmin = ⌈tPpm·n / 10⁶⌉ — computed in the SAME integer arithmetic
+    // here (a double ceil(threshold·n) can exceed it by 1 on binary-
+    // unrepresentable thresholds, shortening the prefix and silently
+    // breaking candidate completeness at the boundary).
     val prefix = post
       .join(dfc, "sid")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(struct(col("df"), col("sid")))).as("ranked"))
-      .select(col("doc_id").as("probe_id"),
+      .select(col("doc_id").as("probe_id"), col("ranked"),
+        call_function("div",
+          lit(tPpm) * size(col("ranked")).cast("long") + lit(999999L),
+          lit(1000000L)).as("cmin"))
+      .select(col("probe_id"),
         slice(col("ranked"), lit(1),
-          (size(col("ranked")) - ceil(lit(threshold) * size(col("ranked"))) + 1)
+          greatest(lit(1L), size(col("ranked")).cast("long") - col("cmin") + 1L)
             .cast("int")).as("pref"))
       .select(col("probe_id"), explode(col("pref.sid")).as("sid"))
     val cands = prefix

@@ -3217,10 +3217,12 @@ object DataOps extends QueryModule {
       |      THEN CAST(round(value * 100, 0) AS BIGINT) ELSE 0 END) AS BIGINT) AS uy
       |  FROM events GROUP BY 1, 2),
       |grand AS (
+      |  -- cross products in HUGEINT, mirroring the operator's decimal(38)
+      |  -- build: ux*uy in BIGINT overflows at warehouse unit totals
       |  SELECT COUNT(*) AS n_all, CAST(SUM(ux) AS BIGINT) AS sx_all,
       |    CAST(SUM(uy) AS BIGINT) AS sy_all,
-      |    CAST(SUM(ux * uy) AS BIGINT) AS sxy_all,
-      |    CAST(SUM(ux * ux) AS BIGINT) AS sxx_all
+      |    SUM(CAST(ux AS HUGEINT) * uy) AS sxy_all,
+      |    SUM(CAST(ux AS HUGEINT) * ux) AS sxx_all
       |  FROM units),
       |arms AS (
       |  SELECT arm, COUNT(*) AS n_units, CAST(SUM(ux) AS BIGINT) AS sum_x,
@@ -3229,12 +3231,12 @@ object DataOps extends QueryModule {
       |SELECT arm, n_units, sum_x, sum_y,
       |  round(CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE), 6) AS mean_y_r,
       |  round(CAST(sum_y AS DOUBLE) / CAST(n_units AS DOUBLE)
-      |    - (CAST(n_all * sxy_all - sx_all * sy_all AS DOUBLE)
-      |       / CAST(n_all * sxx_all - sx_all * sx_all AS DOUBLE))
+      |    - (CAST(n_all * sxy_all - CAST(sx_all AS HUGEINT) * sy_all AS DOUBLE)
+      |       / CAST(n_all * sxx_all - CAST(sx_all AS HUGEINT) * sx_all AS DOUBLE))
       |      * (CAST(sum_x AS DOUBLE) / CAST(n_units AS DOUBLE)
       |         - CAST(sx_all AS DOUBLE) / CAST(n_all AS DOUBLE)), 6) AS adj_mean_y_r,
-      |  round(CAST(n_all * sxy_all - sx_all * sy_all AS DOUBLE)
-      |    / CAST(n_all * sxx_all - sx_all * sx_all AS DOUBLE), 6) AS theta_r
+      |  round(CAST(n_all * sxy_all - CAST(sx_all AS HUGEINT) * sy_all AS DOUBLE)
+      |    / CAST(n_all * sxx_all - CAST(sx_all AS HUGEINT) * sx_all AS DOUBLE), 6) AS theta_r
       |FROM arms, grand ORDER BY arm""".stripMargin
 
   // ---- q273: multi-epoch shuffle schedule -------------------------------------
@@ -3339,8 +3341,11 @@ object DataOps extends QueryModule {
        |  round(CAST(p.sv AS DOUBLE) / CAST(p.n_units AS DOUBLE), 6) AS mean_r,
        |  round(lo.m, 6) AS lo_r, round(hi.m, 6) AS hi_r
        |FROM point p
-       |JOIN ranked lo ON lo.grp = p.grp AND lo.rnk = 3
-       |JOIN ranked hi ON hi.grp = p.grp AND hi.rnk = 98
+       |-- LEFT joins mirror Bootstrap.meanCi: a group whose requested
+       |-- order statistic fell to zero-weight replicas surfaces with
+       |-- NULL CI bounds instead of vanishing
+       |LEFT JOIN ranked lo ON lo.grp = p.grp AND lo.rnk = 3
+       |LEFT JOIN ranked hi ON hi.grp = p.grp AND hi.rnk = 98
        |ORDER BY event_type""".stripMargin
   }
 

@@ -610,4 +610,37 @@ class DedupSpec extends SparkSpec {
       assert(fast == brute)
     }
   }
+
+  describe("Dedup.cappedBucketCrossings") {
+    val nPerms = 4
+    val rpb = 4 // one band — every identical doc shares one bucket
+    it("flags exactly the bucket whose cap-crossing breaks incremental ≡ full") {
+      val txt = "alpha beta gamma delta epsilon"
+      val prev = Seq((1L, txt), (2L, txt), (3L, txt))
+        .toDF("doc_id", "text")
+      val cur = Seq((1L, txt), (2L, txt)).toDF("doc_id", "text") // 3 removed
+      val prevStore = Dedup.signatureStore(prev, col("doc_id"), col("text"), nPerms)
+      val store = Dedup.incrementalSignatures(cur, prevStore,
+        col("doc_id"), col("text"), nPerms)
+      // the documented divergence: bucket had 3 docs (> cap 2, pairs
+      // dropped), shrank to 2 with no computed member → (1,2) is in a
+      // full recompute but NOT in the maintained set
+      val prevPairs = Dedup.lshCandidates(prevStore, nPerms, rpb, maxBucket = 2)
+      val inc = Dedup.incrementalLshPairs(store, prevPairs, nPerms, rpb, maxBucket = 2)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val full = Dedup.lshCandidates(store, nPerms, rpb, maxBucket = 2)
+        .as[(Long, Long)].collect().toSet
+      assert(full.contains((1L, 2L)) && !inc.contains((1L, 2L)))
+      // ...and the detector flags exactly that bucket
+      val crossings = Dedup.cappedBucketCrossings(prevStore, store, nPerms, rpb, 2)
+        .as[(Int, String, Long, Long)].collect()
+      assert(crossings.length == 1)
+      assert(crossings.head._3 == 3L && crossings.head._4 == 2L)
+      // a computed member in the shrunk bucket ⇒ bucket re-expands ⇒ no flag
+      val cur2 = Seq((1L, txt), (2L, txt), (9L, txt)).toDF("doc_id", "text")
+      val store2 = Dedup.incrementalSignatures(cur2, prevStore,
+        col("doc_id"), col("text"), nPerms)
+      assert(Dedup.cappedBucketCrossings(prevStore, store2, nPerms, rpb, 2).count() == 0)
+    }
+  }
 }
