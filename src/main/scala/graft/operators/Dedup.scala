@@ -455,6 +455,43 @@ object Dedup {
     verifyJaccard(candidates, sets, threshold)
   }
 
+  /** Incremental VERIFIED near-dup maintenance — the last leg of the
+    * crawl-incremental text-dedup chain ([[incrementalSignatures]] →
+    * [[incrementalLshPairs]] → here → [[incrementalComponents]]):
+    * maintain the exact-Jaccard-verified pair set without re-shingling
+    * the corpus. Survivor candidates (both endpoints `retained`) have
+    * UNCHANGED texts on both sides, so their Jaccard is unchanged — the
+    * previous verified rows carry over verbatim, and a survivor that
+    * FAILED verification last crawl still fails; only `new` candidates
+    * (≥1 computed endpoint) are verified, and only the docs those pairs
+    * actually touch are re-shingled (`incr_verify_docs` observe metric
+    * — O(pair delta), never O(corpus)). Output schema matches
+    * [[minhashNearDups]]; the q287 oracle pins maintained ≡ full.
+    *
+    * @param incPairs     [[incrementalLshPairs]] output (with `origin`)
+    * @param prevVerified previous crawl's verified pairs
+    *                     ((doc_a, doc_b, jacc) — [[minhashNearDups]]
+    *                     schema)
+    */
+  def incrementalMinhashNearDups(docs: DataFrame, id: Column, text: Column,
+                                 incPairs: DataFrame, prevVerified: DataFrame,
+                                 threshold: Double, w: Int = 3): DataFrame = {
+    val newPairs = incPairs.filter(col("origin") === "new")
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(false) // feeds touched-doc set AND the verify join
+    val touched = newPairs.select(col("doc_a").as("doc_id"))
+      .unionByName(newPairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val d = docs.select(id.as("doc_id"), text.as("text")).join(touched, "doc_id")
+    val sets = shingled(
+      d.observe("incr_verify_docs", count(lit(1)).as("n_docs")),
+      col("doc_id"), col("text"), w)
+    val survivors = prevVerified.select(col("doc_a"), col("doc_b"), col("jacc"))
+      .join(incPairs.filter(col("origin") === "survivor")
+        .select(col("doc_a"), col("doc_b")), Seq("doc_a", "doc_b"), "left_semi")
+    survivors.unionByName(verifyJaccard(newPairs, sets, threshold))
+  }
+
   /** Connected components over a near-dup pair list — the step that
     * turns pairwise matches into DEDUP CLUSTERS (keep `min(doc_id)` per
     * component, purge the rest). Iterative min-label propagation: every

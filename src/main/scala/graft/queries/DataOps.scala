@@ -3691,6 +3691,94 @@ object DataOps extends QueryModule {
       |    AS BIGINT) AS n_computed
       |FROM post GROUP BY term ORDER BY term""".stripMargin
 
+  // ---- q287: incremental VERIFIED near-dup maintenance ----------------------
+
+  /** The verified-pair leg closing the crawl-incremental text-dedup
+    * chain ([[graft.operators.Dedup.incrementalMinhashNearDups]] —
+    * q259 signatures → q262 candidates → HERE → q265 components): the
+    * same simulated crawl, its previous VERIFIED pair set from a full
+    * [[graft.operators.Dedup.minhashNearDups]] over the prev crawl,
+    * then maintenance: survivor candidates carry their previous Jaccard
+    * verbatim (both texts unchanged ⇒ Jaccard unchanged — including
+    * previously FAILED survivors staying failed), and only new
+    * candidates are verified, re-shingling only the docs those pairs
+    * touch. The oracle is q23's full from-scratch replay (banding →
+    * candidates → exact Jaccard ≥ 0.8), so a green row proves the
+    * maintained verified set — membership AND every jacc value — is
+    * bit-identical to a full re-index at O(pair-delta) shingling cost.
+    */
+  def incrVerifiedNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val isOld = col("doc_id") % 7 =!= 3
+    val isChanged = (col("doc_id") % 5 === 0) && isOld
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val prevCrawl = d.filter(isOld && !isChanged)
+      .unionByName(d.filter(isChanged)
+        .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
+      .localCheckpoint(false) // feeds store AND the prev full verify
+    val prevStore = Dedup.signatureStore(prevCrawl, col("doc_id"), col("text"), NumPerms)
+      .localCheckpoint(false)
+    val prevPairs = Dedup.lshCandidates(prevStore, NumPerms, RowsPerBand)
+      .localCheckpoint(false)
+    val prevVerified = Dedup.minhashNearDups(prevCrawl, col("doc_id"), col("text"),
+      threshold = 0.8, numPerms = NumPerms, rowsPerBand = RowsPerBand)
+    val store = Dedup.incrementalSignatures(d, prevStore, col("doc_id"), col("text"), NumPerms)
+    val pairs = Dedup.incrementalLshPairs(store, prevPairs, NumPerms, RowsPerBand)
+    Dedup.incrementalMinhashNearDups(d, col("doc_id"), col("text"),
+        pairs, prevVerified, threshold = 0.8)
+      .sortOnce(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- q288: calibration audit (reliability bins + ECE) ---------------------
+
+  /** Classifier-calibration audit ([[graft.operators.Calibration
+    * .eceBins]]) over a calibrated-by-construction synthetic scorer:
+    * confidence = hash(event) ‰, outcome drawn by an independent hash
+    * under that confidence — so accuracy tracks confidence in every
+    * bin up to sampling noise and the audit's gaps/ECE measure exactly
+    * that noise. Ten reliability bins with exact integer
+    * (n, n_pos, Σconf) and fixed-shape rounded ratios; the oracle
+    * replays bin assignment, every exact count, and the n-weighted ECE.
+    * Complements q251 (AUC — ranking) and q252 (threshold sweep):
+    * calibration is what lets a score gate a pipeline unre-thresholded.
+    */
+  def calibrationAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Calibration
+    val cm = TextFns.hash60(col("event_id")) % 1000L
+    val scored = Tables(s, dir, "events")
+      .select(cm.as("cm"),
+        (TextFns.hash60(concat(lit("lbl:"), col("event_id").cast("string")))
+          % 1000L < cm).cast("long").as("y"))
+    Calibration.eceBins(scored, col("cm"), col("y"))
+      .sortOnce(col("bin"))
+  }
+
+  private val q288Oracle: String = {
+    val hc = TextFns.hash60Sql("CAST(event_id AS VARCHAR)")
+    val hl = TextFns.hash60Sql("'lbl:' || CAST(event_id AS VARCHAR)")
+    s"""WITH scored AS (
+       |  SELECT $hc % 1000 AS cm,
+       |    CASE WHEN $hl % 1000 < $hc % 1000 THEN 1 ELSE 0 END AS y
+       |  FROM events),
+       |b AS (
+       |  SELECT cm // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(y) AS BIGINT) AS n_pos,
+       |    CAST(SUM(cm) AS BIGINT) AS sum_conf_milli
+       |  FROM scored GROUP BY 1),
+       |c AS (
+       |  SELECT *, sum_conf_milli / (n * 1000.0) AS conf,
+       |    n_pos * 1.0 / n AS acc,
+       |    ABS(n_pos * 1.0 / n - sum_conf_milli / (n * 1000.0)) AS gap
+       |  FROM b),
+       |t AS (SELECT SUM(n * gap) AS sg, SUM(n) * 1.0 AS sn FROM c)
+       |SELECT bin, n, n_pos, sum_conf_milli,
+       |  round(conf, 6) AS conf_r, round(acc, 6) AS acc_r,
+       |  round(gap, 6) AS gap_r, round(sg / sn, 6) AS ece_r
+       |FROM c, t ORDER BY bin""".stripMargin
+  }
+
   // ---- q283: stratified k-fold with exact balance ---------------------------
 
   /** Stratified 5-fold cross-validation assignment
@@ -5551,6 +5639,8 @@ object DataOps extends QueryModule {
     "q280_incr_assign" -> (incrAssignMaintain _),
     "q282_incr_postings" -> (incrPostingsMaintain _),
     "q283_stratified_kfold" -> (stratifiedFolds _),
+    "q287_incr_verified_neardups" -> (incrVerifiedNearDups _),
+    "q288_calibration" -> (calibrationAudit _),
     "q284_containment" -> (containmentClones _),
     "q285_ring_shards" -> (ringShards _),
     "q179_binary_source" -> (binarySource _),
@@ -5677,6 +5767,8 @@ object DataOps extends QueryModule {
     "q280_incr_assign" -> q280Oracle,
     "q282_incr_postings" -> q282Oracle,
     "q283_stratified_kfold" -> q283Oracle,
+    "q287_incr_verified_neardups" -> q23Oracle,
+    "q288_calibration" -> q288Oracle,
     "q284_containment" -> q284Oracle,
     "q285_ring_shards" -> q285Oracle,
     "q179_binary_source" -> q179Oracle,

@@ -643,4 +643,58 @@ class DedupSpec extends SparkSpec {
       assert(Dedup.cappedBucketCrossings(prevStore, store2, nPerms, rpb, 2).count() == 0)
     }
   }
+
+  describe("Dedup.incrementalMinhashNearDups") {
+    val nPerms = 4
+    val rpb = 2
+    val current = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),  // dup of 1; both unchanged
+      (3L, "one two three four five six"),     // changed since prev
+      (4L, "one two three four five six"),     // dup of 3 after the change
+      (5L, "red green blue yellow purple"),    // added since prev
+      (6L, "red green blue yellow purple"))    // dup of 5; itself unchanged
+      .toDF("doc_id", "text")
+    val prev = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five OLD"),
+      (4L, "one two three four five six"),
+      (6L, "red green blue yellow purple"),
+      (9L, "gone gone gone gone gone gone"),
+      (10L, "gone gone gone gone gone gone"))
+      .toDF("doc_id", "text")
+
+    def chain(cur: org.apache.spark.sql.DataFrame,
+              prv: org.apache.spark.sql.DataFrame) = {
+      val prevStore = Dedup.signatureStore(prv, col("doc_id"), col("text"), nPerms)
+      val prevPairs = Dedup.lshCandidates(prevStore, nPerms, rpb)
+      val prevVerified = Dedup.minhashNearDups(prv, col("doc_id"), col("text"),
+        0.8, nPerms, rpb)
+      val store = Dedup.incrementalSignatures(cur, prevStore,
+        col("doc_id"), col("text"), nPerms)
+      val pairs = Dedup.incrementalLshPairs(store, prevPairs, nPerms, rpb)
+      Dedup.incrementalMinhashNearDups(cur, col("doc_id"), col("text"),
+        pairs, prevVerified, 0.8)
+    }
+
+    it("maintained verified set ≡ full recompute, jacc-for-jacc") {
+      val inc = chain(current, prev)
+        .as[(Long, Long, Double)].collect().toSet
+      val full = Dedup.minhashNearDups(current, col("doc_id"), col("text"),
+        0.8, nPerms, rpb).as[(Long, Long, Double)].collect().toSet
+      assert(inc == full)
+      assert(inc.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+      assert(inc.exists(p => p._1 == 3L && p._2 == 4L && p._3 == 1.0))
+      assert(!inc.exists(p => p._1 >= 9L)) // removed docs' pairs gone
+    }
+
+    it("an unchanged crawl verifies nothing — output is the carried prev set") {
+      val inc = chain(current, current)
+        .as[(Long, Long, Double)].collect().toSet
+      val full = Dedup.minhashNearDups(current, col("doc_id"), col("text"),
+        0.8, nPerms, rpb).as[(Long, Long, Double)].collect().toSet
+      assert(inc == full)
+    }
+  }
 }
