@@ -3731,6 +3731,69 @@ object DataOps extends QueryModule {
       .sortOnce(col("doc_a"), col("doc_b"))
   }
 
+  // ---- q289: corpus concentration audit (Lorenz + Gini) ---------------------
+
+  /** Source-concentration audit of the corpus's token mass — the
+    * "how much of my 100 TB comes from how few sources" question a
+    * mixture designer asks before weighting (a Gini near 1 means a
+    * handful of domains dominate and q93/q118's rebalancing has real
+    * work to do; near 0 means the corpus is already flat). Per source:
+    * exact token count, ascending (tokens, source) rank, exact
+    * cumulative-share ppm (floor division); corpus Gini from the exact
+    * rank-weighted sum, `(2·Σrank·x − (n+1)·Σx) / (n·Σx)`, as one
+    * fixed-shape rounded double. Source vocabulary is small, so the
+    * rank window is a vocabulary-sized frame over a one-pass corpus
+    * aggregate — the corpus is never touched per-rank.
+    */
+  def concentrationAudit(s: SparkSession, dir: String): DataFrame = {
+    val perSource = docs(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(TextFns.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .localCheckpoint(false) // vocabulary-sized; ranked AND totalled
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens"), col("source"))
+    val tot = perSource.agg(sum(col("n_tokens")).as("tot"),
+      count(lit(1)).as("n_src"))
+    perSource
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n_tokens")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("rnk"),
+        call_function("div", col("cum") * lit(1000000L), col("tot"))
+          .as("cum_share_ppm"),
+        round((lit(2.0) * sum(col("rnk") * col("n_tokens"))
+            .over(org.apache.spark.sql.expressions.Window.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing))
+            .cast("double")
+          - (col("n_src") + 1L).cast("double") * col("tot").cast("double"))
+          / (col("n_src").cast("double") * col("tot").cast("double")), 6)
+          .as("gini_r"))
+      .sortOnce(col("rnk"))
+  }
+
+  private val q289Oracle: String =
+    """WITH ps AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+      |  CAST(COUNT(*) AS BIGINT) AS n_src FROM ps),
+      |r AS (
+      |  SELECT source, n_tokens,
+      |    CAST(row_number() OVER (ORDER BY n_tokens, source) AS BIGINT) AS rnk,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM ps)
+      |SELECT source, n_tokens, rnk,
+      |  CAST(cum * 1000000 // tot AS BIGINT) AS cum_share_ppm,
+      |  round((2.0 * CAST((SELECT SUM(rnk * n_tokens) FROM r) AS DOUBLE)
+      |    - (n_src + 1) * CAST(tot AS DOUBLE))
+      |    / (n_src * CAST(tot AS DOUBLE)), 6) AS gini_r
+      |FROM r, t ORDER BY rnk""".stripMargin
+
   // ---- q288: calibration audit (reliability bins + ECE) ---------------------
 
   /** Classifier-calibration audit ([[graft.operators.Calibration
@@ -5641,6 +5704,7 @@ object DataOps extends QueryModule {
     "q283_stratified_kfold" -> (stratifiedFolds _),
     "q287_incr_verified_neardups" -> (incrVerifiedNearDups _),
     "q288_calibration" -> (calibrationAudit _),
+    "q289_concentration" -> (concentrationAudit _),
     "q284_containment" -> (containmentClones _),
     "q285_ring_shards" -> (ringShards _),
     "q179_binary_source" -> (binarySource _),
@@ -5769,6 +5833,7 @@ object DataOps extends QueryModule {
     "q283_stratified_kfold" -> q283Oracle,
     "q287_incr_verified_neardups" -> q23Oracle,
     "q288_calibration" -> q288Oracle,
+    "q289_concentration" -> q289Oracle,
     "q284_containment" -> q284Oracle,
     "q285_ring_shards" -> q285Oracle,
     "q179_binary_source" -> q179Oracle,
