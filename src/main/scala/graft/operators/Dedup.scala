@@ -272,20 +272,17 @@ object Dedup {
     * filter here, so its retained–retained pairs appear in a full
     * recompute but not in the maintained set. [[cappedBucketCrossings]]
     * DETECTS exactly this case from the two stores (nothing extra to
-    * persist) — run it after each maintenance step and re-expand the
-    * flagged buckets, or schedule a full `lshCandidates` rebuild when
-    * it is non-empty (the q262 oracle replays the no-crossing regime). Output carries an
-    * `origin` column (`survivor`/`new`) so downstream Jaccard
-    * verification can also run delta-only.
+    * persist), and [[incrementalLshPairsChecked]] wires the detector +
+    * auto re-expansion INTO the maintenance step — production chains
+    * (q262/q265/q287) use the checked variant, making the ≡-full pin
+    * unconditional. Output carries an `origin` column
+    * (`survivor`/`new`) so downstream Jaccard verification can also
+    * run delta-only.
     */
   def incrementalLshPairs(store: DataFrame, prevPairs: DataFrame,
                           numPerms: Int, rowsPerBand: Int,
                           maxBucket: Int = 100000): DataFrame = {
-    val numBands = numPerms / rowsPerBand
-    val bands = array((0 until numBands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r => col(s"sig${bnd * rowsPerBand + r}")): _*).as("key"))
-    }: _*)
+    val bands = bandCols(numPerms, rowsPerBand)
     val exploded = store
       .select(col("doc_id"), (col("src") === "computed").cast("long").as("n"),
         explode(bands).as("b"))
@@ -327,11 +324,7 @@ object Dedup {
   def cappedBucketCrossings(prevStore: DataFrame, store: DataFrame,
                             numPerms: Int, rowsPerBand: Int,
                             maxBucket: Int): DataFrame = {
-    val numBands = numPerms / rowsPerBand
-    def bands = array((0 until numBands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        concat_ws("_", (0 until rowsPerBand).map(r => col(s"sig${bnd * rowsPerBand + r}")): _*).as("key"))
-    }: _*)
+    def bands = bandCols(numPerms, rowsPerBand)
     def sized(st: DataFrame, n: String, withTouched: Boolean) = {
       val g = st
         .select(col("doc_id"), (col("src") === "computed").cast("long").as("c"),
@@ -345,6 +338,67 @@ object Dedup {
       .join(sized(store, "next_size", withTouched = true), Seq("band", "key"))
       .filter(col("next_size") <= maxBucket && col("touched") === 0L)
       .select(col("band"), col("key"), col("prev_size"), col("next_size"))
+  }
+
+  /** One banded (band, key) struct per band over a signature store's
+    * `sig0..sigN` slots — the shared bucketing projection of
+    * [[incrementalLshPairs]], [[cappedBucketCrossings]] and
+    * [[incrementalLshPairsChecked]]. */
+  private def bandCols(numPerms: Int, rowsPerBand: Int): Column = {
+    val numBands = numPerms / rowsPerBand
+    array((0 until numBands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        concat_ws("_", (0 until rowsPerBand)
+          .map(r => col(s"sig${bnd * rowsPerBand + r}")): _*).as("key"))
+    }: _*)
+  }
+
+  /** [[incrementalLshPairs]] with the cap-crossing caveat CLOSED
+    * in-chain rather than left to an out-of-band check:
+    * [[cappedBucketCrossings]] runs against the previous store as part
+    * of the maintenance step, and exactly the flagged buckets are
+    * RE-EXPANDED from the maintained store, so `maintained ≡ full
+    * lshCandidates(store)` holds UNCONDITIONALLY — including the
+    * shrank-under-cap-with-no-computed-member case. Re-expanded pairs
+    * carry origin `new`: they were cap-dropped from `prevPairs`, so
+    * downstream verification ([[incrementalMinhashNearDups]]) must
+    * verify them fresh and [[incrementalComponents]] must contract
+    * them — exactly the `new` semantics. Crossings are rare by
+    * construction (a >cap bucket must shrink under cap while gaining NO
+    * computed member), so the extra leg is empty in the steady state
+    * and the detector's two banded counts are the only added cost —
+    * no pair expansion, no signature recompute.
+    */
+  def incrementalLshPairsChecked(prevStore: DataFrame, store: DataFrame,
+                                 prevPairs: DataFrame, numPerms: Int,
+                                 rowsPerBand: Int,
+                                 maxBucket: Int = 100000): DataFrame = {
+    val base = incrementalLshPairs(store, prevPairs, numPerms, rowsPerBand,
+        maxBucket)
+      .localCheckpoint(false) // output union AND the dedup anti-join below
+    val flagged = cappedBucketCrossings(prevStore, store, numPerms,
+      rowsPerBand, maxBucket).select(col("band"), col("key"))
+    // Flagged buckets' CURRENT membership (all retained by definition of
+    // a crossing — touched = 0): band the store once, keep only flagged
+    // keys (a tiny set; AQE broadcasts the join), expand their pairs.
+    val exploded = store
+      .select(col("doc_id"), lit(0L).as("n"),
+        explode(bandCols(numPerms, rowsPerBand)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"),
+        col("n"))
+      .join(flagged, Seq("band", "key"))
+    val reexpanded = pairsFromBuckets(
+      exploded.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds")),
+      maxBucket)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      // a re-expanded pair may already be present via another bucket
+      // (survivor from prevPairs, or new via a touched bucket) — the
+      // legs stay disjoint
+      .join(base.select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
+    base.unionByName(reexpanded.withColumn("origin", lit("new")))
   }
 
   /** Incremental connected-component maintenance — the CLUSTER leg of

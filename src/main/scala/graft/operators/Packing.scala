@@ -149,6 +149,61 @@ object Packing {
       .drop("__gr_bucket", "__gr_ord", "__gr_local")
   }
 
+  /** PER-STRATUM 1-based row number in `order`-ascending — the
+    * stratum-keyed member of the prefix-sum family, and the scale-safe
+    * replacement for `row_number() OVER (PARTITION BY stratum ORDER BY
+    * …)`: the naive window serializes EVERY row of a stratum into one
+    * task, so a language- or source-sized hot stratum at 100 TB becomes
+    * a single-partition sort of terabytes. Here the corpus is
+    * range-partitioned on the COMPOSITE (stratum, order) key — a hot
+    * stratum spans as many order-aligned buckets as its mass demands —
+    * each bucket numbers its (stratum-contiguous) slice in parallel,
+    * and per-(bucket, stratum) counts get the offset prefix sum on a
+    * table of ≤ #strata + numRanges − 1 rows (buckets are contiguous
+    * ranges of the composite key, so each extra bucket adds at most one
+    * straddling stratum) which broadcasts back. Identical output to the
+    * naive window for a unique (stratum, `order`) key; skew-immune by
+    * construction.
+    *
+    * `order` must be unique WITHIN a stratum (e.g. a (hash, id) struct)
+    * — duplicate composite keys may straddle a range boundary and split
+    * nondeterministically. NULL strata are numbered like any other
+    * group (the offset join-back is null-safe).
+    */
+  def stratumRowNumber(df: DataFrame, stratum: Column, order: Column,
+                       posName: String = "pos",
+                       numRanges: Int = 32): DataFrame = {
+    val reserved = df.columns.filter(_.startsWith("__sr_"))
+    require(reserved.isEmpty,
+      s"input frame already has reserved __sr_* working columns (${reserved.mkString(", ")}) — rename them first")
+    require(!df.columns.contains(posName),
+      s"input frame already has a column named '$posName' — pass a different posName")
+    val tagged = df
+      .withColumn("__sr_st", stratum).withColumn("__sr_ord", order)
+      .repartitionByRange(numRanges, col("__sr_st"), col("__sr_ord"))
+      .withColumn("__sr_bucket", spark_partition_id().cast("long"))
+    val localW = Window.partitionBy(col("__sr_bucket"), col("__sr_st"))
+      .orderBy(col("__sr_ord"))
+    // materialized once: the offset aggregate and the join both consume
+    // it (same single-evaluation reasoning as globalRowNumber)
+    val local = tagged
+      .withColumn("__sr_local", row_number().over(localW).cast("long"))
+      .localCheckpoint(false)
+    val offW = Window.partitionBy(col("__sr_st2")).orderBy(col("__sr_b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__sr_bucket").as("__sr_b2"),
+        col("__sr_st").as("__sr_st2"))
+      .agg(count(lit(1)).as("__sr_n"))
+      .withColumn("__sr_off", coalesce(sum(col("__sr_n")).over(offW), lit(0L)))
+      .select(col("__sr_b2"), col("__sr_st2"), col("__sr_off"))
+    local.join(broadcast(offsets),
+        col("__sr_bucket") === col("__sr_b2")
+          && col("__sr_st") <=> col("__sr_st2"))
+      .withColumn(posName, col("__sr_local") + col("__sr_off"))
+      .drop("__sr_st", "__sr_ord", "__sr_bucket", "__sr_local",
+        "__sr_b2", "__sr_st2", "__sr_off")
+  }
+
   /** Generic scalable running total: every row gets the inclusive sum of
     * `value` over all rows at-or-before it in `order`-ascending, carried
     * alongside ALL of `df`'s columns — the third member of the prefix-sum

@@ -65,8 +65,15 @@ object Sampling {
   /** Exactly `n` rows per stratum (fewer if the stratum is smaller),
     * chosen by seeded-hash order with the key as tiebreak — the
     * deterministic equivalent of per-group reservoir sampling. One
-    * shuffle on the stratum; at very hot strata prefer
-    * [[stratifiedSample]] (no per-group sort) and cap downstream.
+    * shuffle on the stratum, and — unlike a data-dependent rank cut —
+    * the CONSTANT `rank ≤ n` filter lets Catalyst plan a PARTIAL
+    * WindowGroupLimit below the exchange (pinned by SamplingSpec):
+    * every map task keeps at most `n` rows per stratum before the
+    * shuffle, so a hot stratum's reduce-side sort sees ≤ n·mapTasks
+    * rows, never the stratum's full mass. Quota-shaped cuts that CAN'T
+    * use this optimization go through [[Packing.stratumRowNumber]]'s
+    * two-phase prefix sum instead (see [[temperatureSample]],
+    * [[stratifiedKFold]]).
     *
     * `key` must be UNIQUE within a stratum for the full-row guarantee:
     * physical duplicates of a (stratum, key) pair have no further order,
@@ -183,10 +190,14 @@ object Sampling {
       .withColumn("__ts_t",
         least(expr(s"($budget * __ts_s) div __ts_tot"), col("__ts_n")))
       .select(col("__ts_stratum"), col("__ts_t"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(stratum)
-      .orderBy(TextFns.seededHash(seed, key).asc, key.asc)
-    df.withColumn("__ts_rk", row_number().over(w))
+    // Per-stratum rank via the stratum-keyed two-phase prefix sum: the
+    // quota is data-dependent (no constant rank cut for the optimizer's
+    // WindowGroupLimit to push down), so a PARTITION BY stratum window
+    // would pay a full single-task sort per hot stratum before its
+    // filter. stratumRowNumber splits a hot stratum across range buckets
+    // instead.
+    Packing.stratumRowNumber(df, stratum,
+        struct(TextFns.seededHash(seed, key), key), posName = "__ts_rk")
       .join(broadcast(quotas), stratum === col("__ts_stratum"))
       .filter(col("__ts_rk") <= col("__ts_t"))
       .drop("__ts_stratum", "__ts_t", "__ts_rk")
@@ -362,19 +373,24 @@ object Sampling {
     * exactly, or small strata end up with empty folds). Deterministic,
     * partitioning-invariant, and every row lands in exactly one fold.
     *
-    * Scale shape: one shuffle by stratum + one within-partition sort
-    * (the window). Strata are assumed numerous relative to executors;
-    * a single corpus-sized stratum would serialize its sort into one
-    * task — pre-split such strata (salt the stratum key) or fall back
-    * to hash-mod-k where exact balance isn't required.
+    * Scale shape: the per-stratum rank is [[Packing.stratumRowNumber]]'s
+    * stratum-keyed two-phase prefix sum — NEVER a
+    * `PARTITION BY stratum` window, which would serialize a hot
+    * language/source-sized stratum into one terabyte sort task. A
+    * skewed stratum spans as many order-aligned range buckets as its
+    * mass demands; the only global step is a broadcast of the
+    * (#strata + buckets)-sized offset table.
     *
     * @return input plus `fold` (0..k−1)
     */
   def stratifiedKFold(df: DataFrame, stratum: Column, id: Column,
                       k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(stratum).orderBy(TextFns.hash60(id), id)
-    df.withColumn("fold", (row_number().over(w) - 1) % k)
+    require(!df.columns.contains("__kf_pos"),
+      "input frame already has a __kf_pos column (reserved working name) — rename it first")
+    Packing.stratumRowNumber(df, stratum,
+        struct(TextFns.hash60(id), id), posName = "__kf_pos")
+      .withColumn("fold", ((col("__kf_pos") - 1) % k).cast("int"))
+      .drop("__kf_pos")
   }
 }

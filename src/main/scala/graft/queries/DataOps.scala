@@ -2725,7 +2725,10 @@ object DataOps extends QueryModule {
       .localCheckpoint(false) // two consumers: prev banding + the diff side
     val prevPairs = Dedup.lshCandidates(prevStore, NumPerms, RowsPerBand)
     val store = Dedup.incrementalSignatures(d, prevStore, col("doc_id"), col("text"), NumPerms)
-    Dedup.incrementalLshPairs(store, prevPairs, NumPerms, RowsPerBand)
+    // The CHECKED variant: cap-crossing detection + auto re-expansion is
+    // part of the maintenance step itself, so the incremental ≡ full pin
+    // holds unconditionally, not just in the no-crossing regime.
+    Dedup.incrementalLshPairsChecked(prevStore, store, prevPairs, NumPerms, RowsPerBand)
       .sortOnce(col("doc_a"), col("doc_b"))
   }
 
@@ -2788,7 +2791,8 @@ object DataOps extends QueryModule {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     val store = Dedup.incrementalSignatures(d, prevStore, col("doc_id"), col("text"), NumPerms)
       .localCheckpoint(false) // feeds pair maintenance AND component maintenance
-    val pairs = Dedup.incrementalLshPairs(store, prevPairs, NumPerms, RowsPerBand)
+    val pairs = Dedup.incrementalLshPairsChecked(prevStore, store, prevPairs,
+        NumPerms, RowsPerBand)
       .localCheckpoint(false) // the maintained pair set feeds propagation twice
     Dedup.incrementalComponents(prevLabels, store, pairs)
       .sortOnce(col("doc_id"))
@@ -3581,7 +3585,13 @@ object DataOps extends QueryModule {
     val e = emb(s, dir).select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") < NumCentroids)
     val isOld = col("vec_id") % 7 =!= 3
-    val isChanged = (col("vec_id") % 5 === 0) && isOld
+    // Palindromic embeddings are EXCLUDED from the changed set: their
+    // reversed "old revision" is bit-identical, so diffStored correctly
+    // classifies them unchanged while a %5-only provenance oracle would
+    // hardcode 'computed' — a latent data-dependent divergence. The
+    // oracle replays the same exclusion (v <> list_reverse(v)).
+    val isChanged = (col("vec_id") % 5 === 0) && isOld &&
+      (col("embedding") =!= reverse(col("embedding")))
     // removed-vector fake ids must land OUTSIDE the corpus id range at
     // any SF (q258's sf1 lesson: fixed shifts collide with replica
     // offsets)
@@ -3624,14 +3634,18 @@ object DataOps extends QueryModule {
        |cur AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |old AS (
        |  SELECT vec_id, list_reverse(CAST(embedding AS DOUBLE[])) AS v
-       |  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 7 <> 3),
+       |  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 7 <> 3
+       |    AND CAST(embedding AS DOUBLE[])
+       |      <> list_reverse(CAST(embedding AS DOUBLE[]))),
        |${argmax("cur", "assigned")},
        |${argmax("old", "prev")}
        |SELECT a.vec_id, a.cid AS centroid_id,
-       |  CASE WHEN a.vec_id % 7 = 3 OR a.vec_id % 5 = 0 THEN 'computed'
+       |  CASE WHEN a.vec_id % 7 = 3 OR (a.vec_id % 5 = 0
+       |      AND c.v <> list_reverse(c.v)) THEN 'computed'
        |       ELSE 'retained' END AS src,
        |  COALESCE(p.cid <> a.cid, FALSE) AS moved
-       |FROM assigned a LEFT JOIN prev p USING (vec_id)
+       |FROM assigned a JOIN cur c USING (vec_id)
+       |LEFT JOIN prev p USING (vec_id)
        |ORDER BY a.vec_id""".stripMargin
   }
 
@@ -3725,7 +3739,11 @@ object DataOps extends QueryModule {
     val prevVerified = Dedup.minhashNearDups(prevCrawl, col("doc_id"), col("text"),
       threshold = 0.8, numPerms = NumPerms, rowsPerBand = RowsPerBand)
     val store = Dedup.incrementalSignatures(d, prevStore, col("doc_id"), col("text"), NumPerms)
-    val pairs = Dedup.incrementalLshPairs(store, prevPairs, NumPerms, RowsPerBand)
+    // CHECKED maintenance: a cap-crossing bucket's re-expanded pairs
+    // arrive as origin=new, so this verify step covers them fresh — the
+    // maintained VERIFIED set inherits the unconditional ≡-full pin.
+    val pairs = Dedup.incrementalLshPairsChecked(prevStore, store, prevPairs,
+      NumPerms, RowsPerBand)
     Dedup.incrementalMinhashNearDups(d, col("doc_id"), col("text"),
         pairs, prevVerified, threshold = 0.8)
       .sortOnce(col("doc_a"), col("doc_b"))
@@ -3761,8 +3779,13 @@ object DataOps extends QueryModule {
           org.apache.spark.sql.expressions.Window.currentRow)))
       .crossJoin(broadcast(tot))
       .select(col("source"), col("n_tokens"), col("rnk"),
-        call_function("div", col("cum") * lit(1000000L), col("tot"))
-          .as("cum_share_ppm"),
+        // Multiply IN decimal(38): cum·1e6 wraps int64 once corpus token
+        // mass passes ~9.2e12 — exactly the 100 TB regime this audit is
+        // for (the CUPED/AbTests decimal-guard pattern).
+        call_function("div",
+          col("cum").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * lit(1000000L), col("tot"))
+          .cast("long").as("cum_share_ppm"),
         round((lit(2.0) * sum(col("rnk") * col("n_tokens"))
             .over(org.apache.spark.sql.expressions.Window.rowsBetween(
               org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -3788,7 +3811,8 @@ object DataOps extends QueryModule {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
       |  FROM ps)
       |SELECT source, n_tokens, rnk,
-      |  CAST(cum * 1000000 // tot AS BIGINT) AS cum_share_ppm,
+      |  CAST(CAST(cum AS HUGEINT) * 1000000 // tot AS BIGINT)
+      |    AS cum_share_ppm,
       |  round((2.0 * CAST((SELECT SUM(rnk * n_tokens) FROM r) AS DOUBLE)
       |    - (n_src + 1) * CAST(tot AS DOUBLE))
       |    / (n_src * CAST(tot AS DOUBLE)), 6) AS gini_r

@@ -642,6 +642,34 @@ class DedupSpec extends SparkSpec {
         col("doc_id"), col("text"), nPerms)
       assert(Dedup.cappedBucketCrossings(prevStore, store2, nPerms, rpb, 2).count() == 0)
     }
+
+    it("incrementalLshPairsChecked auto re-expands the crossing bucket — ≡ full unconditionally") {
+      val txt = "alpha beta gamma delta epsilon"
+      val prev = Seq((1L, txt), (2L, txt), (3L, txt)).toDF("doc_id", "text")
+      val cur = Seq((1L, txt), (2L, txt)).toDF("doc_id", "text")
+      val prevStore = Dedup.signatureStore(prev, col("doc_id"), col("text"), nPerms)
+      val store = Dedup.incrementalSignatures(cur, prevStore,
+        col("doc_id"), col("text"), nPerms)
+      val prevPairs = Dedup.lshCandidates(prevStore, nPerms, rpb, maxBucket = 2)
+      val checked = Dedup.incrementalLshPairsChecked(prevStore, store, prevPairs,
+        nPerms, rpb, maxBucket = 2)
+      val full = Dedup.lshCandidates(store, nPerms, rpb, maxBucket = 2)
+        .as[(Long, Long)].collect().toSet
+      assert(checked.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == full)
+      // the restored pair arrives as origin=new so downstream verify/
+      // component maintenance treat it with fresh-pair semantics
+      assert(checked.filter(col("origin") === "new")
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == Set((1L, 2L)))
+      // no crossing ⇒ checked ≡ plain incremental (empty extra leg)
+      val cur3 = Seq((1L, txt), (2L, txt), (3L, txt), (9L, txt)).toDF("doc_id", "text")
+      val store3 = Dedup.incrementalSignatures(cur3, prevStore,
+        col("doc_id"), col("text"), nPerms)
+      val plain = Dedup.incrementalLshPairs(store3, prevPairs, nPerms, rpb)
+        .as[(Long, Long, String)].collect().toSet
+      val chk3 = Dedup.incrementalLshPairsChecked(prevStore, store3, prevPairs,
+        nPerms, rpb).as[(Long, Long, String)].collect().toSet
+      assert(chk3 == plain)
+    }
   }
 
   describe("Dedup.incrementalMinhashNearDups") {

@@ -96,6 +96,45 @@ class PackingSpec extends SparkSpec {
       assert(e.getMessage.contains("'pos'"))
     }
 
+    it("stratumRowNumber ≡ naive per-stratum window, including a 90%-skewed and a null stratum") {
+      // one hot stratum holds ~90% of rows (the scale-killer shape), plus
+      // small strata and a NULL stratum — ranks must match the naive
+      // PARTITION BY window exactly
+      val rows = (1L to 200L).map { i =>
+        val st = if (i <= 180) "hot" else if (i <= 190) "cold" else null
+        (i, st, i * 37 % 211)
+      }
+      val df = rows.toDF("id", "st", "ord").repartition(9)
+      val got = Packing.stratumRowNumber(df, col("st"),
+          struct(col("ord"), col("id")), numRanges = 8)
+        .select("id", "pos").as[(Long, Long)].collect().toMap
+      val naive = df.withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("st"))
+            .orderBy(col("ord"), col("id"))).cast("long"))
+        .select("id", "pos").as[(Long, Long)].collect().toMap
+      assert(got == naive)
+      // the hot stratum genuinely spans multiple range buckets (the
+      // whole point — no single-task sort)
+      val buckets = df.withColumn("__x", struct(col("ord"), col("id")))
+        .repartitionByRange(8, col("st"), col("__x"))
+        .withColumn("b", spark_partition_id())
+        .filter(col("st") === "hot").select("b").distinct().count()
+      assert(buckets > 1)
+    }
+
+    it("stratumRowNumber rejects reserved __sr_* columns and a clashing posName") {
+      val e1 = intercept[IllegalArgumentException] {
+        Packing.stratumRowNumber(Seq((1L, 2L)).toDF("id", "__sr_st"),
+          col("id"), col("id"))
+      }
+      assert(e1.getMessage.contains("__sr_st"))
+      val e2 = intercept[IllegalArgumentException] {
+        Packing.stratumRowNumber(Seq((1L, 9L)).toDF("id", "pos"),
+          col("id"), col("id"))
+      }
+      assert(e2.getMessage.contains("'pos'"))
+    }
+
     it("deterministicShuffle is a partitioning-invariant permutation in seeded-hash order") {
       val rows = (1L to 80L).map(i => (i, s"doc-$i"))
       def positions(parts: Int): Seq[(Long, Long)] =

@@ -147,6 +147,17 @@ class SamplingSpec extends SparkSpec {
       assert(out.select("id").as[Long].collect().toSet ==
         again.select("id").as[Long].collect().toSet)
     }
+
+    it("plans a PARTIAL WindowGroupLimit below the exchange (the scale guarantee)") {
+      // the constant rank cut must push a map-side top-n per stratum —
+      // without it a hot stratum's full mass hits one reduce-side sort
+      val plan = Sampling.reservoirPerKey(
+          ids.withColumn("s", col("id") % 3), col("s"), col("id"), n = 5)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"))
+      assert(plan.indexOf("Partial") > 0 &&
+        plan.indexOf("Exchange") < plan.indexOf("Partial"))
+    }
   }
 
   describe("Sampling.temperatureSample") {

@@ -21,6 +21,7 @@ Developer tooling only (not part of the Scala build).
 """
 import json
 import os
+import re
 import subprocess
 import sys
 import time
@@ -77,8 +78,11 @@ if mode == "staged":
             try:
                 con.execute(f"CREATE VIEW {d} AS SELECT * "
                             f"FROM read_parquet('{p}/*.parquet')")
-            except Exception:
-                pass
+            except Exception as e:
+                # A dump the staged SQL needs that fails to register would
+                # otherwise surface as a confusing "table not found" later.
+                print(f"WARNING: staged view {d} failed to register: {e}",
+                      file=sys.stderr)
     sql = json.load(open(f"{out_dir}/oracle_sql_staged.json"))[name]
 else:
     sql = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
@@ -117,6 +121,31 @@ def main() -> int:
         if only and name not in only:
             continue
         mode = "staged" if name in staged else "full"
+        if mode == "staged":
+            # A staged oracle reads sibling query dumps as views; those
+            # upstream stages must be hash-verified by THIS sweep before
+            # the staged replay can claim anything. Dependencies are the
+            # query names the staged SQL references.
+            deps = sorted(set(re.findall(r"\bq\d+\w*", staged[name]))
+                          & set(oracle) - {name})
+            unverified = [d for d in deps if results.get(d, {}).get(
+                "status") != "pass"]
+            hard_bad = [d for d in unverified
+                        if d in results  # ran and did not pass
+                        or not os.path.isdir(os.path.join(out_dir, d))]
+            if hard_bad:
+                results[name] = {
+                    "status": "fail", "sec": 0.0,
+                    "note": ("staged upstream not verified in this run: "
+                             + ", ".join(hard_bad))}
+                print(f"FAIL {name}: staged upstream not verified: "
+                      + ", ".join(hard_bad))
+                json.dump(results, open(result_json, "w"), indent=1)
+                continue
+            for d in unverified:  # dump exists but excluded by qname filter
+                print(f"WARNING: {name} staged upstream {d} not verified "
+                      f"in this filtered run — dump exists but is "
+                      f"UNVERIFIED", file=sys.stderr)
         t0 = time.time()
         try:
             p = subprocess.run(
