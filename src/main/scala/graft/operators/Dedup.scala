@@ -1172,4 +1172,173 @@ object Dedup {
         call_function("div", col("c") * lit(1000000L), col("nb")).as("cont_ba_ppm"))
       .filter(greatest(col("cont_ab_ppm"), col("cont_ba_ppm")) >= tPpm)
   }
+
+  /** Shingle-containment INDEX store — the crawl-persistent state that
+    * makes [[containmentPairs]] maintainable at O(delta)
+    * ([[incrementalContainmentPairs]]): per doc, its distinct shingle
+    * ids with a `pref` flag marking the directed-prefix slots (the
+    * `n − ⌈t·n⌉ + 1` df-rarest shingles, cmin computed in the same
+    * integer cross-multiply as the emit filter) plus the text content
+    * fingerprint. Completeness of the prefix filter is ORDER-
+    * INDEPENDENT (pigeonhole: any fixed n−cmin+1-subset of A's shingles
+    * must hit B when |A∩B| ≥ cmin), so a stored prefix stays complete
+    * even after corpus-wide df drifts — df ranking only tunes candidate
+    * volume, which is why the store never needs re-flagging.
+    *
+    * @return (doc_id, content_fp, sid, pref, src='computed')
+    */
+  def containmentIndex(docs: DataFrame, id: Column, text: Column,
+                       threshold: Double, w: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val post = docs.repartition(id)
+      .select(id.as("doc_id"), TextFns.hash60(text).as("content_fp"),
+        graft.catalyst.WordShingles(text, w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("content_fp"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("content_fp"), xxhash64(col("shingle")).as("sid"))
+      .localCheckpoint(false) // feeds the df aggregate AND the flagging join
+    flagPrefixes(post, threshold,
+      dfc = post.groupBy(col("sid")).agg(count(lit(1)).as("df")))
+  }
+
+  /** Rank each doc's sids by (df, sid) ascending and flag the first
+    * max(1, n − cmin + 1) as the directed probe prefix. */
+  private def flagPrefixes(post: DataFrame, threshold: Double,
+                           dfc: DataFrame): DataFrame = {
+    val tPpm = math.floor(threshold * 1e6).toLong
+    post.join(dfc, "sid")
+      .groupBy(col("doc_id"), col("content_fp"))
+      .agg(sort_array(collect_set(struct(col("df"), col("sid")))).as("ranked"))
+      .select(col("doc_id"), col("content_fp"), col("ranked"),
+        greatest(lit(1L), size(col("ranked")).cast("long")
+          - call_function("div",
+              lit(tPpm) * size(col("ranked")).cast("long") + lit(999999L),
+              lit(1000000L)) + 1L).as("plen"))
+      .select(col("doc_id"), col("content_fp"), col("plen"),
+        posexplode(col("ranked")))
+      .select(col("doc_id"), col("content_fp"), col("col.sid").as("sid"),
+        (col("pos") < col("plen")).as("pref"), lit("computed").as("src"))
+  }
+
+  /** Incremental maintenance of the [[containmentIndex]] store — the
+    * ASYMMETRIC leg of the crawl-incremental dedup chain
+    * (q259 signatures → q262 candidates → q287 verified pairs → here):
+    * [[SnapshotDiff.diffStored]] classifies docs by text fingerprint
+    * against the store's (doc_id, fp) slice; only added/changed docs
+    * are re-shingled (`incr_containment_docs` observe), unchanged docs
+    * keep their (sid, pref) rows VERBATIM — their stale-df prefixes
+    * remain complete by the order-independence argument on
+    * [[containmentIndex]] — and removed/changed docs' old rows drop.
+    * Fresh docs are flagged under the CURRENT store-derived df (one
+    * count aggregate over the maintained store, q282's
+    * everything-derives-from-the-store discipline).
+    *
+    * @return next store, same schema, `src` ∈ computed|retained
+    */
+  def incrementalContainmentIndex(newDocs: DataFrame, prevStore: DataFrame,
+                                  id: Column, text: Column,
+                                  threshold: Double, w: Int = 3): DataFrame = {
+    val d = SnapshotDiff.diffStored(
+      prevStore.select(col("doc_id").as("id"), col("content_fp").as("fp")).distinct(),
+      newDocs, id, TextFns.hash60(text))
+    val changes = d.filter(col("status").isin("added", "changed"))
+      .select(col("id").as("doc_id"))
+      .localCheckpoint(false) // compute-set reused for join + observe
+    val toCompute = newDocs.select(id.as("doc_id"), text.as("text"))
+      .join(changes, "doc_id")
+    val freshPost = toCompute
+      .observe("incr_containment_docs", count(lit(1)).as("n_docs"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), TextFns.hash60(col("text")).as("content_fp"),
+        graft.catalyst.WordShingles(col("text"), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("content_fp"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("content_fp"), xxhash64(col("shingle")).as("sid"))
+      .localCheckpoint(false) // feeds current-df aggregate AND flagging
+    val retained = prevStore
+      .join(d.filter(col("status") === "unchanged").select(col("id").as("doc_id")),
+        "doc_id")
+      .select(col("doc_id"), col("content_fp"), col("sid"), col("pref"),
+        lit("retained").as("src"))
+      .localCheckpoint(false) // feeds current-df aggregate AND the union
+    val dfc = retained.select(col("sid"))
+      .unionByName(freshPost.select(col("sid")))
+      .groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    flagPrefixes(freshPost, threshold, dfc).unionByName(retained)
+  }
+
+  /** Incremental CONTAINMENT pair maintenance — [[containmentPairs]]
+    * under q287's survivor discipline, closing the asymmetric leg of
+    * the crawl-incremental chain: survivor pairs (both endpoints
+    * `retained`) carry BOTH ppm ratios verbatim (texts unchanged on
+    * both sides ⇒ c/na/nb unchanged — including previously-failed
+    * survivors staying failed), and candidates are probed
+    * delta-directionally:
+    *  - computed prefixes probe the WHOLE posting store (catches
+    *    C(computed→any) ≥ t; with a small crawl delta AQE broadcasts
+    *    the prefix side, so the store is streamed, never reshuffled);
+    *  - retained prefixes probe ONLY computed docs' postings (catches
+    *    C(retained→computed) ≥ t — the direction computed-only probing
+    *    provably misses: the short retained doc contained in a long
+    *    computed one passes on the RETAINED side's cmin, which says
+    *    nothing about the computed side's prefix).
+    * Every candidate has ≥1 computed endpoint, so the legs are disjoint
+    * from the survivor set by construction. Verification re-shingles
+    * ONLY pair-touched docs (`incr_containment_verify_docs` observe —
+    * O(pair delta), never O(corpus)). Output schema matches
+    * [[containmentPairs]]; maintained ≡ full is the q290 pin.
+    *
+    * @param store     maintained [[containmentIndex]] (`src` provenance)
+    * @param prevPairs previous crawl's [[containmentPairs]] output
+    */
+  def incrementalContainmentPairs(newDocs: DataFrame, id: Column, text: Column,
+                                  store: DataFrame, prevPairs: DataFrame,
+                                  threshold: Double, w: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tPpm = math.floor(threshold * 1e6).toLong
+    val retainedIds = store.filter(col("src") === "retained")
+      .select(col("doc_id")).distinct()
+    val survivors = prevPairs
+      .select(col("doc_a"), col("doc_b"), col("cont_ab_ppm"), col("cont_ba_ppm"))
+      .join(retainedIds.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(retainedIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    val post = store.select(col("doc_id"), col("sid"),
+      (col("src") === "computed").as("comp"))
+    val compPref = store.filter(col("src") === "computed" && col("pref"))
+      .select(col("doc_id").as("probe_id"), col("sid"))
+    val retPref = store.filter(col("src") === "retained" && col("pref"))
+      .select(col("doc_id").as("probe_id"), col("sid"))
+    val cands = compPref
+      .join(post.select(col("doc_id").as("cand_id"), col("sid")), "sid")
+      .unionByName(retPref.join(
+        post.filter(col("comp")).select(col("doc_id").as("cand_id"), col("sid")),
+        "sid"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(least(col("probe_id"), col("cand_id")).as("doc_a"),
+        greatest(col("probe_id"), col("cand_id")).as("doc_b"))
+      .distinct()
+      .localCheckpoint(false) // touched-doc set AND the verify joins
+    val touched = cands.select(col("doc_a").as("doc_id"))
+      .unionByName(cands.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sets = shingled(
+      newDocs.select(id.as("doc_id"), text.as("text")).join(touched, "doc_id")
+        .observe("incr_containment_verify_docs", count(lit(1)).as("n_docs")),
+      col("doc_id"), col("text"), w)
+      .localCheckpoint(false) // consumed twice: the doc_a AND doc_b joins
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("c"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        call_function("div", col("c") * lit(1000000L), col("na")).as("cont_ab_ppm"),
+        call_function("div", col("c") * lit(1000000L), col("nb")).as("cont_ba_ppm"))
+      .filter(greatest(col("cont_ab_ppm"), col("cont_ba_ppm")) >= tPpm)
+      .unionByName(survivors)
+  }
 }

@@ -725,4 +725,58 @@ class DedupSpec extends SparkSpec {
       assert(inc == full)
     }
   }
+
+  describe("Dedup.incrementalContainmentPairs") {
+    val longA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val current = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // retained, contained in 2
+      (2L, longA),                             // retained long host
+      (3L, "one two three four five"),         // changed since prev
+      (4L, "one two three four five six seven eight nine ten"), // retained host of 3
+      (5L, longA + " extra tail words here"),  // ADDED long doc containing 1&2
+      (6L, "unrelated content entirely different words"))
+      .toDF("doc_id", "text")
+    val prev = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, longA),
+      (3L, "completely different old revision text"),
+      (4L, "one two three four five six seven eight nine ten"),
+      (6L, "unrelated content entirely different words"),
+      (9L, longA)) // removed since (was a clone of 2)
+      .toDF("doc_id", "text")
+    val t = 0.7
+
+    def maintained(cur: org.apache.spark.sql.DataFrame,
+                   prv: org.apache.spark.sql.DataFrame) = {
+      val prevStore = Dedup.containmentIndex(prv, col("doc_id"), col("text"), t)
+      val prevPairs = Dedup.containmentPairs(prv, col("doc_id"), col("text"), t)
+      val store = Dedup.incrementalContainmentIndex(cur, prevStore,
+        col("doc_id"), col("text"), t)
+      Dedup.incrementalContainmentPairs(cur, col("doc_id"), col("text"),
+        store, prevPairs, t)
+    }
+
+    it("maintained ≡ full, membership and both ppm values, incl. retained→computed direction") {
+      val inc = maintained(current, prev)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val full = Dedup.containmentPairs(current, col("doc_id"), col("text"), t)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(inc == full)
+      // the direction computed-only probing misses: retained 1 and 2 are
+      // contained in ADDED 5 — pairs (1,5) and (2,5) must be present
+      assert(inc.exists(p => p._1 == 1L && p._2 == 5L))
+      assert(inc.exists(p => p._1 == 2L && p._2 == 5L))
+      // changed doc 3's containment in retained 4 re-verified fresh
+      assert(inc.exists(p => p._1 == 3L && p._2 == 4L))
+      assert(!inc.exists(p => p._1 == 9L || p._2 == 9L)) // removed gone
+    }
+
+    it("an unchanged crawl probes nothing new — output is the carried prev set") {
+      val inc = maintained(current, current)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val full = Dedup.containmentPairs(current, col("doc_id"), col("text"), t)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(inc == full)
+    }
+  }
 }
