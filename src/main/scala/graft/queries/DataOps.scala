@@ -3800,6 +3800,134 @@ object DataOps extends QueryModule {
       .sortOnce(col("doc_a"), col("doc_b"))
   }
 
+  // ---- q291: IVF drift→retrain trigger, end-to-end ---------------------------
+
+  /** Global reassignment fraction that fires the retrain gate (exact
+    * ppm). 5% — well under the simulated crawl's ~13% revision churn,
+    * so the gate FIRES in this pin; SimilaritySpec pins the quiet side
+    * (below-threshold crawl keeps the old centroids verbatim). */
+  private val RetrainPpm = 50000L
+
+  /** The retrain HANDOFF pinned end-to-end (closing q280's loop: q280
+    * pins that fixed-centroid maintenance is exact and that
+    * [[graft.operators.Similarity.assignmentDrift]] measures routing
+    * churn; this pins what a pipeline DOES with the signal): maintain
+    * the IVF assignment store across the simulated crawl, aggregate the
+    * drift audit into the global moved-fraction ppm, compare against
+    * [[RetrainPpm]], and on a fired gate retrain the codebook on the
+    * maintained corpus ([[graft.operators.Similarity.trainCentroids]],
+    * q257's pinned Lloyd loop, k=4 iters=2) and re-bucket every vector.
+    * Output: per vector, maintained `prev_cid` → post-decision
+    * `next_cid` + `rebucketed`, with the `drift_ppm`/`retrained`
+    * decision columns pinned in-data. The oracle replays EVERYTHING
+    * from scratch: maintained ≡ full assignment under the old
+    * centroids (q280's CTEs), the moved/persisted ppm with the same
+    * floor division, both Lloyd rounds (q257's CTEs), the fresh
+    * assignment under the retrained codebook, and the threshold CASE —
+    * so a green row proves the monitor→decision→retrain→re-bucket
+    * chain, not just its pieces.
+    */
+  def driftRetrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < NumCentroids)
+    val isOld = col("vec_id") % 7 =!= 3
+    val isChanged = (col("vec_id") % 5 === 0) && isOld &&
+      (col("embedding") =!= reverse(col("embedding")))
+    val shift = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val prevCrawl = e.filter(isOld && !isChanged)
+      .unionByName(e.filter(isChanged)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 13 === 1)
+        .select((col("vec_id") + 2 * shift).as("vec_id"), col("embedding")))
+    // Eager checkpoints (q290's lesson): both stores feed several
+    // consumer stages AND driver-side aggregates — lazy checkpoints get
+    // recomputed by concurrently-launched consumer stages.
+    val prevStore = Similarity.assignmentStore(prevCrawl, cents)
+      .localCheckpoint(true)
+    val store = Similarity.incrementalAssignments(e, prevStore, cents)
+      .localCheckpoint(true)
+    // The drift audit feeds the retrain DECISION: global moved fraction
+    // = Σ outbound-churn (assignmentDrift) over the persisted overlap,
+    // exact ppm. Two 1-row driver aggregates — control flow, not data
+    // movement (connectedComponents' convergence-count discipline).
+    val movedG = Similarity.assignmentDrift(prevStore, store)
+      .agg(coalesce(sum(col("n_moved_out")), lit(0L))).head.getLong(0)
+    val persisted = prevStore.select(col("vec_id"))
+      .join(store.select(col("vec_id")), "vec_id").count()
+    val driftPpm = if (persisted == 0L) 0L else movedG * 1000000L / persisted
+    val retrained = driftPpm >= RetrainPpm
+    val nextAssign =
+      if (retrained)
+        Similarity.assign(e, Similarity.trainCentroids(e, 4, 2))
+          .select(col("vec_id"), col("centroid_id").as("next_cid"))
+      else store.select(col("vec_id"), col("centroid_id").as("next_cid"))
+    store.select(col("vec_id"), col("centroid_id").as("prev_cid"))
+      .join(nextAssign, "vec_id")
+      .select(col("vec_id"), col("prev_cid"), col("next_cid"),
+        (col("prev_cid") =!= col("next_cid")).as("rebucketed"),
+        lit(driftPpm).as("drift_ppm"), lit(retrained).as("retrained"))
+      .sortOnce(col("vec_id"))
+  }
+
+  private val q291Oracle: String = {
+    val cos = "list_cosine_similarity(t.v, i.c)"
+    def argmax(src: String, cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT t.vec_id, i.cid,
+         |      row_number() OVER (PARTITION BY t.vec_id
+         |        ORDER BY $cos DESC, i.cid) AS rn
+         |    FROM $src t, $cents i) WHERE rn = 1)""".stripMargin
+    def meanRound(assigned: String, out: String) =
+      s"""$out AS (
+         |  SELECT cid, pos, AVG(x) AS m FROM (
+         |    SELECT a.cid,
+         |      generate_subscripts(c.v, 1) - 1 AS pos,
+         |      unnest(c.v) AS x
+         |    FROM $assigned a JOIN cur c USING (vec_id)) t GROUP BY 1, 2)""".stripMargin
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings WHERE vec_id < $NumCentroids),
+       |cur AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |old AS (
+       |  SELECT vec_id, list_reverse(CAST(embedding AS DOUBLE[])) AS v
+       |  FROM embeddings WHERE vec_id % 5 = 0 AND vec_id % 7 <> 3
+       |    AND CAST(embedding AS DOUBLE[])
+       |      <> list_reverse(CAST(embedding AS DOUBLE[]))),
+       |${argmax("cur", "cents", "assigned")},
+       |${argmax("old", "cents", "prevass")},
+       |drift AS (
+       |  SELECT CAST(1000000 * COUNT(CASE WHEN p.cid <> a.cid THEN 1 END)
+       |    // (SELECT COUNT(*) FROM cur WHERE vec_id % 7 <> 3) AS BIGINT)
+       |    AS drift_ppm
+       |  FROM prevass p JOIN assigned a USING (vec_id)),
+       |init AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings ORDER BY vec_id LIMIT 4),
+       |${argmax("cur", "init", "a1")},
+       |${meanRound("a1", "g1")},
+       |c1 AS (
+       |  SELECT cid, list(m ORDER BY pos) AS c FROM g1 GROUP BY 1
+       |  UNION ALL
+       |  SELECT cid, c FROM init WHERE cid NOT IN (SELECT cid FROM g1)),
+       |${argmax("cur", "c1", "a2")},
+       |${meanRound("a2", "g2")},
+       |c2 AS (
+       |  SELECT cid, list(m ORDER BY pos) AS c FROM g2 GROUP BY 1
+       |  UNION ALL
+       |  SELECT cid, c FROM c1 WHERE cid NOT IN (SELECT cid FROM g2)),
+       |${argmax("cur", "c2", "newass")}
+       |SELECT a.vec_id, a.cid AS prev_cid,
+       |  CASE WHEN d.drift_ppm >= $RetrainPpm THEN n.cid ELSE a.cid END
+       |    AS next_cid,
+       |  CASE WHEN d.drift_ppm >= $RetrainPpm THEN n.cid ELSE a.cid END
+       |    <> a.cid AS rebucketed,
+       |  d.drift_ppm, d.drift_ppm >= $RetrainPpm AS retrained
+       |FROM assigned a JOIN newass n USING (vec_id) CROSS JOIN drift d
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   // ---- q289: corpus concentration audit (Lorenz + Gini) ---------------------
 
   /** Source-concentration audit of the corpus's token mass — the
@@ -5779,6 +5907,7 @@ object DataOps extends QueryModule {
     "q283_stratified_kfold" -> (stratifiedFolds _),
     "q287_incr_verified_neardups" -> (incrVerifiedNearDups _),
     "q290_incr_containment" -> (incrContainmentMaintain _),
+    "q291_drift_retrain" -> (driftRetrain _),
     "q288_calibration" -> (calibrationAudit _),
     "q289_concentration" -> (concentrationAudit _),
     "q284_containment" -> (containmentClones _),
@@ -5909,6 +6038,7 @@ object DataOps extends QueryModule {
     "q283_stratified_kfold" -> q283Oracle,
     "q287_incr_verified_neardups" -> q23Oracle,
     "q290_incr_containment" -> q284Oracle,
+    "q291_drift_retrain" -> q291Oracle,
     "q288_calibration" -> q288Oracle,
     "q289_concentration" -> q289Oracle,
     "q284_containment" -> q284Oracle,

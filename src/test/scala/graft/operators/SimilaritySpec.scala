@@ -425,6 +425,40 @@ class SimilaritySpec extends SparkSpec {
       assert(src.length == 5 && src.forall(_ == "retained"))
     }
 
+    it("drift→retrain handoff: below threshold keeps maintained buckets, above retrains ≡ from-scratch (q291)") {
+      def handoff(thresholdPpm: Long) = {
+        val prevStore = Similarity.assignmentStore(prev, cents)
+        val store = Similarity.incrementalAssignments(current, prevStore, cents)
+        val moved = Similarity.assignmentDrift(prevStore, store)
+          .agg(coalesce(sum(col("n_moved_out")), lit(0L))).head.getLong(0)
+        val persisted = prevStore.select(col("vec_id"))
+          .join(store.select(col("vec_id")), "vec_id").count()
+        val ppm = if (persisted == 0L) 0L else moved * 1000000L / persisted
+        val next =
+          if (ppm >= thresholdPpm)
+            Similarity.assign(current, Similarity.trainCentroids(current, 2, 2))
+              .select(col("vec_id"), col("centroid_id"))
+          else store.select(col("vec_id"), col("centroid_id"))
+        (ppm, ppm >= thresholdPpm,
+          next.as[(Long, Long)].collect().toSet)
+      }
+      // churn: vec 3 moved, persisted = {0,1,2,3} → exactly 250000 ppm
+      val (ppm, fired, next) = handoff(500000L)
+      assert(ppm == 250000L && !fired)
+      val maintained = Similarity.incrementalAssignments(
+          current, Similarity.assignmentStore(prev, cents), cents)
+        .select(col("vec_id"), col("centroid_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(next == maintained) // quiet gate: old centroids kept verbatim
+      val (ppm2, fired2, next2) = handoff(200000L)
+      assert(ppm2 == 250000L && fired2)
+      val scratch = Similarity.assign(current,
+          Similarity.trainCentroids(current, 2, 2))
+        .select(col("vec_id"), col("centroid_id"))
+        .as[(Long, Long)].collect().toSet
+      assert(next2 == scratch) // fired gate: ≡ from-scratch train+assign
+    }
+
     it("assignmentDrift isolates routing churn from population churn") {
       val prevStore = Similarity.assignmentStore(prev, cents)
       val next = Similarity.incrementalAssignments(current, prevStore, cents)
