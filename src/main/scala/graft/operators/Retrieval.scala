@@ -145,4 +145,40 @@ object Retrieval {
         col("dl"), lit("retained").as("src"))
     fresh.unionByName(retained)
   }
+
+  /** Per-micro-batch postings UPSERT — the STREAMING form of
+    * [[incrementalPostings]], for ingest-time index freshness: the
+    * input is an upsert delta (the batch's latest revision per doc),
+    * not a corpus snapshot, so ids absent from the batch are RETAINED
+    * (nothing drops — deletes are a separate pipeline, q146's
+    * discipline) and batch ids re-tokenize ONLY when their content
+    * fingerprint differs from the store — IDEMPOTENT under the
+    * at-least-once redelivery every streaming source exhibits (a
+    * verbatim redelivered doc keeps its stored rows AND its original
+    * provenance tag). Fresh rows carry `srcTag` (e.g. `b<batchId>`), so
+    * the maintained index records which micro-batch last computed each
+    * doc — the per-batch provenance q292 pins in-data.
+    *
+    * @param batch  (id, text) upserts, unique per id within the batch
+    * @param srcTag provenance label for rows computed by THIS batch
+    */
+  def upsertPostings(batch: DataFrame, prevStore: DataFrame,
+                     id: Column, text: Column, srcTag: String): DataFrame = {
+    val b = batch.select(id.as("doc_id"), text.as("text"),
+      TextFns.hash60(text).as("content_fp"))
+    val prevFp = prevStore.select(col("doc_id"),
+      col("content_fp").as("prev_fp")).distinct()
+    val changed = b.join(prevFp, Seq("doc_id"), "left")
+      .filter(col("prev_fp").isNull || col("prev_fp") =!= col("content_fp"))
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(false) // feeds the fresh build AND the retain anti-join
+    val fresh = postingsStore(
+        changed.observe("upsert_postings_docs", count(lit(1)).as("n_docs")),
+        col("doc_id"), col("text"))
+      .select(col("doc_id"), col("content_fp"), col("term"), col("tf"),
+        col("dl"), lit(srcTag).as("src"))
+    val retained = prevStore
+      .join(changed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    fresh.unionByName(retained)
+  }
 }

@@ -1545,6 +1545,131 @@ object StreamingQueries extends QueryModule {
        |      >= day + INTERVAL 1 DAY + INTERVAL 2 DAY
        |ORDER BY wave, day, event_type""".stripMargin
 
+  // ---- q292: streaming incremental postings (ingest-time freshness) ----
+
+  /** q282's incremental inverted index at STREAM cadence — BM25
+    * freshness maintained per micro-batch instead of per nightly crawl
+    * (the retrieval sibling of q75's ingest-time dedup and q89's
+    * ingest-time decontamination): three crawl files staged
+    * mtime-ascending replay as deterministic micro-batches under
+    * `maxFilesPerTrigger = 1` — b0 the initial corpus third, b1 the
+    * second third PLUS revised texts of `%15 = 0` docs PLUS a VERBATIM
+    * REDELIVERY of `%21 = 0` docs (at-least-once delivery, the case a
+    * streaming index must absorb), b2 the final third plus `%12 = 1`
+    * revisions. Each batch flows through [[graft.operators.Retrieval
+    * .upsertPostings]]: fingerprint-diffed against the running store,
+    * so redelivered-unchanged docs keep their rows AND their original
+    * `b0` provenance tag (recomputing them would flip the pinned
+    * n_b0/n_b1 counts — idempotency is hash-checked, not asserted).
+    * Output is the per-term index of the DRAINED store (df, Σtf) plus
+    * per-batch provenance counts; the oracle rebuilds the final corpus
+    * and derives each doc's last-computing batch from the delta
+    * definition — a green row proves stream-cadence maintenance ≡ a
+    * batch [[graft.operators.Retrieval.postingsStore]] rebuild.
+    */
+  def streamPostings(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import graft.operators.Retrieval
+    val stage = Paths.get(sys.props("java.io.tmpdir"), "graft_work",
+      s"postream_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val crawl = stage.resolve("crawl")
+    val versions = stage.resolve("versions")
+    Files.createDirectories(crawl)
+    Files.createDirectories(versions)
+    val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+    // mtime-ascending single files so the file source orders the batches
+    // deterministically (StateProbe's replay idiom)
+    def writeBatch(name: String, df: DataFrame, mtime: Long): Unit = {
+      val tmp = stage.resolve(s"build_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally listing.close()
+      val dest = crawl.resolve(s"$name.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
+      deleteRecursively(tmp)
+    }
+    val t0 = 1700000000000L
+    writeBatch("b0", d.filter(col("doc_id") % 3 === 0), t0)
+    writeBatch("b1",
+      d.filter(col("doc_id") % 3 === 1)
+        .unionByName(d.filter(col("doc_id") % 15 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" rev1")).as("text")))
+        .unionByName(d.filter(col("doc_id") % 21 === 0 && col("doc_id") % 15 =!= 0)),
+      t0 + 60000)
+    writeBatch("b2",
+      d.filter(col("doc_id") % 3 === 2)
+        .unionByName(d.filter(col("doc_id") % 12 === 1)
+          .select(col("doc_id"), concat(col("text"), lit(" rev2")).as("text"))),
+      t0 + 120000)
+    val schema = s.read.parquet(crawl.resolve("b0.parquet").toString).schema
+    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(crawl.toString)
+        .writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val next = Option(latest.get()) match {
+            case None =>
+              Retrieval.postingsStore(df, col("doc_id"), col("text"))
+                .withColumn("src", lit(s"b$id"))
+            case Some(p) =>
+              Retrieval.upsertPostings(df, s.read.parquet(p),
+                col("doc_id"), col("text"), s"b$id")
+          }
+          val out = versions.resolve(s"v$id").toString
+          next.write.mode("overwrite").parquet(out)
+          latest.set(out)
+          ()
+        }
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // the pin requires the drain to have been genuinely multi-batch
+    require(latest.get() != null && latest.get().endsWith("v2"),
+      s"expected 3 micro-batches (maxFilesPerTrigger=1), last store version: ${latest.get()}")
+    val res = s.read.parquet(latest.get())
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("tf_sum"),
+        sum((col("src") === "b0").cast("long")).as("n_b0"),
+        sum((col("src") === "b1").cast("long")).as("n_b1"),
+        sum((col("src") === "b2").cast("long")).as("n_b2"))
+      .orderBy(col("term"))
+      .localCheckpoint(true)
+    deleteRecursively(stage)
+    res
+  }
+
+  private val q292Oracle: String =
+    """WITH fin AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 15 = 0 THEN text || ' rev1'
+      |         WHEN doc_id % 12 = 1 THEN text || ' rev2'
+      |         ELSE text END AS text,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |           CASE WHEN doc_id % 15 = 0 THEN 1 ELSE 0 END
+      |         WHEN doc_id % 3 = 1 THEN
+      |           CASE WHEN doc_id % 12 = 1 THEN 2 ELSE 1 END
+      |         ELSE 2 END AS b
+      |  FROM documents),
+      |toks AS (SELECT doc_id, b, unnest(string_split(text, ' ')) AS term FROM fin),
+      |post AS (SELECT doc_id, b, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3)
+      |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+      |  CAST(SUM(tf) AS BIGINT) AS tf_sum,
+      |  CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b0,
+      |  CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b1,
+      |  CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b2
+      |FROM post GROUP BY term ORDER BY term""".stripMargin
+
   // ---- q89: streaming decontamination filter ---------------------------
 
   /** Per-micro-batch train/test decontamination — the STREAMING form of
@@ -2308,7 +2433,8 @@ object StreamingQueries extends QueryModule {
     "q84_mb_dedup" -> (mbStreamDedup _),
     "q89_stream_decontam" -> (streamDecontam _),
     "q90_mb_resume" -> (mbResumeWindow _),
-    "q99_stream_bloom_dedup" -> (bloomIncrementalDedup _))
+    "q99_stream_bloom_dedup" -> (bloomIncrementalDedup _),
+    "q292_stream_postings" -> (streamPostings _))
 
   val family: String = "streaming"
 
@@ -2349,5 +2475,6 @@ object StreamingQueries extends QueryModule {
     "q84_mb_dedup" -> q84Oracle,
     "q89_stream_decontam" -> q89Oracle,
     "q90_mb_resume" -> q90Oracle,
-    "q99_stream_bloom_dedup" -> q75Oracle)
+    "q99_stream_bloom_dedup" -> q75Oracle,
+    "q292_stream_postings" -> q292Oracle)
 }

@@ -116,6 +116,35 @@ class RetrievalSpec extends SparkSpec {
       assert(srcs.nonEmpty && srcs.forall(_ == "retained"))
     }
 
+    it("upsertPostings: batch upserts retain absent ids, skip redelivered-unchanged docs, tag provenance (q292)") {
+      val store0 = Retrieval.postingsStore(prev, col("doc_id"), col("text"))
+        .withColumn("src", lit("b0"))
+      // batch: doc 2 revised, doc 3 added, doc 1 REDELIVERED verbatim;
+      // docs 4 and 9 absent from the batch
+      val batch = Seq(
+        (2L, "one two three two"),
+        (3L, "red green"),
+        (1L, "alpha beta alpha"))
+        .toDF("doc_id", "text")
+      val out = Retrieval.upsertPostings(batch, store0,
+        col("doc_id"), col("text"), "b1")
+      val src = out.select("doc_id", "src").distinct()
+        .as[(Long, String)].collect().toMap
+      // redelivered-unchanged 1 keeps b0; absent 4 AND 9 retained (no
+      // snapshot semantics - deletes are a separate pipeline)
+      assert(src == Map(1L -> "b0", 2L -> "b1", 3L -> "b1",
+        4L -> "b0", 9L -> "b0"))
+      // content rows for upserted ids == a fresh build of their texts
+      val key = Seq(col("doc_id"), col("content_fp"), col("term"),
+        col("tf"), col("dl"))
+      val fresh = Retrieval.postingsStore(
+        Seq((2L, "one two three two"), (3L, "red green")).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      assert(out.filter(col("doc_id").isin(2L, 3L)).select(key: _*)
+        .except(fresh.select(key: _*)).count() == 0)
+      assert(!out.select("term").as[String].collect().contains("OLD"))
+    }
+
     it("BM25 inputs derive from the maintained store exactly") {
       // df / Σdl / N aggregated from the maintained store must equal
       // the from-scratch index — the fact that keeps bm25TopK warm
