@@ -2716,13 +2716,16 @@ object DataOps extends QueryModule {
     val isOld = col("doc_id") % 7 =!= 3
     val isChanged = (col("doc_id") % 5 === 0) && isOld
     val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    // EAGER checkpoints (q290's measured lesson): these shared stages
+    // fan out to several consumer stages of one action, and stages racing
+    // a not-yet-persisted lazy checkpoint recompute its subtree.
     val prevCrawl = d.filter(isOld && !isChanged)
       .unionByName(d.filter(isChanged)
         .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
       .unionByName(d.filter(col("doc_id") % 13 === 1)
         .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
     val prevStore = Dedup.signatureStore(prevCrawl, col("doc_id"), col("text"), NumPerms)
-      .localCheckpoint(false) // two consumers: prev banding + the diff side
+      .localCheckpoint(true) // two consumers: prev banding + the diff side
     val prevPairs = Dedup.lshCandidates(prevStore, NumPerms, RowsPerBand)
     val store = Dedup.incrementalSignatures(d, prevStore, col("doc_id"), col("text"), NumPerms)
     // The CHECKED variant: cap-crossing detection + auto re-expansion is
@@ -2776,24 +2779,27 @@ object DataOps extends QueryModule {
     val isOld = col("doc_id") % 7 =!= 3
     val isChanged = (col("doc_id") % 5 === 0) && isOld
     val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    // EAGER checkpoints (q290's measured lesson): these shared stages
+    // fan out to several consumer stages of one action, and stages racing
+    // a not-yet-persisted lazy checkpoint recompute its subtree.
     val prevCrawl = d.filter(isOld && !isChanged)
       .unionByName(d.filter(isChanged)
         .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
       .unionByName(d.filter(col("doc_id") % 13 === 1)
         .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
-      .localCheckpoint(false) // feeds the store AND the prev-label coalesce
+      .localCheckpoint(true) // feeds the store AND the prev-label coalesce
     val prevStore = Dedup.signatureStore(prevCrawl, col("doc_id"), col("text"), NumPerms)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val prevPairs = Dedup.lshCandidates(prevStore, NumPerms, RowsPerBand)
-      .localCheckpoint(false) // feeds prev labels AND pair maintenance
+      .localCheckpoint(true) // feeds prev labels AND pair maintenance
     val prevLabels = prevCrawl.select(col("doc_id"))
       .join(Dedup.connectedComponents(prevPairs), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     val store = Dedup.incrementalSignatures(d, prevStore, col("doc_id"), col("text"), NumPerms)
-      .localCheckpoint(false) // feeds pair maintenance AND component maintenance
+      .localCheckpoint(true) // feeds pair maintenance AND component maintenance
     val pairs = Dedup.incrementalLshPairsChecked(prevStore, store, prevPairs,
         NumPerms, RowsPerBand)
-      .localCheckpoint(false) // the maintained pair set feeds propagation twice
+      .localCheckpoint(true) // the maintained pair set feeds propagation twice
     Dedup.incrementalComponents(prevLabels, store, pairs)
       .sortOnce(col("doc_id"))
   }
@@ -3726,16 +3732,19 @@ object DataOps extends QueryModule {
     val isOld = col("doc_id") % 7 =!= 3
     val isChanged = (col("doc_id") % 5 === 0) && isOld
     val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    // EAGER checkpoints (q290's measured lesson): these shared stages
+    // fan out to several consumer stages of one action, and stages racing
+    // a not-yet-persisted lazy checkpoint recompute its subtree.
     val prevCrawl = d.filter(isOld && !isChanged)
       .unionByName(d.filter(isChanged)
         .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
       .unionByName(d.filter(col("doc_id") % 13 === 1)
         .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
-      .localCheckpoint(false) // feeds store AND the prev full verify
+      .localCheckpoint(true) // feeds store AND the prev full verify
     val prevStore = Dedup.signatureStore(prevCrawl, col("doc_id"), col("text"), NumPerms)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val prevPairs = Dedup.lshCandidates(prevStore, NumPerms, RowsPerBand)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val prevVerified = Dedup.minhashNearDups(prevCrawl, col("doc_id"), col("text"),
       threshold = 0.8, numPerms = NumPerms, rowsPerBand = RowsPerBand)
     val store = Dedup.incrementalSignatures(d, prevStore, col("doc_id"), col("text"), NumPerms)
