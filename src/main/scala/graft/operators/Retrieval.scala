@@ -48,24 +48,41 @@ object Retrieval {
     *         query in (score desc, doc_id asc) order.
     */
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
-               queryTerms: DataFrame, k: Int): DataFrame = {
-    val toks = docs
-      .select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+               queryTerms: DataFrame, k: Int): DataFrame =
+    bm25FromPostings(
+      docs.select(id.as("doc_id"), TextFns.tokens(text).as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("term"))
+        .groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf")),
+      queryTerms, k)
+
+  /** BM25 scoring over an ALREADY-BUILT postings relation — the
+    * consumption path of the maintained-index family
+    * ([[postingsStore]] / [[incrementalPostings]] /
+    * [[upsertPostings]]): df, n_docs, and Σdl all aggregate from the
+    * postings themselves (vocabulary-sized / single-row, broadcast
+    * back), so a maintained inverted index serves fresh rankings with
+    * ZERO corpus re-tokenization — the property q293 pins maintained ≡
+    * from-scratch. Fixed-point arithmetic identical to [[bm25TopK]]
+    * (which now delegates here).
+    *
+    * @param postings (doc_id, dl, term, tf) — one row per (doc, term);
+    *                 extra columns (content_fp, src) are ignored
+    */
+  def bm25FromPostings(postings: DataFrame, queryTerms: DataFrame,
+                       k: Int): DataFrame = {
+    val p = postings.select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      .localCheckpoint(false) // stats + df + the scored join all consume it
 
     // single-row corpus stats: exact rational avgdl = total/n_docs
-    val stats = toks.agg(
-      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-
-    val postings = toks
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val stats = p.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
 
     // df is vocabulary-sized → broadcast back onto the postings
-    val df = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = p.groupBy(col("term")).agg(count(lit(1)).as("df"))
 
-    val scored = postings
+    val scored = p
       .join(broadcast(queryTerms.select(col("query_id"), col("term")).distinct()), "term")
       .join(broadcast(df), "term")
       .crossJoin(broadcast(stats))

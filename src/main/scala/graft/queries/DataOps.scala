@@ -3809,6 +3809,62 @@ object DataOps extends QueryModule {
       .sortOnce(col("doc_a"), col("doc_b"))
   }
 
+  // ---- q293: BM25 served from the MAINTAINED index ----------------------------
+
+  /** The consumption half of q282's claim, pinned: "df/avgdl/BM25 all
+    * derive from the store" becomes a hash-checked fact by serving
+    * q115's full ranked-retrieval battery (20 queries × 3 hashed terms,
+    * top-10) FROM the incrementally-maintained postings store —
+    * [[graft.operators.Retrieval.incrementalPostings]] over the
+    * simulated crawl, then [[graft.operators.Retrieval
+    * .bm25FromPostings]] with the query-term vocabulary ALSO derived
+    * from the store. The oracle is q115's from-scratch replay verbatim,
+    * so a green row proves a crawl-maintained index serves rankings
+    * bit-identical to re-tokenizing the corpus — the round-trip that
+    * makes O(delta) index maintenance actually usable for serving.
+    */
+  def bm25FromMaintained(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val isOld = col("doc_id") % 7 =!= 3
+    val isChanged = (col("doc_id") % 5 === 0) && isOld
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val prevCrawl = d.filter(isOld && !isChanged)
+      .unionByName(d.filter(isChanged)
+        .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val storeP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"postings_store_q293_$tag")
+    graft.Staging.ensureFresh(
+      java.nio.file.Paths.get(dir, "documents.parquet"), storeP) {
+      Retrieval.postingsStore(prevCrawl, col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(storeP.toString)
+    }
+    val prevStore = s.read.parquet(storeP.toString)
+    // eager: the maintained store feeds the vocab derivation AND the
+    // scoring body's three aggregates (q290's lazy-race lesson)
+    val store = Retrieval.incrementalPostings(d, prevStore,
+        col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    // q115's 20×3 hashed query-term construction, with the vocabulary
+    // taken FROM the store (everything-derives-from-the-store)
+    val vocab = store.select(col("term")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("term"))).cast("long") - 1)
+    val vsize = vocab.agg(count(lit(1)).as("vsize"))
+    val slots = s.range(20).select(col("id").as("query_id"))
+      .crossJoin(s.range(3).select(col("id").as("slot")))
+    val qterms = slots.crossJoin(broadcast(vsize))
+      .withColumn("idx", TextFns.hash60(concat(lit("qry:"), col("query_id").cast("string"),
+        lit(":"), col("slot").cast("string"))) % col("vsize"))
+      .join(vocab, "idx")
+      .select(col("query_id"), col("term"))
+    Retrieval.bm25FromPostings(store, qterms, k = 10)
+      .sortOnce(col("query_id"), col("rank"))
+  }
+
   // ---- q291: IVF drift→retrain trigger, end-to-end ---------------------------
 
   /** Global reassignment fraction that fires the retrain gate (exact
@@ -5917,6 +5973,7 @@ object DataOps extends QueryModule {
     "q287_incr_verified_neardups" -> (incrVerifiedNearDups _),
     "q290_incr_containment" -> (incrContainmentMaintain _),
     "q291_drift_retrain" -> (driftRetrain _),
+    "q293_bm25_maintained" -> (bm25FromMaintained _),
     "q288_calibration" -> (calibrationAudit _),
     "q289_concentration" -> (concentrationAudit _),
     "q284_containment" -> (containmentClones _),
@@ -6048,6 +6105,7 @@ object DataOps extends QueryModule {
     "q287_incr_verified_neardups" -> q23Oracle,
     "q290_incr_containment" -> q284Oracle,
     "q291_drift_retrain" -> q291Oracle,
+    "q293_bm25_maintained" -> q115Oracle,
     "q288_calibration" -> q288Oracle,
     "q289_concentration" -> q289Oracle,
     "q284_containment" -> q284Oracle,

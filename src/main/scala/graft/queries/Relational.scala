@@ -2186,6 +2186,82 @@ object Relational extends QueryModule {
       |  CAST(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT) AS weak_records
       |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** q294: t-CLOSENESS audit — the third leg of the release-privacy
+    * trio (q227 k-anonymity: groups big enough; q286 l-diversity:
+    * sensitive values varied enough; HERE: the sensitive DISTRIBUTION
+    * close enough to the global one that group membership leaks no
+    * skew — the attack l-diversity misses when a group's values are
+    * distinct but all extreme). Same QI lattice cell as q286
+    * (event_type × week × user-bucket); sensitive attribute = the
+    * ORDERED 7-bucket value class. Distance is the ordered-attribute
+    * Earth-Mover's Distance of Li et al., computed EXACTLY:
+    * `EMD = Σ_i |cumP_i − cumQ_i| / (m−1)` over cumulative counts, so
+    * `emd_ppm = ⌊10⁶·Σ|ca_i·N − cb_i·n_g| / (6·n_g·N)⌋` — every product
+    * in Decimal(38,0) (cum·N reaches n_g·N ≈ 10²⁴ at warehouse scale,
+    * far past int64; the CUPED/AbTests guard) and the division a floor
+    * both engines replay. One hash aggregate builds per-group
+    * CUMULATIVE bucket counts directly (`sens ≤ j` conditional sums —
+    * no second pass), the global row derives from the group frame and
+    * broadcasts back; weak = EMD > 0.375.
+    */
+  def tClosenessAudit(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    // canonical non-negative bucket 0..6 (both engines' % keeps the
+    // dividend's sign — normalize before using it as an ORDERED class)
+    val sens = ((round(col("value") * 100).cast("long") % 7) + 7) % 7
+    def dec(c: Column) = c.cast(DecimalType(38, 0))
+    val cums = (0 to 5).map(j =>
+      sum(when(sens <= j, 1L).otherwise(0L)).as(s"ca$j"))
+    val groups = e.groupBy(col("event_type"), date_trunc("week", col("ts")),
+        (col("user_id") % 5).as("qb"))
+      .agg(count(lit(1)).as("n_g"), cums: _*)
+      .localCheckpoint(true) // feeds the global row AND the EMD scoring
+    val glob = groups.agg(dec(sum(col("n_g"))).as("N"),
+      (0 to 5).map(j => dec(sum(col(s"ca$j"))).as(s"cb$j")): _*)
+    val sdiff = (0 to 5)
+      .map(j => abs(dec(col(s"ca$j")) * col("N") - col(s"cb$j") * dec(col("n_g"))))
+      .reduce(_ + _)
+    groups.crossJoin(broadcast(glob))
+      .withColumn("emd_ppm",
+        call_function("div", sdiff * lit(1000000L),
+          lit(6L).cast(DecimalType(38, 0)) * dec(col("n_g")) * col("N"))
+          .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"), max(col("emd_ppm")).as("max_emd_ppm"),
+        sum(when(col("emd_ppm") > 375000L, 1L).otherwise(0L)).as("weak_groups"),
+        sum(when(col("emd_ppm") > 375000L, col("n_g")).otherwise(0L)).as("weak_records"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q294Sql: String = {
+    val ca = (0 to 5).map(j =>
+      s"SUM(CASE WHEN s <= $j THEN 1 ELSE 0 END) AS ca$j").mkString(", ")
+    val cb = (0 to 5).map(j => s"SUM(ca$j) AS cb$j").mkString(", ")
+    val sdiff = (0 to 5).map(j =>
+      s"ABS(CAST(ca$j AS HUGEINT) * N - CAST(cb$j AS HUGEINT) * n_g)")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT event_type, ts, user_id,
+       |    ((CAST(round(value * 100) AS BIGINT) % 7) + 7) % 7 AS s
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type, COUNT(*) AS n_g, $ca
+       |  FROM base GROUP BY event_type, date_trunc('week', ts), user_id % 5),
+       |t AS (SELECT CAST(SUM(n_g) AS HUGEINT) AS N, $cb FROM g),
+       |sc AS (
+       |  SELECT event_type, n_g,
+       |    CAST(($sdiff) * 1000000
+       |      // (6 * CAST(n_g AS HUGEINT) * N) AS BIGINT) AS emd_ppm
+       |  FROM g CROSS JOIN t)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       |  MAX(emd_ppm) AS max_emd_ppm,
+       |  CAST(SUM(CASE WHEN emd_ppm > 375000 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS weak_groups,
+       |  CAST(SUM(CASE WHEN emd_ppm > 375000 THEN n_g ELSE 0 END) AS BIGINT)
+       |    AS weak_records
+       |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** q227: k-anonymity audit across a generalization lattice — the
     * privacy gate a dataset passes before release: at each
     * generalization level the quasi-identifier tuple coarsens
@@ -4032,6 +4108,7 @@ object Relational extends QueryModule {
     "q226_ewma" -> (ewmaSmoothing _),
     "q227_k_anonymity" -> (kAnonymityAudit _),
     "q286_l_diversity" -> (lDiversityAudit _),
+    "q294_t_closeness" -> (tClosenessAudit _),
     "q228_interarrival" -> (interarrivalSpectrum _),
     "q229_codec_battery" -> (codecBattery _),
     "q231_position_attribution" -> (positionAttribution _),
@@ -4442,6 +4519,7 @@ object Relational extends QueryModule {
     "q226_ewma" -> q226Sql,
     "q227_k_anonymity" -> q227Sql,
     "q286_l_diversity" -> q286Sql,
+    "q294_t_closeness" -> q294Sql,
     "q228_interarrival" -> q228Sql,
     "q229_codec_battery" -> q229Sql,
     "q231_position_attribution" -> q231Sql,

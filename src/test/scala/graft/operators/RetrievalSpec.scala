@@ -145,6 +145,19 @@ class RetrievalSpec extends SparkSpec {
       assert(!out.select("term").as[String].collect().contains("OLD"))
     }
 
+    it("bm25FromPostings over the maintained store ≡ bm25TopK from scratch (q293)") {
+      val store = Retrieval.incrementalPostings(current,
+        Retrieval.postingsStore(prev, col("doc_id"), col("text")),
+        col("doc_id"), col("text"))
+      val q = Seq((0L, "alpha"), (0L, "two"), (1L, "north"), (1L, "red"))
+        .toDF("query_id", "term")
+      val served = Retrieval.bm25FromPostings(store, q, k = 3)
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val scratch = Retrieval.bm25TopK(current, col("doc_id"), col("text"), q, k = 3)
+        .as[(Long, Long, Long, Int)].collect().toSet
+      assert(served == scratch && served.nonEmpty)
+    }
+
     it("BM25 inputs derive from the maintained store exactly") {
       // df / Σdl / N aggregated from the maintained store must equal
       // the from-scratch index — the fact that keeps bm25TopK warm
