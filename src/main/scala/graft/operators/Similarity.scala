@@ -431,9 +431,35 @@ object Similarity {
     * at `nprobe = numCentroids`.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame, k: Int,
-              nprobe: Int = 1): DataFrame = {
+              nprobe: Int = 1): DataFrame =
+    ivfSearch(assign(corpus, centroids), queries, centroids, k, nprobe)
+
+  /** IVF search over MAINTAINED routing — the consumption half of the
+    * q280 claim (exactly as [[Retrieval.bm25FromPostings]] is q282's):
+    * corpus-side buckets come from the persisted assignment store via
+    * one id-equi-join — the corpus is never re-scored against the
+    * centroids at query time — and only the ad-hoc `queries` score
+    * against the (broadcast) centroid set. Identical output to
+    * [[ivfTopK]] under the same centroid set, which q295 pins through
+    * the incrementally-maintained store.
+    *
+    * @param assignments (vec_id, centroid_id) — [[assignmentStore]] /
+    *                    [[incrementalAssignments]] output (extra
+    *                    columns ignored)
+    */
+  def ivfTopKFromAssignments(corpus: DataFrame, queries: DataFrame,
+                             assignments: DataFrame, centroids: DataFrame,
+                             k: Int, nprobe: Int = 1): DataFrame =
+    ivfSearch(
+      corpus.select(col("vec_id"), col("embedding"))
+        .join(assignments.select(col("vec_id"), col("centroid_id")), "vec_id"),
+      queries, centroids, k, nprobe)
+
+  /** Shared IVF search tail: probe the query's nprobe nearest centroid
+    * buckets over an already-assigned corpus. */
+  private def ivfSearch(assigned: DataFrame, queries: DataFrame,
+                        centroids: DataFrame, k: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
-    val assigned = assign(corpus, centroids)
     val q = assignTopN(queries, centroids, nprobe)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
         col("centroid_id").as("qc"))

@@ -3809,6 +3809,51 @@ object DataOps extends QueryModule {
       .sortOnce(col("doc_a"), col("doc_b"))
   }
 
+  // ---- q295: IVF search served from the MAINTAINED routing store -------------
+
+  /** The consumption half of q280's claim, pinned (the ANN sibling of
+    * q293): q25's full IVF search battery (first-20 queries, top-3,
+    * first-8 centroids) served FROM the incrementally-maintained
+    * assignment store — [[graft.operators.Similarity
+    * .incrementalAssignments]] over the simulated crawl, then
+    * [[graft.operators.Similarity.ivfTopKFromAssignments]] joins the
+    * corpus to its STORED buckets by id (zero corpus re-scoring at
+    * query time; only the 20 ad-hoc queries score against the
+    * broadcast centroids). The oracle is q25's from-scratch replay
+    * verbatim — a green row proves a crawl-maintained routing store
+    * serves searches bit-identical to re-assigning the corpus.
+    */
+  def ivfFromMaintained(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Similarity
+    val e = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < NumCentroids)
+    val isOld = col("vec_id") % 7 =!= 3
+    val isChanged = (col("vec_id") % 5 === 0) && isOld &&
+      (col("embedding") =!= reverse(col("embedding")))
+    val shift = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+    val prevCrawl = e.filter(isOld && !isChanged)
+      .unionByName(e.filter(isChanged)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+      .unionByName(e.filter(col("vec_id") % 13 === 1)
+        .select((col("vec_id") + 2 * shift).as("vec_id"), col("embedding")))
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val storeP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"assign_store_q295_$tag")
+    graft.Staging.ensureFresh(
+      java.nio.file.Paths.get(dir, "embeddings.parquet"), storeP) {
+      Similarity.assignmentStore(prevCrawl, cents)
+        .write.mode("overwrite").parquet(storeP.toString)
+    }
+    val prevStore = s.read.parquet(storeP.toString)
+    val store = Similarity.incrementalAssignments(e, prevStore, cents)
+      .localCheckpoint(true) // eager: q290's lazy-race lesson
+    Similarity.ivfTopKFromAssignments(e, e.filter(col("vec_id") < NumQueries),
+        store, cents, TopK)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim_r"))
+      .sortOnce(col("query_id"), col("rnk"))
+  }
+
   // ---- q293: BM25 served from the MAINTAINED index ----------------------------
 
   /** The consumption half of q282's claim, pinned: "df/avgdl/BM25 all
@@ -5974,6 +6019,7 @@ object DataOps extends QueryModule {
     "q290_incr_containment" -> (incrContainmentMaintain _),
     "q291_drift_retrain" -> (driftRetrain _),
     "q293_bm25_maintained" -> (bm25FromMaintained _),
+    "q295_ivf_maintained" -> (ivfFromMaintained _),
     "q288_calibration" -> (calibrationAudit _),
     "q289_concentration" -> (concentrationAudit _),
     "q284_containment" -> (containmentClones _),
@@ -6106,6 +6152,7 @@ object DataOps extends QueryModule {
     "q290_incr_containment" -> q284Oracle,
     "q291_drift_retrain" -> q291Oracle,
     "q293_bm25_maintained" -> q115Oracle,
+    "q295_ivf_maintained" -> q25Oracle,
     "q288_calibration" -> q288Oracle,
     "q289_concentration" -> q289Oracle,
     "q284_containment" -> q284Oracle,

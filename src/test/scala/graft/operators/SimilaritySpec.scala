@@ -425,6 +425,20 @@ class SimilaritySpec extends SparkSpec {
       assert(src.length == 5 && src.forall(_ == "retained"))
     }
 
+    it("ivfTopKFromAssignments over the maintained store ≡ ivfTopK from scratch (q295)") {
+      val store = Similarity.incrementalAssignments(
+        current, Similarity.assignmentStore(prev, cents), cents)
+      val queries = current.filter(col("vec_id").isin(1L, 4L))
+      val served = Similarity.ivfTopKFromAssignments(
+          current, queries, store, cents, k = 2)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSet
+      val scratch = Similarity.ivfTopK(current, queries, cents, k = 2)
+        .select(col("query_id"), col("rnk"), col("neighbor_id"))
+        .as[(Long, Int, Long)].collect().toSet
+      assert(served == scratch && served.nonEmpty)
+    }
+
     it("drift→retrain handoff: below threshold keeps maintained buckets, above retrains ≡ from-scratch (q291)") {
       def handoff(thresholdPpm: Long) = {
         val prevStore = Similarity.assignmentStore(prev, cents)
