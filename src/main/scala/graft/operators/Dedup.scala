@@ -794,6 +794,132 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Persisted SIMHASH fingerprint store — [[signatureStore]]'s
+    * discipline for the hamming family: one row per doc carrying its
+    * b-bit SimHash and the text content fingerprint (the diff key of
+    * [[incrementalSimhash]]).
+    *
+    * @return (doc_id, content_fp, simhash, src='computed')
+    */
+  def simhashStore(docs: DataFrame, id: Column, text: Column,
+                   bits: Int = 32): DataFrame =
+    simhash(docs, id, text, bits)
+      .join(docs.select(id.as("doc_id"), TextFns.hash60(text).as("content_fp")),
+        "doc_id")
+      .select(col("doc_id"), col("content_fp"), col("simhash"),
+        lit("computed").as("src"))
+
+  /** Incremental SimHash store maintenance — the HAMMING-family leg of
+    * the crawl-incremental index chain: [[SnapshotDiff.diffStored]]
+    * classifies docs by text fingerprint, only added/changed docs
+    * re-hash (`incr_simhash_docs` observe), unchanged keep their
+    * stored fingerprint, removed drop.
+    *
+    * @return next store, same schema, `src` ∈ computed|retained
+    */
+  def incrementalSimhash(newDocs: DataFrame, prevStore: DataFrame,
+                         id: Column, text: Column, bits: Int = 32): DataFrame = {
+    val d = SnapshotDiff.diffStored(
+      prevStore.select(col("doc_id").as("id"), col("content_fp").as("fp")).distinct(),
+      newDocs, id, TextFns.hash60(text))
+    val changes = d.filter(col("status").isin("added", "changed"))
+      .select(col("id").as("doc_id"))
+      .localCheckpoint(false) // compute-set reused for join + observe
+    val toCompute = newDocs.select(id.as("doc_id"), text.as("text"))
+      .join(changes, "doc_id")
+    val fresh = simhashStore(
+      toCompute.observe("incr_simhash_docs", count(lit(1)).as("n_docs")),
+      col("doc_id"), col("text"), bits)
+    val retained = prevStore
+      .join(d.filter(col("status") === "unchanged").select(col("id").as("doc_id")),
+        "doc_id")
+      .select(col("doc_id"), col("content_fp"), col("simhash"),
+        lit("retained").as("src"))
+    fresh.unionByName(retained)
+  }
+
+  /** Delta-scoped HAMMING near-dup maintenance over any maintained
+    * fingerprint store — [[incrementalLshPairs]]' survivor discipline
+    * for the Manku pigeonhole family ([[hammingNearDups]]), serving
+    * text SimHash and image/audio perceptual hashes alike. Unlike the
+    * shingle families, VERIFICATION IS FREE here: the fingerprints live
+    * in the store, so fresh candidates verify with one `bit_count(xor)`
+    * per pair — no re-hashing, no payload reads. Survivor pairs (both
+    * endpoints `retained`) carry their hamming verbatim; fresh pairs
+    * come only from bands containing a computed member (≥1 computed
+    * endpoint after expansion). With the family's default NO-DROP cap
+    * the `maintained ≡ full hammingNearDups(store)` equivalence is
+    * unconditional (the cap-crossing caveat of [[incrementalLshPairs]]
+    * only exists under a finite `maxBucket`).
+    *
+    * @param fpStore   (doc_id, fp, src) — the maintained store's
+    *                  fingerprint slice
+    * @param prevPairs previous crawl's verified (doc_a, doc_b, hamming)
+    */
+  def incrementalHammingNearDups(fpStore: DataFrame, prevPairs: DataFrame,
+                                 maxHamming: Int, bits: Int,
+                                 maxBucket: Int = Int.MaxValue,
+                                 spareBlocks: Int = 1): DataFrame = {
+    require(spareBlocks >= 1, s"spareBlocks must be >= 1, got $spareBlocks")
+    require(maxHamming >= 0 && maxHamming + spareBlocks <= bits,
+      s"need 0 <= maxHamming and maxHamming+spareBlocks blocks <= $bits bits, " +
+        s"got $maxHamming + $spareBlocks")
+    require(bits <= 64, s"fingerprints are long-typed: bits must be <= 64, got $bits")
+    val fp = fpStore.select(col("doc_id"), col("fp"),
+        (col("src") === "computed").cast("long").as("n"))
+      .localCheckpoint(false) // band explode + both verify joins + survivors
+    val exploded = fp.select(col("doc_id"), col("n"),
+        explode(hammingBands(maxHamming, bits, spareBlocks)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"),
+        col("n"))
+    val freshPairs = pairsFromBuckets(
+      exploded.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"),
+          max(col("n")).as("touched"))
+        .filter(col("touched") === 1L)
+        .drop("touched"),
+      maxBucket)
+      .filter(col("na") === 1L || col("nb") === 1L)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("sa")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("sb")), "doc_b")
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val retained = fp.filter(col("n") === 0L).select(col("doc_id"))
+    val survivors = prevPairs.select(col("doc_a"), col("doc_b"), col("hamming"))
+      .join(retained.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(retained.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+    freshPairs.unionByName(survivors)
+  }
+
+  /** The Manku multi-index band array over a long `fp` column — shared
+    * by [[hammingNearDups]] and [[incrementalHammingNearDups]]. */
+  private def hammingBands(maxHamming: Int, bits: Int,
+                           spareBlocks: Int): Column = {
+    val numBlocks = maxHamming + spareBlocks
+    val blockRange = (0 until numBlocks)
+      .map(i => (i * bits / numBlocks, (i + 1) * bits / numBlocks))
+    val combos = (0 until numBlocks).combinations(spareBlocks).toSeq
+    array(combos.zipWithIndex.map { case (combo, ci) =>
+      // pack the combination's block values into one long key: total
+      // width = s·bits/b ≤ bits ≤ 64 by construction
+      var shift = 0
+      val key = combo.map { bi =>
+        val (lo, hi) = blockRange(bi)
+        // width can be the full 64 (maxHamming=0, bits=64): (1L<<64)-1
+        // is 0 under JVM shift-mod-64 semantics — build the mask
+        // shift-safe
+        val mask = -1L >>> (64 - (hi - lo))
+        val v = shiftleft(shiftright(col("fp"), lo).bitwiseAND(lit(mask)), shift)
+        shift += hi - lo
+        v
+      }.reduce(_ bitwiseOR _)
+      struct(lit(ci).as("band"), key.as("key"))
+    }: _*)
+  }
+
   /** SimHash near-duplicate pairs with EXACT recall for
     * `hamming ≤ maxHamming`, via the multi-index pigeonhole scheme
     * (Manku/Jain/Sarma, WWW'07 — public algorithm): split the b-bit
@@ -849,27 +975,8 @@ object Dedup {
     // the fingerprint plan feeds three branches (band explode + both
     // verify joins) — materialize once, like nearDupPairs' shingle table
     val fp = fpTable.select(col("doc_id"), col("fp")).localCheckpoint(false)
-    val numBlocks = maxHamming + spareBlocks
-    val blockRange = (0 until numBlocks)
-      .map(i => (i * bits / numBlocks, (i + 1) * bits / numBlocks))
-    val combos = (0 until numBlocks).combinations(spareBlocks).toSeq
-    val bands = array(combos.zipWithIndex.map { case (combo, ci) =>
-      // pack the combination's block values into one long key: total
-      // width = s·bits/b ≤ bits ≤ 64 by construction
-      var shift = 0
-      val key = combo.map { bi =>
-        val (lo, hi) = blockRange(bi)
-        // width can be the full 64 (maxHamming=0, bits=64): (1L<<64)-1
-        // is 0 under JVM shift-mod-64 semantics — build the mask
-        // shift-safe
-        val mask = -1L >>> (64 - (hi - lo))
-        val v = shiftleft(shiftright(col("fp"), lo).bitwiseAND(lit(mask)), shift)
-        shift += hi - lo
-        v
-      }.reduce(_ bitwiseOR _)
-      struct(lit(ci).as("band"), key.as("key"))
-    }: _*)
-    val exploded = fp.select(col("doc_id"), explode(bands).as("b"))
+    val exploded = fp.select(col("doc_id"),
+        explode(hammingBands(maxHamming, bits, spareBlocks)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"), lit(0L).as("n"))
     val candidates = pairsFromBuckets(
       exploded.groupBy(col("band"), col("key"))

@@ -3809,6 +3809,58 @@ object DataOps extends QueryModule {
       .sortOnce(col("doc_a"), col("doc_b"))
   }
 
+  // ---- q296: incremental SimHash near-dup maintenance -------------------------
+
+  /** The HAMMING-family leg closing the crawl-incremental index chain
+    * across EVERY fingerprint family ([[graft.operators.Dedup
+    * .incrementalHammingNearDups]] — after minhash q259/q262/q287,
+    * containment q290, postings q282, IVF q280, phash q258): the same
+    * simulated crawl, its previous [[graft.operators.Dedup
+    * .simhashStore]] and full q46 pair set, then maintenance — only
+    * added/changed docs re-hash, fresh candidates come only from Manku
+    * bands containing a computed member, and verification is ONE
+    * `bit_count(xor)` per candidate against STORED fingerprints (the
+    * hamming family's structural advantage: no re-shingling even at
+    * verify time). Survivors carry their hamming verbatim. The oracle
+    * is q46's full from-scratch replay — maintained ≡ full at the
+    * family's default no-drop cap, unconditionally.
+    */
+  def incrSimhashMaintain(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val isOld = col("doc_id") % 7 =!= 3
+    val isChanged = (col("doc_id") % 5 === 0) && isOld
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val prevCrawl = d.filter(isOld && !isChanged)
+      .unionByName(d.filter(isChanged)
+        .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
+    // prevCrawl itself is deliberately NOT checkpointed: caching the full
+    // text corpus eagerly OOMs the 8g verify JVM at sf1ci, and its two
+    // consumers only re-run a narrow union-of-filters parquet scan. The
+    // small derived stores below ARE eager (q290's lazy-race lesson).
+    val prevStore = Dedup.simhashStore(prevCrawl, col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    // prevPairs is materialized FIRST and to DISK: left lazy, its giant
+    // bucket expansion (43M pairs on the sf1 replica corpus) runs
+    // CONCURRENTLY with the fresh leg's expansion inside the one
+    // maintenance action — independent stages launch in parallel — and
+    // the two explosions together OOM the 8g verify JVM. DISK_ONLY
+    // (not localCheckpoint's MEMORY_AND_DISK) because a 43M-row pair
+    // set resident on-heap would also starve the fresh leg's per-bucket
+    // pair arrays, which allocate outside Spark's managed memory.
+    val prevPairs = Dedup.simhashNearDups(prevCrawl, col("doc_id"), col("text"),
+        maxHamming = 1)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    prevPairs.count()
+    val store = Dedup.incrementalSimhash(d, prevStore, col("doc_id"), col("text"))
+      .localCheckpoint(true)
+    Dedup.incrementalHammingNearDups(
+        store.select(col("doc_id"), col("simhash").as("fp"), col("src")),
+        prevPairs, maxHamming = 1, bits = 32)
+      .sortOnce(col("doc_a"), col("doc_b"))
+  }
+
   // ---- q295: IVF search served from the MAINTAINED routing store -------------
 
   /** The consumption half of q280's claim, pinned (the ANN sibling of
@@ -6020,6 +6072,7 @@ object DataOps extends QueryModule {
     "q291_drift_retrain" -> (driftRetrain _),
     "q293_bm25_maintained" -> (bm25FromMaintained _),
     "q295_ivf_maintained" -> (ivfFromMaintained _),
+    "q296_incr_simhash" -> (incrSimhashMaintain _),
     "q288_calibration" -> (calibrationAudit _),
     "q289_concentration" -> (concentrationAudit _),
     "q284_containment" -> (containmentClones _),
@@ -6153,6 +6206,7 @@ object DataOps extends QueryModule {
     "q291_drift_retrain" -> q291Oracle,
     "q293_bm25_maintained" -> q115Oracle,
     "q295_ivf_maintained" -> q25Oracle,
+    "q296_incr_simhash" -> q46Oracle,
     "q288_calibration" -> q288Oracle,
     "q289_concentration" -> q289Oracle,
     "q284_containment" -> q284Oracle,

@@ -726,6 +726,49 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.incrementalHammingNearDups") {
+    val current = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),  // dup of 1, both unchanged
+      (3L, "one two three four five six"),     // changed since prev
+      (4L, "one two three four five six"),     // now dup of 3
+      (5L, "red green blue yellow purple"),    // added
+      (6L, "red green blue yellow purple"))    // dup of 5, unchanged
+      .toDF("doc_id", "text")
+    val prev = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different older words here"),
+      (4L, "one two three four five six"),
+      (6L, "red green blue yellow purple"),
+      (9L, "alpha beta gamma delta epsilon"))  // removed dup of 1/2
+      .toDF("doc_id", "text")
+
+    it("maintained ≡ full hammingNearDups, hamming carried verbatim, verify never re-hashes") {
+      val prevStore = Dedup.simhashStore(prev, col("doc_id"), col("text"))
+      val prevPairs = Dedup.simhashNearDups(prev, col("doc_id"), col("text"),
+        maxHamming = 1)
+      val store = Dedup.incrementalSimhash(current, prevStore,
+        col("doc_id"), col("text"))
+      // store maintenance itself ≡ full re-hash with exact provenance
+      val src = store.select("doc_id", "src").as[(Long, String)].collect().toMap
+      assert(src == Map(1L -> "retained", 2L -> "retained", 3L -> "computed",
+        4L -> "retained", 5L -> "computed", 6L -> "retained"))
+      val inc = Dedup.incrementalHammingNearDups(
+          store.select(col("doc_id"), col("simhash").as("fp"), col("src")),
+          prevPairs, maxHamming = 1, bits = 32)
+        .as[(Long, Long, Long)].collect().toSet
+      val full = Dedup.simhashNearDups(current, col("doc_id"), col("text"),
+          maxHamming = 1)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(inc == full)
+      assert(inc.exists(p => p._1 == 1L && p._2 == 2L)) // survivor
+      assert(inc.exists(p => p._1 == 3L && p._2 == 4L)) // changed→fresh
+      assert(inc.exists(p => p._1 == 5L && p._2 == 6L)) // added→fresh
+      assert(!inc.exists(p => p._1 == 9L || p._2 == 9L)) // removed gone
+    }
+  }
+
   describe("Dedup.incrementalContainmentPairs") {
     val longA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val current = Seq(
