@@ -163,6 +163,41 @@ object Retrieval {
     fresh.unionByName(retained)
   }
 
+  /** Reciprocal-rank fusion of ranked-retrieval legs — the hybrid
+    * sparse+dense serving step (Cormack/Clarke/Buettcher RRF, the
+    * standard fusion in production RAG stacks): each leg contributes
+    * `1/(kRrf + rank)` per (query, id), summed across legs. Computed in
+    * exact integer ppm (`1_000_000 div (kRrf + rank)`) so the fused
+    * ranking and its ties replay bit-for-bit on any engine — the
+    * q105/q115 fixed-point discipline.
+    *
+    * Shape at 100 TB: the legs are already top-k-bounded per query
+    * (BM25 window / ANN window), so fusion sees Q·k·legs rows — one
+    * k-bounded aggregate and one k-bounded window, zero corpus cost.
+    * Fusing on rank (not score) is what makes cross-modal combination
+    * sane: BM25 fixed-point scores and cosine floats never meet.
+    *
+    * @param legs (query_id, id, rank) relations, rank 1-based; extra
+    *             columns ignored
+    * @return (query_id, id, rrf_ppm, n_legs, rank) — top-k per query by
+    *         (rrf_ppm desc, id asc)
+    */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    val pooled = legs
+      .map(_.select(col("query_id"), col("id"), col("rank").cast("long").as("rank")))
+      .reduce(_ unionByName _)
+    pooled
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(expr(s"1000000 div ($kRrf + rank)")).as("rrf_ppm"),
+        count(lit(1)).as("n_legs"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_ppm").desc, col("id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id"), col("rrf_ppm"), col("n_legs"), col("rank"))
+  }
+
   /** Per-micro-batch postings UPSERT — the STREAMING form of
     * [[incrementalPostings]], for ingest-time index freshness: the
     * input is an upsert delta (the batch's latest revision per doc),

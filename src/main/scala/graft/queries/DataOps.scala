@@ -3962,6 +3962,57 @@ object DataOps extends QueryModule {
       .sortOnce(col("query_id"), col("rank"))
   }
 
+  // ---- q297: hybrid sparse+dense retrieval — reciprocal-rank fusion ----------
+
+  /** Hybrid retrieval, the serving shape every production RAG stack
+    * runs ([[graft.operators.Retrieval.rrfFuse]]): the SPARSE leg is
+    * q115's full BM25 battery (20 queries × 3 hashed terms, top-10) and
+    * the DENSE leg is q24's brute cosine top-10 over the same 20 query
+    * ids — the two id spaces coincide by construction (doc_id ≡ vec_id
+    * for embedded docs), which is exactly how a real hybrid index is
+    * keyed. Fusion is integer-ppm reciprocal rank (k_rrf = 60, the
+    * published constant), so the fused ranking and its ties replay
+    * bit-for-bit in the oracle's from-scratch SQL — both legs' rankers
+    * AND the fusion arithmetic pinned in one row set. Scale: both legs
+    * are top-k-bounded per query; fusion sees Q·k·2 rows, zero corpus
+    * cost beyond the legs themselves.
+    */
+  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    val sparse = bm25Search(s, dir)
+      .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+    val e = emb(s, dir)
+    val dense = Similarity.bruteTopK(e, e.filter(col("vec_id") < NumQueries), 10)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rnk").as("rank"))
+    Retrieval.rrfFuse(Seq(sparse, dense), k = 5)
+      .sortOnce(col("query_id"), col("rank"))
+  }
+
+  // lazy: embeds q115Oracle, which is declared later in the file
+  private lazy val q297Oracle: String = {
+    val cos = VectorFns.cosineSql("q.embedding", "c.embedding")
+    s"""WITH sparse AS (
+       |  SELECT query_id, doc_id AS id, CAST(rank AS BIGINT) AS rank
+       |  FROM ($q115Oracle)),
+       |dense AS (
+       |  SELECT query_id, neighbor_id AS id, CAST(rnk AS BIGINT) AS rank FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $cos DESC, c.vec_id) AS rnk
+       |    FROM embeddings q, embeddings c
+       |    WHERE q.vec_id < $NumQueries AND c.vec_id <> q.vec_id)
+       |  WHERE rnk <= 10),
+       |pooled AS (SELECT * FROM sparse UNION ALL SELECT * FROM dense),
+       |fused AS (
+       |  SELECT query_id, id,
+       |    CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm,
+       |    CAST(COUNT(*) AS BIGINT) AS n_legs
+       |  FROM pooled GROUP BY 1, 2)
+       |SELECT query_id, id, rrf_ppm, n_legs, CAST(rn AS INTEGER) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_ppm DESC, id) AS rn
+       |  FROM fused) WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- q291: IVF drift→retrain trigger, end-to-end ---------------------------
 
   /** Global reassignment fraction that fires the retrain gate (exact
@@ -6073,6 +6124,7 @@ object DataOps extends QueryModule {
     "q293_bm25_maintained" -> (bm25FromMaintained _),
     "q295_ivf_maintained" -> (ivfFromMaintained _),
     "q296_incr_simhash" -> (incrSimhashMaintain _),
+    "q297_hybrid_rrf" -> (hybridRrf _),
     "q288_calibration" -> (calibrationAudit _),
     "q289_concentration" -> (concentrationAudit _),
     "q284_containment" -> (containmentClones _),
@@ -6207,6 +6259,7 @@ object DataOps extends QueryModule {
     "q293_bm25_maintained" -> q115Oracle,
     "q295_ivf_maintained" -> q25Oracle,
     "q296_incr_simhash" -> q46Oracle,
+    "q297_hybrid_rrf" -> q297Oracle,
     "q288_calibration" -> q288Oracle,
     "q289_concentration" -> q289Oracle,
     "q284_containment" -> q284Oracle,

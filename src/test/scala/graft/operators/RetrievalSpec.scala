@@ -158,6 +158,29 @@ class RetrievalSpec extends SparkSpec {
       assert(served == scratch && served.nonEmpty)
     }
 
+    it("rrfFuse sums integer-ppm reciprocal ranks across legs (q297)") {
+      // leg A ranks: (q0: 10→1, 20→2), leg B: (q0: 20→1, 30→2)
+      val a = Seq((0L, 10L, 1), (0L, 20L, 2)).toDF("query_id", "id", "rank")
+      val b = Seq((0L, 20L, 1), (0L, 30L, 2)).toDF("query_id", "id", "rank")
+      val got = Retrieval.rrfFuse(Seq(a, b), k = 3)
+        .as[(Long, Long, Long, Long, Int)].collect().toSeq.sortBy(_._5)
+      // id 20: 1000000/62 + 1000000/61 = 16129 + 16393 = 32522 (2 legs)
+      // id 10: 1000000/61 = 16393; id 30: 1000000/62 = 16129
+      assert(got == Seq(
+        (0L, 20L, 32522L, 2L, 1),
+        (0L, 10L, 16393L, 1L, 2),
+        (0L, 30L, 16129L, 1L, 3)))
+    }
+
+    it("rrfFuse ties break by id and respect k") {
+      val a = Seq((0L, 5L, 1), (0L, 9L, 2), (1L, 7L, 1)).toDF("query_id", "id", "rank")
+      val b = Seq((0L, 9L, 1), (0L, 5L, 2), (1L, 3L, 1)).toDF("query_id", "id", "rank")
+      // q0: both ids score 1000000/61 + 1000000/62 — tie → smaller id first
+      val got = Retrieval.rrfFuse(Seq(a, b), k = 1)
+        .as[(Long, Long, Long, Long, Int)].collect().toSeq.sortBy(_._1)
+      assert(got.map(g => (g._1, g._2, g._5)) == Seq((0L, 5L, 1), (1L, 3L, 1)))
+    }
+
     it("BM25 inputs derive from the maintained store exactly") {
       // df / Σdl / N aggregated from the maintained store must equal
       // the from-scratch index — the fact that keeps bm25TopK warm
