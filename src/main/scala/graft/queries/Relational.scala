@@ -2262,6 +2262,41 @@ object Relational extends QueryModule {
        |FROM sc GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** q298: ε-DP randomized-response release — the fourth leg of the
+    * release-privacy family, and the first where the RELEASED NUMBER
+    * itself is privatized (q227/q286/q294 audit leak risk but release
+    * exact counts): per event_type, the count of a sensitive cohort
+    * (user_id ≡ 0 mod 3) released through [[graft.operators.Privacy
+    * .rrRelease]] — Warner randomized response at flip probability 1/4
+    * (ε = ln 3 local DP per record), debiased to the exact integer
+    * rational T̂ = (4R − N)/2. The coin is the deterministic
+    * hash60-seeded flip, so the oracle replays record-level mechanism,
+    * debiasing arithmetic, and ε accounting bit-for-bit. One
+    * projection + one hash aggregate; nothing collects.
+    */
+  def rrDpRelease(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.rrRelease(t(s, dir, "events"),
+        col("event_type"), col("user_id") % 3 === 0, col("event_id"))
+      .withColumnRenamed("grp", "event_type")
+      .orderBy(col("event_type"))
+
+  private val q298Sql: String = {
+    val coin = graft.functions.TextFns.hash60Sql(
+      "'rr:' || CAST(event_id AS VARCHAR)")
+    s"""WITH rr AS (
+       |  SELECT event_type,
+       |    CASE WHEN (CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+       |      <> (CASE WHEN $coin % 4 < 1 THEN 1 ELSE 0 END)
+       |      THEN 1 ELSE 0 END AS r
+       |  FROM events)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(r) AS BIGINT) AS n_reported,
+       |  CAST(4 * SUM(r) - COUNT(*) AS BIGINT) AS t_hat_num,
+       |  CAST(2 AS BIGINT) AS t_hat_den,
+       |  CAST(1098612 AS BIGINT) AS eps_ppm
+       |FROM rr GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   /** q227: k-anonymity audit across a generalization lattice — the
     * privacy gate a dataset passes before release: at each
     * generalization level the quasi-identifier tuple coarsens
@@ -4109,6 +4144,7 @@ object Relational extends QueryModule {
     "q227_k_anonymity" -> (kAnonymityAudit _),
     "q286_l_diversity" -> (lDiversityAudit _),
     "q294_t_closeness" -> (tClosenessAudit _),
+    "q298_rr_dp_release" -> (rrDpRelease _),
     "q228_interarrival" -> (interarrivalSpectrum _),
     "q229_codec_battery" -> (codecBattery _),
     "q231_position_attribution" -> (positionAttribution _),
@@ -4520,6 +4556,7 @@ object Relational extends QueryModule {
     "q227_k_anonymity" -> q227Sql,
     "q286_l_diversity" -> q286Sql,
     "q294_t_closeness" -> q294Sql,
+    "q298_rr_dp_release" -> q298Sql,
     "q228_interarrival" -> q228Sql,
     "q229_codec_battery" -> q229Sql,
     "q231_position_attribution" -> q231Sql,
