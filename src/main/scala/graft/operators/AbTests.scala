@@ -95,4 +95,59 @@ object AbTests {
         (col("r0") - col("n0") * (col("n0") + 1)).as("u0_x2"),
         (col("r1") - col("n1") * (col("n1") + 1)).as("u1_x2"))
   }
+
+  /** Wald SPRT sequential monitor (Wald, Ann. Math. Stat. 1945) — the
+    * always-monitoring leg next to the fixed-horizon tests above: a
+    * Bernoulli log-likelihood ratio accumulates per trial and the test
+    * DECIDES the first day it leaves the (−bound, +bound) band —
+    * "peek every day" is the designed usage, not a p-hacking bug. The
+    * classic deployment is sample-ratio-mismatch detection: H0 = the
+    * assignment is balanced (p₀), H1 = it is skewed (p₁).
+    *
+    * Fixed-point discipline: the test is DEFINED in micro-log2 units —
+    * per-trial increments `llrSuccU`/`llrFailU` and the decision
+    * `boundU` are integer ⌊10⁶·log2(·)⌋ constants supplied by the
+    * caller — so the whole monitor is int64 arithmetic that replays
+    * bit-for-bit on any engine (thresholds sit within 1e-6 log2-units
+    * of Wald's exact ones; the guarantees are those of the perturbed
+    * test, which is still a valid SPRT).
+    *
+    * Scale shape: ONE hash aggregate reduces the event stream to the
+    * (experiment × day) frame; cumulative sums, crossing detection,
+    * and the sticky decision are windows on that tiny frame (q289's
+    * global-windows-on-the-group-frame discipline). Nothing collects.
+    *
+    * @param success per-trial Bernoulli outcome (boolean)
+    * @return (exp_id, day, n, s, llr_u, state) — n/s cumulative trials/
+    *         successes at end of day, state ∈ h1|h0|continue sticky
+    *         from the first crossing day
+    */
+  def sprtMonitor(df: DataFrame, exp: Column, day: Column, success: Column,
+                  llrSuccU: Long, llrFailU: Long, boundU: Long): DataFrame = {
+    require(boundU > 0 && llrSuccU > llrFailU,
+      s"need boundU > 0 and llrSuccU > llrFailU, got $llrSuccU/$llrFailU/$boundU")
+    val w = org.apache.spark.sql.expressions.Window
+    val daily = df.groupBy(exp.as("exp_id"), day.as("day"))
+      .agg(count(lit(1)).as("n_d"), sum(success.cast("long")).as("s_d"))
+    val cumW = w.partitionBy(col("exp_id")).orderBy(col("day"))
+      .rowsBetween(Long.MinValue, 0)
+    val expW = w.partitionBy(col("exp_id"))
+    daily
+      .withColumn("n", sum(col("n_d")).over(cumW))
+      .withColumn("s", sum(col("s_d")).over(cumW))
+      .withColumn("llr_u",
+        col("s") * llrSuccU + (col("n") - col("s")) * llrFailU)
+      .withColumn("h1_day", min(when(col("llr_u") >= boundU, col("day"))).over(expW))
+      .withColumn("h0_day", min(when(col("llr_u") <= -boundU, col("day"))).over(expW))
+      .withColumn("state",
+        when(col("h1_day").isNotNull &&
+          (col("h0_day").isNull || col("h1_day") <= col("h0_day")) &&
+          col("day") >= col("h1_day"), "h1")
+        .when(col("h0_day").isNotNull &&
+          (col("h1_day").isNull || col("h0_day") < col("h1_day")) &&
+          col("day") >= col("h0_day"), "h0")
+        .otherwise("continue"))
+      .select(col("exp_id"), col("day"), col("n"), col("s"),
+        col("llr_u"), col("state"))
+  }
 }

@@ -3439,6 +3439,82 @@ object DataOps extends QueryModule {
       |FROM arms a0 JOIN arms a1 ON a1.grp = a0.grp AND a0.arm = 0 AND a1.arm = 1
       |ORDER BY event_type""".stripMargin
 
+  // ---- q299: Wald SPRT sequential monitor ------------------------------------
+
+  /** Always-valid sequential monitoring ([[graft.operators.AbTests
+    * .sprtMonitor]]) — the "peek every day" leg the fixed-horizon
+    * tests (q272–q276) can't cover, deployed as its classic use:
+    * sample-ratio-mismatch detection. Two monitored assignments over
+    * the event stream — `half` (user_id mod 2, genuinely balanced) and
+    * `skew` (user_id mod 4 < 3, a planted 75% imbalance) — each tested
+    * H0: p = 1/2 vs H1: p = 3/4 at α = β = 0.05. Micro-log2 constants:
+    * success +⌊10⁶·log2(3/2)⌋ = 584962, failure −10⁶ exactly, bound
+    * ±⌊10⁶·log2(19)⌋ = 4247927 — all int64, so the oracle replays
+    * trial accumulation, crossing detection, and the sticky decision
+    * bit-for-bit. The pin exercises all THREE states: `skew` crosses
+    * h1 and `half` drifts to h0 within day 1 (hundreds of trials/day
+    * dwarf the ~30-trial decision horizon), while `sparse` monitors a
+    * ~1% event slice whose daily trial count is small enough that the
+    * monitor reports `continue` for several days before deciding — the
+    * sequential behavior itself, in-data. One hash aggregate to the
+    * (experiment × day) frame; windows on that tiny frame only.
+    */
+  def sprtSrmMonitor(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("ts"), col("user_id"), col("event_id"))
+    val half = e.select(lit("half").as("exp_id"), col("ts"),
+      (col("user_id") % 2 === 0).as("succ"))
+    val skew = e.select(lit("skew").as("exp_id"), col("ts"),
+      (col("user_id") % 4 < 3).as("succ"))
+    val sparse = e.filter(col("event_id") % 97 === 0)
+      .select(lit("sparse").as("exp_id"), col("ts"),
+        (col("user_id") % 2 === 0).as("succ"))
+    graft.operators.AbTests.sprtMonitor(
+        half.unionByName(skew).unionByName(sparse),
+        col("exp_id"), date_trunc("day", col("ts")), col("succ"),
+        llrSuccU = 584962L, llrFailU = -1000000L, boundU = 4247927L)
+      .sortOnce(col("exp_id"), col("day"))
+  }
+
+  private val q299Oracle: String =
+    """WITH trials AS (
+      |  SELECT 'half' AS exp_id, date_trunc('day', ts) AS day,
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS succ FROM events
+      |  UNION ALL
+      |  SELECT 'skew', date_trunc('day', ts),
+      |    CASE WHEN user_id % 4 < 3 THEN 1 ELSE 0 END FROM events
+      |  UNION ALL
+      |  SELECT 'sparse', date_trunc('day', ts),
+      |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END
+      |  FROM events WHERE event_id % 97 = 0),
+      |daily AS (
+      |  SELECT exp_id, day, COUNT(*) AS n_d, SUM(succ) AS s_d
+      |  FROM trials GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT exp_id, day,
+      |    CAST(SUM(n_d) OVER w AS BIGINT) AS n,
+      |    CAST(SUM(s_d) OVER w AS BIGINT) AS s
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY exp_id ORDER BY day ROWS UNBOUNDED PRECEDING)),
+      |llr AS (
+      |  SELECT exp_id, day, n, s,
+      |    CAST(s * 584962 - (n - s) * 1000000 AS BIGINT) AS llr_u
+      |  FROM cum),
+      |cr AS (
+      |  SELECT *,
+      |    MIN(CASE WHEN llr_u >= 4247927 THEN day END)
+      |      OVER (PARTITION BY exp_id) AS h1_day,
+      |    MIN(CASE WHEN llr_u <= -4247927 THEN day END)
+      |      OVER (PARTITION BY exp_id) AS h0_day
+      |  FROM llr)
+      |SELECT exp_id, day, n, s, llr_u,
+      |  CASE WHEN h1_day IS NOT NULL AND (h0_day IS NULL OR h1_day <= h0_day)
+      |         AND day >= h1_day THEN 'h1'
+      |       WHEN h0_day IS NOT NULL AND (h1_day IS NULL OR h0_day < h1_day)
+      |         AND day >= h0_day THEN 'h0'
+      |       ELSE 'continue' END AS state
+      |FROM cr ORDER BY exp_id, day""".stripMargin
+
   // ---- q277: exact half-life decay scoring -------------------------------------
 
   /** Recency-weighted engagement scoring with an EXACT half-life: the
@@ -6125,6 +6201,7 @@ object DataOps extends QueryModule {
     "q295_ivf_maintained" -> (ivfFromMaintained _),
     "q296_incr_simhash" -> (incrSimhashMaintain _),
     "q297_hybrid_rrf" -> (hybridRrf _),
+    "q299_sprt_srm" -> (sprtSrmMonitor _),
     "q288_calibration" -> (calibrationAudit _),
     "q289_concentration" -> (concentrationAudit _),
     "q284_containment" -> (containmentClones _),
@@ -6260,6 +6337,7 @@ object DataOps extends QueryModule {
     "q295_ivf_maintained" -> q25Oracle,
     "q296_incr_simhash" -> q46Oracle,
     "q297_hybrid_rrf" -> q297Oracle,
+    "q299_sprt_srm" -> q299Oracle,
     "q288_calibration" -> q288Oracle,
     "q289_concentration" -> q289Oracle,
     "q284_containment" -> q284Oracle,

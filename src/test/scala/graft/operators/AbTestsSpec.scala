@@ -49,4 +49,43 @@ class AbTestsSpec extends SparkSpec {
       assert(a == b && a.size == 3)
     }
   }
+
+  describe("AbTests.sprtMonitor") {
+    // llr constants for H0 p=1/2 vs H1 p=3/4: +584962 / −1000000, bound 4247927
+    val (su, fu, bu) = (584962L, -1000000L, 4247927L)
+
+    it("accumulates the llr per day and decides at the first crossing") {
+      // day 1: 5 of 6 success → llr = 5·584962 − 1000000 = 1924810 (continue)
+      // day 2: +5/5 → llr = 10·584962 − 1000000 = 4849620 ≥ bound → h1
+      // day 3: all failures, llr falls back BELOW the bound — state stays h1
+      val rows = (1 to 6).map(i => ("e", 1, i != 6)) ++
+        (1 to 5).map(_ => ("e", 2, true)) ++ (1 to 9).map(_ => ("e", 3, false))
+      val df = rows.toDF("exp", "day", "succ")
+      val got = AbTests.sprtMonitor(df, col("exp"), col("day"), col("succ"), su, fu, bu)
+        .as[(String, Int, Long, Long, Long, String)].collect().sortBy(_._2).toSeq
+      assert(got == Seq(
+        ("e", 1, 6L, 5L, 1924810L, "continue"),
+        ("e", 2, 11L, 10L, 4849620L, "h1"),
+        ("e", 3, 20L, 10L, -4150380L, "h1")))
+    }
+
+    it("accepts h0 when the llr drifts below the negative bound") {
+      // 5 failures/day: llr after day d = −5d·10⁶ → crosses −bound on day 1
+      val rows = for (d <- 1 to 2; _ <- 1 to 5) yield ("e", d, false)
+      val got = AbTests.sprtMonitor(rows.toDF("exp", "day", "succ"),
+          col("exp"), col("day"), col("succ"), su, fu, bu)
+        .as[(String, Int, Long, Long, Long, String)].collect().sortBy(_._2).toSeq
+      assert(got.map(_._6) == Seq("h0", "h0"))
+      assert(got.head._5 == -5000000L)
+    }
+
+    it("monitors experiments independently") {
+      val rows = Seq(("a", 1, false), ("b", 1, true))
+      val got = AbTests.sprtMonitor(rows.toDF("exp", "day", "succ"),
+          col("exp"), col("day"), col("succ"), su, fu, bu)
+        .as[(String, Int, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(got.map(g => (g._1, g._5, g._6)) ==
+        Seq(("a", -1000000L, "continue"), ("b", 584962L, "continue")))
+    }
+  }
 }
