@@ -548,6 +548,43 @@ object Similarity {
     fresh.unionByName(retained)
   }
 
+  /** Per-micro-batch assignment UPSERT — the STREAMING form of
+    * [[incrementalAssignments]], for ingest-time ANN-routing freshness
+    * ([[Retrieval.upsertPostings]]' discipline applied to the vector
+    * index): the input is an upsert delta (the batch's latest revision
+    * per vec_id), not a corpus snapshot, so ids absent from the batch
+    * are RETAINED (deletes are a separate pipeline, q146) and batch
+    * ids re-score against the broadcast centroids ONLY when their
+    * embedding fingerprint differs from the store — IDEMPOTENT under
+    * at-least-once redelivery (a verbatim redelivered vector keeps its
+    * stored bucket AND its original provenance tag). Fresh rows carry
+    * `srcTag` (e.g. `b<batchId>`), so the maintained routing records
+    * which micro-batch last scored each vector.
+    *
+    * @param batch  (vec_id, embedding) upserts, unique per id in-batch
+    * @param srcTag provenance label for rows scored by THIS batch
+    */
+  def upsertAssignments(batch: DataFrame, prevStore: DataFrame,
+                        centroids: DataFrame, srcTag: String): DataFrame = {
+    val b = batch.select(col("vec_id"), col("embedding"),
+      embeddingFp(col("embedding")).as("content_fp"))
+    val prevFp = prevStore.select(col("vec_id"), col("content_fp").as("prev_fp"))
+    val changed = b.join(prevFp, Seq("vec_id"), "left")
+      .filter(col("prev_fp").isNull || col("prev_fp") =!= col("content_fp"))
+      .select(col("vec_id"), col("embedding"), col("content_fp"))
+      .localCheckpoint(false) // feeds the fresh scoring AND the retain anti-join
+    val fresh = assign(
+        changed.observe("upsert_assign_vecs", count(lit(1)).as("n_vecs")),
+        centroids)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(changed.select(col("vec_id"), col("content_fp")), "vec_id")
+      .select(col("vec_id"), col("content_fp"), col("centroid_id"),
+        lit(srcTag).as("src"))
+    val retained = prevStore
+      .join(changed.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    fresh.unionByName(retained)
+  }
+
   /** Centroid-drift audit over one maintenance step — the retrain
     * signal: per centroid, how much routing churned between the
     * previous and the maintained store. `moved` counts vectors present

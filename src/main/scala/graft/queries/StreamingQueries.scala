@@ -1670,6 +1670,132 @@ object StreamingQueries extends QueryModule {
       |  CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_b2
       |FROM post GROUP BY term ORDER BY term""".stripMargin
 
+  // ---- q300: streaming incremental IVF routing (ingest-time freshness) --
+
+  /** q280's incremental IVF assignment at STREAM cadence — ANN-routing
+    * freshness maintained per micro-batch (the vector-index sibling of
+    * q292's streaming postings): three vector-crawl files staged
+    * mtime-ascending replay as deterministic micro-batches under
+    * `maxFilesPerTrigger = 1` — b0 the initial corpus third, b1 the
+    * second third PLUS revised embeddings (reversed, palindromes
+    * excluded — q280's lesson: a palindrome's "revision" is
+    * byte-identical and must stay retained) of `%15 = 0` vectors PLUS
+    * a VERBATIM REDELIVERY of `%21 = 0` vectors, b2 the final third
+    * plus `%12 = 1` revisions. Each batch flows through
+    * [[graft.operators.Similarity.upsertAssignments]]:
+    * fingerprint-diffed against the running store, so only new/changed
+    * vectors re-score against the fixed broadcast centroid set and
+    * redelivered-unchanged vectors keep their bucket AND their b0
+    * provenance (idempotency is hash-checked, not asserted). Output is
+    * the drained store's per-vector routing + provenance; the oracle
+    * recomputes every assignment from scratch over the FINAL corpus
+    * (q25's argmax-cosine CTE) and derives provenance from the delta
+    * definition — stream-cadence maintenance ≡ a batch re-assignment.
+    */
+  def streamAssignments(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import graft.operators.Similarity
+    val stage = Paths.get(sys.props("java.io.tmpdir"), "graft_work",
+      s"ivfstream_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val crawl = stage.resolve("crawl")
+    val versions = stage.resolve("versions")
+    Files.createDirectories(crawl)
+    Files.createDirectories(versions)
+    val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = e.filter(col("vec_id") < 8).localCheckpoint(true)
+    val nonPalin = col("embedding") =!= reverse(col("embedding"))
+    def writeBatch(name: String, df: DataFrame, mtime: Long): Unit = {
+      val tmp = stage.resolve(s"build_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().orElseThrow()
+        finally listing.close()
+      val dest = crawl.resolve(s"$name.parquet")
+      Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dest, FileTime.fromMillis(mtime))
+      deleteRecursively(tmp)
+    }
+    val t0 = 1700000000000L
+    writeBatch("b0", e.filter(col("vec_id") % 3 === 0), t0)
+    writeBatch("b1",
+      e.filter(col("vec_id") % 3 === 1)
+        .unionByName(e.filter(col("vec_id") % 15 === 0 && nonPalin)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+        .unionByName(e.filter(col("vec_id") % 21 === 0 &&
+          !(col("vec_id") % 15 === 0 && nonPalin))),
+      t0 + 60000)
+    writeBatch("b2",
+      e.filter(col("vec_id") % 3 === 2)
+        .unionByName(e.filter(col("vec_id") % 12 === 1 && nonPalin)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"))),
+      t0 + 120000)
+    val schema = s.read.parquet(crawl.resolve("b0.parquet").toString).schema
+    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamShufflePartitions)
+    try {
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(crawl.toString)
+        .writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val next = Option(latest.get()) match {
+            case None =>
+              Similarity.assignmentStore(df, cents)
+                .withColumn("src", lit(s"b$id"))
+            case Some(p) =>
+              Similarity.upsertAssignments(df, s.read.parquet(p), cents, s"b$id")
+          }
+          val out = versions.resolve(s"v$id").toString
+          next.write.mode("overwrite").parquet(out)
+          latest.set(out)
+          ()
+        }
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    require(latest.get() != null && latest.get().endsWith("v2"),
+      s"expected 3 micro-batches (maxFilesPerTrigger=1), last store version: ${latest.get()}")
+    val res = s.read.parquet(latest.get())
+      .select(col("vec_id"), col("centroid_id"), col("src"))
+      .orderBy(col("vec_id"))
+      .localCheckpoint(true)
+    deleteRecursively(stage)
+    res
+  }
+
+  private val q300Oracle: String = {
+    val np = "CAST(embedding AS DOUBLE[]) <> list_reverse(CAST(embedding AS DOUBLE[]))"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS c
+       |  FROM embeddings WHERE vec_id < 8),
+       |fin AS (
+       |  SELECT vec_id,
+       |    CASE WHEN (vec_id % 15 = 0 OR vec_id % 12 = 1) AND $np
+       |         THEN list_reverse(CAST(embedding AS DOUBLE[]))
+       |         ELSE CAST(embedding AS DOUBLE[]) END AS v,
+       |    CASE WHEN vec_id % 3 = 0 THEN
+       |           CASE WHEN vec_id % 15 = 0 AND $np THEN 'b1' ELSE 'b0' END
+       |         WHEN vec_id % 3 = 1 THEN
+       |           CASE WHEN vec_id % 12 = 1 AND $np THEN 'b2' ELSE 'b1' END
+       |         ELSE 'b2' END AS src
+       |  FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT f.vec_id, i.cid,
+       |      row_number() OVER (PARTITION BY f.vec_id
+       |        ORDER BY list_cosine_similarity(f.v, i.c) DESC, i.cid) AS rn
+       |    FROM fin f, cents i) WHERE rn = 1)
+       |SELECT a.vec_id, a.cid AS centroid_id, f.src
+       |FROM assigned a JOIN fin f USING (vec_id)
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   // ---- q89: streaming decontamination filter ---------------------------
 
   /** Per-micro-batch train/test decontamination — the STREAMING form of
@@ -2434,7 +2560,8 @@ object StreamingQueries extends QueryModule {
     "q89_stream_decontam" -> (streamDecontam _),
     "q90_mb_resume" -> (mbResumeWindow _),
     "q99_stream_bloom_dedup" -> (bloomIncrementalDedup _),
-    "q292_stream_postings" -> (streamPostings _))
+    "q292_stream_postings" -> (streamPostings _),
+    "q300_stream_ivf" -> (streamAssignments _))
 
   val family: String = "streaming"
 
@@ -2476,5 +2603,6 @@ object StreamingQueries extends QueryModule {
     "q89_stream_decontam" -> q89Oracle,
     "q90_mb_resume" -> q90Oracle,
     "q99_stream_bloom_dedup" -> q75Oracle,
-    "q292_stream_postings" -> q292Oracle)
+    "q292_stream_postings" -> q292Oracle,
+    "q300_stream_ivf" -> q300Oracle)
 }

@@ -473,6 +473,32 @@ class SimilaritySpec extends SparkSpec {
       assert(next2 == scratch) // fired gate: ≡ from-scratch train+assign
     }
 
+    it("upsertAssignments: batch upserts re-score only changed fps, retain the rest (q300)") {
+      val store0 = Similarity.assignmentStore(prev, cents)
+        .withColumn("src", lit("b0"))
+      // batch: vec 3 revised (fp changes → re-score lands in B), vec 1
+      // REDELIVERED verbatim (fp unchanged → keeps row AND b0 tag),
+      // vec 4 brand new; vecs 0/2/9 absent → retained (no deletes)
+      val batch = Seq(
+        (1L, Array(0.9f, 0.1f, 0.0f)),
+        (3L, Array(0.0f, 0.1f, 0.9f)),
+        (4L, Array(0.8f, 0.2f, 0.0f))).toDF("vec_id", "embedding")
+      // materialized between applications, as the streaming flow's
+      // per-batch parquet store does (also severs the observe node)
+      val out = Similarity.upsertAssignments(batch, store0, cents, "b1")
+        .localCheckpoint(true)
+      val got = out.select("vec_id", "centroid_id", "src")
+        .as[(Long, Long, String)].collect().toSet
+      assert(got == Set(
+        (0L, 0L, "b0"), (1L, 0L, "b0"), (2L, 2L, "b0"), (9L, 0L, "b0"),
+        (3L, 2L, "b1"), (4L, 0L, "b1")))
+      // idempotent: re-applying the same batch changes nothing
+      val again = Similarity.upsertAssignments(batch, out, cents, "b2")
+        .select("vec_id", "centroid_id", "src")
+        .as[(Long, Long, String)].collect().toSet
+      assert(again == got)
+    }
+
     it("assignmentDrift isolates routing churn from population churn") {
       val prevStore = Similarity.assignmentStore(prev, cents)
       val next = Similarity.incrementalAssignments(current, prevStore, cents)
