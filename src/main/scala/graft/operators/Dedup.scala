@@ -219,10 +219,25 @@ object Dedup {
     */
   def incrementalSignatures(newDocs: DataFrame, prevStore: DataFrame,
                             id: Column, text: Column,
-                            numPerms: Int, w: Int = 3): DataFrame = {
-    val d = SnapshotDiff.diffStored(
-      prevStore.select(col("doc_id").as("id"), col("content_fp").as("fp")),
-      newDocs, id, TextFns.hash60(text))
+                            numPerms: Int, w: Int = 3): DataFrame =
+    incrementalSignaturesFrom(
+      SnapshotDiff.diffStored(
+        prevStore.select(col("doc_id").as("id"), col("content_fp").as("fp")),
+        newDocs, id, TextFns.hash60(text)),
+      newDocs, prevStore, id, text, numPerms, w)
+
+  /** [[incrementalSignatures]] over a PRECOMPUTED snapshot diff — the
+    * shared-diff form q301's nightly composite uses: every text-keyed
+    * store (signatures, simhash, postings) diffs the same corpus by
+    * the same hash60 text fingerprint, so a nightly job computes the
+    * diff ONCE and feeds all maintenance legs from it.
+    *
+    * @param d [[SnapshotDiff.diffStored]] output for this corpus —
+    *          (id, status, old_fp, new_fp) keyed on hash60(text)
+    */
+  def incrementalSignaturesFrom(d: DataFrame, newDocs: DataFrame,
+                                prevStore: DataFrame, id: Column, text: Column,
+                                numPerms: Int, w: Int = 3): DataFrame = {
     // The change set is reused twice (compute input + content_fp carry);
     // the lazy checkpoint keeps the diff join from re-running — it is
     // O(delta) rows of (id, fp), never texts.
@@ -818,10 +833,18 @@ object Dedup {
     * @return next store, same schema, `src` ∈ computed|retained
     */
   def incrementalSimhash(newDocs: DataFrame, prevStore: DataFrame,
-                         id: Column, text: Column, bits: Int = 32): DataFrame = {
-    val d = SnapshotDiff.diffStored(
-      prevStore.select(col("doc_id").as("id"), col("content_fp").as("fp")).distinct(),
-      newDocs, id, TextFns.hash60(text))
+                         id: Column, text: Column, bits: Int = 32): DataFrame =
+    incrementalSimhashFrom(
+      SnapshotDiff.diffStored(
+        prevStore.select(col("doc_id").as("id"), col("content_fp").as("fp")).distinct(),
+        newDocs, id, TextFns.hash60(text)),
+      newDocs, prevStore, id, text, bits)
+
+  /** [[incrementalSimhash]] over a PRECOMPUTED snapshot diff
+    * ([[incrementalSignaturesFrom]]'s shared-diff contract). */
+  def incrementalSimhashFrom(d: DataFrame, newDocs: DataFrame,
+                             prevStore: DataFrame, id: Column, text: Column,
+                             bits: Int = 32): DataFrame = {
     val changes = d.filter(col("status").isin("added", "changed"))
       .select(col("id").as("doc_id"))
       .localCheckpoint(false) // compute-set reused for join + observe

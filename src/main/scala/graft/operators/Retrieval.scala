@@ -143,10 +143,19 @@ object Retrieval {
     * @return next store, same schema, `src` ∈ computed|retained
     */
   def incrementalPostings(newDocs: DataFrame, prevStore: DataFrame,
-                          id: Column, text: Column): DataFrame = {
-    val d = SnapshotDiff.diffStored(
-      prevStore.select(col("doc_id").as("id"), col("content_fp").as("fp")).distinct(),
-      newDocs, id, TextFns.hash60(text))
+                          id: Column, text: Column): DataFrame =
+    incrementalPostingsFrom(
+      SnapshotDiff.diffStored(
+        prevStore.select(col("doc_id").as("id"), col("content_fp").as("fp")).distinct(),
+        newDocs, id, TextFns.hash60(text)),
+      newDocs, prevStore, id, text)
+
+  /** [[incrementalPostings]] over a PRECOMPUTED snapshot diff
+    * ([[Dedup.incrementalSignaturesFrom]]'s shared-diff contract: one
+    * hash60-text diff per crawl feeds every text-keyed store). */
+  def incrementalPostingsFrom(d: DataFrame, newDocs: DataFrame,
+                              prevStore: DataFrame,
+                              id: Column, text: Column): DataFrame = {
     val changes = d.filter(col("status").isin("added", "changed"))
       .select(col("id").as("doc_id"))
       .localCheckpoint(false) // compute-set reused for join + observe

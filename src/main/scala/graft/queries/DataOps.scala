@@ -4089,6 +4089,145 @@ object DataOps extends QueryModule {
        |  FROM fused) WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q301: nightly maintenance composite — ONE diff, every text index ------
+
+  /** The nightly job itself, pinned: at 100 TB the crawl-incremental
+    * chain (q259/q262/q265/q282/q287/q290/q296) runs as ONE pass — a
+    * single snapshot diff of the crawl manifest feeds every text-keyed
+    * index's maintenance leg, instead of each leg re-diffing the corpus
+    * (the shared-diff `From` variants:
+    * [[graft.operators.Dedup.incrementalSignaturesFrom]] /
+    * [[graft.operators.Dedup.incrementalSimhashFrom]] /
+    * [[graft.operators.Retrieval.incrementalPostingsFrom]]). The
+    * previous crawl persists a ~16 B/row (id, fp) MANIFEST plus its
+    * three stores; the composite diffs manifest-vs-corpus ONCE (eager —
+    * its consumers fan out inside one action, q290's lazy-race lesson)
+    * and reports one summary row per family: store cardinality, doc
+    * provenance counts, and a family content checksum (Σ signature
+    * slots / Σ simhash / Σ tf). The oracle rebuilds all three indexes
+    * from scratch and derives the diff row from the delta definition —
+    * a green row pins every maintained store AND the shared-diff
+    * bookkeeping in one query.
+    */
+  def nightlyMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val isOld = col("doc_id") % 7 =!= 3
+    val isChanged = (col("doc_id") % 5 === 0) && isOld
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val prevCrawl = d.filter(isOld && !isChanged)
+      .unionByName(d.filter(isChanged)
+        .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
+      .localCheckpoint(true) // feeds four staged store builds
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    def staged(name: String)(build: String => Unit): DataFrame = {
+      val p = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_work", s"${name}_$tag")
+      graft.Staging.ensureFresh(
+        java.nio.file.Paths.get(dir, "documents.parquet"), p)(build(p.toString))
+      s.read.parquet(p.toString)
+    }
+    val prevManifest = staged("nightly_manifest") { p =>
+      prevCrawl.select(col("doc_id").as("id"),
+          TextFns.hash60(col("text")).as("fp"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val prevSig = staged("nightly_sig") { p =>
+      Dedup.signatureStore(prevCrawl, col("doc_id"), col("text"), NumPerms)
+        .write.mode("overwrite").parquet(p)
+    }
+    val prevSh = staged("nightly_simhash") { p =>
+      Dedup.simhashStore(prevCrawl, col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(p)
+    }
+    val prevPost = staged("nightly_postings") { p =>
+      Retrieval.postingsStore(prevCrawl, col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(p)
+    }
+    // THE one diff — manifest vs corpus, shared by all three legs
+    val diff = graft.operators.SnapshotDiff.diffStored(prevManifest, d,
+        col("doc_id"), TextFns.hash60(col("text")))
+      .localCheckpoint(true)
+    val sig = Dedup.incrementalSignaturesFrom(diff, d, prevSig,
+      col("doc_id"), col("text"), NumPerms)
+    val sh = Dedup.incrementalSimhashFrom(diff, d, prevSh,
+      col("doc_id"), col("text"))
+    val post = Retrieval.incrementalPostingsFrom(diff, d,
+      prevPost, col("doc_id"), col("text"))
+    def summary(name: String, agged: DataFrame): DataFrame =
+      agged.select(lit(name).as("family"), col("store_rows"),
+        col("n_computed"), col("n_retained"), col("content_sum"))
+    val diffSum = summary("diff", diff.agg(
+      count(lit(1)).as("store_rows"),
+      sum(col("status").isin("added", "changed").cast("long")).as("n_computed"),
+      sum((col("status") === "unchanged").cast("long")).as("n_retained"),
+      sum((col("status") === "removed").cast("long")).as("content_sum")))
+    val sigSum = summary("signatures", sig.agg(
+      count(lit(1)).as("store_rows"),
+      sum((col("src") === "computed").cast("long")).as("n_computed"),
+      sum((col("src") === "retained").cast("long")).as("n_retained"),
+      sum((0 until NumPerms).map(i => col(s"sig$i")).reduce(_ + _)).as("content_sum")))
+    val shSum = summary("simhash", sh.agg(
+      count(lit(1)).as("store_rows"),
+      sum((col("src") === "computed").cast("long")).as("n_computed"),
+      sum((col("src") === "retained").cast("long")).as("n_retained"),
+      sum(col("simhash")).as("content_sum")))
+    val postSum = summary("postings", post.agg(
+      count(lit(1)).as("store_rows"),
+      countDistinct(when(col("src") === "computed", col("doc_id"))).as("n_computed"),
+      countDistinct(when(col("src") === "retained", col("doc_id"))).as("n_retained"),
+      sum(col("tf")).as("content_sum")))
+    diffSum.unionByName(sigSum).unionByName(shSum).unionByName(postSum)
+      .orderBy(col("family"))
+  }
+
+  private val q301Oracle: String = {
+    val sigCols = (0 until NumPerms)
+      .map(i => s"MIN(${TextFns.minhashPermSql(i, "h")}) AS s$i").mkString(", ")
+    val sigSum = (0 until NumPerms).map(i => s"s$i").mkString(" + ")
+    val comp = "doc_id % 7 = 3 OR doc_id % 5 = 0"
+    s"""SELECT family, store_rows, n_computed, n_retained, content_sum FROM (
+       |  SELECT 'diff' AS family,
+       |    (SELECT COUNT(*) FROM documents)
+       |      + (SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 1) AS store_rows,
+       |    (SELECT COUNT(*) FROM documents WHERE $comp) AS n_computed,
+       |    (SELECT COUNT(*) FROM documents WHERE NOT ($comp)) AS n_retained,
+       |    (SELECT COUNT(*) FROM documents WHERE doc_id % 13 = 1) AS content_sum
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    WITH $shingleBaseCtes,
+       |    hashed AS (SELECT doc_id, ${TextFns.hash60Sql("shingle")} AS h FROM sh),
+       |    sigs AS (SELECT doc_id, $sigCols FROM hashed GROUP BY doc_id)
+       |    SELECT 'signatures', CAST(COUNT(*) AS BIGINT),
+       |      CAST(SUM(CASE WHEN $comp THEN 1 ELSE 0 END) AS BIGINT),
+       |      CAST(SUM(CASE WHEN $comp THEN 0 ELSE 1 END) AS BIGINT),
+       |      CAST(SUM($sigSum) AS BIGINT)
+       |    FROM sigs)
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    $simhashCte
+       |    SELECT 'simhash', CAST(COUNT(*) AS BIGINT),
+       |      CAST(SUM(CASE WHEN $comp THEN 1 ELSE 0 END) AS BIGINT),
+       |      CAST(SUM(CASE WHEN $comp THEN 0 ELSE 1 END) AS BIGINT),
+       |      CAST(SUM(simhash) AS BIGINT)
+       |    FROM fp)
+       |  UNION ALL
+       |  SELECT * FROM (
+       |    WITH ptoks AS (
+       |      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |    post AS (
+       |      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |      FROM ptoks GROUP BY 1, 2)
+       |    SELECT 'postings', CAST(COUNT(*) AS BIGINT),
+       |      CAST(COUNT(DISTINCT CASE WHEN $comp THEN doc_id END) AS BIGINT),
+       |      CAST(COUNT(DISTINCT CASE WHEN NOT ($comp) THEN doc_id END) AS BIGINT),
+       |      CAST(SUM(tf) AS BIGINT)
+       |    FROM post)
+       |) ORDER BY family""".stripMargin
+  }
+
   // ---- q291: IVF drift→retrain trigger, end-to-end ---------------------------
 
   /** Global reassignment fraction that fires the retrain gate (exact
@@ -6202,6 +6341,7 @@ object DataOps extends QueryModule {
     "q296_incr_simhash" -> (incrSimhashMaintain _),
     "q297_hybrid_rrf" -> (hybridRrf _),
     "q299_sprt_srm" -> (sprtSrmMonitor _),
+    "q301_nightly_maintenance" -> (nightlyMaintenance _),
     "q288_calibration" -> (calibrationAudit _),
     "q289_concentration" -> (concentrationAudit _),
     "q284_containment" -> (containmentClones _),
@@ -6338,6 +6478,7 @@ object DataOps extends QueryModule {
     "q296_incr_simhash" -> q46Oracle,
     "q297_hybrid_rrf" -> q297Oracle,
     "q299_sprt_srm" -> q299Oracle,
+    "q301_nightly_maintenance" -> q301Oracle,
     "q288_calibration" -> q288Oracle,
     "q289_concentration" -> q289Oracle,
     "q284_containment" -> q284Oracle,

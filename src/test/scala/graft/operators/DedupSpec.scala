@@ -477,6 +477,30 @@ class DedupSpec extends SparkSpec {
       val src = out.select("src").as[String].collect()
       assert(src.length == 4 && src.forall(_ == "retained"))
     }
+
+    it("shared-diff From variants ≡ the self-diffing forms (q301)") {
+      // one manifest diff feeds signatures, simhash, AND postings
+      val diff = SnapshotDiff.diffStored(
+        prev.select(col("doc_id").as("id"),
+          graft.functions.TextFns.hash60(col("text")).as("fp")),
+        current, col("doc_id"), graft.functions.TextFns.hash60(col("text")))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      assert(rows(Dedup.incrementalSignaturesFrom(diff, current, store(prev),
+          col("doc_id"), col("text"), nPerms)) ==
+        rows(Dedup.incrementalSignatures(current, store(prev),
+          col("doc_id"), col("text"), nPerms)))
+      val shStore = Dedup.simhashStore(prev, col("doc_id"), col("text"))
+      assert(rows(Dedup.incrementalSimhashFrom(diff, current, shStore,
+          col("doc_id"), col("text"))) ==
+        rows(Dedup.incrementalSimhash(current, shStore,
+          col("doc_id"), col("text"))))
+      val postStore = Retrieval.postingsStore(prev, col("doc_id"), col("text"))
+      assert(rows(Retrieval.incrementalPostingsFrom(diff, current, postStore,
+          col("doc_id"), col("text"))) ==
+        rows(Retrieval.incrementalPostings(current, postStore,
+          col("doc_id"), col("text"))))
+    }
   }
 
   describe("Dedup.incrementalLshPairs") {
