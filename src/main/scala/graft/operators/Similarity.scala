@@ -473,6 +473,42 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("sim"))
   }
 
+  /** Matryoshka truncation-recall audit — the sizing question every
+    * MRL-style embedding deployment answers before shipping a
+    * truncated index (Kusupati et al. 2022): how much brute-force
+    * top-k recall survives keeping only the first m dimensions? For
+    * each m, the corpus and query vectors are PREFIX-SLICED (no
+    * re-encode, the matryoshka property), searched exactly, and the
+    * top-k set is compared against the full-dimension reference;
+    * recall is exact integer ppm (⌊10⁶·hits/(Q·k)⌋). The full-dim m
+    * is its own sanity row (recall ≡ 10⁶ by construction).
+    *
+    * Scale shape: one bounded brute scan per audited m (queries
+    * broadcast, k-bounded window), one k·Q-sized join per leg — the
+    * audit is Q∝-bounded like the ANN battery it sizes.
+    *
+    * @return (dims, n_queries, sum_overlap, recall_ppm), one row per m
+    */
+  def truncationRecall(corpus: DataFrame, queries: DataFrame,
+                       dims: Seq[Int], k: Int): DataFrame = {
+    require(dims.nonEmpty, "truncationRecall needs at least one dim")
+    val ref = bruteTopK(corpus, queries, k)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true) // eager: every dims leg joins it inside one action
+    val legs = dims.map { m =>
+      def proj(df: DataFrame) = df.select(col("vec_id"),
+        slice(col("embedding"), 1, m).as("embedding"))
+      bruteTopK(proj(corpus), proj(queries), k)
+        .join(ref.withColumn("hit", lit(1L)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct(col("query_id")).as("n_queries"),
+          sum(coalesce(col("hit"), lit(0L))).as("sum_overlap"))
+        .select(lit(m).as("dims"), col("n_queries"), col("sum_overlap"),
+          expr(s"sum_overlap * 1000000 div (n_queries * $k)").as("recall_ppm"))
+    }
+    legs.reduce(_ unionByName _).orderBy(col("dims"))
+  }
+
   /** 8-byte content fingerprint of an embedding column — the diff key
     * for [[incrementalAssignments]]' store maintenance. Byte-level
     * (`xxhash64` over the raw array), so ANY component change reroutes

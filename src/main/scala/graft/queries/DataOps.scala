@@ -4089,6 +4089,59 @@ object DataOps extends QueryModule {
        |  FROM fused) WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q302: matryoshka truncation-recall audit -------------------------------
+
+  /** Embedding-truncation sizing audit ([[graft.operators.Similarity
+    * .truncationRecall]]): exact top-10 recall of prefix-sliced 4- and
+    * 16-dim searches against the full 64-dim brute reference over the
+    * q24 query battery, in exact integer ppm — the measurement that
+    * decides how small a matryoshka index can ship. The 64-dim row is
+    * the in-data sanity pin (recall ≡ 10⁶). The oracle replays each
+    * sliced search and the ppm arithmetic from scratch.
+    */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.truncationRecall(e, e.filter(col("vec_id") < NumQueries),
+        dims = Seq(4, 16, 64), k = 10)
+      .sortOnce(col("dims"))
+  }
+
+  private val q302Oracle: String = {
+    def leg(m: Int, name: String, sliced: Boolean) = {
+      val qv = if (sliced) s"q.v[1:$m]" else "q.v"
+      val cv = if (sliced) s"c.v[1:$m]" else "c.v"
+      s"""$name AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity($qv, $cv) DESC, c.vec_id) AS rnk
+         |    FROM qs q, cs c WHERE c.vec_id <> q.vec_id) WHERE rnk <= 10)""".stripMargin
+    }
+    def row(m: Int, name: String) =
+      s"""SELECT $m AS dims,
+         |  CAST(COUNT(DISTINCT l.query_id) AS BIGINT) AS n_queries,
+         |  CAST(SUM(CASE WHEN r.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS sum_overlap,
+         |  CAST(SUM(CASE WHEN r.query_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+         |    // (COUNT(DISTINCT l.query_id) * 10) AS BIGINT) AS recall_ppm
+         |FROM $name l LEFT JOIN ref r
+         |  ON r.query_id = l.query_id AND r.neighbor_id = l.neighbor_id""".stripMargin
+    s"""WITH qs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |cs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${leg(64, "ref", sliced = false)},
+       |${leg(4, "leg4", sliced = true)},
+       |${leg(16, "leg16", sliced = true)}
+       |SELECT * FROM (
+       |  ${row(4, "leg4")}
+       |  UNION ALL
+       |  ${row(16, "leg16")}
+       |  UNION ALL
+       |  ${row(64, "ref")}
+       |) ORDER BY dims""".stripMargin
+  }
+
   // ---- q301: nightly maintenance composite — ONE diff, every text index ------
 
   /** The nightly job itself, pinned: at 100 TB the crawl-incremental
@@ -6342,6 +6395,7 @@ object DataOps extends QueryModule {
     "q297_hybrid_rrf" -> (hybridRrf _),
     "q299_sprt_srm" -> (sprtSrmMonitor _),
     "q301_nightly_maintenance" -> (nightlyMaintenance _),
+    "q302_matryoshka_recall" -> (matryoshkaRecall _),
     "q288_calibration" -> (calibrationAudit _),
     "q289_concentration" -> (concentrationAudit _),
     "q284_containment" -> (containmentClones _),
@@ -6479,6 +6533,7 @@ object DataOps extends QueryModule {
     "q297_hybrid_rrf" -> q297Oracle,
     "q299_sprt_srm" -> q299Oracle,
     "q301_nightly_maintenance" -> q301Oracle,
+    "q302_matryoshka_recall" -> q302Oracle,
     "q288_calibration" -> q288Oracle,
     "q289_concentration" -> q289Oracle,
     "q284_containment" -> q284Oracle,

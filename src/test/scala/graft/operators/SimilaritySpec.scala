@@ -384,6 +384,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  describe("Similarity.truncationRecall") {
+    it("measures prefix-sliced top-k recall against the full-dim reference (q302)") {
+      // full 4-dim: a ≈ 0.993 beats b ≈ 0.196 → top1 = a
+      // 2-dim prefix: b = (1,0) scores exact 1.0 and beats a → recall 0
+      val corpus = Seq(
+        (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),   // a
+        (2L, Array(1.0f, 0.0f, 5.0f, 0.0f)))   // b
+        .toDF("vec_id", "embedding")
+      val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+        .toDF("vec_id", "embedding")
+      val got = Similarity.truncationRecall(corpus, queries, Seq(2, 4), k = 1)
+        .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == Seq((2, 1L, 0L, 0L), (4, 1L, 1L, 1000000L)))
+    }
+  }
+
   describe("Similarity.incrementalAssignments") {
     // two well-separated clusters; centroids = vecs 0 and 2
     val current = Seq(
