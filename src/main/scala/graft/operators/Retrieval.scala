@@ -172,6 +172,56 @@ object Retrieval {
     fresh.unionByName(retained)
   }
 
+  /** Ranking-churn audit between two top-k runs of the same query
+    * battery — the serving-stability SLO a pipeline checks after
+    * nightly index maintenance (how much did live rankings move?).
+    * Per query: membership churn (docs entering/leaving the top-k) and
+    * ORDER churn over the common docs as exact Kendall pair counts —
+    * concordant/discordant pairs plus the tau-a numerator/denominator
+    * as exact integers (never a float division, and no floor-vs-trunc
+    * hazard on the possibly-negative numerator). Ranks within a query
+    * are assumed distinct (row_number output).
+    *
+    * Scale shape: both inputs are k-bounded per query, so the join is
+    * Q·k-sized and the pair self-join Q·k²/2 — independent of corpus
+    * size, like [[rrfFuse]].
+    *
+    * @param prev,cur (query_id, doc_id, rank) relations
+    * @return (query_id, n_common, n_new, n_dropped, conc, disc,
+    *         tau_num = conc−disc, tau_den = C(n_common, 2))
+    */
+  def rankChurn(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("pr"))
+    val c = cur.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("cr"))
+    val j = p.join(c, Seq("query_id", "doc_id"), "full_outer")
+      .localCheckpoint(false) // counts + the pair self-join both consume it
+    val common = j.filter(col("pr").isNotNull && col("cr").isNotNull)
+      .select(col("query_id"), col("doc_id"), col("pr"), col("cr"))
+    val pairs = common.as("a")
+      .join(common.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.query_id").as("query_id"))
+      .agg(
+        sum(when((col("a.pr") < col("b.pr")) === (col("a.cr") < col("b.cr")), 1L)
+          .otherwise(0L)).as("conc"),
+        sum(when((col("a.pr") < col("b.pr")) =!= (col("a.cr") < col("b.cr")), 1L)
+          .otherwise(0L)).as("disc"))
+    j.groupBy(col("query_id"))
+      .agg(
+        sum((col("pr").isNotNull && col("cr").isNotNull).cast("long")).as("n_common"),
+        sum(col("pr").isNull.cast("long")).as("n_new"),
+        sum(col("cr").isNull.cast("long")).as("n_dropped"))
+      .join(pairs, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_common"), col("n_new"), col("n_dropped"),
+        coalesce(col("conc"), lit(0L)).as("conc"),
+        coalesce(col("disc"), lit(0L)).as("disc"),
+        (coalesce(col("conc"), lit(0L)) - coalesce(col("disc"), lit(0L))).as("tau_num"),
+        expr("n_common * (n_common - 1) div 2").as("tau_den"))
+  }
+
   /** Reciprocal-rank fusion of ranked-retrieval legs — the hybrid
     * sparse+dense serving step (Cormack/Clarke/Buettcher RRF, the
     * standard fusion in production RAG stacks): each leg contributes

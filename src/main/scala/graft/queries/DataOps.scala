@@ -4089,6 +4089,161 @@ object DataOps extends QueryModule {
        |  FROM fused) WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q303: ranking-churn audit across index maintenance ---------------------
+
+  /** Serving-stability audit after a nightly crawl ([[graft.operators
+    * .Retrieval.rankChurn]]): the q115 query battery is ranked against
+    * BOTH the previous crawl's postings store and the
+    * incrementally-maintained current store (q282/q293's machinery),
+    * and per query the audit reports membership churn (docs
+    * entering/leaving the top-10) plus ORDER churn over the common
+    * docs as exact Kendall pair counts — tau as an exact integer
+    * num/den pair (no float division; the numerator can be negative,
+    * where floor-vs-trunc division forks engines). Query terms derive
+    * from the MAINTAINED store's vocabulary so both rankings answer
+    * the same battery. The oracle replays both corpora's fixed-point
+    * BM25 chains and the pair counting from scratch. Both rank inputs
+    * are k-bounded per query, so churn costs Q·k² — corpus-free.
+    */
+  def rankChurnAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Retrieval
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val isOld = col("doc_id") % 7 =!= 3
+    val isChanged = (col("doc_id") % 5 === 0) && isOld
+    val shift = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val prevCrawl = d.filter(isOld && !isChanged)
+      .unionByName(d.filter(isChanged)
+        .select(col("doc_id"), concat(col("text"), lit(" legacy rev")).as("text")))
+      .unionByName(d.filter(col("doc_id") % 13 === 1)
+        .select((col("doc_id") + 2 * shift).as("doc_id"), col("text")))
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val storeP = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_work", s"postings_store_q303_$tag")
+    graft.Staging.ensureFresh(
+      java.nio.file.Paths.get(dir, "documents.parquet"), storeP) {
+      Retrieval.postingsStore(prevCrawl, col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(storeP.toString)
+    }
+    val prevStore = s.read.parquet(storeP.toString)
+    val store = Retrieval.incrementalPostings(d, prevStore,
+        col("doc_id"), col("text"))
+      .localCheckpoint(true) // vocab + scoring aggregates fan out (q290 lesson)
+    // q115's 20×3 hashed query-term construction over the store vocab
+    val vocab = store.select(col("term")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy(col("term"))).cast("long") - 1)
+    val vsize = vocab.agg(count(lit(1)).as("vsize"))
+    val slots = s.range(20).select(col("id").as("query_id"))
+      .crossJoin(s.range(3).select(col("id").as("slot")))
+    val qterms = slots.crossJoin(broadcast(vsize))
+      .withColumn("idx", TextFns.hash60(concat(lit("qry:"), col("query_id").cast("string"),
+        lit(":"), col("slot").cast("string"))) % col("vsize"))
+      .join(vocab, "idx")
+      .select(col("query_id"), col("term"))
+      .localCheckpoint(true) // both rankings consume the same battery
+    val prevRank = Retrieval.bm25FromPostings(prevStore, qterms, k = 10)
+    val curRank = Retrieval.bm25FromPostings(store, qterms, k = 10)
+    Retrieval.rankChurn(prevRank, curRank)
+      .sortOnce(col("query_id"))
+  }
+
+  /** Fixed-point BM25 scoring chain over CTEs `{pfx}tf`/`{pfx}df` and
+    * the shared `qt` battery, ending in `{pfx}rk` (query_id, doc_id,
+    * rank) — the q115 arithmetic parameterized by corpus prefix so
+    * q303 can rank two corpora in one oracle without forking the
+    * formula text. */
+  private def bm25RkSql(pfx: String): String =
+    s"""${pfx}stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens
+       |  FROM (SELECT DISTINCT doc_id, dl FROM ${pfx}tf)),
+       |${pfx}terms AS (
+       |  SELECT qt.query_id, tf.doc_id, tf.tf, tf.dl, dfx.df,
+       |    st.n_docs, st.total_tokens,
+       |    ((st.n_docs + 1) * 1048576) // (dfx.df + 1) AS ratio
+       |  FROM ${pfx}tf tf JOIN qt ON tf.term = qt.term
+       |  JOIN ${pfx}df dfx ON tf.term = dfx.term, ${pfx}stats st),
+       |${pfx}scored AS (
+       |  SELECT query_id, doc_id,
+       |    (length(format('{:b}', ratio)) - 1) * 1024
+       |      + (ratio * 1024) // (CAST(1 AS BIGINT) << (length(format('{:b}', ratio)) - 1))
+       |      - 1024 AS widf,
+       |    (tf * 2200 * 1000)
+       |      // (tf * 1000 + (1200 * (250 + (750 * dl * n_docs) // total_tokens)) // 1000)
+       |      AS sat1000
+       |  FROM ${pfx}terms),
+       |${pfx}sc AS (
+       |  SELECT query_id, doc_id, CAST(SUM(widf * sat1000) AS BIGINT) AS score
+       |  FROM ${pfx}scored GROUP BY 1, 2),
+       |${pfx}rk0 AS (
+       |  SELECT query_id, doc_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM ${pfx}sc)""".stripMargin
+
+  private val q303Oracle: String = {
+    val qhash = TextFns.hash60Sql(
+      "'qry:' || CAST(q.q AS VARCHAR) || ':' || CAST(sl.s AS VARCHAR)")
+    s"""WITH prevdocs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' legacy rev' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 7 <> 3
+       |  UNION ALL
+       |  SELECT doc_id + 2 * (SELECT MAX(doc_id) + 1 FROM documents), text
+       |  FROM documents WHERE doc_id % 13 = 1),
+       |ctoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |cpost AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM ctoks),
+       |ctf AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM cpost GROUP BY 1, 2, 3),
+       |cdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ctf GROUP BY 1),
+       |vocab AS (SELECT term, ROW_NUMBER() OVER (ORDER BY term) - 1 AS idx FROM cdf),
+       |vs AS (SELECT COUNT(*) AS vsize FROM vocab),
+       |qt AS (
+       |  SELECT DISTINCT q.q AS query_id, v.term
+       |  FROM (SELECT unnest(range(20)) AS q) q,
+       |       (SELECT unnest(range(3)) AS s) sl, vs
+       |  JOIN vocab v ON v.idx = $qhash % vs.vsize),
+       |ptoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM prevdocs),
+       |ppost AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM ptoks),
+       |ptf AS (
+       |  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM ppost GROUP BY 1, 2, 3),
+       |pdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ptf GROUP BY 1),
+       |${bm25RkSql("p")},
+       |${bm25RkSql("c")},
+       |prk AS (SELECT * FROM prk0 WHERE rank <= 10),
+       |crk AS (SELECT * FROM crk0 WHERE rank <= 10),
+       |com AS (
+       |  SELECT p.query_id, p.doc_id, p.rank AS pr, c.rank AS cr
+       |  FROM prk p JOIN crk c ON c.query_id = p.query_id AND c.doc_id = p.doc_id),
+       |prs AS (
+       |  SELECT a.query_id,
+       |    CAST(SUM(CASE WHEN (a.pr < b.pr) = (a.cr < b.cr) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS conc,
+       |    CAST(SUM(CASE WHEN (a.pr < b.pr) <> (a.cr < b.cr) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS disc
+       |  FROM com a JOIN com b
+       |    ON b.query_id = a.query_id AND a.doc_id < b.doc_id
+       |  GROUP BY 1),
+       |fo AS (
+       |  SELECT COALESCE(p.query_id, c.query_id) AS query_id,
+       |    CAST(SUM(CASE WHEN p.doc_id IS NOT NULL AND c.doc_id IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       |    CAST(SUM(CASE WHEN p.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_new,
+       |    CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_dropped
+       |  FROM prk p FULL OUTER JOIN crk c
+       |    ON c.query_id = p.query_id AND c.doc_id = p.doc_id
+       |  GROUP BY 1)
+       |SELECT f.query_id, n_common, n_new, n_dropped,
+       |  COALESCE(conc, 0) AS conc, COALESCE(disc, 0) AS disc,
+       |  COALESCE(conc, 0) - COALESCE(disc, 0) AS tau_num,
+       |  n_common * (n_common - 1) // 2 AS tau_den
+       |FROM fo f LEFT JOIN prs USING (query_id) ORDER BY f.query_id""".stripMargin
+  }
+
   // ---- q302: matryoshka truncation-recall audit -------------------------------
 
   /** Embedding-truncation sizing audit ([[graft.operators.Similarity
@@ -6396,6 +6551,7 @@ object DataOps extends QueryModule {
     "q299_sprt_srm" -> (sprtSrmMonitor _),
     "q301_nightly_maintenance" -> (nightlyMaintenance _),
     "q302_matryoshka_recall" -> (matryoshkaRecall _),
+    "q303_rank_churn" -> (rankChurnAudit _),
     "q288_calibration" -> (calibrationAudit _),
     "q289_concentration" -> (concentrationAudit _),
     "q284_containment" -> (containmentClones _),
@@ -6534,6 +6690,7 @@ object DataOps extends QueryModule {
     "q299_sprt_srm" -> q299Oracle,
     "q301_nightly_maintenance" -> q301Oracle,
     "q302_matryoshka_recall" -> q302Oracle,
+    "q303_rank_churn" -> q303Oracle,
     "q288_calibration" -> q288Oracle,
     "q289_concentration" -> q289Oracle,
     "q284_containment" -> q284Oracle,

@@ -172,6 +172,30 @@ class RetrievalSpec extends SparkSpec {
         (0L, 30L, 16129L, 1L, 3)))
     }
 
+    it("rankChurn counts membership and exact Kendall order churn (q303)") {
+      // prev: docs 1,2,3 at ranks 1,2,3; cur: 2,1,4 at ranks 1,2,3
+      // common {1,2}: prev order 1<2, cur order 2<1 → 1 discordant pair
+      // doc 4 entered, doc 3 dropped
+      val prev = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3))
+        .toDF("query_id", "doc_id", "rank")
+      val cur = Seq((0L, 2L, 1), (0L, 1L, 2), (0L, 4L, 3))
+        .toDF("query_id", "doc_id", "rank")
+      val got = Retrieval.rankChurn(prev, cur)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+      assert(got == ((0L, 2L, 1L, 1L, 0L, 1L, -1L, 1L)))
+    }
+
+    it("rankChurn: identical rankings are all-concordant, disjoint ones all-churn") {
+      val a = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("query_id", "doc_id", "rank")
+      val same = Retrieval.rankChurn(a, a)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+      assert(same == ((0L, 2L, 0L, 0L, 1L, 0L, 1L, 1L)))
+      val b = Seq((0L, 8L, 1), (0L, 9L, 2)).toDF("query_id", "doc_id", "rank")
+      val disj = Retrieval.rankChurn(a, b)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+      assert(disj == ((0L, 0L, 2L, 2L, 0L, 0L, 0L, 0L)))
+    }
+
     it("rrfFuse ties break by id and respect k") {
       val a = Seq((0L, 5L, 1), (0L, 9L, 2), (1L, 7L, 1)).toDF("query_id", "id", "rank")
       val b = Seq((0L, 9L, 1), (0L, 5L, 2), (1L, 3L, 1)).toDF("query_id", "id", "rank")
