@@ -124,8 +124,12 @@ object AbTests {
     */
   def sprtMonitor(df: DataFrame, exp: Column, day: Column, success: Column,
                   llrSuccU: Long, llrFailU: Long, boundU: Long): DataFrame = {
-    require(boundU > 0 && llrSuccU > llrFailU,
-      s"need boundU > 0 and llrSuccU > llrFailU, got $llrSuccU/$llrFailU/$boundU")
+    // valid Bernoulli SPRT constants for p1 > p0 always have a positive
+    // success increment and a negative failure increment; same-sign
+    // increments make one hypothesis unreachable (llr_u monotone), which
+    // is a parameterization error, not a monitor
+    require(boundU > 0 && llrSuccU > 0 && llrFailU < 0,
+      s"need boundU > 0, llrSuccU > 0 and llrFailU < 0, got $llrSuccU/$llrFailU/$boundU")
     val w = org.apache.spark.sql.expressions.Window
     val daily = df.groupBy(exp.as("exp_id"), day.as("day"))
       .agg(count(lit(1)).as("n_d"), sum(success.cast("long")).as("s_d"))

@@ -873,7 +873,10 @@ object Dedup {
     * endpoint after expansion). With the family's default NO-DROP cap
     * the `maintained ≡ full hammingNearDups(store)` equivalence is
     * unconditional (the cap-crossing caveat of [[incrementalLshPairs]]
-    * only exists under a finite `maxBucket`).
+    * only exists under a finite `maxBucket`). Deployments that DO cap
+    * hot fingerprints should call [[incrementalHammingNearDupsChecked]],
+    * which closes the caveat in-chain exactly like
+    * [[incrementalLshPairsChecked]] does for the MinHash family.
     *
     * @param fpStore   (doc_id, fp, src) — the maintained store's
     *                  fingerprint slice
@@ -890,7 +893,7 @@ object Dedup {
     require(bits <= 64, s"fingerprints are long-typed: bits must be <= 64, got $bits")
     val fp = fpStore.select(col("doc_id"), col("fp"),
         (col("src") === "computed").cast("long").as("n"))
-      .localCheckpoint(false) // band explode + both verify joins + survivors
+      .localCheckpoint(true) // eager: band explode + both verify joins + survivors — multi-action callers (e.g. the checked variant) must not race a lazy materialization
     val exploded = fp.select(col("doc_id"), col("n"),
         explode(hammingBands(maxHamming, bits, spareBlocks)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"),
@@ -915,6 +918,87 @@ object Dedup {
       .join(retained.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
       .join(retained.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
     freshPairs.unionByName(survivors)
+  }
+
+  /** Cap-crossing detector for the HAMMING family —
+    * [[cappedBucketCrossings]]'s predicate over Manku pigeonhole bands
+    * instead of MinHash bands: a (band, key) bucket whose PREVIOUS-store
+    * size exceeded `maxBucket` (its pairs were cap-dropped last crawl)
+    * but whose current size is within the cap AND gained no computed
+    * member holds pairs the delta leg of [[incrementalHammingNearDups]]
+    * cannot see — they are neither survivors (absent from `prevPairs`)
+    * nor fresh (no computed endpoint). Band sizes are re-derived from
+    * the two stores' `fp` columns; nothing extra is persisted.
+    *
+    * @return (band, key, prev_size, next_size) — the crossing buckets
+    */
+  def hammingCappedBucketCrossings(prevStore: DataFrame, fpStore: DataFrame,
+                                   maxHamming: Int, bits: Int, maxBucket: Int,
+                                   spareBlocks: Int = 1): DataFrame = {
+    def sized(st: DataFrame, n: String, withTouched: Boolean) = {
+      val g = st
+        .select(col("doc_id"), (col("src") === "computed").cast("long").as("c"),
+          explode(hammingBands(maxHamming, bits, spareBlocks)).as("b"))
+        .groupBy(col("b.band").as("band"), col("b.key").as("key"))
+      if (withTouched) g.agg(count(lit(1)).as(n), max(col("c")).as("touched"))
+      else g.agg(count(lit(1)).as(n))
+    }
+    sized(prevStore, "prev_size", withTouched = false)
+      .filter(col("prev_size") > maxBucket)
+      .join(sized(fpStore, "next_size", withTouched = true), Seq("band", "key"))
+      .filter(col("next_size") <= maxBucket && col("touched") === 0L)
+      .select(col("band"), col("key"), col("prev_size"), col("next_size"))
+  }
+
+  /** [[incrementalHammingNearDups]] with the finite-`maxBucket`
+    * cap-crossing caveat CLOSED in-chain — the hamming counterpart of
+    * [[incrementalLshPairsChecked]]: [[hammingCappedBucketCrossings]]
+    * runs against the previous store as part of the maintenance step
+    * and exactly the flagged buckets are re-expanded from the
+    * maintained store (verified with the same stored-fingerprint
+    * `bit_count(xor)` — still no re-hashing), so `maintained ≡ full
+    * hammingNearDups(store)` holds UNCONDITIONALLY under any cap.
+    * Crossings are rare by construction (a >cap bucket must shrink
+    * under cap while gaining NO computed member), so the extra leg is
+    * empty in the steady state and the detector's two banded counts are
+    * the only added cost.
+    */
+  def incrementalHammingNearDupsChecked(prevStore: DataFrame, fpStore: DataFrame,
+                                        prevPairs: DataFrame, maxHamming: Int,
+                                        bits: Int, maxBucket: Int,
+                                        spareBlocks: Int = 1): DataFrame = {
+    val base = incrementalHammingNearDups(fpStore, prevPairs, maxHamming, bits,
+        maxBucket, spareBlocks)
+      .localCheckpoint(true) // eager: output union AND the dedup anti-join below
+    val flagged = hammingCappedBucketCrossings(prevStore, fpStore, maxHamming,
+      bits, maxBucket, spareBlocks).select(col("band"), col("key"))
+    val fp = fpStore.select(col("doc_id"), col("fp"))
+    // Flagged buckets' CURRENT membership (all retained by definition of
+    // a crossing — touched = 0): band the store once, keep only flagged
+    // keys (a tiny set; AQE broadcasts the join), expand + verify.
+    val exploded = fp
+      .select(col("doc_id"), lit(0L).as("n"),
+        explode(hammingBands(maxHamming, bits, spareBlocks)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"),
+        col("n"))
+      .join(flagged, Seq("band", "key"))
+    val reexpanded = pairsFromBuckets(
+      exploded.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds")),
+      maxBucket)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+      .join(fp.select(col("doc_id").as("doc_a"), col("fp").as("sa")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("fp").as("sb")), "doc_b")
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      // a re-expanded pair may already be present via another bucket
+      // (survivor from prevPairs, or fresh via a touched bucket) — the
+      // legs stay disjoint
+      .join(base.select(col("doc_a"), col("doc_b")),
+        Seq("doc_a", "doc_b"), "left_anti")
+    base.unionByName(reexpanded)
   }
 
   /** The Manku multi-index band array over a long `fp` column — shared

@@ -188,7 +188,10 @@ object Retrieval {
     *
     * @param prev,cur (query_id, doc_id, rank) relations
     * @return (query_id, n_common, n_new, n_dropped, conc, disc,
-    *         tau_num = conc−disc, tau_den = C(n_common, 2))
+    *         tau_num = conc−disc, tau_den = C(n_common, 2)); when
+    *         n_common < 2 Kendall's τ is UNDEFINED (no orderable pair),
+    *         so tau_num/tau_den are emitted as NULL — never the
+    *         0/0 rational a consumer could divide blindly
     */
   def rankChurn(prev: DataFrame, cur: DataFrame): DataFrame = {
     val p = prev.select(col("query_id"), col("doc_id"),
@@ -218,8 +221,11 @@ object Retrieval {
       .select(col("query_id"), col("n_common"), col("n_new"), col("n_dropped"),
         coalesce(col("conc"), lit(0L)).as("conc"),
         coalesce(col("disc"), lit(0L)).as("disc"),
-        (coalesce(col("conc"), lit(0L)) - coalesce(col("disc"), lit(0L))).as("tau_num"),
-        expr("n_common * (n_common - 1) div 2").as("tau_den"))
+        when(col("n_common") >= 2,
+          coalesce(col("conc"), lit(0L)) - coalesce(col("disc"), lit(0L)))
+          .as("tau_num"),
+        when(col("n_common") >= 2, expr("n_common * (n_common - 1) div 2"))
+          .as("tau_den"))
   }
 
   /** Reciprocal-rank fusion of ranked-retrieval legs — the hybrid

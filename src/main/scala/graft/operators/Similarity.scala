@@ -504,7 +504,13 @@ object Similarity {
         .agg(countDistinct(col("query_id")).as("n_queries"),
           sum(coalesce(col("hit"), lit(0L))).as("sum_overlap"))
         .select(lit(m).as("dims"), col("n_queries"), col("sum_overlap"),
-          expr(s"sum_overlap * 1000000 div (n_queries * $k)").as("recall_ppm"))
+          // degenerate-input guard made EXPLICIT: an empty query or
+          // corpus side yields n_queries = 0 (and sum_overlap null) —
+          // the audit row says "no evidence" as a null recall rather
+          // than silently emitting a 0/0 division artifact
+          when(col("n_queries") > 0,
+            expr(s"coalesce(sum_overlap, 0) * 1000000 div (n_queries * $k)"))
+            .as("recall_ppm"))
     }
     legs.reduce(_ unionByName _).orderBy(col("dims"))
   }
@@ -608,7 +614,7 @@ object Similarity {
     val changed = b.join(prevFp, Seq("vec_id"), "left")
       .filter(col("prev_fp").isNull || col("prev_fp") =!= col("content_fp"))
       .select(col("vec_id"), col("embedding"), col("content_fp"))
-      .localCheckpoint(false) // feeds the fresh scoring AND the retain anti-join
+      .localCheckpoint(true) // eager: feeds the fresh scoring AND the retain anti-join — a multi-action caller must not race a lazy materialization
     val fresh = assign(
         changed.observe("upsert_assign_vecs", count(lit(1)).as("n_vecs")),
         centroids)
@@ -638,7 +644,7 @@ object Similarity {
     val both = prevStore.select(col("vec_id"), col("centroid_id").as("prev_c"))
       .join(nextStore.select(col("vec_id"), col("centroid_id").as("next_c")),
         Seq("vec_id"), "full_outer")
-      .localCheckpoint(false) // aggregated once per side below
+      .localCheckpoint(true) // eager: aggregated once per side below — a multi-action caller must not race a lazy materialization
     def side(c: Column, other: Column, n: String, movedIn: Boolean) =
       both.filter(c.isNotNull).groupBy(c.as("centroid_id"))
         .agg(count(lit(1)).as(n),

@@ -4239,8 +4239,10 @@ object DataOps extends QueryModule {
        |  GROUP BY 1)
        |SELECT f.query_id, n_common, n_new, n_dropped,
        |  COALESCE(conc, 0) AS conc, COALESCE(disc, 0) AS disc,
-       |  COALESCE(conc, 0) - COALESCE(disc, 0) AS tau_num,
-       |  n_common * (n_common - 1) // 2 AS tau_den
+       |  CASE WHEN n_common >= 2
+       |    THEN COALESCE(conc, 0) - COALESCE(disc, 0) END AS tau_num,
+       |  CASE WHEN n_common >= 2
+       |    THEN n_common * (n_common - 1) // 2 END AS tau_den
        |FROM fo f LEFT JOIN prs USING (query_id) ORDER BY f.query_id""".stripMargin
   }
 
@@ -6458,6 +6460,141 @@ object DataOps extends QueryModule {
        |FROM sel ORDER BY query_id, step""".stripMargin
   }
 
+  // ---- q305–q307: RLHF preference-pair hygiene --------------------------
+
+  /** Synthesized preference-pair table over the documents corpus —
+    * deterministic and engine-replayable, so both Spark and the oracle
+    * derive the IDENTICAL table from the shared parquet: pair
+    * `(pair_id = even doc_id)` pairs the even document as the CHOSEN
+    * response with its odd successor as the REJECTED one, carrying the
+    * chosen doc's source and both exact lengths.
+    */
+  private def prefPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val c = d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("pair_id"), col("source"),
+        col("text").as("chosen_text"), col("n_chars").as("chosen_len"))
+    val r = d.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") - 1).as("pair_id"),
+        col("text").as("rejected_text"), col("n_chars").as("rejected_len"))
+    c.join(r, "pair_id")
+  }
+
+  /** The pairs CTE shared by every preference oracle (one definition so
+    * pair semantics can never fork between q305/q306/q307). */
+  private val prefPairsCte: String =
+    """pairs AS (
+      |  SELECT c.doc_id AS pair_id, c.source, c.text AS chosen_text,
+      |    r.text AS rejected_text, c.n_chars AS chosen_len,
+      |    r.n_chars AS rejected_len
+      |  FROM documents c JOIN documents r ON r.doc_id = c.doc_id + 1
+      |  WHERE c.doc_id % 2 = 0)""".stripMargin
+
+  /** q305: cross-role near-dup LEAKAGE over the preference table — a
+    * rejected response near-identical to a chosen response of a
+    * DIFFERENT pair (label conflict: the reward signal both prefers
+    * and disprefers the same text). [[graft.operators.Preference
+    * .crossRoleLeakage]] = the q63 bipartite inverted-index join with
+    * chosen legs as train / rejected legs as test and the same-pair
+    * diagonal excluded — never all-pairs.
+    */
+  def prefCrossRoleLeakage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.crossRoleLeakage(prefPairs(s, dir),
+        col("pair_id"), col("chosen_text"), col("rejected_text"),
+        w = 3, minShared = 3)
+      .sortOnce(col("chosen_pair"), col("rejected_pair"))
+
+  private val q305Oracle: String =
+    s"""WITH $prefPairsCte,
+       |ctoks AS (SELECT pair_id, string_split(chosen_text, ' ') AS t FROM pairs),
+       |csh AS (SELECT pair_id,
+       |          unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                                for i in range(1, len(t) - 1)])) AS shingle
+       |        FROM ctoks WHERE len(t) >= 3),
+       |rtoks AS (SELECT pair_id, string_split(rejected_text, ' ') AS t FROM pairs),
+       |rsh AS (SELECT pair_id,
+       |          unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                                for i in range(1, len(t) - 1)])) AS shingle
+       |        FROM rtoks WHERE len(t) >= 3)
+       |SELECT c.pair_id AS chosen_pair, r.pair_id AS rejected_pair,
+       |  COUNT(*) AS n_shared
+       |FROM csh c JOIN rsh r ON c.shingle = r.shingle AND c.pair_id <> r.pair_id
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+       |ORDER BY chosen_pair, rejected_pair""".stripMargin
+
+  /** q306: PAIR-level eval-set contamination — a preference pair is
+    * poisoned when either leg overlaps the held-out eval slice
+    * (doc_id ≡ 0 mod 17, the q63 eval set; pairs containing an eval
+    * doc themselves are excluded as in any honest split). Both legs
+    * probe the eval postings in ONE [[graft.operators.Preference
+    * .pairContamination]] inverted-index join, then roll up to the
+    * pair frame.
+    */
+  def prefPairContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.operators.Preference.pairContamination(
+        prefPairs(s, dir)
+          .filter(col("pair_id") % 17 =!= 0 && (col("pair_id") + 1) % 17 =!= 0),
+        col("pair_id"), col("chosen_text"), col("rejected_text"),
+        d.filter(col("doc_id") % 17 === 0), col("doc_id"), col("text"),
+        w = 3, minShared = 3)
+      .sortOnce(col("pair_id"))
+  }
+
+  private val q306Oracle: String =
+    s"""WITH $prefPairsCte,
+       |kept AS (SELECT * FROM pairs
+       |         WHERE pair_id % 17 <> 0 AND (pair_id + 1) % 17 <> 0),
+       |legs AS (SELECT pair_id * 2 AS leg_id, chosen_text AS text FROM kept
+       |         UNION ALL
+       |         SELECT pair_id * 2 + 1, rejected_text FROM kept),
+       |ltoks AS (SELECT leg_id, string_split(text, ' ') AS t FROM legs),
+       |lsh AS (SELECT leg_id,
+       |          unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                                for i in range(1, len(t) - 1)])) AS shingle
+       |        FROM ltoks WHERE len(t) >= 3),
+       |etoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |          WHERE doc_id % 17 = 0),
+       |esh AS (SELECT doc_id AS test_id,
+       |          unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                                for i in range(1, len(t) - 1)])) AS shingle
+       |        FROM etoks WHERE len(t) >= 3),
+       |hits AS (SELECT leg_id, test_id, COUNT(*) AS n_shared
+       |         FROM lsh JOIN esh USING (shingle)
+       |         GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+       |SELECT leg_id // 2 AS pair_id,
+       |  CAST(COUNT(DISTINCT test_id) AS BIGINT) AS n_eval_docs,
+       |  CAST(COUNT(DISTINCT leg_id % 2) AS BIGINT) AS n_legs_hit,
+       |  MAX(n_shared) AS max_shared
+       |FROM hits GROUP BY 1 ORDER BY pair_id""".stripMargin
+
+  /** q307: per-source VERBOSITY-BIAS audit — the fraction of pairs
+    * where the preferred response is strictly longer, exact ppm
+    * (truncating integer division, no float on the release path),
+    * against the global rate; skew_ppm is the signed deviation. The
+    * classic reward-model poisoning check, one hash aggregate + a
+    * broadcast 1-row global at any scale.
+    */
+  def prefLengthSkew(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.lengthSkewAudit(prefPairs(s, dir),
+        col("source"), col("chosen_len"), col("rejected_len"))
+      .orderBy(col("source"))
+
+  private val q307Oracle: String =
+    s"""WITH $prefPairsCte,
+       |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |          CAST(SUM(CASE WHEN chosen_len > rejected_len
+       |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_longer
+       |        FROM pairs GROUP BY source),
+       |g AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS g_n,
+       |        CAST(SUM(n_longer) AS BIGINT) AS g_longer FROM per)
+       |SELECT source, n_pairs,
+       |  CAST((1000000 * n_longer) // n_pairs AS BIGINT) AS longer_ppm,
+       |  CAST((1000000 * g_longer) // g_n AS BIGINT) AS global_ppm,
+       |  CAST((1000000 * n_longer) // n_pairs
+       |    - (1000000 * g_longer) // g_n AS BIGINT) AS skew_ppm
+       |FROM per CROSS JOIN g ORDER BY source""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6485,6 +6622,9 @@ object DataOps extends QueryModule {
     "q60_pq_ann" -> (pqAnn _),
     "q80_ivfpq_ann" -> (ivfPqAnn _),
     "q63_contamination" -> (contamination _),
+    "q305_pref_leakage" -> (prefCrossRoleLeakage _),
+    "q306_pref_contamination" -> (prefPairContamination _),
+    "q307_pref_length_skew" -> (prefLengthSkew _),
     "q64_deterministic_sample" -> (deterministicSample _),
     "q65_stratified_sample" -> (stratifiedSample _),
     "q66_reservoir_sample" -> (reservoirSample _),
@@ -6602,6 +6742,9 @@ object DataOps extends QueryModule {
   val oracles: Map[String, String] = Map(
     "q21_dedup_exact" -> q21Oracle,
     "q22_neardup" -> q22Oracle,
+    "q305_pref_leakage" -> q305Oracle,
+    "q306_pref_contamination" -> q306Oracle,
+    "q307_pref_length_skew" -> q307Oracle,
     "q23_minhash_lsh" -> q23Oracle,
     "q24_ann_brute" -> q24Oracle,
     "q25_ann_ivf" -> q25Oracle,

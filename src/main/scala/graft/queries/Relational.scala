@@ -2271,7 +2271,9 @@ object Relational extends QueryModule {
     * (ε = ln 3 local DP per record), debiased to the exact integer
     * rational T̂ = (4R − N)/2. The coin is the deterministic
     * hash60-seeded flip, so the oracle replays record-level mechanism,
-    * debiasing arithmetic, and ε accounting bit-for-bit. One
+    * debiasing arithmetic, and ε accounting bit-for-bit — the ε itself
+    * is released as the exact rational (eps_num, eps_den) = (3, 1),
+    * never a float log (house no-transcendentals discipline). One
     * projection + one hash aggregate; nothing collects.
     */
   def rrDpRelease(s: SparkSession, dir: String): DataFrame =
@@ -2288,13 +2290,53 @@ object Relational extends QueryModule {
        |    CASE WHEN (CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
        |      <> (CASE WHEN $coin % 4 < 1 THEN 1 ELSE 0 END)
        |      THEN 1 ELSE 0 END AS r
-       |  FROM events)
+       |  FROM events WHERE user_id IS NOT NULL AND event_id IS NOT NULL)
        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
        |  CAST(SUM(r) AS BIGINT) AS n_reported,
        |  CAST(4 * SUM(r) - COUNT(*) AS BIGINT) AS t_hat_num,
        |  CAST(2 AS BIGINT) AS t_hat_den,
-       |  CAST(1098612 AS BIGINT) AS eps_ppm
+       |  CAST(3 AS BIGINT) AS eps_num,
+       |  CAST(1 AS BIGINT) AS eps_den
        |FROM rr GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
+  /** q304: ε-DP SUM release via the two-sided discrete geometric
+    * mechanism — the central-DP magnitude counterpart of q298's local
+    * randomized response: per source, the token-mass (`n_chars`) sum
+    * over documents, each contribution clamped to [0, 400] (bounding
+    * sensitivity) and the exact clamped sum perturbed by ONE integer
+    * discrete-Laplace draw at ratio α = 1/2 (ε = 400·ln 2). The draw
+    * is the seeded hash60 lattice coin inverted through the EXACT
+    * BigInt-quantized CDF ([[graft.operators.Privacy.dgeoThresholds]])
+    * — all integer compares in-plan, no transcendentals, so the oracle
+    * replays clamp, sum, coin, inverse-CDF walk, and accounting
+    * bit-for-bit. ε is released as (clamp_hi, eps_num, eps_den) =
+    * (400, 2, 1) exact integers. One projection + one hash aggregate +
+    * an O(B) array scan per GROUP.
+    */
+  def dgeoDpSumRelease(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.dgeoSumRelease(t(s, dir, "documents"),
+        col("source"), col("n_chars"), clampHi = 400)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+
+  private val q304Sql: String = {
+    val (b, thr) = graft.operators.Privacy.dgeoThresholds(1, 2)
+    val coin = graft.functions.TextFns.hash60Sql(
+      "'dgeo:' || CAST(source AS VARCHAR)")
+    s"""WITH g AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(GREATEST(CAST(0 AS BIGINT),
+       |        LEAST(CAST(n_chars AS BIGINT), CAST(400 AS BIGINT)))) AS cs
+       |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
+       |  GROUP BY source)
+       |SELECT source, n,
+       |  CAST(cs + len(list_filter(${thr.mkString("[", ", ", "]")},
+       |    t -> t <= $coin)) - $b AS BIGINT) AS released_sum,
+       |  CAST(400 AS BIGINT) AS clamp_hi,
+       |  CAST(2 AS BIGINT) AS eps_num,
+       |  CAST(1 AS BIGINT) AS eps_den
+       |FROM g ORDER BY source""".stripMargin
   }
 
   /** q227: k-anonymity audit across a generalization lattice — the
@@ -4145,6 +4187,7 @@ object Relational extends QueryModule {
     "q286_l_diversity" -> (lDiversityAudit _),
     "q294_t_closeness" -> (tClosenessAudit _),
     "q298_rr_dp_release" -> (rrDpRelease _),
+    "q304_dgeo_dp_sum" -> (dgeoDpSumRelease _),
     "q228_interarrival" -> (interarrivalSpectrum _),
     "q229_codec_battery" -> (codecBattery _),
     "q231_position_attribution" -> (positionAttribution _),
@@ -4557,6 +4600,7 @@ object Relational extends QueryModule {
     "q286_l_diversity" -> q286Sql,
     "q294_t_closeness" -> q294Sql,
     "q298_rr_dp_release" -> q298Sql,
+    "q304_dgeo_dp_sum" -> q304Sql,
     "q228_interarrival" -> q228Sql,
     "q229_codec_battery" -> q229Sql,
     "q231_position_attribution" -> q231Sql,

@@ -1702,6 +1702,19 @@ object StreamingQueries extends QueryModule {
     val versions = stage.resolve("versions")
     Files.createDirectories(crawl)
     Files.createDirectories(versions)
+    // the per-run UUID stage is deleted in the finally below — a failed
+    // streaming run must not leak (and accumulate) staging directories
+    try streamAssignmentsBody(s, dir, stage, crawl, versions)
+    finally deleteRecursively(stage)
+  }
+
+  private def streamAssignmentsBody(s: SparkSession, dir: String,
+                                    stage: java.nio.file.Path,
+                                    crawl: java.nio.file.Path,
+                                    versions: java.nio.file.Path): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import graft.operators.Similarity
     val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val cents = e.filter(col("vec_id") < 8).localCheckpoint(true)
     val nonPalin = col("embedding") =!= reverse(col("embedding"))
@@ -1761,12 +1774,12 @@ object StreamingQueries extends QueryModule {
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     require(latest.get() != null && latest.get().endsWith("v2"),
       s"expected 3 micro-batches (maxFilesPerTrigger=1), last store version: ${latest.get()}")
-    val res = s.read.parquet(latest.get())
+    // eager checkpoint: the result must be materialized BEFORE the
+    // caller's finally deletes the staging parquet under it
+    s.read.parquet(latest.get())
       .select(col("vec_id"), col("centroid_id"), col("src"))
       .orderBy(col("vec_id"))
       .localCheckpoint(true)
-    deleteRecursively(stage)
-    res
   }
 
   private val q300Oracle: String = {

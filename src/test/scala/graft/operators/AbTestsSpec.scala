@@ -87,5 +87,19 @@ class AbTestsSpec extends SparkSpec {
       assert(got.map(g => (g._1, g._5, g._6)) ==
         Seq(("a", -1000000L, "continue"), ("b", 584962L, "continue")))
     }
+
+    it("rejects same-sign llr increments (one hypothesis unreachable)") {
+      val df = Seq(("e", 1, true)).toDF("exp", "day", "succ")
+      // both positive: llr_u is monotone nondecreasing, h0 unreachable
+      intercept[IllegalArgumentException] {
+        AbTests.sprtMonitor(df, col("exp"), col("day"), col("succ"),
+          llrSuccU = 2L, llrFailU = 1L, boundU = 10L)
+      }
+      // both negative: h1 unreachable
+      intercept[IllegalArgumentException] {
+        AbTests.sprtMonitor(df, col("exp"), col("day"), col("succ"),
+          llrSuccU = -1L, llrFailU = -2L, boundU = 10L)
+      }
+    }
   }
 }

@@ -696,6 +696,63 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  describe("Dedup.incrementalHammingNearDupsChecked") {
+    // maxHamming=1, bits=8 -> 2 pigeonhole bands; identical fps share both
+    val (mh, bits) = (1, 8)
+    val prevStore = Seq(
+      (1L, 5L, "computed"), (2L, 5L, "computed"), (3L, 5L, "computed"))
+      .toDF("doc_id", "fp", "src")
+
+    it("re-expands the cap-crossing bucket — maintained ≡ full under a finite cap") {
+      // prev crawl: bucket of 3 > cap 2, its pairs were DROPPED; this
+      // crawl removes doc 3 and keeps 1/2 retained -> bucket shrinks
+      // under cap with no computed member: the documented blind spot
+      val prevPairs = Dedup.hammingNearDups(
+        prevStore.select(col("doc_id"), col("fp")), mh, bits, maxBucket = 2)
+      assert(prevPairs.count() == 0) // cap-dropped by construction
+      val store = Seq((1L, 5L, "retained"), (2L, 5L, "retained"))
+        .toDF("doc_id", "fp", "src")
+      val plain = Dedup.incrementalHammingNearDups(store, prevPairs, mh, bits,
+        maxBucket = 2).as[(Long, Long, Long)].collect().toSet
+      val full = Dedup.hammingNearDups(store.select(col("doc_id"), col("fp")),
+        mh, bits, maxBucket = 2).as[(Long, Long, Long)].collect().toSet
+      assert(full == Set((1L, 2L, 0L)) && plain.isEmpty) // the gap is real
+      // the detector flags exactly the shrunk buckets...
+      val crossings = Dedup.hammingCappedBucketCrossings(prevStore, store,
+        mh, bits, maxBucket = 2).as[(Int, Long, Long, Long)].collect()
+      assert(crossings.nonEmpty && crossings.forall(c => c._3 == 3L && c._4 == 2L))
+      // ...and the checked maintenance step restores the pair, verified
+      val checked = Dedup.incrementalHammingNearDupsChecked(prevStore, store,
+        prevPairs, mh, bits, maxBucket = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(checked == full)
+    }
+
+    it("no crossing ⇒ checked ≡ plain incremental (empty extra leg)") {
+      // a computed member lands in the shrunk bucket -> the delta leg
+      // re-expands it already; the checker must add nothing
+      val prevPairs = Dedup.hammingNearDups(
+        prevStore.select(col("doc_id"), col("fp")), mh, bits, maxBucket = 2)
+      val store2 = Seq((1L, 5L, "retained"), (9L, 5L, "computed"))
+        .toDF("doc_id", "fp", "src")
+      val plain = Dedup.incrementalHammingNearDups(store2, prevPairs, mh, bits,
+        maxBucket = 2).as[(Long, Long, Long)].collect().toSet
+      val checked = Dedup.incrementalHammingNearDupsChecked(prevStore, store2,
+        prevPairs, mh, bits, maxBucket = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(checked == plain && plain == Set((1L, 9L, 0L)))
+      // default no-drop cap: checked ≡ plain there too (vacuous checker)
+      val storeAll = Seq((1L, 5L, "retained"), (2L, 5L, "retained"),
+        (7L, 6L, "computed")).toDF("doc_id", "fp", "src")
+      val p2 = Dedup.incrementalHammingNearDups(storeAll, prevPairs, mh, bits)
+        .as[(Long, Long, Long)].collect().toSet
+      val c2 = Dedup.incrementalHammingNearDupsChecked(prevStore, storeAll,
+        prevPairs, mh, bits, maxBucket = Int.MaxValue)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(c2 == p2)
+    }
+  }
+
   describe("Dedup.incrementalMinhashNearDups") {
     val nPerms = 4
     val rpb = 2

@@ -188,12 +188,14 @@ class RetrievalSpec extends SparkSpec {
     it("rankChurn: identical rankings are all-concordant, disjoint ones all-churn") {
       val a = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("query_id", "doc_id", "rank")
       val same = Retrieval.rankChurn(a, a)
-        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
-      assert(same == ((0L, 2L, 0L, 0L, 1L, 0L, 1L, 1L)))
+        .as[(Long, Long, Long, Long, Long, Long, Option[Long], Option[Long])].head()
+      assert(same == ((0L, 2L, 0L, 0L, 1L, 0L, Some(1L), Some(1L))))
+      // disjoint top-k: n_common = 0 → Kendall τ undefined → NULL
+      // tau_num/tau_den (never a 0/0 rational a consumer could divide)
       val b = Seq((0L, 8L, 1), (0L, 9L, 2)).toDF("query_id", "doc_id", "rank")
       val disj = Retrieval.rankChurn(a, b)
-        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
-      assert(disj == ((0L, 0L, 2L, 2L, 0L, 0L, 0L, 0L)))
+        .as[(Long, Long, Long, Long, Long, Long, Option[Long], Option[Long])].head()
+      assert(disj == ((0L, 0L, 2L, 2L, 0L, 0L, None, None)))
     }
 
     it("rrfFuse ties break by id and respect k") {
