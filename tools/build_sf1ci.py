@@ -1,12 +1,29 @@
 #!/usr/bin/env python3
-"""Rebuild /tmp/sf1ci — the ten-replica sf1 decade dataset.
+"""Rebuild /tmp/sf1ci — the ten-replica PERTURBED sf1 decade dataset.
 
-Construction (BASELINE.md rounds 8/11): TEN byte-identical replicas of
-sf0.1 per table, with only the key/id columns offset by k*10**7 per
-replica k in 0..9. text/embedding payloads stay byte-identical so
-per-row operator cost is content-invariant; within-replica dup/cluster
-structure is preserved and cross-replica joins are impossible by
-construction (disjoint key ranges), keeping expected scaling linear.
+Construction (BASELINE.md rounds 8/11, perturbed round 14): TEN replicas
+of sf0.1 per table with the key/id columns offset by k*10**7 per replica
+k in 0..9 (disjoint key ranges — cross-replica joins impossible by
+construction). Round-14 change: replica k>0 CONTENT is perturbed
+deterministically —
+
+ - documents.text: ~5% of tokens substituted with a same-length
+   hash-derived pseudo-token (n_chars and token structure invariant);
+ - embeddings.embedding: ~5% of components sign-flipped (norm
+   invariant).
+
+Byte-identical replicas manufactured ~100x true near-dup pairs across
+replicas (replica doc X was an exact dup of nine twins), making
+q296+q46 alone 29% of the r13 sf1 bench — the measurement then graded
+constructed output volume, not plan cost. Perturbation breaks
+cross-replica identity so true-pair growth is ~LINEAR in corpus size.
+
+Seeding is by CONTENT fingerprint (crc32 of the payload) + replica k +
+position, NOT by row id: two byte-identical documents WITHIN a replica
+perturb identically and stay byte-identical, so within-replica
+dup/cluster structure is preserved exactly; across replicas the seed
+differs in k, so twins diverge. Everything is replayable — Spark and
+the DuckDB oracle read the same perturbed parquet, so no oracle forks.
 
 Usage: python3 tools/build_sf1ci.py [srcDir] [outDir]
 Defaults: /root/testdata/sf0.1 -> /tmp/sf1ci
@@ -16,10 +33,80 @@ Developer tooling only (not part of the Scala build). Reuses pyarrow
 except through the same generic parquet reader as /root/testdata.
 """
 import sys
+import zlib
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+
+MASK64 = (1 << 64) - 1
+SUB_ONE_IN = 20  # ~5% of tokens / components perturbed per replica
+
+
+def mix64(fp, k, i):
+    """splitmix64 over (content fp, replica, position) — cheap, stable."""
+    z = (fp * 0x9E3779B97F4A7C15 + k * 0xBF58476D1CE4E5B9 + i * 0x94D049BB133111EB) & MASK64
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & MASK64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & MASK64
+    return z ^ (z >> 31)
+
+
+def subst_token(h, length):
+    """Same-length lowercase pseudo-token derived from the hash."""
+    out = []
+    v = h
+    for _ in range(length):
+        v = (v * 6364136223846793005 + 1442695040888963407) & MASK64
+        out.append(chr(97 + ((v >> 33) % 26)))
+    return "".join(out)
+
+
+def perturb_documents(table, k):
+    if k == 0:
+        return table
+    idx = table.schema.get_field_index("text")
+    out = []
+    for txt in table.column("text").to_pylist():
+        fp = zlib.crc32(txt.encode("utf-8"))
+        toks = txt.split(" ")
+        changed = False
+        # forced substitution: without it, P(no hit) on a short doc is
+        # high (0.95^16 ~ 0.44) and those docs stay byte-identical
+        # across replicas — exactly the twin structure being removed
+        nonempty = [i for i, tok in enumerate(toks) if tok]
+        forced = (nonempty[mix64(fp, k, 1 << 33) % len(nonempty)]
+                  if nonempty else -1)
+        for i, tok in enumerate(toks):
+            if tok and (i == forced or mix64(fp, k, i) % SUB_ONE_IN == 0):
+                toks[i] = subst_token(mix64(fp, k, i + (1 << 32)), len(tok))
+                changed = True
+        out.append(" ".join(toks) if changed else txt)
+    return table.set_column(idx, table.schema.field(idx),
+                            pa.array(out, table.schema.field(idx).type))
+
+
+def perturb_embeddings(table, k):
+    if k == 0:
+        return table
+    idx = table.schema.get_field_index("embedding")
+    typ = table.schema.field(idx).type
+    out = []
+    for vec in table.column("embedding").to_pylist():
+        if vec is None:
+            out.append(None)
+            continue
+        fp = zlib.crc32(repr(vec).encode("utf-8"))
+        v = list(vec)
+        forced = mix64(fp, k, 1 << 33) % len(v) if v else -1
+        for j in range(len(v)):
+            if v[j] is not None and (j == forced or
+                                     mix64(fp, k, j) % SUB_ONE_IN == 0):
+                v[j] = -v[j]
+        out.append(v)
+    return table.set_column(idx, table.schema.field(idx), pa.array(out, typ))
+
+
+PERTURB = {"documents": perturb_documents, "embeddings": perturb_embeddings}
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1ci"
@@ -57,6 +144,8 @@ def main():
                     typ = t.schema.field(idx).type
                     shifted = pc.add(t.column(col), pa.scalar(k * OFFSET, type=typ))
                     t = t.set_column(idx, t.schema.field(idx), shifted.cast(typ))
+            if table in PERTURB:
+                t = PERTURB[table](t, k)
             chunks.append(t)
         out = pa.concat_tables(chunks)
         # Small row groups — Spark parallelizes a single parquet file by
