@@ -491,7 +491,15 @@ object DataOps extends QueryModule {
     val planted = e.select((col("vec_id") + lit(off)).as("vec_id"),
       concat(array(element_at(col("embedding"), 1) + lit(0.1)),
         slice(col("embedding"), 2, 10000)).as("embedding"))
-    graft.operators.Similarity.signLshNearDupPairs(e.unionByName(planted), threshold = 0.9)
+    // rowsPerBand is the sign-LSH SCALE knob (the hamming family's
+    // spareBlocks analogue): 2^R keys per band. R=8 (256 keys) saturates
+    // past ~10^4 vectors — avg bucket grows ~n/2^R and candidates ~n²/2^R
+    // (measured: OOM at the 40k-vector sf1 corpus). R=12 (4096 keys)
+    // holds buckets ~10 deep there; recall on the planted 0.995-cosine
+    // pairs stays exact (miss ≈ (1−0.968^12)^16 ≈ 1.3e-8 per pair, and
+    // the oracle's full all-pairs recompute verifies it at every scale).
+    graft.operators.Similarity.signLshNearDupPairs(e.unionByName(planted),
+        threshold = 0.9, numBands = 16, rowsPerBand = 12)
       .sortOnce(col("vec_a"), col("vec_b"))
   }
 

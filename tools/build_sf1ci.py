@@ -8,9 +8,11 @@ construction). Round-14 change: replica k>0 CONTENT is perturbed
 deterministically —
 
  - documents.text: ~5% of tokens substituted with a same-length
-   hash-derived pseudo-token (n_chars and token structure invariant);
- - embeddings.embedding: ~5% of components sign-flipped (norm
-   invariant).
+   hash-derived pseudo-token (n_chars and token structure invariant),
+   plus one forced substitution so short docs cannot survive intact;
+ - embeddings.embedding: one SIGNED PERMUTATION of the components per
+   replica (orthogonal — within-replica cosines/norms exactly
+   invariant, cross-replica cosines drop to the random level).
 
 Byte-identical replicas manufactured ~100x true near-dup pairs across
 replicas (replica doc X was an exact dup of nine twins), making
@@ -86,23 +88,40 @@ def perturb_documents(table, k):
 
 
 def perturb_embeddings(table, k):
+    """Per-replica SIGNED PERMUTATION of the embedding components — an
+    orthogonal transform applied uniformly to every vector of replica k,
+    so every WITHIN-replica cosine (and norm) is preserved EXACTLY
+    (replica k's near-dup/ANN pair structure is bit-for-bit replica 0's
+    geometry) while CROSS-replica cosines between differently-rotated
+    copies fall to the random level (~1/sqrt(dim)). Component-level
+    noise cannot do this: the cosine thresholds in play (0.45 for the
+    embed near-dup) would need ~30% of the vector mass flipped, which
+    would also destroy within-replica structure."""
     if k == 0:
         return table
     idx = table.schema.get_field_index("embedding")
     typ = table.schema.field(idx).type
+    perms = {}
+
+    def signed_perm(dim):
+        if dim not in perms:
+            perm = list(range(dim))
+            for i in range(dim - 1, 0, -1):  # Fisher-Yates, replica-seeded
+                j = mix64(dim, k, i) % (i + 1)
+                perm[i], perm[j] = perm[j], perm[i]
+            signs = [1.0 if mix64(dim, k, (1 << 32) + i) % 2 == 0 else -1.0
+                     for i in range(dim)]
+            perms[dim] = (perm, signs)
+        return perms[dim]
+
     out = []
     for vec in table.column("embedding").to_pylist():
         if vec is None:
             out.append(None)
             continue
-        fp = zlib.crc32(repr(vec).encode("utf-8"))
-        v = list(vec)
-        forced = mix64(fp, k, 1 << 33) % len(v) if v else -1
-        for j in range(len(v)):
-            if v[j] is not None and (j == forced or
-                                     mix64(fp, k, j) % SUB_ONE_IN == 0):
-                v[j] = -v[j]
-        out.append(v)
+        perm, signs = signed_perm(len(vec))
+        out.append([None if vec[perm[i]] is None else signs[i] * vec[perm[i]]
+                    for i in range(len(vec))])
     return table.set_column(idx, table.schema.field(idx), pa.array(out, typ))
 
 
