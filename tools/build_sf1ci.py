@@ -54,9 +54,18 @@ def mix64(fp, k, i):
 
 
 def subst_token(h, length):
-    """Same-length lowercase pseudo-token derived from the hash."""
+    """Same-length lowercase pseudo-token from a BOUNDED vocabulary:
+    256 variants per length class (the variant index is the only
+    hash-dependent part). Unbounded per-position-unique tokens inflate
+    the corpus's distinct-type vocabulary ~20x at sf1, which turns
+    every vocabulary-shaped operator (edit-distance linkage, SymSpell)
+    into a constructed quadratic — measured 672x on the edit-distance
+    decade. A bounded pool keeps the type vocabulary +<=~8k while
+    still breaking cross-replica shingle identity (substitution
+    POSITIONS differ per replica; a shingle match needs all three
+    token slots equal)."""
     out = []
-    v = h
+    v = (h % 256) * 2654435761 + length  # variant seed, 256 per length
     for _ in range(length):
         v = (v * 6364136223846793005 + 1442695040888963407) & MASK64
         out.append(chr(97 + ((v >> 33) % 26)))
