@@ -515,6 +515,28 @@ class SimilaritySpec extends SparkSpec {
       assert(again == got)
     }
 
+    it("upsertAssignments survives a MULTI-ACTION consumer (eager checkpoint contract)") {
+      // the operator's shared `changed` stage fans out to the fresh
+      // scoring AND the retain anti-join; it is EAGER-checkpointed so a
+      // caller that fires several separate actions on one result (the
+      // shape that raced lazy checkpoints at the query layer, commit
+      // 1b0f643) cannot observe a recomputed — and possibly re-raced —
+      // subtree. Pin it: two collects and a count on ONE result agree.
+      val store0 = Similarity.assignmentStore(prev, cents)
+        .withColumn("src", lit("b0"))
+      val batch = Seq(
+        (3L, Array(0.0f, 0.1f, 0.9f)),
+        (4L, Array(0.8f, 0.2f, 0.0f))).toDF("vec_id", "embedding")
+      val out = Similarity.upsertAssignments(batch, store0, cents, "b1")
+      def read() = out.select("vec_id", "centroid_id", "src")
+        .as[(Long, Long, String)].collect().toSet
+      val first = read()
+      val n = out.count() // second action
+      val second = read() // third action
+      assert(first == second && n == first.size.toLong)
+      assert(first.map(_._1) == Set(0L, 1L, 2L, 3L, 4L, 9L))
+    }
+
     it("assignmentDrift isolates routing churn from population churn") {
       val prevStore = Similarity.assignmentStore(prev, cents)
       val next = Similarity.incrementalAssignments(current, prevStore, cents)
