@@ -43,6 +43,28 @@ class PreferenceSpec extends SparkSpec {
     }
   }
 
+  describe("Preference plan shapes") {
+    it("no operator ever plans a cartesian; the skew global is ONE bounded broadcast") {
+      def plan(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.toString
+      def count(p: String, n: String) = p.sliding(n.length).count(_ == n)
+      val eval = Seq((900L, base)).toDF("doc_id", "text")
+      val leak = plan(Preference.crossRoleLeakage(pairs, col("pair_id"),
+        col("chosen_text"), col("rejected_text")))
+      val cont = plan(Preference.pairContamination(pairs, col("pair_id"),
+        col("chosen_text"), col("rejected_text"), eval, col("doc_id"), col("text")))
+      val skew = plan(Preference.lengthSkewAudit(pairs, col("source"),
+        length(col("chosen_text")), length(col("rejected_text"))))
+      Seq(leak, cont, skew).foreach { p =>
+        assert(count(p, "CartesianProduct") == 0, p)
+      }
+      // the only nested-loop anywhere is the 1-row global broadcast
+      assert(count(skew, "BroadcastNestedLoopJoin") == 1, skew)
+      assert(count(leak, "BroadcastNestedLoopJoin") == 0, leak)
+      assert(count(cont, "BroadcastNestedLoopJoin") == 0, cont)
+    }
+  }
+
   describe("Preference.lengthSkewAudit") {
     it("computes per-source longer-chosen ppm vs the global rate, exact") {
       val p = Seq(

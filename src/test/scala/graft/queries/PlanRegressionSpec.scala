@@ -45,7 +45,12 @@ class PlanRegressionSpec extends SparkSpec {
     ("q184_argmax_battery",   0, 1, 0, 4),
     ("q190_subquery_battery", 1, 7, 0, 3), // exactly ONE bounded-set NAAJ BNLJ
     ("q200_quantile_filter",  2, 0, 0, 6), // two single-row scalar broadcasts
-    ("q208_dynamic_pruning",  0, 1, 0, 2))
+    ("q208_dynamic_pruning",  0, 1, 0, 2),
+    ("q304_dgeo_dp_sum",      0, 0, 0, 2), // one hash agg + the orderBy; noise walk is in-projection
+    ("q307_pref_length_skew", 1, 2, 0, 4)) // exactly ONE bounded 1-row global broadcast (q200's class); pairs join broadcasts
+  // (q305/q306 sit behind sortOnce's localCheckpoint, so their executed
+  // plan is an RDD scan — their join shapes are pinned at the operator
+  // level in PreferenceSpec/DedupSpec instead.)
 
   private def occurrences(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
