@@ -89,6 +89,24 @@ class PrivacySpec extends SparkSpec {
       intercept[IllegalArgumentException] { Privacy.dgeoThresholds(2, 2) }
       intercept[IllegalArgumentException] { Privacy.dgeoThresholds(0, 2) }
     }
+
+    it("quantized CDF keeps the exact symmetry CDF(z) + CDF(-z-1) = 1 at every ratio") {
+      // closed forms: CDF(-m) = a^m/(1+a) and 1 - CDF(m-1) = a^m/(1+a),
+      // so the true CDF satisfies CDF(z) + CDF(-z-1) = 1 exactly; on the
+      // floor-quantized lattice the pair sums to 2^60 or 2^60 - 1
+      // (floor(x) + floor(S - x) = S - [x not on the lattice])
+      val lattice = BigInt(1) << 60
+      for ((an, ad) <- Seq((1L, 2L), (3L, 4L), (1L, 3L), (9L, 10L))) {
+        val (b, thr) = Privacy.dgeoThresholds(an, ad)
+        // thr(i) = floor(2^60 CDF(i-b)); pair indices (i, 2b-1-i) are
+        // (z, -z-1) pairs
+        (0 until b).foreach { i =>
+          val s = BigInt(thr(i)) + BigInt(thr(2 * b - 1 - i))
+          assert(s == lattice || s == lattice - 1,
+            s"alpha=$an/$ad i=$i sum=$s")
+        }
+      }
+    }
   }
 
   describe("Privacy.dgeoSumRelease") {
