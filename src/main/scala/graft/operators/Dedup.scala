@@ -1045,10 +1045,11 @@ object Dedup {
     */
   def simhashNearDups(docs: DataFrame, id: Column, text: Column,
                       maxHamming: Int = 3, bits: Int = 32,
-                      maxBucket: Int = Int.MaxValue): DataFrame =
+                      maxBucket: Int = Int.MaxValue,
+                      spareBlocks: Int = 1): DataFrame =
     hammingNearDups(
       simhash(docs, id, text, bits).select(col("doc_id"), col("simhash").as("fp")),
-      maxHamming, bits, maxBucket)
+      maxHamming, bits, maxBucket, spareBlocks)
 
   /** The pigeonhole core of [[simhashNearDups]] over ANY fingerprint
     * table (doc_id, fp) — the same complete hamming-≤k pair search

@@ -287,7 +287,15 @@ object DataOps extends QueryModule {
     * recomputes fingerprints and brute-forces all pairs.
     */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(docs(s, dir), col("doc_id"), col("text"), maxHamming = 1)
+    // spareBlocks = 2 (3 bands of ~21-bit 2-block keys, vs s=1's two
+    // 16-bit halves): a near-miss twin at hamming 2-8 often keeps one
+    // 16-bit half intact, so s=1 candidate volume tracks the twin
+    // structure quadratically (measured 14.0x decade, output only
+    // 6.6x); requiring 2-of-3 blocks to match at once cuts it to 8.0x.
+    // Answer-invariant - pigeonhole completeness holds at any s and
+    // every candidate is exact-verified (DedupSpec s-equivalence).
+    Dedup.simhashNearDups(docs(s, dir), col("doc_id"), col("text"),
+        maxHamming = 1, spareBlocks = 2)
       .sortOnce(col("doc_a"), col("doc_b"))
 
   private val q46Oracle: String =
