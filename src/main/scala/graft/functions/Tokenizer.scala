@@ -233,6 +233,166 @@ object Tokenizer {
     merges.toSeq
   }
 
+  /** A trained unigram-LM tokenizer model: the learned piece table
+    * (piece, corpus count under the final segmentation, fixed-point
+    * cost) and the final Viterbi segmentation of every vocabulary
+    * word — the memoized-inference table a production pipeline joins
+    * against (per-unique-word segmentation is the standard serving
+    * shape: the vocabulary is Zipf-bounded while the corpus is not).
+    */
+  final case class UnigramModel(pieces: Seq[(String, Long, Long)],
+                                wordPieces: Seq[(String, Seq[String])])
+
+  /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the third
+    * production trainer behind the seam, next to [[learnMerges]] (BPE)
+    * and the trie/longest-match inference pair. Hard-EM over piece
+    * likelihoods with the [[learnMergesBatched]] scale discipline: the
+    * ONLY corpus-sized job is the word-frequency aggregation; seeding,
+    * every E-step (Viterbi re-segmentation of the vocabulary), every
+    * M-step (piece re-counting + re-scoring) replay driver-locally
+    * over the Zipf-bounded word table.
+    *
+    * INTEGER-EXACT SCORING (the q108 idiom, so a SQL oracle replays
+    * every EM decision bit-for-bit — no transcendentals): a piece's
+    * cost is `ilog2(total) − ilog2(cnt)` (floor-log2 via the binary
+    * length; a kept-but-unused piece scores `ilog2(total) + 1`, the
+    * n-gram-LM OOV convention), and Viterbi minimizes the struct
+    * (Σ cost, piece count, piece list) under full lexicographic order
+    * — cost first, fewer pieces on ties, then UTF-8-binary piece-list
+    * order — so the optimum is UNIQUE and engine-independent.
+    *
+    * EM structure: seed pieces are all ≤ `maxPieceLen`-char substrings
+    * of vocabulary words, frequency-weighted (occurrences × word
+    * count); each round Viterbi-segments every vocabulary word under
+    * the current costs, re-counts pieces from the segmentations, and
+    * PRUNES pieces that went unused — except single characters, which
+    * are kept forever so segmentation stays total (the char-fallback
+    * totality contract every tokenizer here shares). Words longer than
+    * `maxWordChars` code points are excluded from training and pass
+    * through segmentation whole, exactly like [[MergeRank]]'s cap.
+    *
+    * 100 TB: `maxVocabWords` caps the collected vocabulary to the
+    * top-frequency words ((n desc, w) deterministic order) — the same
+    * documented sampled-word-table path as [[learnMergesBatched]];
+    * tail singletons can't shift an ilog2-quantized score anyway.
+    */
+  def learnUnigramLm(docs: org.apache.spark.sql.DataFrame, text: Column,
+                     maxPieceLen: Int = 4, maxWordChars: Int = 12,
+                     rounds: Int = 2,
+                     maxVocabWords: Int = 2000000): UnigramModel = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(maxWordChars >= 1, s"maxWordChars must be >= 1, got $maxWordChars")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // the ONLY corpus-sized job (the learnMergesBatched discipline)
+    val wf: Array[(String, Long)] = docs
+      .select(explode(TextFns.tokens(text)).as("w"))
+      .filter(length(col("w")) > 0 && length(col("w")) <= maxWordChars)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxVocabWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+    // ---- driver-local exact replay over the word-frequency table ----
+    import java.nio.charset.StandardCharsets.UTF_8
+    def ilog2(x: Long): Long = 63L - java.lang.Long.numberOfLeadingZeros(x)
+    // Spark/DuckDB both compare strings by unsigned UTF-8 bytes
+    def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+      var i = 0
+      val m = math.min(x.length, y.length)
+      while (i < m) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+    // the Viterbi DP state order: (cost, pieces, piece list) — lists
+    // compare element-wise, shorter-prefix first (SQL list order)
+    def stateLt(a: (Long, Long, List[String]), b: (Long, Long, List[String])): Boolean = {
+      if (a._1 != b._1) return a._1 < b._1
+      if (a._2 != b._2) return a._2 < b._2
+      val (xs, ys) = (a._3, b._3)
+      val it = xs.iterator.zip(ys.iterator)
+      while (it.hasNext) {
+        val (x, y) = it.next()
+        val c = utf8Cmp(x, y)
+        if (c != 0) return c < 0
+      }
+      xs.length < ys.length
+    }
+
+    // seed: every <= maxPieceLen-char substring, occurrence-weighted
+    val seed = collection.mutable.HashMap.empty[String, Long]
+    val chars = collection.mutable.HashSet.empty[String]
+    wf.foreach { case (w, n) =>
+      var i = 0
+      while (i < w.length) {
+        chars += w.substring(i, i + 1)
+        var l = 1
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          seed(p) = seed.getOrElse(p, 0L) + n
+          l += 1
+        }
+        i += 1
+      }
+    }
+
+    def costs(tbl: collection.Map[String, Long]): collection.Map[String, Long] = {
+      val tot = tbl.valuesIterator.sum
+      val it = ilog2(tot)
+      tbl.map { case (p, c) => p -> (if (c >= 1) it - ilog2(c) else it + 1L) }
+    }
+
+    def viterbi(w: String, cost: collection.Map[String, Long]): List[String] = {
+      // best(j) = min state over segmentations of w[0, j)
+      val best = new Array[(Long, Long, List[String])](w.length + 1)
+      best(0) = (0L, 0L, Nil)
+      var j = 1
+      while (j <= w.length) {
+        var sel: (Long, Long, List[String]) = null
+        var l = 1
+        while (l <= math.min(maxPieceLen, j)) {
+          val p = w.substring(j - l, j)
+          cost.get(p).foreach { c =>
+            val prev = best(j - l)
+            // piece list kept reversed for O(1) extension; order-only
+            // comparisons happen on the re-reversed list below
+            val cand = (prev._1 + c, prev._2 + 1L, p :: prev._3)
+            if (sel == null ||
+                stateLt((cand._1, cand._2, cand._3.reverse),
+                  (sel._1, sel._2, sel._3.reverse))) sel = cand
+          }
+          l += 1
+        }
+        best(j) = sel // never null: single chars are always in the table
+        j += 1
+      }
+      best(w.length)._3.reverse
+    }
+
+    var table: collection.Map[String, Long] = seed
+    for (_ <- 1 to rounds) {
+      val cost = costs(table)
+      val cnt = collection.mutable.HashMap.empty[String, Long]
+      wf.foreach { case (w, n) =>
+        viterbi(w, cost).foreach(p => cnt(p) = cnt.getOrElse(p, 0L) + n)
+      }
+      chars.foreach(c => if (!cnt.contains(c)) cnt(c) = 0L)
+      table = cnt
+    }
+    val finalCost = costs(table)
+    // serving segmentation: one more Viterbi under the FINAL costs
+    val served = wf.iterator.map { case (w, _) => w -> viterbi(w, finalCost) }
+    UnigramModel(
+      table.toSeq.map { case (p, c) => (p, c, finalCost(p)) }
+        .sortWith((a, b) => utf8Cmp(a._1, b._1) < 0),
+      served.map { case (w, ps) => (w, ps: Seq[String]) }.toSeq
+        .sortWith((a, b) => utf8Cmp(a._1, b._1) < 0))
+  }
+
   /** Greedy longest-match subword segmentation over a fixed vocabulary
     * — the WordPiece/BPE-inference shape: pre-split on whitespace, then
     * repeatedly take the longest vocabulary piece prefixing the

@@ -324,15 +324,21 @@ object Dedup {
     * can silently diverge from a full `lshCandidates` recompute (the
     * docstring caveat, made checkable): a bucket that exceeded
     * `maxBucket` last crawl (its pairs were cap-dropped from
-    * `prevPairs`) and shrank to ≤ cap via removals while gaining NO
-    * computed member — its retained–retained pairs are in a full
-    * recompute but in neither the survivor nor the fresh leg. Both
-    * crawls' bucket sizes are RE-DERIVED from the two stores' signature
-    * slots (nothing extra to persist; banding is a narrow projection +
-    * one count per store). Run it after each maintenance step: empty →
-    * the incremental ≡ full invariant provably held this crawl;
-    * non-empty → re-expand exactly these buckets (their doc lists are
-    * in the returned rows' band/key) or schedule a full rebuild.
+    * `prevPairs`) and shrank to ≤ cap — its retained–retained pairs
+    * are in a full recompute but in neither the survivor leg (absent
+    * from `prevPairs`) nor the fresh leg. The fresh leg only emits
+    * pairs with ≥1 COMPUTED endpoint, so a crossing bucket must be
+    * flagged EVEN IF it gained a computed member: its retained pairs
+    * are still unseen (an earlier revision filtered crossings on
+    * `touched = 0` and silently lost exactly those pairs — e.g. a
+    * cap-3 bucket {1,2,3,4} that drops 3,4 and gains computed doc 9
+    * leaves pair (1,2) in no leg). Both crawls' bucket sizes are
+    * RE-DERIVED from the two stores' signature slots (nothing extra to
+    * persist; banding is a narrow projection + one count per store).
+    * Run it after each maintenance step: empty → the incremental ≡
+    * full invariant provably held this crawl; non-empty → re-expand
+    * exactly these buckets (their doc lists are in the returned rows'
+    * band/key) or schedule a full rebuild.
     *
     * @return (band, key, prev_size, next_size) — the crossing buckets
     */
@@ -340,18 +346,14 @@ object Dedup {
                             numPerms: Int, rowsPerBand: Int,
                             maxBucket: Int): DataFrame = {
     def bands = bandCols(numPerms, rowsPerBand)
-    def sized(st: DataFrame, n: String, withTouched: Boolean) = {
-      val g = st
-        .select(col("doc_id"), (col("src") === "computed").cast("long").as("c"),
-          explode(bands).as("b"))
-        .groupBy(col("b.band").as("band"), col("b.key").as("key"))
-      if (withTouched) g.agg(count(lit(1)).as(n), max(col("c")).as("touched"))
-      else g.agg(count(lit(1)).as(n))
-    }
-    sized(prevStore, "prev_size", withTouched = false)
+    def sized(st: DataFrame, n: String) = st
+      .select(col("doc_id"), explode(bands).as("b"))
+      .groupBy(col("b.band").as("band"), col("b.key").as("key"))
+      .agg(count(lit(1)).as(n))
+    sized(prevStore, "prev_size")
       .filter(col("prev_size") > maxBucket)
-      .join(sized(store, "next_size", withTouched = true), Seq("band", "key"))
-      .filter(col("next_size") <= maxBucket && col("touched") === 0L)
+      .join(sized(store, "next_size"), Seq("band", "key"))
+      .filter(col("next_size") <= maxBucket)
       .select(col("band"), col("key"), col("prev_size"), col("next_size"))
   }
 
@@ -374,13 +376,15 @@ object Dedup {
     * of the maintenance step, and exactly the flagged buckets are
     * RE-EXPANDED from the maintained store, so `maintained ≡ full
     * lshCandidates(store)` holds UNCONDITIONALLY — including the
-    * shrank-under-cap-with-no-computed-member case. Re-expanded pairs
+    * shrank-under-cap case, whether or not the bucket also gained a
+    * computed member (retained–retained pairs of a crossing bucket are
+    * invisible to the fresh leg either way). Re-expanded pairs
     * carry origin `new`: they were cap-dropped from `prevPairs`, so
     * downstream verification ([[incrementalMinhashNearDups]]) must
     * verify them fresh and [[incrementalComponents]] must contract
     * them — exactly the `new` semantics. Crossings are rare by
-    * construction (a >cap bucket must shrink under cap while gaining NO
-    * computed member), so the extra leg is empty in the steady state
+    * construction (a >cap bucket must shrink under cap between
+    * crawls), so the extra leg is empty in the steady state
     * and the detector's two banded counts are the only added cost —
     * no pair expansion, no signature recompute.
     */
@@ -393,9 +397,11 @@ object Dedup {
       .localCheckpoint(false) // output union AND the dedup anti-join below
     val flagged = cappedBucketCrossings(prevStore, store, numPerms,
       rowsPerBand, maxBucket).select(col("band"), col("key"))
-    // Flagged buckets' CURRENT membership (all retained by definition of
-    // a crossing — touched = 0): band the store once, keep only flagged
-    // keys (a tiny set; AQE broadcasts the join), expand their pairs.
+    // Flagged buckets' CURRENT membership (retained docs plus any
+    // computed members they gained): band the store once, keep only
+    // flagged keys (a tiny set; AQE broadcasts the join), expand their
+    // pairs; pairs already emitted by the fresh leg (computed endpoint)
+    // fall out in the anti-join below.
     val exploded = store
       .select(col("doc_id"), lit(0L).as("n"),
         explode(bandCols(numPerms, rowsPerBand)).as("b"))
@@ -924,29 +930,29 @@ object Dedup {
     * [[cappedBucketCrossings]]'s predicate over Manku pigeonhole bands
     * instead of MinHash bands: a (band, key) bucket whose PREVIOUS-store
     * size exceeded `maxBucket` (its pairs were cap-dropped last crawl)
-    * but whose current size is within the cap AND gained no computed
-    * member holds pairs the delta leg of [[incrementalHammingNearDups]]
-    * cannot see — they are neither survivors (absent from `prevPairs`)
-    * nor fresh (no computed endpoint). Band sizes are re-derived from
-    * the two stores' `fp` columns; nothing extra is persisted.
+    * but whose current size is within the cap holds retained–retained
+    * pairs the delta leg of [[incrementalHammingNearDups]] cannot see —
+    * they are neither survivors (absent from `prevPairs`) nor fresh
+    * (no computed endpoint), and that stays true even when the bucket
+    * ALSO gained a computed member (same blind spot as the MinHash
+    * detector's retired `touched = 0` predicate). Band sizes are
+    * re-derived from the two stores' `fp` columns; nothing extra is
+    * persisted.
     *
     * @return (band, key, prev_size, next_size) — the crossing buckets
     */
   def hammingCappedBucketCrossings(prevStore: DataFrame, fpStore: DataFrame,
                                    maxHamming: Int, bits: Int, maxBucket: Int,
                                    spareBlocks: Int = 1): DataFrame = {
-    def sized(st: DataFrame, n: String, withTouched: Boolean) = {
-      val g = st
-        .select(col("doc_id"), (col("src") === "computed").cast("long").as("c"),
-          explode(hammingBands(maxHamming, bits, spareBlocks)).as("b"))
-        .groupBy(col("b.band").as("band"), col("b.key").as("key"))
-      if (withTouched) g.agg(count(lit(1)).as(n), max(col("c")).as("touched"))
-      else g.agg(count(lit(1)).as(n))
-    }
-    sized(prevStore, "prev_size", withTouched = false)
+    def sized(st: DataFrame, n: String) = st
+      .select(col("doc_id"),
+        explode(hammingBands(maxHamming, bits, spareBlocks)).as("b"))
+      .groupBy(col("b.band").as("band"), col("b.key").as("key"))
+      .agg(count(lit(1)).as(n))
+    sized(prevStore, "prev_size")
       .filter(col("prev_size") > maxBucket)
-      .join(sized(fpStore, "next_size", withTouched = true), Seq("band", "key"))
-      .filter(col("next_size") <= maxBucket && col("touched") === 0L)
+      .join(sized(fpStore, "next_size"), Seq("band", "key"))
+      .filter(col("next_size") <= maxBucket)
       .select(col("band"), col("key"), col("prev_size"), col("next_size"))
   }
 
@@ -957,9 +963,10 @@ object Dedup {
     * and exactly the flagged buckets are re-expanded from the
     * maintained store (verified with the same stored-fingerprint
     * `bit_count(xor)` — still no re-hashing), so `maintained ≡ full
-    * hammingNearDups(store)` holds UNCONDITIONALLY under any cap.
+    * hammingNearDups(store)` holds UNCONDITIONALLY under any cap —
+    * including crossing buckets that gained a computed member.
     * Crossings are rare by construction (a >cap bucket must shrink
-    * under cap while gaining NO computed member), so the extra leg is
+    * under cap between crawls), so the extra leg is
     * empty in the steady state and the detector's two banded counts are
     * the only added cost.
     */
@@ -973,9 +980,10 @@ object Dedup {
     val flagged = hammingCappedBucketCrossings(prevStore, fpStore, maxHamming,
       bits, maxBucket, spareBlocks).select(col("band"), col("key"))
     val fp = fpStore.select(col("doc_id"), col("fp"))
-    // Flagged buckets' CURRENT membership (all retained by definition of
-    // a crossing — touched = 0): band the store once, keep only flagged
-    // keys (a tiny set; AQE broadcasts the join), expand + verify.
+    // Flagged buckets' CURRENT membership (retained docs plus any
+    // computed members they gained): band the store once, keep only
+    // flagged keys (a tiny set; AQE broadcasts the join), expand +
+    // verify; pairs already in the fresh leg fall out in the anti-join.
     val exploded = fp
       .select(col("doc_id"), lit(0L).as("n"),
         explode(hammingBands(maxHamming, bits, spareBlocks)).as("b"))

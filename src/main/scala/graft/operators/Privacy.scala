@@ -124,25 +124,30 @@ object Privacy {
     * geometric (discrete Laplace) mechanism — the central-DP
     * counterpart of [[rrRelease]] for magnitude statistics
     * (token-mass, revenue): each contribution is clamped to
-    * [0, clampHi] (bounding the sensitivity at clampHi), summed
-    * exactly, and ONE integer noise draw per group is added:
-    * Z ~ two-sided geometric with ratio α = alphaNum/alphaDen. The
-    * geometric mechanism at ratio α is ln(1/α)-DP per unit of
-    * sensitivity (Ghosh et al. 2012), so the clamped sum's guarantee
-    * is ε = clampHi·ln(alphaDen/alphaNum). As with
-    * every release here the accounting is EXACT INTEGERS: the rational
-    * (eps_num = alphaDen, eps_den = alphaNum) and clamp_hi are
-    * released; callers derive ε = clamp_hi·ln(eps_num/eps_den) off
-    * the release path.
+    * [0, clampHi] (bounding the sum's sensitivity at clampHi), summed
+    * exactly, and ONE integer noise draw per RELEASED STATISTIC is
+    * added: Z ~ two-sided geometric with ratio α = alphaNum/alphaDen.
+    * The geometric mechanism at ratio α is ln(1/α)-DP per unit of
+    * sensitivity (Ghosh et al. 2012). TWO statistics are released per
+    * group — the clamped sum (sensitivity clampHi, seed `dgeo:grp`)
+    * and the record count (sensitivity 1, seed `dgeo_n:grp`, its own
+    * independent draw): under the ADD/REMOVE adjacency the clamping
+    * implies, an exact count would have unbounded privacy loss, so
+    * the count is noised too. By sequential composition the group's
+    * total guarantee is ε = (clampHi + 1)·ln(alphaDen/alphaNum). As
+    * with every release here the accounting is EXACT INTEGERS: the
+    * rational (eps_num = alphaDen, eps_den = alphaNum) and clamp_hi
+    * are released; callers derive ε = (clamp_hi + 1)·ln(eps_num/
+    * eps_den) off the release path.
     *
-    * The draw is the seeded lattice coin `u = hash60("dgeo:"||grp)`
+    * Each draw is a seeded lattice coin (`u = hash60(seed||grp)`)
     * inverted through the exact quantized CDF
     * ([[dgeoThresholds]]): z = −B + |{t_i ≤ u}|, evaluated in-plan as
     * a `size(filter(...))` over the plan-time threshold array — all
     * integer compares, no transcendentals, engine-replayable. One
-    * noise draw per RELEASED STATISTIC (per group), seeded by the
-    * group key, is the standard central-model accounting; re-runs
-    * release the same noise by construction.
+    * noise draw per released statistic, seeded by the statistic's
+    * distinct prefix + the group key, is the standard central-model
+    * accounting; re-runs release the same noise by construction.
     *
     * NON-NULL CONTRACT: rows with a null `value` or null `group` are
     * EXCLUDED EXPLICITLY (from `n` and the sum both) — same rationale
@@ -156,9 +161,10 @@ object Privacy {
     * @param clampHi  contribution bound = sensitivity of the sum
     * @param alphaNum noise ratio numerator — α = alphaNum/alphaDen,
     *                 smaller α ⇒ tighter noise, bigger ε
-    * @return (grp, n, released_sum, clamp_hi, eps_num, eps_den):
-    *         released_sum = Σ clamp(value) + Z exactly; true clamped
-    *         sum and Z are never released separately
+    * @return (grp, released_n, released_sum, clamp_hi, eps_num,
+    *         eps_den): released_n = n + Z_n and released_sum =
+    *         Σ clamp(value) + Z exactly; the true count, true clamped
+    *         sum and the draws are never released separately
     */
   def dgeoSumRelease(df: DataFrame, group: Column, value: Column,
                      clampHi: Long, alphaNum: Long = 1,
@@ -167,15 +173,17 @@ object Privacy {
     val (b, thresholds) = dgeoThresholds(alphaNum, alphaDen)
     val thrArr = array(thresholds.map(lit(_)): _*)
     val clamped = greatest(lit(0L), least(value.cast("long"), lit(clampHi)))
-    val u = TextFns.hash60(concat(lit("dgeo:"), col("grp").cast("string")))
+    def draw(prefix: String) = {
+      val u = TextFns.hash60(concat(lit(prefix), col("grp").cast("string")))
+      (size(filter(thrArr, t => t <= u)) - lit(b)).cast("long")
+    }
     df.filter(value.isNotNull && group.isNotNull)
       .select(group.as("grp"), clamped.as("v"))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("v")).as("clamped_sum"))
-      .select(col("grp"), col("n"),
-        (col("clamped_sum") +
-          (size(filter(thrArr, t => t <= u)) - lit(b)).cast("long"))
-          .as("released_sum"),
+      .select(col("grp"),
+        (col("n") + draw("dgeo_n:")).as("released_n"),
+        (col("clamped_sum") + draw("dgeo:")).as("released_sum"),
         lit(clampHi).as("clamp_hi"),
         lit(alphaDen).as("eps_num"),
         lit(alphaNum).as("eps_den"))

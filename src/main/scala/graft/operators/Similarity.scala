@@ -188,6 +188,16 @@ object Similarity {
     * only at key (min-block, max-block) with roles fixed by block order;
     * a same-block pair meets at (b, b) where `ida < idb` keeps one
     * orientation.
+    *
+    * SCALE HAZARD, MEASURED: the compare count is Θ(n²) BY OPERATOR
+    * CONTRACT (exactness at an in-continuum threshold — no bucketing
+    * filter can be complete there), so every run publishes an
+    * `exact_cosine_pairs_<n>` observe metric with the executed compare
+    * count and the surviving pair count. A 100 TB caller watching that
+    * metric climb quadratically has its pointer to the scale paths:
+    * [[signLshNearDupPairs]] (separated-duplicate regimes) or
+    * [[semanticDedup]] (cluster-bounded). Keep this operator out of
+    * corpus-scale pipelines.
     */
   def cosineNearDupPairs(corpus: DataFrame, threshold: Double, numBlocks: Int = 16): DataFrame = {
     require(numBlocks >= 1, s"numBlocks must be >= 1, got $numBlocks")
@@ -205,11 +215,16 @@ object Similarity {
     a.join(b, "__bkey")
       .filter(col("ba") =!= col("bb") || col("ida") < col("idb"))
       .withColumn("cos_sim", VectorFns.cosine(col("ea"), col("eb")))
+      .observe(s"exact_cosine_pairs_${cosineMetricSeq.incrementAndGet()}",
+        count(lit(1)).as("n_compares"),
+        sum(when(col("cos_sim") >= threshold, 1L).otherwise(0L)).as("n_pairs"))
       .filter(col("cos_sim") >= threshold)
       .select(least(col("ida"), col("idb")).as("vec_a"),
         greatest(col("ida"), col("idb")).as("vec_b"),
         round(col("cos_sim"), 6).as("sim_r"))
   }
+
+  private val cosineMetricSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** The broadcast nested-loop all-pairs form, kept ONLY as the spec
     * cross-check oracle for [[cosineNearDupPairs]] /

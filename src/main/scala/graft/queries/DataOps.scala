@@ -1954,6 +1954,170 @@ object DataOps extends QueryModule {
        |ORDER BY rank""".stripMargin
   }
 
+  // ---- q308/q311: unigram-LM tokenizer trainer + segmentation ----------
+
+  /** q308: unigram-LM (SentencePiece-style) tokenizer TRAINING
+    * ([[graft.functions.Tokenizer.learnUnigramLm]]) — the third
+    * production trainer family pinned end-to-end, after trie inference
+    * (q100) and BPE training (q160). Hard-EM with integer-exact
+    * ilog2 scoring (the q108 fixed-point idiom): seed = all ≤4-char
+    * substrings of the vocabulary, then per round a Viterbi
+    * re-segmentation of every vocabulary word under
+    * cost = ilog2(total) − ilog2(cnt) (unique optimum via the
+    * (cost, #pieces, UTF-8 piece list) lexicographic order), piece
+    * re-count, and prune-except-single-chars. One corpus-sized job
+    * (word frequency) + a Zipf-bounded driver replay — the
+    * learnMergesBatched scale shape. The oracle REPLAYS TRAINING
+    * ITSELF in DuckDB: seeding, both EM rounds (each a recursive-CTE
+    * Viterbi DP over the vocabulary carrying the full DP state list),
+    * pruning, and the final scoring — a green row pins every EM
+    * decision of every round.
+    */
+  private val UniMaxPiece = 4
+  private val UniMaxWord = 12
+  private val UniRounds = 2
+
+  private def unigramModel(s: SparkSession, dir: String) =
+    graft.functions.Tokenizer.learnUnigramLm(docs(s, dir), col("text"),
+      maxPieceLen = UniMaxPiece, maxWordChars = UniMaxWord, rounds = UniRounds)
+
+  def unigramTrainer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    unigramModel(s, dir).pieces.toDF("piece", "cnt", "cost")
+      .orderBy(col("piece"))
+  }
+
+  /** The training-replay CTE chain shared by q308 (learned table) and
+    * q311 (per-doc segmentation) so the EM semantics can never fork
+    * between them: words → seed costs → per-round (edges → recursive
+    * Viterbi DP → segmentation → counts → prune → costs). Ends with
+    * `tbl$UniRounds` / `tot$UniRounds` / `cost$UniRounds` and a
+    * `seg${UniRounds + 1}` serving segmentation under the final costs.
+    */
+  private lazy val unigramReplayCtes: String = {
+    def dpBlock(it: Int, costCte: String) =
+      s"""edges$it AS MATERIALIZED (
+         |  SELECT w, n, list(struct_pack(i := s.i, l := s.l, p := s.sub, c := c.c)) AS es
+         |  FROM (
+         |    SELECT w, n, i, l, substr(w, i, l) AS sub
+         |    FROM words, LATERAL (SELECT unnest(range(1, len(w)+1)) AS i),
+         |         LATERAL (SELECT unnest(range(1, ${UniMaxPiece + 1})) AS l)
+         |    WHERE i + l - 1 <= len(w)) s
+         |  JOIN $costCte c ON s.sub = c.p
+         |  GROUP BY w, n),
+         |dp$it AS (
+         |  SELECT w, n, es, 0 AS j,
+         |    [struct_pack(c := CAST(0 AS BIGINT), k := CAST(0 AS BIGINT),
+         |                 ps := CAST([] AS VARCHAR[]))] AS best
+         |  FROM edges$it
+         |  UNION ALL
+         |  SELECT w, n, es, j + 1,
+         |    best || [ (list_sort(list_transform(
+         |        list_filter(es, e -> e.i + e.l = j + 2),
+         |        e -> struct_pack(c := best[e.i].c + e.c, k := best[e.i].k + 1,
+         |                         ps := best[e.i].ps || [e.p]))))[1] ]
+         |  FROM dp$it WHERE j < len(w)),
+         |seg$it AS MATERIALIZED (
+         |  SELECT w, n, best[len(w)+1].ps AS ps FROM dp$it WHERE j = len(w))""".stripMargin
+    def tableBlock(it: Int) =
+      s"""cnts$it AS (
+         |  SELECT p, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, unnest(ps) AS p FROM seg$it) GROUP BY p),
+         |tbl$it AS MATERIALIZED (
+         |  SELECT p, cnt FROM cnts$it
+         |  UNION ALL
+         |  SELECT c.p, CAST(0 AS BIGINT) FROM chars c ANTI JOIN cnts$it k ON c.p = k.p),
+         |tot$it AS (SELECT SUM(cnt) AS t FROM tbl$it),
+         |cost$it AS MATERIALIZED (
+         |  SELECT p, (len(bin(t)) - 1)
+         |    - (CASE WHEN cnt >= 1 THEN len(bin(cnt)) - 1 ELSE -1 END) AS c
+         |  FROM tbl$it, tot$it)""".stripMargin
+    val blocks = Seq(
+      s"""words AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE len(w) > 0 AND len(w) <= $UniMaxWord GROUP BY w)""".stripMargin,
+      s"""chars AS MATERIALIZED (
+         |  SELECT DISTINCT substr(w, i, 1) AS p
+         |  FROM words, LATERAL (SELECT unnest(range(1, len(w)+1)) AS i)),
+         |seed AS (
+         |  SELECT substr(w, i, l) AS p, CAST(SUM(n) AS BIGINT) AS cnt
+         |  FROM words, LATERAL (SELECT unnest(range(1, len(w)+1)) AS i),
+         |       LATERAL (SELECT unnest(range(1, ${UniMaxPiece + 1})) AS l)
+         |  WHERE i + l - 1 <= len(w) GROUP BY 1),
+         |tot0 AS (SELECT SUM(cnt) AS t FROM seed),
+         |cost0 AS MATERIALIZED (
+         |  SELECT p, (len(bin(t)) - 1) - (len(bin(cnt)) - 1) AS c
+         |  FROM seed, tot0)""".stripMargin) ++
+      (1 to UniRounds).flatMap(it => Seq(dpBlock(it, s"cost${it - 1}"), tableBlock(it))) ++
+      Seq(dpBlock(UniRounds + 1, s"cost$UniRounds"))
+    blocks.mkString(",\n")
+  }
+
+  private lazy val q308Oracle: String =
+    s"""WITH RECURSIVE
+       |$unigramReplayCtes
+       |SELECT p AS piece, cnt,
+       |  (SELECT len(bin(t)) - 1 FROM tot$UniRounds)
+       |    - (CASE WHEN cnt >= 1 THEN len(bin(cnt)) - 1 ELSE -1 END) AS cost
+       |FROM tbl$UniRounds ORDER BY piece""".stripMargin
+
+  /** q311: per-document segmentation UNDER the q308-learned unigram
+    * table — the inference leg (q104's role for the BPE family):
+    * every document's words segment by the model's final Viterbi
+    * (memoized per UNIQUE vocabulary word and served through a
+    * broadcast word→pieces join — the Zipf-bounded serving shape; the
+    * corpus never re-runs the DP), words over the char cap pass
+    * through whole, and the per-doc piece stream fingerprints exactly
+    * like q104 (totality anchored on ALL documents). A green row pins
+    * the serving segmentation of every word of every doc against the
+    * oracle's independent DP replay.
+    */
+  def unigramSegment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wp = unigramModel(s, dir).wordPieces.toDF("w", "ps")
+    val d = docs(s, dir)
+    val words = d
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFns.tokens(col("text"))).as(Seq("w_ord", "w")))
+      .filter(length(col("w")) > 0)
+    // chars-fallback keeps the join total even under a maxVocabWords
+    // cap (unreached at pinned scales: the collected vocab is complete)
+    val fallback = when(length(col("w")) > UniMaxWord, array(col("w")))
+      .otherwise(transform(sequence(lit(1), length(col("w"))),
+        i => col("w").substr(i, lit(1))))
+    val perDoc = words
+      .join(broadcast(wp), Seq("w"), "left")
+      .select(col("doc_id"), col("w_ord"), coalesce(col("ps"), fallback).as("ps"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("w_ord"), col("ps")))).as("wps"))
+      .select(col("doc_id"),
+        flatten(transform(col("wps"), x => x.getField("ps"))).as("flat"))
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(size(col("flat")), lit(0)).cast("long").as("n_pieces"),
+        md5(coalesce(array_join(col("flat"), "|"), lit(""))).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  private lazy val q311Oracle: String =
+    s"""WITH RECURSIVE
+       |$unigramReplayCtes,
+       |dwords AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS w_ord, unnest(ws) AS w
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |allw AS (
+       |  SELECT d.doc_id, d.w_ord, s.ps
+       |  FROM dwords d JOIN seg${UniRounds + 1} s USING (w)
+       |  UNION ALL
+       |  SELECT doc_id, w_ord, [w] AS ps FROM dwords WHERE len(w) > $UniMaxWord)
+       |SELECT d.doc_id, CAST(COALESCE(SUM(len(ps)), 0) AS BIGINT) AS n_pieces,
+       |       md5(COALESCE(string_agg(array_to_string(ps, '|'), '|' ORDER BY w_ord), ''))
+       |         AS fp
+       |FROM documents d LEFT JOIN allw USING (doc_id)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   // ---- q165: fixed-point PageRank ---------------------------------------
 
   /** Link-graph PageRank — the page-importance signal web-corpus
@@ -3941,15 +4105,22 @@ object DataOps extends QueryModule {
     // (not localCheckpoint's MEMORY_AND_DISK) because a 43M-row pair
     // set resident on-heap would also starve the fresh leg's per-bucket
     // pair arrays, which allocate outside Spark's managed memory.
+    // spareBlocks = 2 on BOTH legs — the same candidate-volume lever
+    // q46 carries (3 bands of 2-block keys instead of two 16-bit
+    // halves): near-miss twins that keep one 16-bit half intact no
+    // longer collide, cutting the verify volume of the 43M-pair prev
+    // expansion AND the fresh delta leg. Answer-invariant (pigeonhole
+    // completeness at any s; every candidate exact-verified), so the
+    // q46-full-replay oracle is untouched.
     val prevPairs = Dedup.simhashNearDups(prevCrawl, col("doc_id"), col("text"),
-        maxHamming = 1)
+        maxHamming = 1, spareBlocks = 2)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     prevPairs.count()
     val store = Dedup.incrementalSimhash(d, prevStore, col("doc_id"), col("text"))
       .localCheckpoint(true)
     Dedup.incrementalHammingNearDups(
         store.select(col("doc_id"), col("simhash").as("fp"), col("src")),
-        prevPairs, maxHamming = 1, bits = 32)
+        prevPairs, maxHamming = 1, bits = 32, spareBlocks = 2)
       .sortOnce(col("doc_a"), col("doc_b"))
   }
 
@@ -6512,7 +6683,17 @@ object DataOps extends QueryModule {
     * and disprefers the same text). [[graft.operators.Preference
     * .crossRoleLeakage]] = the q63 bipartite inverted-index join with
     * chosen legs as train / rejected legs as test and the same-pair
-    * diagonal excluded — never all-pairs.
+    * diagonal excluded — never all-pairs. The operator's DEFAULT
+    * chosen-side stop-shingle cap (maxDf = 30,
+    * [[graft.operators.Preference.DefaultMaxDf]]) is active and
+    * mirrored in the oracle: identification evidence lives in rare
+    * shingles, and a shingle spanning >30 chosen responses is
+    * template boilerplate whose join fan-out is quadratic in both
+    * roles' table size while its mass-duplication story belongs to
+    * exact-dup clustering (q21/q53) — the r8 #7 candidate-volume
+    * discipline. No-op at sf0.01/sf0.1 (max chosen df there is 5/17);
+    * at the sf1 replica corpus it bounds the posting-join volume
+    * (measured: 43.6M -> 6.8M posting-join rows).
     */
   def prefCrossRoleLeakage(s: SparkSession, dir: String): DataFrame =
     graft.operators.Preference.crossRoleLeakage(prefPairs(s, dir),
@@ -6527,6 +6708,8 @@ object DataOps extends QueryModule {
        |          unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
        |                                for i in range(1, len(t) - 1)])) AS shingle
        |        FROM ctoks WHERE len(t) >= 3),
+       |cdf AS (SELECT shingle FROM csh GROUP BY shingle HAVING COUNT(*) <= 30),
+       |cshk AS (SELECT csh.* FROM csh JOIN cdf USING (shingle)),
        |rtoks AS (SELECT pair_id, string_split(rejected_text, ' ') AS t FROM pairs),
        |rsh AS (SELECT pair_id,
        |          unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -6534,7 +6717,7 @@ object DataOps extends QueryModule {
        |        FROM rtoks WHERE len(t) >= 3)
        |SELECT c.pair_id AS chosen_pair, r.pair_id AS rejected_pair,
        |  COUNT(*) AS n_shared
-       |FROM csh c JOIN rsh r ON c.shingle = r.shingle AND c.pair_id <> r.pair_id
+       |FROM cshk c JOIN rsh r ON c.shingle = r.shingle AND c.pair_id <> r.pair_id
        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
        |ORDER BY chosen_pair, rejected_pair""".stripMargin
 
@@ -6544,7 +6727,9 @@ object DataOps extends QueryModule {
     * doc themselves are excluded as in any honest split). Both legs
     * probe the eval postings in ONE [[graft.operators.Preference
     * .pairContamination]] inverted-index join, then roll up to the
-    * pair frame.
+    * pair frame. The operator's default leg-side stop-shingle cap
+    * (maxDf = 30) is active and mirrored in the oracle (no-op below
+    * sf1 — see q305).
     */
   def prefPairContamination(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -6565,10 +6750,12 @@ object DataOps extends QueryModule {
        |         UNION ALL
        |         SELECT pair_id * 2 + 1, rejected_text FROM kept),
        |ltoks AS (SELECT leg_id, string_split(text, ' ') AS t FROM legs),
-       |lsh AS (SELECT leg_id,
+       |lsh0 AS (SELECT leg_id,
        |          unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
        |                                for i in range(1, len(t) - 1)])) AS shingle
        |        FROM ltoks WHERE len(t) >= 3),
+       |ldf AS (SELECT shingle FROM lsh0 GROUP BY shingle HAVING COUNT(*) <= 30),
+       |lsh AS (SELECT lsh0.* FROM lsh0 JOIN ldf USING (shingle)),
        |etoks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |          WHERE doc_id % 17 = 0),
        |esh AS (SELECT doc_id AS test_id,
@@ -6601,7 +6788,9 @@ object DataOps extends QueryModule {
        |per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
        |          CAST(SUM(CASE WHEN chosen_len > rejected_len
        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_longer
-       |        FROM pairs GROUP BY source),
+       |        FROM pairs
+       |        WHERE chosen_len IS NOT NULL AND rejected_len IS NOT NULL
+       |        GROUP BY source),
        |g AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS g_n,
        |        CAST(SUM(n_longer) AS BIGINT) AS g_longer FROM per)
        |SELECT source, n_pairs,
@@ -6610,6 +6799,51 @@ object DataOps extends QueryModule {
        |  CAST((1000000 * n_longer) // n_pairs
        |    - (1000000 * g_longer) // g_n AS BIGINT) AS skew_ppm
        |FROM per CROSS JOIN g ORDER BY source""".stripMargin
+
+  /** q310: inter-annotator agreement — exact-rational Cohen's κ per
+    * source ([[graft.operators.Preference.annotatorAgreement]]), the
+    * fourth preference-hygiene leg: two deterministic annotators are
+    * synthesized over the shared pairs frame (rater 1 prefers the
+    * longer response — the verbosity rater q307 audits; rater 2 agrees
+    * except on every pair_id ≡ 0 mod 3, a fixed disagreement rate), so
+    * both engines derive identical label tables and the κ accounting
+    * (n·a − Σ m1ₖm2ₖ over n² − Σ m1ₖm2ₖ, integer cross-multiplies
+    * only, num/den released undivided) replays bit-for-bit.
+    */
+  def prefAnnotatorAgreement(s: SparkSession, dir: String): DataFrame = {
+    val r1 = (col("chosen_len") > col("rejected_len")).cast("long")
+    val r2 = when(col("pair_id") % 3 === 0, lit(1L) - r1).otherwise(r1)
+    graft.operators.Preference.annotatorAgreement(
+        prefPairs(s, dir), col("source"), r1, r2)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+  }
+
+  private val q310Oracle: String =
+    s"""WITH $prefPairsCte,
+       |lbl AS (
+       |  SELECT source,
+       |    CAST(CASE WHEN chosen_len > rejected_len THEN 1 ELSE 0 END AS VARCHAR) AS r1,
+       |    CAST(CASE WHEN pair_id % 3 = 0
+       |              THEN 1 - (CASE WHEN chosen_len > rejected_len THEN 1 ELSE 0 END)
+       |              ELSE (CASE WHEN chosen_len > rejected_len THEN 1 ELSE 0 END)
+       |         END AS VARCHAR) AS r2
+       |  FROM pairs
+       |  WHERE chosen_len IS NOT NULL AND rejected_len IS NOT NULL),
+       |agree AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(CASE WHEN r1 = r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+       |  FROM lbl GROUP BY source),
+       |m1 AS (SELECT source, r1 AS l, CAST(COUNT(*) AS BIGINT) AS m1 FROM lbl GROUP BY 1, 2),
+       |m2 AS (SELECT source, r2 AS l, CAST(COUNT(*) AS BIGINT) AS m2 FROM lbl GROUP BY 1, 2),
+       |pe AS (
+       |  SELECT source, CAST(SUM(m1 * m2) AS BIGINT) AS pe_cross
+       |  FROM m1 JOIN m2 USING (source, l) GROUP BY source)
+       |SELECT a.source, n_pairs, n_agree, COALESCE(pe_cross, 0) AS pe_cross,
+       |  n_pairs * n_agree - COALESCE(pe_cross, 0) AS kappa_num,
+       |  n_pairs * n_pairs - COALESCE(pe_cross, 0) AS kappa_den
+       |FROM agree a LEFT JOIN pe USING (source)
+       |ORDER BY source""".stripMargin
 
   // ---- registry --------------------------------------------------------
 
@@ -6641,6 +6875,7 @@ object DataOps extends QueryModule {
     "q305_pref_leakage" -> (prefCrossRoleLeakage _),
     "q306_pref_contamination" -> (prefPairContamination _),
     "q307_pref_length_skew" -> (prefLengthSkew _),
+    "q310_pref_annotator_kappa" -> (prefAnnotatorAgreement _),
     "q64_deterministic_sample" -> (deterministicSample _),
     "q65_stratified_sample" -> (stratifiedSample _),
     "q66_reservoir_sample" -> (reservoirSample _),
@@ -6664,6 +6899,8 @@ object DataOps extends QueryModule {
     "q100_trie_tokenize" -> (trieTokens _),
     "q104_bpe_tokenize" -> (bpeTokens _),
     "q160_bpe_trainer" -> (bpeTrainer _),
+    "q308_unigram_trainer" -> (unigramTrainer _),
+    "q311_unigram_segment" -> (unigramSegment _),
     "q165_pagerank" -> (pagerank _),
     "q170_pmi_collocations" -> (pmiCollocations _),
     "q171_triangles" -> (triangleCounts _),
@@ -6761,6 +6998,7 @@ object DataOps extends QueryModule {
     "q305_pref_leakage" -> q305Oracle,
     "q306_pref_contamination" -> q306Oracle,
     "q307_pref_length_skew" -> q307Oracle,
+    "q310_pref_annotator_kappa" -> q310Oracle,
     "q23_minhash_lsh" -> q23Oracle,
     "q24_ann_brute" -> q24Oracle,
     "q25_ann_ivf" -> q25Oracle,
@@ -6806,6 +7044,8 @@ object DataOps extends QueryModule {
     "q100_trie_tokenize" -> q100Oracle,
     "q104_bpe_tokenize" -> q104Oracle,
     "q160_bpe_trainer" -> q160Oracle,
+    "q308_unigram_trainer" -> q308Oracle,
+    "q311_unigram_segment" -> q311Oracle,
     "q165_pagerank" -> q165Oracle,
     "q170_pmi_collocations" -> q170Oracle,
     "q171_triangles" -> q171Oracle,

@@ -2304,15 +2304,19 @@ object Relational extends QueryModule {
     * mechanism — the central-DP magnitude counterpart of q298's local
     * randomized response: per source, the token-mass (`n_chars`) sum
     * over documents, each contribution clamped to [0, 400] (bounding
-    * sensitivity) and the exact clamped sum perturbed by ONE integer
-    * discrete-Laplace draw at ratio α = 1/2 (ε = 400·ln 2). The draw
-    * is the seeded hash60 lattice coin inverted through the EXACT
-    * BigInt-quantized CDF ([[graft.operators.Privacy.dgeoThresholds]])
-    * — all integer compares in-plan, no transcendentals, so the oracle
-    * replays clamp, sum, coin, inverse-CDF walk, and accounting
+    * the sum's sensitivity) and BOTH released statistics perturbed by
+    * their own integer discrete-Laplace draw at ratio α = 1/2: the
+    * clamped sum (seed `dgeo:`) and the group's record count (seed
+    * `dgeo_n:`, sensitivity 1 — an exact count under the add/remove
+    * adjacency the clamp implies would have unbounded loss), total
+    * ε = (400+1)·ln 2 by composition. Each draw is a seeded hash60
+    * lattice coin inverted through the EXACT BigInt-quantized CDF
+    * ([[graft.operators.Privacy.dgeoThresholds]]) — all integer
+    * compares in-plan, no transcendentals, so the oracle replays
+    * clamp, sum, count, both coins, inverse-CDF walks, and accounting
     * bit-for-bit. ε is released as (clamp_hi, eps_num, eps_den) =
     * (400, 2, 1) exact integers. One projection + one hash aggregate +
-    * an O(B) array scan per GROUP.
+    * two O(B) array scans per GROUP.
     */
   def dgeoDpSumRelease(s: SparkSession, dir: String): DataFrame =
     graft.operators.Privacy.dgeoSumRelease(t(s, dir, "documents"),
@@ -2324,14 +2328,19 @@ object Relational extends QueryModule {
     val (b, thr) = graft.operators.Privacy.dgeoThresholds(1, 2)
     val coin = graft.functions.TextFns.hash60Sql(
       "'dgeo:' || CAST(source AS VARCHAR)")
+    val coinN = graft.functions.TextFns.hash60Sql(
+      "'dgeo_n:' || CAST(source AS VARCHAR)")
+    val thrLit = thr.mkString("[", ", ", "]")
     s"""WITH g AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
        |    SUM(GREATEST(CAST(0 AS BIGINT),
        |        LEAST(CAST(n_chars AS BIGINT), CAST(400 AS BIGINT)))) AS cs
        |  FROM documents WHERE n_chars IS NOT NULL AND source IS NOT NULL
        |  GROUP BY source)
-       |SELECT source, n,
-       |  CAST(cs + len(list_filter(${thr.mkString("[", ", ", "]")},
+       |SELECT source,
+       |  CAST(n + len(list_filter($thrLit, t -> t <= $coinN)) - $b AS BIGINT)
+       |    AS released_n,
+       |  CAST(cs + len(list_filter($thrLit,
        |    t -> t <= $coin)) - $b AS BIGINT) AS released_sum,
        |  CAST(400 AS BIGINT) AS clamp_hi,
        |  CAST(2 AS BIGINT) AS eps_num,

@@ -250,4 +250,52 @@ class TokenizerSpec extends SparkSpec {
         (2L, 4L, 2L, "ation s")))
     }
   }
+
+  describe("Tokenizer.learnUnigramLm (unigram-LM training)") {
+    it("matches the hand-computed EM trajectory on a one-word corpus") {
+      // corpus "ab ab ab": words {ab: 3}; seed a:3 b:3 ab:3, tot 9,
+      // ilog2(9)=3 → every piece costs 3-1=2. Viterbi "ab": [ab] is
+      // (2, 1) vs [a,b] (4, 2) → [ab]. Round-1 counts ab:3 (a, b kept
+      // at 0 as chars). tot 3 → cost ab = 0, unused chars 1+1 = 2.
+      // Round 2 identical. Final table and serving segmentation:
+      val m = Tokenizer.learnUnigramLm(Seq("ab ab", "ab").toDF("text"),
+        col("text"))
+      assert(m.pieces == Seq(("a", 0L, 2L), ("ab", 3L, 0L), ("b", 0L, 2L)))
+      assert(m.wordPieces == Seq(("ab", Seq("ab"))))
+    }
+
+    it("learns multi-char pieces, stays total, and reassembles every word") {
+      val corpus = Seq("the cat sat", "the cats sat there", "scatter the cat")
+        .toDF("text")
+      val m = Tokenizer.learnUnigramLm(corpus, col("text"))
+      val wp = m.wordPieces.toMap
+      // totality over the vocabulary + exact reassembly
+      val vocab = Seq("the", "cat", "sat", "cats", "there", "scatter")
+      vocab.foreach { w =>
+        assert(wp.contains(w), s"missing vocab word $w")
+        assert(wp(w).mkString("") == w, s"$w reassembles as ${wp(w)}")
+      }
+      // the dominant trigram survives as one piece
+      assert(wp("cat") == Seq("cat"), wp("cat").toString)
+      // every used piece is in the table; single chars are never pruned
+      val tbl = m.pieces.map(p => p._1 -> p._2).toMap
+      wp.values.flatten.foreach(p => assert(tbl.contains(p), s"used piece $p not in table"))
+      vocab.flatMap(_.toSeq).distinct.foreach(c =>
+        assert(tbl.contains(c.toString), s"char $c pruned"))
+      // deterministic: training twice gives the identical model
+      val m2 = Tokenizer.learnUnigramLm(corpus, col("text"))
+      assert(m2 == m)
+    }
+
+    it("caps long words out of training; counts are final-segmentation exact") {
+      val m = Tokenizer.learnUnigramLm(
+        Seq("abcdefghijklmnop ab ab").toDF("text"), col("text"),
+        maxWordChars = 12)
+      // the 16-char word is excluded: none of its unique chars leak in
+      assert(!m.pieces.exists(_._1.contains("p")))
+      assert(!m.wordPieces.exists(_._1 == "abcdefghijklmnop"))
+      // counts replay the last EM round: ab used twice
+      assert(m.pieces.find(_._1 == "ab").map(_._2).contains(2L))
+    }
+  }
 }

@@ -422,6 +422,37 @@ class DedupSpec extends SparkSpec {
         assert(wide == ref, s"maxHamming=$k spareBlocks=$s")
       }
     }
+
+    it("spareBlocks s-equivalence holds for the INCREMENTAL form too (q296's lever)") {
+      // a maintained store with computed + retained members: the delta
+      // leg under any s must equal both the s=1 delta leg and the full
+      // recompute of the store
+      val rnd = new scala.util.Random(11)
+      val prevFps = (1L to 120L).map(i => i -> rnd.nextLong())
+      val prevStore = prevFps.map { case (i, f) => (i, f, "computed") }
+        .toDF("doc_id", "fp", "src")
+      val prevPairs = Dedup.hammingNearDups(prevFps.toDF("doc_id", "fp"),
+        maxHamming = 4, bits = 64)
+      // next crawl: 100 retained, 20 removed, 30 computed (10 of them
+      // hamming-1 twins of retained fingerprints)
+      val retained = prevFps.take(100).map { case (i, f) => (i, f, "retained") }
+      val fresh = (1L to 20L).map(i => (i + 5000L, rnd.nextLong(), "computed")) ++
+        prevFps.take(10).map { case (i, f) => (i + 6000L, f ^ 1L, "computed") }
+      val store = (retained ++ fresh).toDF("doc_id", "fp", "src")
+      val ref = Dedup.incrementalHammingNearDups(store, prevPairs,
+          maxHamming = 4, bits = 64)
+        .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      val full = Dedup.hammingNearDups(
+          store.select(col("doc_id"), col("fp")), maxHamming = 4, bits = 64)
+        .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+      assert(ref == full) // maintained ≡ full at the no-drop cap
+      for (s <- Seq(2, 3)) {
+        val wide = Dedup.incrementalHammingNearDups(store, prevPairs,
+            maxHamming = 4, bits = 64, spareBlocks = s)
+          .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+        assert(wide == ref, s"spareBlocks=$s")
+      }
+    }
   }
 
   describe("Dedup.simhash") {
@@ -660,11 +691,41 @@ class DedupSpec extends SparkSpec {
         .as[(Int, String, Long, Long)].collect()
       assert(crossings.length == 1)
       assert(crossings.head._3 == 3L && crossings.head._4 == 2L)
-      // a computed member in the shrunk bucket ⇒ bucket re-expands ⇒ no flag
+      // bucket back OVER cap this crawl (3 docs > cap 2) ⇒ its pairs are
+      // cap-dropped from the full recompute too ⇒ no flag
       val cur2 = Seq((1L, txt), (2L, txt), (9L, txt)).toDF("doc_id", "text")
       val store2 = Dedup.incrementalSignatures(cur2, prevStore,
         col("doc_id"), col("text"), nPerms)
       assert(Dedup.cappedBucketCrossings(prevStore, store2, nPerms, rpb, 2).count() == 0)
+    }
+
+    it("flags a crossing bucket even when it GAINED a computed member") {
+      // the retired `touched = 0` predicate's blind spot: prev bucket
+      // {1,2,3,4} > cap 3, this crawl removes 3,4 and ADDS computed doc
+      // 9 — bucket size 3 <= cap, but pair (1,2) is still in no leg
+      // (cap-dropped from prevPairs; fresh leg needs a computed endpoint)
+      val txt = "alpha beta gamma delta epsilon"
+      val prev = Seq((1L, txt), (2L, txt), (3L, txt), (4L, txt))
+        .toDF("doc_id", "text")
+      val cur = Seq((1L, txt), (2L, txt), (9L, txt)).toDF("doc_id", "text")
+      val prevStore = Dedup.signatureStore(prev, col("doc_id"), col("text"), nPerms)
+      val store = Dedup.incrementalSignatures(cur, prevStore,
+        col("doc_id"), col("text"), nPerms)
+      val prevPairs = Dedup.lshCandidates(prevStore, nPerms, rpb, maxBucket = 3)
+      assert(prevPairs.count() == 0) // cap-dropped by construction
+      val plain = Dedup.incrementalLshPairs(store, prevPairs, nPerms, rpb,
+        maxBucket = 3).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(!plain.contains((1L, 2L))) // the gap is real
+      val crossings = Dedup.cappedBucketCrossings(prevStore, store, nPerms, rpb, 3)
+        .as[(Int, String, Long, Long)].collect()
+      assert(crossings.length == 1)
+      assert(crossings.head._3 == 4L && crossings.head._4 == 3L)
+      val checked = Dedup.incrementalLshPairsChecked(prevStore, store, prevPairs,
+        nPerms, rpb, maxBucket = 3)
+      val full = Dedup.lshCandidates(store, nPerms, rpb, maxBucket = 3)
+        .as[(Long, Long)].collect().toSet
+      assert(checked.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == full)
+      assert(full.contains((1L, 2L)))
     }
 
     it("incrementalLshPairsChecked auto re-expands the crossing bucket — ≡ full unconditionally") {
@@ -728,9 +789,34 @@ class DedupSpec extends SparkSpec {
       assert(checked == full)
     }
 
-    it("no crossing ⇒ checked ≡ plain incremental (empty extra leg)") {
-      // a computed member lands in the shrunk bucket -> the delta leg
-      // re-expands it already; the checker must add nothing
+    it("restores retained pairs of a crossing bucket that GAINED a computed member") {
+      // the retired `touched = 0` predicate's blind spot: prev bucket
+      // {1,2,3,4} > cap 3 (pairs cap-dropped), this crawl removes 3,4
+      // and ADDS computed doc 9 — the retained pair (1,2) has no
+      // computed endpoint, so the delta leg never emits it
+      val prev4 = Seq((1L, 5L, "computed"), (2L, 5L, "computed"),
+        (3L, 5L, "computed"), (4L, 5L, "computed")).toDF("doc_id", "fp", "src")
+      val prevPairs = Dedup.hammingNearDups(
+        prev4.select(col("doc_id"), col("fp")), mh, bits, maxBucket = 3)
+      assert(prevPairs.count() == 0) // cap-dropped by construction
+      val store = Seq((1L, 5L, "retained"), (2L, 5L, "retained"),
+        (9L, 5L, "computed")).toDF("doc_id", "fp", "src")
+      val plain = Dedup.incrementalHammingNearDups(store, prevPairs, mh, bits,
+        maxBucket = 3).as[(Long, Long, Long)].collect().toSet
+      assert(plain == Set((1L, 9L, 0L), (2L, 9L, 0L))) // (1,2) lost
+      val full = Dedup.hammingNearDups(store.select(col("doc_id"), col("fp")),
+        mh, bits, maxBucket = 3).as[(Long, Long, Long)].collect().toSet
+      assert(full == Set((1L, 2L, 0L), (1L, 9L, 0L), (2L, 9L, 0L)))
+      val checked = Dedup.incrementalHammingNearDupsChecked(prev4, store,
+        prevPairs, mh, bits, maxBucket = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(checked == full)
+    }
+
+    it("crossing bucket whose pairs the delta leg already emits ⇒ checked ≡ plain") {
+      // a computed member lands in the shrunk bucket and is its only
+      // partner -> the delta leg re-expands everything; the checker's
+      // re-expansion dedups to nothing through the anti-join
       val prevPairs = Dedup.hammingNearDups(
         prevStore.select(col("doc_id"), col("fp")), mh, bits, maxBucket = 2)
       val store2 = Seq((1L, 5L, "retained"), (9L, 5L, "computed"))

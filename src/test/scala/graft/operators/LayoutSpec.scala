@@ -457,6 +457,74 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  describe("Layout.upsertVersioned / readAsOf / vacuumVersions") {
+    it("every committed version reads back exactly, with snapshot isolation across later merges") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/vsnap"
+        val bucket = pmod(col("k"), lit(4L))
+        def readMap(v: Long) = Layout.readAsOf(spark, snap, v)
+          .select(col("k"), col("txt")).as[(Long, String)].collect().toMap
+        // v1: initialize
+        val v1 = Layout.upsertVersioned(spark, snap,
+          (0L until 40L).map(k => (k, s"v$k")).toDF("k", "txt"), Seq("k"), bucket)
+        assert(v1 == 1L)
+        // v2: replace key 5, add key 41 (buckets 1 only)
+        val v2 = Layout.upsertVersioned(spark, snap,
+          Seq((5L, "five-v2"), (41L, "new")).toDF("k", "txt"), Seq("k"), bucket)
+        assert(v2 == 2L)
+        val asOf2 = readMap(2L)
+        // v3: replace key 5 again
+        val v3 = Layout.upsertVersioned(spark, snap,
+          Seq((5L, "five-v3")).toDF("k", "txt"), Seq("k"), bucket)
+        assert(v3 == 3L && Layout.listVersions(spark, snap) == Seq(1L, 2L, 3L))
+        // every version reads back as its own committed snapshot
+        val m1 = readMap(1L)
+        assert(m1.size == 40 && m1(5L) == "v5" && !m1.contains(41L))
+        val m2 = readMap(2L)
+        assert(m2.size == 41 && m2(5L) == "five-v2" && m2(41L) == "new")
+        assert(m2 == asOf2) // v2's read is unchanged by the v3 commit
+        val m3 = readMap(3L)
+        assert(m3.size == 41 && m3(5L) == "five-v3" && m3(0L) == "v0")
+        // an empty batch commits nothing
+        assert(Layout.upsertVersioned(spark, snap,
+          Seq.empty[(Long, String)].toDF("k", "txt"), Seq("k"), bucket) == 3L)
+        assert(Layout.listVersions(spark, snap) == Seq(1L, 2L, 3L))
+      }
+    }
+
+    it("vacuumVersions retains the newest versions and deletes unreferenced generations") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/vsnap"
+        val bucket = pmod(col("k"), lit(4L))
+        Layout.upsertVersioned(spark, snap,
+          (0L until 40L).map(k => (k, s"v$k")).toDF("k", "txt"), Seq("k"), bucket)
+        Layout.upsertVersioned(spark, snap,
+          Seq((5L, "five-v2")).toDF("k", "txt"), Seq("k"), bucket)
+        Layout.upsertVersioned(spark, snap,
+          Seq((6L, "six-v3")).toDF("k", "txt"), Seq("k"), bucket)
+        val deleted = Layout.vacuumVersions(spark, snap, retainLast = 2)
+        // v1's manifest goes; bucket 1's generation-1 dir (superseded in
+        // v2) and bucket 2's generation... only gens no retained manifest
+        // references are deletable — bucket 1 gen 1 is the one v2+v3
+        // both superseded
+        assert(deleted.contains("v00000001.manifest"))
+        assert(deleted.exists(_.matches("g0+1_b1")), deleted.toString)
+        // retained versions still read exactly
+        val m2 = Layout.readAsOf(spark, snap, 2L)
+          .select(col("k"), col("txt")).as[(Long, String)].collect().toMap
+        assert(m2(5L) == "five-v2" && m2(6L) == "v6" && m2.size == 40)
+        val m3 = Layout.readAsOf(spark, snap, 3L)
+          .select(col("k"), col("txt")).as[(Long, String)].collect().toMap
+        assert(m3(5L) == "five-v2" && m3(6L) == "six-v3")
+        // the vacuumed version is gone, loudly
+        val ex = intercept[IllegalArgumentException] {
+          Layout.readAsOf(spark, snap, 1L)
+        }
+        assert(ex.getMessage.contains("vacuumed or never committed"))
+      }
+    }
+  }
+
   describe("Layout.compact") {
     it("collapses many small files into the target count without losing rows") {
       withTempDir { dir =>

@@ -26,6 +26,23 @@ class PreferenceSpec extends SparkSpec {
       // diagonal is excluded anyway, and 2 < minShared across pairs
       assert(got == Set((10L, 20L, 4L)))
     }
+
+    it("the chosen-side maxDf stop-shingle cap bounds the candidate volume") {
+      // base's shingles sit in BOTH chosen responses (df = 2): at
+      // maxDf = 1 they are boilerplate and the leak disappears; the
+      // unbounded audit still reports it
+      val p = Seq(
+        (1L, "x", base, "noise one two three four"),
+        (2L, "x", base, "different filler words entirely here"),
+        (3L, "x", "unrelated text with no overlap here", base))
+        .toDF("pair_id", "source", "chosen_text", "rejected_text")
+      def run(maxDf: Int) = Preference.crossRoleLeakage(p, col("pair_id"),
+          col("chosen_text"), col("rejected_text"), w = 3, minShared = 3,
+          maxDf = maxDf)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(run(Int.MaxValue) == Set((1L, 3L, 4L), (2L, 3L, 4L)))
+      assert(run(1) == Set.empty)
+    }
   }
 
   describe("Preference.pairContamination") {
@@ -40,6 +57,23 @@ class PreferenceSpec extends SparkSpec {
       // shares 2 shingles with eval 901 → 2 eval docs, 2 legs; pair 20:
       // rejected leg ≡ eval 900; pair 30: BOTH legs share 2 with 901
       assert(got == Set((10L, 2L, 2L, 4L), (20L, 1L, 1L, 4L), (30L, 1L, 2L, 2L)))
+    }
+
+    it("casts pair ids to long before leg encoding and excludes null/negative ids") {
+      // an int pair id >= 2^30 would overflow a 32-bit *2 encoding and
+      // mis-decode; negative/null ids are excluded by contract
+      val big = Int.MaxValue - 1 // even, so decode(big*2L)/2 must round-trip
+      val p = Seq(
+        (java.lang.Integer.valueOf(big), base, "noise one two three four"),
+        (java.lang.Integer.valueOf(-5), base, base),
+        (null.asInstanceOf[java.lang.Integer], base, base))
+        .toDF("pair_id", "chosen_text", "rejected_text")
+      val eval = Seq((900L, base)).toDF("doc_id", "text")
+      val got = Preference.pairContamination(p, col("pair_id"),
+          col("chosen_text"), col("rejected_text"),
+          eval, col("doc_id"), col("text"), w = 3, minShared = 2)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == Set((big.toLong, 1L, 1L, 4L)))
     }
   }
 
@@ -65,6 +99,52 @@ class PreferenceSpec extends SparkSpec {
     }
   }
 
+  describe("Preference.annotatorAgreement") {
+    def kappa(rows: Seq[(String, String, String)]) =
+      Preference.annotatorAgreement(rows.toDF("src", "a", "b"),
+          col("src"), col("a"), col("b"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    it("matches a hand-computed kappa, exact rational") {
+      // n=10, agree=7; marginals r1: yes 6 / no 4, r2: yes 7 / no 3
+      // pe_cross = 6*7 + 4*3 = 54; num = 10*7 - 54 = 16; den = 100 - 54 = 46
+      // (kappa = 8/23 exactly)
+      val rows = Seq.fill(5)(("g", "yes", "yes")) ++ Seq.fill(2)(("g", "no", "no")) ++
+        Seq(("g", "yes", "no"), ("g", "no", "yes"), ("g", "no", "yes"))
+      assert(kappa(rows) == Seq(("g", 10L, 7L, 54L, 16L, 46L)))
+    }
+
+    it("systematic disagreement yields a NEGATIVE kappa") {
+      // raters always flip: n=4, agree=0; marginals r1 yes 2/no 2,
+      // r2 yes 2/no 2 -> pe = 8; num = -8, den = 8 (kappa = -1)
+      val rows = Seq(("g", "yes", "no"), ("g", "no", "yes"),
+        ("g", "yes", "no"), ("g", "no", "yes"))
+      assert(kappa(rows) == Seq(("g", 4L, 0L, 8L, -8L, 8L)))
+    }
+
+    it("constant same-label raters release the 0/0 indeterminate verbatim") {
+      val rows = Seq(("g", "yes", "yes"), ("g", "yes", "yes"))
+      // pe_cross = n^2 -> num = n*a - n^2 = 0, den = 0
+      assert(kappa(rows) == Seq(("g", 2L, 2L, 4L, 0L, 0L)))
+    }
+
+    it("raters sharing NO label get pe_cross 0, not a dropped group") {
+      val rows = Seq(("g", "x", "y"), ("g", "x", "y"))
+      assert(kappa(rows) == Seq(("g", 2L, 0L, 0L, 0L, 4L)))
+    }
+
+    it("excludes rows with a null label on either side") {
+      val p = Seq(
+        ("g", "yes", "yes"),
+        ("g", null.asInstanceOf[String], "yes"),
+        ("g", "yes", null.asInstanceOf[String]))
+        .toDF("src", "a", "b")
+      val got = Preference.annotatorAgreement(p, col("src"), col("a"), col("b"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq(("g", 1L, 1L, 1L, 0L, 0L)))
+    }
+  }
+
   describe("Preference.lengthSkewAudit") {
     it("computes per-source longer-chosen ppm vs the global rate, exact") {
       val p = Seq(
@@ -78,6 +158,20 @@ class PreferenceSpec extends SparkSpec {
       assert(got == Seq(
         ("a", 3L, 666666L, 500000L, 166666L),
         ("b", 1L, 0L, 500000L, -500000L)))
+    }
+
+    it("excludes pairs with a null length on either side from n_pairs and the global") {
+      // counting a null-length pair while null-compare makes it never
+      // "longer" would silently deflate longer_ppm
+      val p = Seq(
+        ("a", java.lang.Long.valueOf(10L), java.lang.Long.valueOf(5L)),
+        ("a", null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(1L)),
+        ("a", java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long]))
+        .toDF("source", "chosen_len", "rejected_len")
+      val got = Preference.lengthSkewAudit(p, col("source"),
+          col("chosen_len"), col("rejected_len"))
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq(("a", 1L, 1000000L, 1000000L, 0L)))
     }
   }
 }

@@ -110,24 +110,29 @@ class PrivacySpec extends SparkSpec {
   }
 
   describe("Privacy.dgeoSumRelease") {
-    // driver-side replay of the in-plan draw: u = hash60("dgeo:"||grp),
-    // z = -B + |{t_i <= u}|
-    def drawZ(grp: String, alphaNum: Long, alphaDen: Long): Long = {
+    // driver-side replay of the in-plan draws: u = hash60(seed||grp),
+    // z = -B + |{t_i <= u}|; sum leg seeds "dgeo:", count leg "dgeo_n:"
+    def drawZ(grp: String, alphaNum: Long, alphaDen: Long,
+              seed: String = "dgeo:"): Long = {
       val (b, thr) = Privacy.dgeoThresholds(alphaNum, alphaDen)
-      val u = TextFns.hash60Value(s"dgeo:$grp")
+      val u = TextFns.hash60Value(s"$seed$grp")
       thr.count(_ <= u).toLong - b
     }
 
-    it("releases the clamped sum plus the seeded discrete-Laplace draw, exactly") {
+    it("releases the clamped sum AND the count, each plus its own seeded draw") {
       val df = Seq(("g", 100L), ("g", 500L), ("g", -7L), ("h", 10L))
         .toDF("grp0", "v")
       val got = Privacy.dgeoSumRelease(df, col("grp0"), col("v"), clampHi = 400L)
         .as[(String, Long, Long, Long, Long, Long)].collect()
         .sortBy(_._1).toSeq
-      // g: clamp(100)+clamp(500)+clamp(-7) = 100+400+0 = 500
+      // g: clamp(100)+clamp(500)+clamp(-7) = 100+400+0 = 500; the exact
+      // count (unbounded loss under add/remove adjacency) is noised with
+      // an INDEPENDENT draw seeded dgeo_n:
       assert(got == Seq(
-        ("g", 3L, 500L + drawZ("g", 1, 2), 400L, 2L, 1L),
-        ("h", 1L, 10L + drawZ("h", 1, 2), 400L, 2L, 1L)))
+        ("g", 3L + drawZ("g", 1, 2, "dgeo_n:"),
+          500L + drawZ("g", 1, 2), 400L, 2L, 1L),
+        ("h", 1L + drawZ("h", 1, 2, "dgeo_n:"),
+          10L + drawZ("h", 1, 2), 400L, 2L, 1L)))
     }
 
     it("noise replays across runs and alpha controls the accounting") {
@@ -138,7 +143,7 @@ class PrivacySpec extends SparkSpec {
         .as[(Long, Long, Long)].head()
       val first = run()
       assert(first == run()) // deterministic coin: same noise every run
-      assert(first._2 == 4L && first._3 == 3L) // eps = clampHi * ln(4/3)
+      assert(first._2 == 4L && first._3 == 3L) // eps = (clampHi+1) * ln(4/3)
       assert(first._1 == 5L + drawZ("a", 3, 4))
     }
 
@@ -148,8 +153,8 @@ class PrivacySpec extends SparkSpec {
         ("a", null.asInstanceOf[java.lang.Long]))
         .toDF("grp0", "v")
       val got = Privacy.dgeoSumRelease(df, col("grp0"), col("v"), clampHi = 10L)
-        .select(col("n")).as[Long].head()
-      assert(got == 1L)
+        .select(col("released_n")).as[Long].head()
+      assert(got == 1L + drawZ("a", 1, 2, "dgeo_n:"))
     }
   }
 }

@@ -79,6 +79,34 @@ class SimilaritySpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), plan)
     }
+
+    it("publishes the exact_cosine_pairs observe metric — the Θ(n²) hazard, measured") {
+      // a 100 TB caller's pointer to signLshNearDupPairs/semanticDedup
+      // is this metric climbing quadratically; pin that it reports the
+      // executed compare count (every unordered pair exactly once) and
+      // the surviving pair count
+      val seen = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("exact_cosine_pairs_")) seen.add(row)
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      try {
+        val out = Similarity.cosineNearDupPairs(vectors, threshold = 0.99).collect()
+        val deadline = System.currentTimeMillis() + 30000
+        while (seen.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(!seen.isEmpty, "observe metric never arrived")
+        val row = seen.poll()
+        val n = vectors.count()
+        assert(row.getAs[Long]("n_compares") == n * (n - 1) / 2)
+        assert(row.getAs[Long]("n_pairs") == out.length.toLong)
+      } finally spark.listenerManager.unregister(listener)
+    }
   }
 
   describe("Similarity.signLshNearDupPairs") {
