@@ -268,8 +268,11 @@ object Tokenizer {
     * PRUNES pieces that went unused — except single characters, which
     * are kept forever so segmentation stays total (the char-fallback
     * totality contract every tokenizer here shares). Words longer than
-    * `maxWordChars` code points are excluded from training and pass
+    * `maxWordChars` characters are excluded from training and pass
     * through segmentation whole, exactly like [[MergeRank]]'s cap.
+    * (Character = UTF-16 code unit here, matching Spark's `length`;
+    * identical to the oracle's code-point `len` on the ASCII corpora
+    * the pins run — the q104 family's documented equivalence.)
     *
     * 100 TB: `maxVocabWords` caps the collected vocabulary to the
     * top-frequency words ((n desc, w) deterministic order) — the same
@@ -308,12 +311,9 @@ object Tokenizer {
       }
       x.length - y.length
     }
-    // the Viterbi DP state order: (cost, pieces, piece list) — lists
-    // compare element-wise, shorter-prefix first (SQL list order)
-    def stateLt(a: (Long, Long, List[String]), b: (Long, Long, List[String])): Boolean = {
-      if (a._1 != b._1) return a._1 < b._1
-      if (a._2 != b._2) return a._2 < b._2
-      val (xs, ys) = (a._3, b._3)
+    // piece-list order: element-wise UTF-8, shorter-prefix first (SQL
+    // list order) — only consulted on a full (cost, count) tie
+    def listLt(xs: List[String], ys: List[String]): Boolean = {
       val it = xs.iterator.zip(ys.iterator)
       while (it.hasNext) {
         val (x, y) = it.next()
@@ -358,12 +358,13 @@ object Tokenizer {
           val p = w.substring(j - l, j)
           cost.get(p).foreach { c =>
             val prev = best(j - l)
-            // piece list kept reversed for O(1) extension; order-only
-            // comparisons happen on the re-reversed list below
-            val cand = (prev._1 + c, prev._2 + 1L, p :: prev._3)
-            if (sel == null ||
-                stateLt((cand._1, cand._2, cand._3.reverse),
-                  (sel._1, sel._2, sel._3.reverse))) sel = cand
+            val (cc, kk) = (prev._1 + c, prev._2 + 1L)
+            // piece lists stay reversed for O(1) extension; the list
+            // order is only materialized on a full (cost, count) tie
+            val better = sel == null ||
+              cc < sel._1 || (cc == sel._1 && (kk < sel._2 ||
+                (kk == sel._2 && listLt((p :: prev._3).reverse, sel._3.reverse))))
+            if (better) sel = (cc, kk, p :: prev._3)
           }
           l += 1
         }

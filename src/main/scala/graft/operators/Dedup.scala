@@ -374,11 +374,19 @@ object Dedup {
     * in-chain rather than left to an out-of-band check:
     * [[cappedBucketCrossings]] runs against the previous store as part
     * of the maintenance step, and exactly the flagged buckets are
-    * RE-EXPANDED from the maintained store, so `maintained ≡ full
-    * lshCandidates(store)` holds UNCONDITIONALLY — including the
-    * shrank-under-cap case, whether or not the bucket also gained a
-    * computed member (retained–retained pairs of a crossing bucket are
-    * invisible to the fresh leg either way). Re-expanded pairs
+    * RE-EXPANDED from the maintained store, so the maintained set is
+    * COMPLETE vs a full `lshCandidates(store)` recompute — every full
+    * pair is present, including the shrank-under-cap case whether or
+    * not the bucket also gained a computed member (retained–retained
+    * pairs of a crossing bucket are invisible to the fresh leg either
+    * way). PRECISE INVARIANT: maintained ⊇ full, with equality unless
+    * some bucket crossed UP over the cap this crawl — an up-crossed
+    * bucket's previously-emitted pairs SURVIVE here while a full
+    * recompute cap-drops them. That surplus is kept DELIBERATELY:
+    * retained docs keep their signatures, so surviving pairs are still
+    * true candidates — dropping verified pairs to mimic the full
+    * recompute's cap-cost artifact would trade recall for nothing
+    * (spec-pinned in DedupSpec's up-crossing case). Re-expanded pairs
     * carry origin `new`: they were cap-dropped from `prevPairs`, so
     * downstream verification ([[incrementalMinhashNearDups]]) must
     * verify them fresh and [[incrementalComponents]] must contract
@@ -962,11 +970,16 @@ object Dedup {
     * runs against the previous store as part of the maintenance step
     * and exactly the flagged buckets are re-expanded from the
     * maintained store (verified with the same stored-fingerprint
-    * `bit_count(xor)` — still no re-hashing), so `maintained ≡ full
-    * hammingNearDups(store)` holds UNCONDITIONALLY under any cap —
-    * including crossing buckets that gained a computed member.
-    * Crossings are rare by construction (a >cap bucket must shrink
-    * under cap between crawls), so the extra leg is
+    * `bit_count(xor)` — still no re-hashing), so the maintained set is
+    * COMPLETE vs a full `hammingNearDups(store)` recompute under any
+    * cap — including crossing buckets that gained a computed member.
+    * PRECISE INVARIANT (same as [[incrementalLshPairsChecked]]):
+    * maintained ⊇ full, equal unless a bucket crossed UP over the cap
+    * this crawl; an up-crossed bucket's surviving pairs are kept
+    * deliberately — their stored fingerprints are unchanged, so they
+    * remain exact-verified TRUE pairs the full recompute loses to its
+    * own cap artifact. Crossings are rare by construction (a >cap
+    * bucket must shrink under cap between crawls), so the extra leg is
     * empty in the steady state and the detector's two banded counts are
     * the only added cost.
     */

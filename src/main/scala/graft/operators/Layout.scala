@@ -436,7 +436,12 @@ object Layout {
         .getOrElse(Map.empty[Int, Long])
       val upd = updates.withColumn(bucketCol, bucketExpr.cast("int"))
       val touched = upd.select(col(bucketCol)).distinct()
-        .collect().map(_.getInt(0)).sorted.toSeq
+        .collect().map { r =>
+          require(!r.isNullAt(0), "upsertVersioned: bucketExpr produced a " +
+            "NULL bucket — bucket expressions must be total over the batch " +
+            "(pmod a non-null key, or coalesce a null-able one)")
+          r.getInt(0)
+        }.sorted.toSeq
       if (touched.isEmpty) cur.getOrElse(
         throw new IllegalStateException(
           "upsertVersioned: empty first batch — nothing to initialize from"))
@@ -511,8 +516,10 @@ object Layout {
         .flatMap(v => readVersionManifest(fs, basePath, v).toSeq)
         .map { case (b, g) => genDirName(b, g) }.toSet
       val baseDir = new org.apache.hadoop.fs.Path(basePath)
+      // -? : negative buckets are legal (a signed % bucketExpr) and their
+      // superseded generations must vacuum like any other
       val deadGens = fs.listStatus(baseDir).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.matches("g\\d+_b\\d+") &&
+        .filter(st => st.isDirectory && st.getPath.getName.matches("g\\d+_b-?\\d+") &&
           !referenced.contains(st.getPath.getName))
         .map(_.getPath)
       val deadManifests = versions.filterNot(keep)

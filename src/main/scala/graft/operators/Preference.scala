@@ -128,6 +128,12 @@ object Preference {
     * NON-NULL CONTRACT: rows with a null label on either side are
     * EXCLUDED EXPLICITLY (they are unratable, not disagreements).
     *
+    * OVERFLOW CONTRACT: n² (and pe_cross ≤ n²) must stay exact int64,
+    * so a group with more than ⌊√Long.MaxValue⌋ ≈ 3.03·10⁹ rated pairs
+    * FAILS LOUDLY (in-plan `raise_error`, the [[Layout.upsert]] guard
+    * idiom) instead of wrapping into a garbage rational — at that size
+    * the audit should sample or shard the group upstream anyway.
+    *
     * Shape at 100 TB: two label-marginal hash aggregates + one
     * agreement aggregate + a label-key equi-join of two
     * |labels|-bounded frames per group. Nothing collects.
@@ -154,8 +160,15 @@ object Preference {
       .agg(sum(col("m1") * col("m2")).as("pe_cross"))
     // left + coalesce: a group whose raters share NO label has an empty
     // cross join — pe_cross 0, not a dropped group
+    val sqrtLongMax = 3037000499L // floor(sqrt(Long.MaxValue))
     agree.join(pe, Seq("grp"), "left")
       .withColumn("pe_cross", coalesce(col("pe_cross"), lit(0L)))
+      .withColumn("n_pairs",
+        when(col("n_pairs") > sqrtLongMax, raise_error(concat(
+          lit("annotatorAgreement: group "), col("grp").cast("string"),
+          lit(s" exceeds $sqrtLongMax rated pairs — the exact int64 kappa" +
+            " accounting would overflow; sample or shard the group upstream"))))
+          .otherwise(col("n_pairs")))
       .select(col("grp"), col("n_pairs"), col("n_agree"), col("pe_cross"),
         (col("n_pairs") * col("n_agree") - col("pe_cross")).as("kappa_num"),
         (col("n_pairs") * col("n_pairs") - col("pe_cross")).as("kappa_den"))

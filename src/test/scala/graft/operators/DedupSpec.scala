@@ -789,6 +789,28 @@ class DedupSpec extends SparkSpec {
       assert(checked == full)
     }
 
+    it("a bucket crossing UP over the cap keeps its surviving pairs — maintained ⊇ full, surplus exact") {
+      // the docstring's PRECISE INVARIANT: an up-crossed bucket's
+      // previously-verified pairs survive (their stored fps are
+      // unchanged, so they are still true pairs) while a full recompute
+      // cap-drops them — kept deliberately, pinned here
+      val prev2 = Seq((1L, 5L, "computed"), (2L, 5L, "computed"))
+        .toDF("doc_id", "fp", "src")
+      val prevPairs = Dedup.hammingNearDups(
+        prev2.select(col("doc_id"), col("fp")), mh, bits, maxBucket = 3)
+      assert(prevPairs.as[(Long, Long, Long)].collect().toSet == Set((1L, 2L, 0L)))
+      val store = Seq((1L, 5L, "retained"), (2L, 5L, "retained"),
+        (7L, 5L, "computed"), (8L, 5L, "computed"), (9L, 5L, "computed"))
+        .toDF("doc_id", "fp", "src")
+      val full = Dedup.hammingNearDups(store.select(col("doc_id"), col("fp")),
+        mh, bits, maxBucket = 3).as[(Long, Long, Long)].collect().toSet
+      assert(full.isEmpty) // the full recompute cap-drops the grown bucket
+      val checked = Dedup.incrementalHammingNearDupsChecked(prev2, store,
+        prevPairs, mh, bits, maxBucket = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(checked == Set((1L, 2L, 0L))) // surplus = exactly the survivor
+    }
+
     it("restores retained pairs of a crossing bucket that GAINED a computed member") {
       // the retired `touched = 0` predicate's blind spot: prev bucket
       // {1,2,3,4} > cap 3 (pairs cap-dropped), this crawl removes 3,4

@@ -523,6 +523,36 @@ class LayoutSpec extends SparkSpec {
         assert(ex.getMessage.contains("vacuumed or never committed"))
       }
     }
+
+    it("negative buckets (signed % bucketExpr) commit, read, AND vacuum") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/vsnap"
+        val bucket = col("k") % 4 // signed: k = -3 → bucket -3
+        Layout.upsertVersioned(spark, snap,
+          Seq((-3L, "neg"), (2L, "pos")).toDF("k", "txt"), Seq("k"), bucket)
+        Layout.upsertVersioned(spark, snap,
+          Seq((-3L, "neg-v2")).toDF("k", "txt"), Seq("k"), bucket)
+        val m2 = Layout.readAsOf(spark, snap, 2L)
+          .select(col("k"), col("txt")).as[(Long, String)].collect().toMap
+        assert(m2 == Map(-3L -> "neg-v2", 2L -> "pos"))
+        // bucket -3's superseded generation 1 must vacuum like any other
+        val deleted = Layout.vacuumVersions(spark, snap, retainLast = 1)
+        assert(deleted.exists(_.matches("g0+1_b-3")), deleted.toString)
+      }
+    }
+
+    it("a NULL bucket value fails the contract loudly, not with an opaque NPE") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/vsnap"
+        val ex = intercept[IllegalArgumentException] {
+          Layout.upsertVersioned(spark, snap,
+            Seq((java.lang.Long.valueOf(1L), "a"),
+              (null.asInstanceOf[java.lang.Long], "b")).toDF("k", "txt"),
+            Seq("k"), col("k") % 4)
+        }
+        assert(ex.getMessage.contains("NULL bucket"))
+      }
+    }
   }
 
   describe("Layout.compact") {
