@@ -142,7 +142,15 @@ object Preference {
     *         with pe_cross = Σₖ m1ₖ·m2ₖ
     */
   def annotatorAgreement(pairs: DataFrame, group: Column, rater1: Column,
-                         rater2: Column): DataFrame = {
+                         rater2: Column): DataFrame =
+    annotatorAgreementCapped(pairs, group, rater1, rater2, 3037000499L)
+
+  /** [[annotatorAgreement]] with the overflow cap injectable — the cap
+    * is ⌊√Long.MaxValue⌋ in production; the spec lowers it to drive
+    * the guard without 3·10⁹ rows. */
+  private[operators] def annotatorAgreementCapped(
+      pairs: DataFrame, group: Column, rater1: Column,
+      rater2: Column, maxPairs: Long): DataFrame = {
     val rated = pairs
       .filter(rater1.isNotNull && rater2.isNotNull)
       .select(group.as("grp"), rater1.cast("string").as("r1"),
@@ -160,13 +168,12 @@ object Preference {
       .agg(sum(col("m1") * col("m2")).as("pe_cross"))
     // left + coalesce: a group whose raters share NO label has an empty
     // cross join — pe_cross 0, not a dropped group
-    val sqrtLongMax = 3037000499L // floor(sqrt(Long.MaxValue))
     agree.join(pe, Seq("grp"), "left")
       .withColumn("pe_cross", coalesce(col("pe_cross"), lit(0L)))
       .withColumn("n_pairs",
-        when(col("n_pairs") > sqrtLongMax, raise_error(concat(
+        when(col("n_pairs") > maxPairs, raise_error(concat(
           lit("annotatorAgreement: group "), col("grp").cast("string"),
-          lit(s" exceeds $sqrtLongMax rated pairs — the exact int64 kappa" +
+          lit(s" exceeds $maxPairs rated pairs — the exact int64 kappa" +
             " accounting would overflow; sample or shard the group upstream"))))
           .otherwise(col("n_pairs")))
       .select(col("grp"), col("n_pairs"), col("n_agree"), col("pe_cross"),

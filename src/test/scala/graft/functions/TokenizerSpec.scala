@@ -287,6 +287,16 @@ class TokenizerSpec extends SparkSpec {
       assert(m2 == m)
     }
 
+    it("a full (cost, count) tie resolves by UTF-8 piece-list order — the SQL-replayable rule") {
+      // "aaa aaa" at maxPieceLen 2: pieces a and aa both cost 1, so
+      // [a, aa] and [aa, a] tie on (cost 2, k 2); list order picks
+      // [a, aa] ("a" < "aa"). A longest-match-first bias would emit
+      // [aa, a] and fork from the DuckDB list_sort replay.
+      val m = Tokenizer.learnUnigramLm(Seq("aaa aaa").toDF("text"),
+        col("text"), maxPieceLen = 2)
+      assert(m.wordPieces.toMap.apply("aaa") == Seq("a", "aa"))
+    }
+
     it("caps long words out of training; counts are final-segmentation exact") {
       val m = Tokenizer.learnUnigramLm(
         Seq("abcdefghijklmnop ab ab").toDF("text"), col("text"),

@@ -133,6 +133,17 @@ class PreferenceSpec extends SparkSpec {
       assert(kappa(rows) == Seq(("g", 2L, 0L, 0L, 0L, 4L)))
     }
 
+    it("a group past the int64 overflow cap fails loudly, not with wrapped rationals") {
+      val rows = Seq(("g", "yes", "yes"), ("g", "no", "no"), ("g", "yes", "no"))
+      val ex = intercept[Exception] {
+        Preference.annotatorAgreementCapped(rows.toDF("src", "a", "b"),
+          col("src"), col("a"), col("b"), maxPairs = 2L).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("exceeds 2 rated pairs")), ex.toString)
+    }
+
     it("excludes rows with a null label on either side") {
       val p = Seq(
         ("g", "yes", "yes"),
