@@ -163,12 +163,16 @@ object Preference {
       .agg(count(lit(1)).as("m1"))
     val m2 = rated.groupBy(col("grp"), col("r2").as("lbl"))
       .agg(count(lit(1)).as("m2"))
-    val pe = m1.join(m2, Seq("grp", "lbl")) // absent label ⇒ 0 product
+    // explicit broadcasts: every post-aggregate frame here is
+    // |groups|·|labels|-bounded (report-sized at any corpus scale), but
+    // the checkpointed slice hides stats from the planner — without the
+    // hint these fall to SortMergeJoin with two pointless exchanges
+    val pe = m1.join(broadcast(m2), Seq("grp", "lbl")) // absent label ⇒ 0 product
       .groupBy(col("grp"))
       .agg(sum(col("m1") * col("m2")).as("pe_cross"))
     // left + coalesce: a group whose raters share NO label has an empty
     // cross join — pe_cross 0, not a dropped group
-    agree.join(pe, Seq("grp"), "left")
+    agree.join(broadcast(pe), Seq("grp"), "left")
       .withColumn("pe_cross", coalesce(col("pe_cross"), lit(0L)))
       .withColumn("n_pairs",
         when(col("n_pairs") > maxPairs, raise_error(concat(

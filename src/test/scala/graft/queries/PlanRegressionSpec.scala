@@ -47,10 +47,15 @@ class PlanRegressionSpec extends SparkSpec {
     ("q200_quantile_filter",  2, 0, 0, 6), // two single-row scalar broadcasts
     ("q208_dynamic_pruning",  0, 1, 0, 2),
     ("q304_dgeo_dp_sum",      0, 0, 0, 2), // one hash agg + the orderBy; noise walk is in-projection
-    ("q307_pref_length_skew", 1, 2, 0, 4)) // exactly ONE bounded 1-row global broadcast (q200's class); pairs join broadcasts
+    ("q307_pref_length_skew", 1, 2, 0, 4), // exactly ONE bounded 1-row global broadcast (q200's class); pairs join broadcasts
+    ("q310_pref_annotator_kappa", 0, 2, 0, 5), // both report-sized marginal frames broadcast (explicit hints — the checkpointed slice hides stats)
+    ("q311_unigram_segment",  0, 1, 1, 3)) // the Zipf-bounded word→pieces map broadcasts; the ONE SMJ is correct-by-design: the totality left join of two corpus-sized frames (docs × per-doc roll-up) must shuffle
   // (q305/q306 sit behind sortOnce's localCheckpoint, so their executed
   // plan is an RDD scan — their join shapes are pinned at the operator
-  // level in PreferenceSpec/DedupSpec instead.)
+  // level in PreferenceSpec/DedupSpec instead; q308's output is the
+  // driver-local learned table — a LocalTableScan, nothing to pin;
+  // q309 ends at a stream-drain localCheckpoint, its merge economics
+  // are pinned in LayoutSpec.)
 
   private def occurrences(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
