@@ -239,9 +239,32 @@ object Tokenizer {
     * word — the memoized-inference table a production pipeline joins
     * against (per-unique-word segmentation is the standard serving
     * shape: the vocabulary is Zipf-bounded while the corpus is not).
+    * Carries the training `maxWordChars` so serving ([[UnigramLm]])
+    * applies the IDENTICAL pass-through cap — the two caps forking is
+    * a silent segmentation skew, so the model owns the number.
     */
   final case class UnigramModel(pieces: Seq[(String, Long, Long)],
-                                wordPieces: Seq[(String, Seq[String])])
+                                wordPieces: Seq[(String, Seq[String])],
+                                maxWordChars: Int)
+
+  /** Unigram-LM INFERENCE behind the [[Tokenizer]] seam — the serving
+    * face of [[learnUnigramLm]], so everything downstream that is
+    * tokenizer-parameterized (packing budgets q69–q71, vocab budgets,
+    * fertility audits) runs under unigram piece counts exactly as it
+    * does under [[MergeRank]]/[[LongestMatch]]. Segmentation is the
+    * model's memoized word→pieces table shipped into a custom
+    * expression ([[graft.catalyst.UnigramSegment]] — the
+    * [[graft.catalyst.TrieTokenize]] reference-object shape, O(1) per
+    * word at any vocabulary size, whole-stage-codegen friendly);
+    * out-of-vocabulary words fall back per code point and words over
+    * the model's `maxWordChars` pass through whole — byte-identical
+    * to q311's broadcast-join serving semantics, reassembly-exact
+    * either way.
+    */
+  final case class UnigramLm(model: UnigramModel) extends Tokenizer {
+    override def tokenize(text: Column): Column =
+      graft.catalyst.UnigramSegment(text, model.wordPieces, model.maxWordChars)
+  }
 
   /** Unigram-LM (SentencePiece-style) tokenizer TRAINING — the third
     * production trainer behind the seam, next to [[learnMerges]] (BPE)
@@ -278,11 +301,23 @@ object Tokenizer {
     * top-frequency words ((n desc, w) deterministic order) — the same
     * documented sampled-word-table path as [[learnMergesBatched]];
     * tail singletons can't shift an ilog2-quantized score anyway.
+    *
+    * DRIVER-MEMORY ENVELOPE: the seed substring table is built
+    * driver-locally with up to `maxWordChars · maxPieceLen` hash-map
+    * updates per vocabulary word (distinct-entry peak bounded by the
+    * same product), and each EM round runs Viterbi over every word —
+    * so the driver heap scales as
+    * O(maxVocabWords · maxWordChars · maxPieceLen) string entries.
+    * At the 500k default × 12 × 4 that is ≤ ~24M updates (hundreds of
+    * MB peak); the previous 2M default permitted a multi-GB spike.
+    * Raise `maxVocabWords` only with driver heap sized to that
+    * product — SentencePiece's own trainer samples its sentence table
+    * for exactly this reason.
     */
   def learnUnigramLm(docs: org.apache.spark.sql.DataFrame, text: Column,
                      maxPieceLen: Int = 4, maxWordChars: Int = 12,
                      rounds: Int = 2,
-                     maxVocabWords: Int = 2000000): UnigramModel = {
+                     maxVocabWords: Int = 500000): UnigramModel = {
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(maxWordChars >= 1, s"maxWordChars must be >= 1, got $maxWordChars")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
@@ -391,7 +426,8 @@ object Tokenizer {
       table.toSeq.map { case (p, c) => (p, c, finalCost(p)) }
         .sortWith((a, b) => utf8Cmp(a._1, b._1) < 0),
       served.map { case (w, ps) => (w, ps: Seq[String]) }.toSeq
-        .sortWith((a, b) => utf8Cmp(a._1, b._1) < 0))
+        .sortWith((a, b) => utf8Cmp(a._1, b._1) < 0),
+      maxWordChars)
   }
 
   /** Greedy longest-match subword segmentation over a fixed vocabulary

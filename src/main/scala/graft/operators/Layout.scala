@@ -488,14 +488,35 @@ object Layout {
     * resolve the version's manifest to its bucket generations and read
     * exactly those immutable directories. No lock — a concurrent merge
     * only ever ADDS generations and manifests. Fails loudly when the
-    * version was vacuumed or never committed. */
+    * version was vacuumed or never committed, and EAGERLY validates
+    * that every referenced generation directory still exists at
+    * resolution time (a half-vacuumed version fails here, not as a
+    * confusing mid-scan FileNotFound).
+    *
+    * RETENTION RACE CONTRACT: the returned DataFrame is LAZY — the
+    * parquet scan happens at action time. A [[vacuumVersions]] whose
+    * retention window lapses past `version` between this call and the
+    * action deletes the generation dirs out from under the scan
+    * (FileNotFoundException — or silently partial rows if
+    * `spark.sql.files.ignoreMissingFiles` is enabled; leave that flag
+    * off on versioned stores). Readers that must outlive the retention
+    * window materialize first (`.localCheckpoint(true)`, or write out)
+    * — the same discipline every lock-free snapshot store (Delta/
+    * Iceberg vacuum) imposes; the eager check above narrows the window
+    * to resolution→action but only retention sizing closes it. */
   def readAsOf(spark: SparkSession, basePath: String, version: Long): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(basePath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = readVersionManifest(fs, basePath, version)
     require(entries.nonEmpty, s"readAsOf: version $version of $basePath is empty")
-    spark.read.parquet(entries.toSeq.sortBy(_._1)
-      .map { case (b, g) => genDir(basePath, b, g).toString }: _*)
+    val dirs = entries.toSeq.sortBy(_._1)
+      .map { case (b, g) => genDir(basePath, b, g) }
+    val missing = dirs.filterNot(fs.exists)
+    require(missing.isEmpty,
+      s"readAsOf: version $version of $basePath references vacuumed " +
+        s"generation dirs (${missing.map(_.getName).mkString(", ")}) — " +
+        "its manifest survived a partial vacuum or retention lapsed mid-read")
+    spark.read.parquet(dirs.map(_.toString): _*)
   }
 
   /** Bounded retention for the versioned snapshot: keep the newest
@@ -526,6 +547,141 @@ object Layout {
         .map(v => versionManifest(basePath, v))
       (deadGens ++ deadManifests).foreach(p => fs.delete(p, true))
       (deadGens ++ deadManifests).map(_.getName).sorted
+    }
+  }
+
+  /** Version-range CHANGE FEED over the versioned snapshot — the
+    * Delta-CDF analog [[readAsOf]] stops short of: per-key change rows
+    * between two committed versions, WITHOUT diffing two full snapshot
+    * scans. The manifest chain makes this cheap by construction: a
+    * bucket whose generation pointer is IDENTICAL in both manifests
+    * cannot contain a changed key (generations are immutable), so only
+    * pointer-moved buckets are read — at 100 TB an incremental
+    * consumer (the q282 postings / q280 routing maintenance chain)
+    * pays O(touched-bucket history), not O(2 · snapshot).
+    *
+    * Key-stability contract (already the store's): `bucketExpr` is a
+    * pure function of the key, so a key never migrates buckets and the
+    * per-bucket diff IS the per-key diff. Both sides carry the same
+    * bucket-derived layout, so the key-equi-join below shuffles only
+    * the touched buckets' rows.
+    *
+    * Change rows: `inserted` (key absent at `fromV`), `deleted` (key
+    * absent at `toV` — unreachable under today's upsert-only writers,
+    * kept in the contract for a delete-capable writer), `updated` (both
+    * present, any non-key column differs — null-safe compare).
+    * Unchanged keys inside a rewritten bucket emit NOTHING (a bucket
+    * rewrite copies untouched keys forward; they are not changes).
+    *
+    * Same eager vacuum validation as [[readAsOf]], same lazy-read
+    * retention race contract (materialize before retention can lapse).
+    *
+    * @return keyCols ++ (change, before, after) — before/after are
+    *         structs of every non-key column (null on insert/delete)
+    */
+  def readChanges(spark: SparkSession, basePath: String,
+                  fromV: Long, toV: Long, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "readChanges needs at least one key column")
+    require(fromV < toV,
+      s"readChanges: need fromV < toV, got $fromV >= $toV")
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val eFrom = readVersionManifest(fs, basePath, fromV)
+    val eTo = readVersionManifest(fs, basePath, toV)
+    val moved = (eFrom.keySet ++ eTo.keySet).toSeq.sorted
+      .filter(b => eFrom.get(b) != eTo.get(b))
+    def gens(entries: Map[Int, Long]) = moved
+      .flatMap(b => entries.get(b).map(g => genDir(basePath, b, g)))
+    val (oldDirs, newDirs) = (gens(eFrom), gens(eTo))
+    val missing = (oldDirs ++ newDirs).filterNot(fs.exists)
+    require(missing.isEmpty,
+      s"readChanges: versions $fromV..$toV of $basePath reference vacuumed " +
+        s"generation dirs (${missing.map(_.getName).mkString(", ")}) — " +
+        "raise vacuum retention above the change-feed consumer's lag")
+    // schema donor for the empty-side / no-change cases — preferably a
+    // MOVED bucket (read anyway, so the untouched-bucket skip stays
+    // strict down to inputFiles); an untouched bucket only when NOTHING
+    // moved (then only this limit-0 schema probe is read at all)
+    lazy val donor = {
+      val b = moved.headOption.getOrElse(eTo.keySet.min)
+      spark.read.parquet(genDir(basePath, b, eTo(b)).toString).limit(0)
+    }
+    def side(dirs: Seq[org.apache.hadoop.fs.Path], as: String) = {
+      val df = if (dirs.nonEmpty) spark.read.parquet(dirs.map(_.toString): _*)
+               else donor
+      val valueCols = df.columns.filterNot(keyCols.contains)
+      require(valueCols.nonEmpty,
+        "readChanges: the store has no non-key columns to diff")
+      df.select(keyCols.map(col) :+
+        struct(valueCols.map(col): _*).as(as): _*)
+    }
+    side(oldDirs, "before").join(side(newDirs, "after"), keyCols, "full_outer")
+      .filter(col("before").isNull || col("after").isNull ||
+        !(col("before") <=> col("after")))
+      .select(keyCols.map(col) ++ Seq(
+        when(col("before").isNull, lit("inserted"))
+          .when(col("after").isNull, lit("deleted"))
+          .otherwise(lit("updated")).as("change"),
+        col("before"), col("after")): _*)
+  }
+
+  /** COMPACTION for the versioned snapshot: rewrite every live bucket
+    * of the CURRENT version into exactly ONE file in a fresh
+    * generation, committed as a new version with identical data. What
+    * it buys, and why it is the second half of the retention story
+    * ([[vacuumVersions]] being the first): (a) each merge's stage
+    * write leaves as many files per generation dir as shuffle
+    * partitions carried that bucket's rows — a hot bucket's LIVE
+    * generation accretes small files that every subsequent read and
+    * merge re-opens; compaction collapses them to one. (b) vacuum can
+    * only delete generations no RETAINED manifest references — after
+    * compaction the newest manifest references only the compacted
+    * generations, so a following `vacuumVersions(retainLast = 1)`
+    * reclaims the entire touched-bucket history. Data is unchanged at
+    * every retained version: old manifests still resolve to their old
+    * (untouched) generations.
+    *
+    * One shuffle, bucket-keyed: each bucket's rows land in exactly one
+    * partition, so `partitionBy` emits exactly one file per bucket.
+    * Runs under the merge lock (single-writer, like any merge).
+    *
+    * @return the committed (compacted) version
+    */
+  def compactVersioned(spark: SparkSession, basePath: String,
+                       bucketCol: String = "__bucket"): Long = {
+    withMergeLock(spark, basePath) { fs =>
+      val versions = listVersionsFs(fs, basePath)
+      require(versions.nonEmpty,
+        s"compactVersioned: $basePath has no committed versions")
+      val cur = versions.last
+      val next = cur + 1L
+      val entries = readVersionManifest(fs, basePath, cur)
+      val buckets = entries.keySet.toSeq.sorted
+      val live = spark.read.parquet(
+        buckets.map(b => genDir(basePath, b, entries(b)).toString): _*)
+      val stagePath = basePath + "__compact_stage"
+      live.repartition(buckets.size, col(bucketCol))
+        .withColumn("__vpart", col(bucketCol))
+        .write.partitionBy("__vpart").mode(SaveMode.Overwrite).parquet(stagePath)
+      val stageDir = new org.apache.hadoop.fs.Path(stagePath)
+      buckets.foreach { b =>
+        val src = new org.apache.hadoop.fs.Path(stageDir, s"__vpart=$b")
+        val dst = genDir(basePath, b, next)
+        require(fs.exists(src), s"compactVersioned: staged bucket $b missing at $src")
+        if (fs.exists(dst)) fs.delete(dst, true) // crashed prior attempt
+        require(fs.rename(src, dst),
+          s"compactVersioned: generation rename failed for bucket $b")
+      }
+      fs.delete(stageDir, true)
+      fs.mkdirs(versionsDir(basePath))
+      val tmp = new org.apache.hadoop.fs.Path(versionsDir(basePath),
+        s"v$next.manifest.tmp")
+      val out = fs.create(tmp, true)
+      val body = buckets.map(b => s"$b $next").mkString("\n")
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      require(fs.rename(tmp, versionManifest(basePath, next)),
+        s"compactVersioned: could not commit manifest for version $next")
+      next
     }
   }
 

@@ -32,9 +32,10 @@ import org.apache.spark.sql.functions._
   */
 object Preference {
 
-  /** Default stop-shingle document-frequency cap for the preference
-    * audits. Unlike eval decontamination (tiny test side), BOTH sides
-    * of [[crossRoleLeakage]] span the whole preference table, so the
+  /** RECOMMENDED stop-shingle document-frequency cap for the
+    * preference audits at corpus scale — NOT the default. Unlike eval
+    * decontamination (tiny test side), BOTH sides of
+    * [[crossRoleLeakage]] span the whole preference table, so the
     * inverted-index join volume is Σ df_chosen(s)·df_rejected(s) —
     * an uncapped ubiquitous shingle contributes quadratic candidate
     * rows and near-zero identification evidence. Identification
@@ -42,10 +43,17 @@ object Preference {
     * decontamination discipline): text repeated across ≳30 responses
     * is template boilerplate whose label conflicts are exact-dup
     * clustering's job (the q21/q53 family), not a quadratic pair
-    * listing's. Dropped shingles are observable via
-    * `contamination_df_<n>` (count + dropped).
+    * listing's.
+    *
+    * The audits DEFAULT TO EXACT (`maxDf = Int.MaxValue`): an audit
+    * operator must not silently lose recall — a text duplicated as
+    * chosen across 31+ pairs would otherwise become invisible to the
+    * default cross-role audit. Scale callers opt into this cap
+    * explicitly (the pinned q305/q306 shapes do — it cuts the sf1
+    * candidate join 43.6 M → 6.8 M rows); dropped shingles are then
+    * observable via `contamination_df_<n>` (count + dropped).
     */
-  val DefaultMaxDf: Int = 30
+  val ScaleMaxDf: Int = 30
 
   /** Cross-role near-dup leakage: every (chosen leg, rejected leg)
     * pair of DIFFERENT preference pairs sharing at least `minShared`
@@ -54,17 +62,18 @@ object Preference {
     * [[Dedup.contaminationPairs]] bipartite join with the chosen legs
     * as "train" and the rejected legs as "test"; the same-pair
     * diagonal (chosen vs its own rejected — expected to overlap) is
-    * excluded. Chosen-side shingles in more than `maxDf` responses
-    * are dropped BY DEFAULT ([[DefaultMaxDf]]) — the candidate-volume
-    * bound every broadcast/bucketed family here carries; pass
-    * `maxDf = Int.MaxValue` for the exact unbounded audit.
+    * excluded. EXACT by default; pass `maxDf = `[[ScaleMaxDf]] (the
+    * pinned corpus-scale shape) to drop chosen-side shingles in more
+    * than `maxDf` responses — the candidate-volume bound every
+    * broadcast/bucketed family here carries, traded against audit
+    * recall as documented on [[ScaleMaxDf]].
     *
     * @return (chosen_pair, rejected_pair, n_shared)
     */
   def crossRoleLeakage(pairs: DataFrame, pairId: Column, chosenText: Column,
                        rejectedText: Column, w: Int = 3,
                        minShared: Int = 3,
-                       maxDf: Int = DefaultMaxDf): DataFrame =
+                       maxDf: Int = Int.MaxValue): DataFrame =
     Dedup.contaminationPairs(
         pairs.select(pairId.as("pid"), chosenText.as("t")), col("pid"), col("t"),
         pairs.select(pairId.as("pid"), rejectedText.as("t")), col("pid"), col("t"),
@@ -83,8 +92,9 @@ object Preference {
     * pair ids are EXCLUDED EXPLICITLY — a negative id would silently
     * mis-decode through the truncating `div 2` / `% 2` roll-up, so the
     * exclusion is part of the operator contract, same discipline as
-    * [[Privacy.rrRelease]]'s null exclusion. Leg-side shingles in more
-    * than `maxDf` legs are dropped by default ([[DefaultMaxDf]]).
+    * [[Privacy.rrRelease]]'s null exclusion. EXACT by default; scale
+    * callers pass `maxDf = `[[ScaleMaxDf]] to drop leg-side shingles
+    * in more than `maxDf` legs (recall trade documented there).
     *
     * @return (pair_id, n_eval_docs, n_legs_hit, max_shared) for every
     *         contaminated pair — n_eval_docs counts distinct eval
@@ -94,7 +104,7 @@ object Preference {
                         rejectedText: Column, evalDocs: DataFrame,
                         evalId: Column, evalText: Column, w: Int = 3,
                         minShared: Int = 3,
-                        maxDf: Int = DefaultMaxDf): DataFrame = {
+                        maxDf: Int = Int.MaxValue): DataFrame = {
     val pid = pairId.cast("long")
     val valid = pairs.filter(pid.isNotNull && pid >= 0)
     val legs = valid.select((pid * 2).as("leg_id"), chosenText.as("t"))
@@ -138,19 +148,35 @@ object Preference {
     * agreement aggregate + a label-key equi-join of two
     * |labels|-bounded frames per group. Nothing collects.
     *
+    * BOUNDED-LABEL-ALPHABET CONTRACT (`broadcastMarginals`): the
+    * marginal frames are |groups|·|labels| rows, and the default
+    * explicit broadcast hint assumes a CATEGORICAL label alphabet
+    * (the κ use case — agreement over free-text or continuous scores
+    * is not κ's statistic). Raters cast to string, so a caller whose
+    * rater columns are high-cardinality (free-text rationales,
+    * unbinned numeric scores) must pass
+    * `broadcastMarginals = false` — the joins then fall to the
+    * planner's choice (SortMergeJoin at that cardinality), trading
+    * two exchanges for not materializing an unbounded frame on the
+    * driver.
+    *
     * @return (grp, n_pairs, n_agree, pe_cross, kappa_num, kappa_den)
     *         with pe_cross = Σₖ m1ₖ·m2ₖ
     */
   def annotatorAgreement(pairs: DataFrame, group: Column, rater1: Column,
-                         rater2: Column): DataFrame =
-    annotatorAgreementCapped(pairs, group, rater1, rater2, 3037000499L)
+                         rater2: Column,
+                         broadcastMarginals: Boolean = true): DataFrame =
+    annotatorAgreementCapped(pairs, group, rater1, rater2, 3037000499L,
+      broadcastMarginals)
 
   /** [[annotatorAgreement]] with the overflow cap injectable — the cap
     * is ⌊√Long.MaxValue⌋ in production; the spec lowers it to drive
     * the guard without 3·10⁹ rows. */
   private[operators] def annotatorAgreementCapped(
       pairs: DataFrame, group: Column, rater1: Column,
-      rater2: Column, maxPairs: Long): DataFrame = {
+      rater2: Column, maxPairs: Long,
+      broadcastMarginals: Boolean = true): DataFrame = {
+    def hinted(df: DataFrame) = if (broadcastMarginals) broadcast(df) else df
     val rated = pairs
       .filter(rater1.isNotNull && rater2.isNotNull)
       .select(group.as("grp"), rater1.cast("string").as("r1"),
@@ -163,16 +189,17 @@ object Preference {
       .agg(count(lit(1)).as("m1"))
     val m2 = rated.groupBy(col("grp"), col("r2").as("lbl"))
       .agg(count(lit(1)).as("m2"))
-    // explicit broadcasts: every post-aggregate frame here is
+    // explicit broadcasts (guarded by broadcastMarginals): under the
+    // bounded-label contract every post-aggregate frame here is
     // |groups|·|labels|-bounded (report-sized at any corpus scale), but
     // the checkpointed slice hides stats from the planner — without the
     // hint these fall to SortMergeJoin with two pointless exchanges
-    val pe = m1.join(broadcast(m2), Seq("grp", "lbl")) // absent label ⇒ 0 product
+    val pe = m1.join(hinted(m2), Seq("grp", "lbl")) // absent label ⇒ 0 product
       .groupBy(col("grp"))
       .agg(sum(col("m1") * col("m2")).as("pe_cross"))
     // left + coalesce: a group whose raters share NO label has an empty
     // cross join — pe_cross 0, not a dropped group
-    agree.join(broadcast(pe), Seq("grp"), "left")
+    agree.join(hinted(pe), Seq("grp"), "left")
       .withColumn("pe_cross", coalesce(col("pe_cross"), lit(0L)))
       .withColumn("n_pairs",
         when(col("n_pairs") > maxPairs, raise_error(concat(
@@ -183,6 +210,115 @@ object Preference {
       .select(col("grp"), col("n_pairs"), col("n_agree"), col("pe_cross"),
         (col("n_pairs") * col("n_agree") - col("pe_cross")).as("kappa_num"),
         (col("n_pairs") * col("n_pairs") - col("pe_cross")).as("kappa_den"))
+  }
+
+  /** MULTI-RATER agreement — exact-rational FLEISS' κ per group, the
+    * generalization [[annotatorAgreement]]'s pairwise Cohen's κ cannot
+    * see: real annotation pools put r ≥ 3 raters on each item, and the
+    * statistic chance-corrects against the POOLED label marginals.
+    * With N items each rated exactly r times, n_ik ratings of label k
+    * on item i, S = Σᵢₖ n_ik², m_k = Σᵢ n_ik, T = N·r:
+    *
+    *   P̄  = (S − T) / (T·(r−1))        observed agreement
+    *   P̄ₑ = Σₖ m_k² / T²               chance agreement
+    *   κ  = (P̄ − P̄ₑ) / (1 − P̄ₑ)
+    *      = [ (S − T)·T − (r−1)·Σm_k² ] / [ (r−1)·(T² − Σm_k²) ]
+    *
+    * released as the exact int64 rational (num, den) — the q310/q303
+    * discipline: no float on the release path, callers divide off it.
+    * Degenerates release naturally: every rating one label ⇒ (0, 0)
+    * (P̄ₑ = 1, the Cohen convention); r = 1 ⇒ (0, 0) (chance agreement
+    * is undefined without a second rating). κ < 0 (worse than chance)
+    * falls out of the signed numerator.
+    *
+    * EQUAL-RATINGS CONTRACT: Fleiss' κ is DEFINED for a constant
+    * rating count per item; a group whose items carry unequal counts
+    * FAILS LOUDLY in-plan (`raise_error`) instead of silently
+    * computing a statistic whose formula no longer holds — handle
+    * missing ratings upstream (subsample to the common r, or use a
+    * missing-tolerant coefficient like Krippendorff's α, which is a
+    * different estimand, not a parameter of this one). NULL labels
+    * are excluded BEFORE the count (unratable, not disagreement), so
+    * a null shows up as exactly such an unequal count.
+    *
+    * OVERFLOW CONTRACT: the release needs T²·max(r−1, S/T… ) exact —
+    * guarded in-plan by two overflow-free integer tests
+    * (T ≤ maxRatings, then r ≤ (Long.Max div T) div T ⟺ r·T² within
+    * int64); a group beyond them fails loudly like [[annotatorAgreement]].
+    *
+    * Shape at 100 TB: one (grp,item,label) hash aggregate over the
+    * ratings, folded twice (per-item, per-label) into two
+    * |groups|-bounded frames joined broadcast — the label-cardinality
+    * caveat of [[annotatorAgreement]] does NOT apply here because the
+    * broadcast frames are already summed over labels. Nothing
+    * collects.
+    *
+    * @return (grp, n_items, n_raters, n_ratings, s_sq, sum_m_sq,
+    *         kappa_num, kappa_den)
+    */
+  def fleissKappa(ratings: DataFrame, group: Column, item: Column,
+                  label: Column): DataFrame =
+    fleissKappaCapped(ratings, group, item, label, 3037000499L)
+
+  /** [[fleissKappa]] with the first-stage overflow cap injectable —
+    * ⌊√Long.MaxValue⌋ in production; the spec lowers it to drive the
+    * guard without 3·10⁹ rows. */
+  private[operators] def fleissKappaCapped(
+      ratings: DataFrame, group: Column, item: Column, label: Column,
+      maxRatings: Long): DataFrame = {
+    val nik = ratings
+      .filter(label.isNotNull)
+      .select(group.as("grp"), item.as("itm"),
+        label.cast("string").as("lbl"))
+      .groupBy(col("grp"), col("itm"), col("lbl"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // two aggregate consumers of one slice
+    val perItem = nik.groupBy(col("grp"), col("itm"))
+      .agg(sum(col("n")).as("ri"), sum(col("n") * col("n")).as("si"))
+    val grpItems = perItem.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_items"), sum(col("si")).as("s_sq"),
+        min(col("ri")).as("r_min"), max(col("ri")).as("r_max"),
+        sum(col("ri")).as("n_ratings"))
+    val grpLabels = nik.groupBy(col("grp"), col("lbl"))
+      .agg(sum(col("n")).as("m"))
+      .groupBy(col("grp"))
+      .agg(sum(col("m") * col("m")).as("sum_m_sq"))
+    // both frames are |groups| rows post-fold — broadcast is safe at
+    // ANY label cardinality (unlike the Cohen marginals), but the
+    // checkpointed slice hides stats, so hint explicitly
+    grpItems.join(broadcast(grpLabels), Seq("grp"))
+      .withColumn("n_raters",
+        when(col("r_min") =!= col("r_max"), raise_error(concat(
+          lit("fleissKappa: group "), col("grp").cast("string"),
+          lit(" has unequal per-item rating counts ("),
+          col("r_min").cast("string"), lit(".."),
+          col("r_max").cast("string"),
+          lit(") — Fleiss' kappa needs a constant r; subsample to the" +
+            " common count or use a missing-tolerant coefficient"))))
+          .otherwise(col("r_min")))
+      .withColumn("n_ratings",
+        when(col("n_ratings") > maxRatings, raise_error(concat(
+          lit("fleissKappa: group "), col("grp").cast("string"),
+          lit(s" exceeds $maxRatings ratings — the exact int64" +
+            " accounting would overflow; sample or shard upstream"))))
+          .otherwise(col("n_ratings")))
+      // overflow-free second stage: r·T² must stay int64, tested as
+      // r > (Long.Max div T) div T (division can never overflow)
+      .withColumn("n_raters",
+        when(col("n_raters") >
+            expr(s"(${Long.MaxValue}L div n_ratings) div n_ratings"),
+          raise_error(concat(
+            lit("fleissKappa: group "), col("grp").cast("string"),
+            lit(" needs r * n_ratings^2 beyond int64 — the exact" +
+              " accounting would overflow; sample or shard upstream"))))
+          .otherwise(col("n_raters")))
+      .select(col("grp"), col("n_items"), col("n_raters"),
+        col("n_ratings"), col("s_sq"), col("sum_m_sq"),
+        ((col("s_sq") - col("n_ratings")) * col("n_ratings")
+          - (col("n_raters") - 1) * col("sum_m_sq")).as("kappa_num"),
+        ((col("n_raters") - 1)
+          * (col("n_ratings") * col("n_ratings") - col("sum_m_sq")))
+          .as("kappa_den"))
   }
 
   /** Per-source VERBOSITY-BIAS audit: the fraction of pairs (exact

@@ -2101,22 +2101,74 @@ object DataOps extends QueryModule {
       .orderBy(col("doc_id"))
   }
 
-  private lazy val q311Oracle: String =
-    s"""WITH RECURSIVE
-       |$unigramReplayCtes,
-       |dwords AS (
+  /** Per-doc word explode + serving-segmentation CTEs shared by q311
+    * (fingerprints) and q315 (packing under piece counts) — one
+    * definition so the serving semantics (vocab join + over-cap
+    * pass-through) can never fork between the two oracles. */
+  private lazy val unigramDocWordCtes: String =
+    s"""dwords AS (
        |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS w_ord, unnest(ws) AS w
        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
        |allw AS (
        |  SELECT d.doc_id, d.w_ord, s.ps
        |  FROM dwords d JOIN seg${UniRounds + 1} s USING (w)
        |  UNION ALL
-       |  SELECT doc_id, w_ord, [w] AS ps FROM dwords WHERE len(w) > $UniMaxWord)
+       |  SELECT doc_id, w_ord, [w] AS ps FROM dwords WHERE len(w) > $UniMaxWord)""".stripMargin
+
+  private lazy val q311Oracle: String =
+    s"""WITH RECURSIVE
+       |$unigramReplayCtes,
+       |$unigramDocWordCtes
        |SELECT d.doc_id, CAST(COALESCE(SUM(len(ps)), 0) AS BIGINT) AS n_pieces,
        |       md5(COALESCE(string_agg(array_to_string(ps, '|'), '|' ORDER BY w_ord), ''))
        |         AS fp
        |FROM documents d LEFT JOIN allw USING (doc_id)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** q315: sequence packing UNDER THE UNIGRAM TOKENIZER — the seam
+    * payoff VERDICT r15 #4 asked for: [[graft.functions.Tokenizer
+    * .UnigramLm]] now sits behind the same `Tokenizer` trait as
+    * `MergeRank`/`LongestMatch`, so the q69 packing operator runs
+    * under unigram PIECE counts by swapping the tokenizer — zero
+    * packing-code change. Serving is the memoized word→pieces table
+    * inside a custom expression ([[graft.catalyst.UnigramSegment]],
+    * O(1)/word at any vocab size); the oracle replays EM training,
+    * the serving segmentation, AND the q69 running-sum packing
+    * arithmetic end-to-end — a green row pins the whole
+    * train→serve→pack chain under one statement.
+    */
+  def unigramPacking(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.functions.Tokenizer.UnigramLm(unigramModel(s, dir))
+    graft.operators.Packing.packOffsets(
+        docs(s, dir), col("doc_id"), size(tok.tokenize(col("text"))),
+        budget = UniPackBudget)
+      .orderBy(col("pack_id"))
+  }
+
+  private val UniPackBudget = 512L
+
+  private lazy val q315Oracle: String = {
+    // mirrors packOffsets' zero-token anchor rule (see q69's oracle)
+    val anchor =
+      s"CASE WHEN n_tok = 0 THEN GREATEST(end_off - 1, 0) ELSE end_off - n_tok END"
+    s"""WITH RECURSIVE
+       |$unigramReplayCtes,
+       |$unigramDocWordCtes,
+       |npc AS (SELECT d.doc_id, CAST(COALESCE(SUM(len(ps)), 0) AS BIGINT) AS n_tok
+       |        FROM documents d LEFT JOIN allw USING (doc_id) GROUP BY d.doc_id),
+       |c AS (SELECT doc_id AS pack_id, n_tok,
+       |        CAST(SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |             AS BIGINT) AS end_off
+       |      FROM npc),
+       |o AS (SELECT pack_id, n_tok, end_off - n_tok AS start_off, end_off,
+       |        CAST(FLOOR(($anchor) / $UniPackBudget) AS BIGINT) AS first_seq,
+       |        GREATEST(CAST(FLOOR(($anchor) / $UniPackBudget) AS BIGINT),
+       |                 CAST(FLOOR((end_off - 1) / $UniPackBudget) AS BIGINT)) AS last_seq
+       |      FROM c)
+       |SELECT pack_id, n_tok, start_off, end_off, first_seq, last_seq,
+       |       first_seq <> last_seq AS split
+       |FROM o ORDER BY pack_id""".stripMargin
+  }
 
   // ---- q165: fixed-point PageRank ---------------------------------------
 
@@ -6683,10 +6735,11 @@ object DataOps extends QueryModule {
     * and disprefers the same text). [[graft.operators.Preference
     * .crossRoleLeakage]] = the q63 bipartite inverted-index join with
     * chosen legs as train / rejected legs as test and the same-pair
-    * diagonal excluded — never all-pairs. The operator's DEFAULT
-    * chosen-side stop-shingle cap (maxDf = 30,
-    * [[graft.operators.Preference.DefaultMaxDf]]) is active and
-    * mirrored in the oracle: identification evidence lives in rare
+    * diagonal excluded — never all-pairs. The chosen-side stop-shingle
+    * cap (maxDf = 30, [[graft.operators.Preference.ScaleMaxDf]]) is
+    * OPTED INTO EXPLICITLY here (the operator defaults to exact so an
+    * audit never silently drops evidence) and mirrored in the oracle:
+    * identification evidence lives in rare
     * shingles, and a shingle spanning >30 chosen responses is
     * template boilerplate whose join fan-out is quadratic in both
     * roles' table size while its mass-duplication story belongs to
@@ -6698,7 +6751,7 @@ object DataOps extends QueryModule {
   def prefCrossRoleLeakage(s: SparkSession, dir: String): DataFrame =
     graft.operators.Preference.crossRoleLeakage(prefPairs(s, dir),
         col("pair_id"), col("chosen_text"), col("rejected_text"),
-        w = 3, minShared = 3)
+        w = 3, minShared = 3, maxDf = graft.operators.Preference.ScaleMaxDf)
       .sortOnce(col("chosen_pair"), col("rejected_pair"))
 
   private val q305Oracle: String =
@@ -6727,9 +6780,9 @@ object DataOps extends QueryModule {
     * doc themselves are excluded as in any honest split). Both legs
     * probe the eval postings in ONE [[graft.operators.Preference
     * .pairContamination]] inverted-index join, then roll up to the
-    * pair frame. The operator's default leg-side stop-shingle cap
-    * (maxDf = 30) is active and mirrored in the oracle (no-op below
-    * sf1 — see q305).
+    * pair frame. The leg-side stop-shingle cap (maxDf = 30) is opted
+    * into explicitly (the operator defaults to exact) and mirrored in
+    * the oracle (no-op below sf1 — see q305).
     */
   def prefPairContamination(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -6738,7 +6791,7 @@ object DataOps extends QueryModule {
           .filter(col("pair_id") % 17 =!= 0 && (col("pair_id") + 1) % 17 =!= 0),
         col("pair_id"), col("chosen_text"), col("rejected_text"),
         d.filter(col("doc_id") % 17 === 0), col("doc_id"), col("text"),
-        w = 3, minShared = 3)
+        w = 3, minShared = 3, maxDf = graft.operators.Preference.ScaleMaxDf)
       .sortOnce(col("pair_id"))
   }
 
@@ -6845,6 +6898,53 @@ object DataOps extends QueryModule {
        |FROM agree a LEFT JOIN pe USING (source)
        |ORDER BY source""".stripMargin
 
+  /** q313: MULTI-RATER agreement — exact-rational Fleiss' κ per group
+    * ([[graft.operators.Preference.fleissKappa]]), the r ≥ 3
+    * generalization q310's pairwise Cohen's κ cannot see. THREE
+    * deterministic raters are synthesized over the documents table
+    * (rater j labels doc d with (d·(2j+1)+j) mod 4 — pure integer
+    * arithmetic both engines replay bit-identically), grouped into 5
+    * pools; the oracle recomputes the full accounting (per-item
+    * n_ik² sums, pooled label marginals, the
+    * [(S−T)·T − (r−1)Σm²] / [(r−1)(T²−Σm²)] rational) from scratch in
+    * DuckDB — a green row pins every count, both folds, and the
+    * num/den release.
+    */
+  def prefFleissKappa(s: SparkSession, dir: String): DataFrame = {
+    val raters = (1 to 3).map { j =>
+      struct(lit(j.toLong).as("rater"),
+        ((col("doc_id") * (2 * j + 1) + j) % 4).as("lbl"))
+    }
+    val ratings = docs(s, dir)
+      .select(col("doc_id"), explode(array(raters: _*)).as("x"))
+      .select(col("doc_id"), col("x.rater").as("rater"), col("x.lbl").as("lbl"))
+    graft.operators.Preference.fleissKappa(ratings,
+        pmod(col("doc_id"), lit(5L)), col("doc_id"), col("lbl"))
+      .orderBy(col("grp"))
+  }
+
+  private val q313Oracle: String =
+    """WITH r AS (
+      |  SELECT doc_id % 5 AS grp, doc_id AS itm,
+      |         (doc_id * (2*j + 1) + j) % 4 AS lbl
+      |  FROM documents, (VALUES (1), (2), (3)) t(j)),
+      |nik AS (SELECT grp, itm, lbl, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM r GROUP BY 1, 2, 3),
+      |it AS (SELECT grp, itm, SUM(n) AS ri, SUM(n * n) AS si
+      |       FROM nik GROUP BY 1, 2),
+      |gi AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |         CAST(SUM(si) AS BIGINT) AS s_sq,
+      |         CAST(MIN(ri) AS BIGINT) AS n_raters,
+      |         CAST(SUM(ri) AS BIGINT) AS n_ratings
+      |       FROM it GROUP BY 1),
+      |gl AS (SELECT grp, CAST(SUM(m * m) AS BIGINT) AS sum_m_sq
+      |       FROM (SELECT grp, lbl, SUM(n) AS m FROM nik GROUP BY 1, 2)
+      |       GROUP BY 1)
+      |SELECT grp, n_items, n_raters, n_ratings, s_sq, sum_m_sq,
+      |  (s_sq - n_ratings) * n_ratings - (n_raters - 1) * sum_m_sq AS kappa_num,
+      |  (n_raters - 1) * (n_ratings * n_ratings - sum_m_sq) AS kappa_den
+      |FROM gi JOIN gl USING (grp) ORDER BY grp""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6876,6 +6976,8 @@ object DataOps extends QueryModule {
     "q306_pref_contamination" -> (prefPairContamination _),
     "q307_pref_length_skew" -> (prefLengthSkew _),
     "q310_pref_annotator_kappa" -> (prefAnnotatorAgreement _),
+    "q313_pref_fleiss_kappa" -> (prefFleissKappa _),
+    "q315_unigram_packing" -> (unigramPacking _),
     "q64_deterministic_sample" -> (deterministicSample _),
     "q65_stratified_sample" -> (stratifiedSample _),
     "q66_reservoir_sample" -> (reservoirSample _),
@@ -6999,6 +7101,8 @@ object DataOps extends QueryModule {
     "q306_pref_contamination" -> q306Oracle,
     "q307_pref_length_skew" -> q307Oracle,
     "q310_pref_annotator_kappa" -> q310Oracle,
+    "q313_pref_fleiss_kappa" -> q313Oracle,
+    "q315_unigram_packing" -> q315Oracle,
     "q23_minhash_lsh" -> q23Oracle,
     "q24_ann_brute" -> q24Oracle,
     "q25_ann_ivf" -> q25Oracle,

@@ -374,12 +374,21 @@ object StreamingQueries extends QueryModule {
     * merge), while the spill users' events straddle two batches, making
     * later merges genuinely REPLACE keys rather than only insert them.
     * Pure integer arithmetic both engines replicate. */
+  /** Chunk count of [[eventsUserChunkedStream]] — the ONE constant the
+    * user-keyed chunk assignment (`% UserChunks` below), q309's as-of
+    * version list, and q309/q312's oracle replays all derive from, so
+    * a chunking change fails at the require in [[cdcTimeTravel]]
+    * (pointing at this constant) instead of as a confusing oracle
+    * hash mismatch. */
+  private val UserChunks = 5
+
   private def eventsUserChunkedStream(s: SparkSession, dir: String): DataFrame =
-    stagedChunkStream(s, dir, 5, "user", "userchunkstream", (raw, _) =>
+    stagedChunkStream(s, dir, UserChunks, "user", "userchunkstream", (raw, _) =>
       raw.withColumn("__f", expr(
-        """CAST(CASE WHEN pmod(user_id, 15) % 3 != 0 THEN pmod(user_id, 15) DIV 3
-          |          WHEN event_id % 2 = 0 THEN pmod(user_id, 15) DIV 3
-          |          ELSE (pmod(user_id, 15) DIV 3 + 4) % 5 END AS INT)""".stripMargin)))
+        s"""CAST(CASE WHEN pmod(user_id, 15) % 3 != 0 THEN pmod(user_id, 15) DIV 3
+           |          WHEN event_id % 2 = 0 THEN pmod(user_id, 15) DIV 3
+           |          ELSE (pmod(user_id, 15) DIV 3 + ${UserChunks - 1})
+           |               % $UserChunks END AS INT)""".stripMargin)))
 
   /** Drain a chunked stream one micro-batch at a time, tagging every
     * emitted row with the micro-batch id that produced it (`emit_batch`)
@@ -1081,7 +1090,13 @@ object StreamingQueries extends QueryModule {
     * every retained version to exactly the right bucket generations
     * (the q157 untouched-bucket invariant, extended through history).
     */
-  def cdcTimeTravel(s: SparkSession, dir: String): DataFrame = {
+  /** Drain the user-chunked CDC stream into a fresh versioned store —
+    * one [[graft.operators.Layout.upsertVersioned]] commit per
+    * micro-batch. Shared by q309 (time-travel reads) and q312 (the
+    * version-range change feed); returns (scratch dir to delete, store
+    * path). */
+  private def versionedEventStore(
+      s: SparkSession, dir: String): (java.nio.file.Path, String) = {
     import java.nio.file.Paths
     import graft.operators.Layout
     val scratch = Paths.get(sys.props("java.io.tmpdir"), "graft_work",
@@ -1102,11 +1117,11 @@ object StreamingQueries extends QueryModule {
             .filter(col("__rn") === 1).drop("__rn")
           // every chunk is non-empty by construction; an empty batch
           // would shift version numbering vs the oracle — fail loudly
-          require(!winners.isEmpty, s"cdcTimeTravel: empty micro-batch $id")
+          require(!winners.isEmpty, s"versionedEventStore: empty micro-batch $id")
           val v = Layout.upsertVersioned(s, snap, winners,
             Seq("user_id"), bucketExpr)
           require(v == id + 1,
-            s"cdcTimeTravel: batch $id committed version $v, expected ${id + 1}")
+            s"versionedEventStore: batch $id committed version $v, expected ${id + 1}")
           ()
         }
         .outputMode(OutputMode.Append())
@@ -1114,8 +1129,18 @@ object StreamingQueries extends QueryModule {
         .start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    (scratch, snap)
+  }
+
+  def cdcTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val (scratch, snap) = versionedEventStore(s, dir)
     val last = Layout.listVersions(s, snap).last
-    val res = Seq(2L, 4L, last)
+    require(last == UserChunks.toLong,
+      s"cdcTimeTravel: committed $last versions, expected UserChunks=" +
+        s"$UserChunks — the chunk count and the oracle's as-of list both " +
+        "derive from StreamingQueries.UserChunks; change it there")
+    val res = (Q309MidVersions :+ last)
       .map { v =>
         Layout.readAsOf(s, snap, v)
           .select(lit(v).as("as_of"), col("user_id"), col("ts"),
@@ -1128,20 +1153,116 @@ object StreamingQueries extends QueryModule {
     res
   }
 
-  private val q309Oracle: String =
-    """WITH evf AS (
-      |  SELECT user_id, ts, event_id, value,
-      |    CASE WHEN (user_id % 15) % 3 <> 0 THEN (user_id % 15) // 3
-      |         WHEN event_id % 2 = 0 THEN (user_id % 15) // 3
-      |         ELSE ((user_id % 15) // 3 + 4) % 5 END AS f
-      |  FROM events),
-      |asofs AS (SELECT CAST(v AS BIGINT) AS v FROM (VALUES (2), (4), (5)) t(v)),
+  /** q309's two mid-history as-of picks (the final one is always the
+    * last committed version = [[UserChunks]]). */
+  private val Q309MidVersions = Seq(2L, 4L)
+
+  /** The user-chunk assignment + as-of list CTEs q309 and q312 share,
+    * every constant derived from [[UserChunks]]/[[Q309MidVersions]]. */
+  private lazy val q309AsOfCtes: String = {
+    val asofVals = (Q309MidVersions :+ UserChunks.toLong)
+      .map(v => s"($v)").mkString(", ")
+    s"""evf AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    CASE WHEN (user_id % 15) % 3 <> 0 THEN (user_id % 15) // 3
+       |         WHEN event_id % 2 = 0 THEN (user_id % 15) // 3
+       |         ELSE ((user_id % 15) // 3 + ${UserChunks - 1})
+       |              % $UserChunks END AS f
+       |  FROM events),
+       |asofs AS (SELECT CAST(v AS BIGINT) AS v
+       |          FROM (VALUES $asofVals) t(v))""".stripMargin
+  }
+
+  private lazy val q309Oracle: String =
+    s"""WITH $q309AsOfCtes,
       |rk AS (
       |  SELECT a.v, e.*, ROW_NUMBER() OVER (
       |    PARTITION BY a.v, e.user_id ORDER BY e.f DESC, e.ts DESC, e.event_id DESC) AS rn
       |  FROM evf e JOIN asofs a ON e.f <= a.v - 1)
       |SELECT v AS as_of, user_id, ts, event_id, value FROM rk WHERE rn = 1
       |ORDER BY as_of, user_id""".stripMargin
+
+  // ---- q312: version-range change feed on the versioned store ----------
+
+  /** The consecutive version ranges q312 diffs — mid₁→mid₂ and
+    * mid₂→last, all derived from [[Q309MidVersions]]/[[UserChunks]]. */
+  private lazy val Q312Ranges: Seq[(Long, Long)] = {
+    val vs = Q309MidVersions :+ UserChunks.toLong
+    vs.init.zip(vs.tail)
+  }
+
+  /** q312: version-range CHANGE FEED over the q309 versioned store —
+    * [[graft.operators.Layout.readChanges]], the Delta-CDF analog: an
+    * incremental consumer asks "what changed between v2 and v4"
+    * without diffing two full snapshot scans, and the manifest chain
+    * answers by reading ONLY the buckets whose generation pointer
+    * moved (immutable generations ⇒ an unmoved pointer proves an
+    * unchanged bucket; the skip is spec-pinned down to `inputFiles`).
+    * The pin drains the same chunked CDC stream into
+    * [[graft.operators.Layout.upsertVersioned]], then stacks the
+    * per-key change rows of two consecutive ranges; the oracle
+    * replays each range boundary as the q309 per-user argmax over
+    * arrived chunks and FULL-OUTER-diffs the two replays — a green
+    * row proves inserted/updated classification, the null-safe
+    * unchanged-key suppression, and the before/after images all at
+    * once. `deleted` is structurally absent (upsert-only writers),
+    * which the oracle mirrors by construction.
+    */
+  def cdcChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val (scratch, snap) = versionedEventStore(s, dir)
+    val last = Layout.listVersions(s, snap).last
+    require(last == UserChunks.toLong,
+      s"cdcChangeFeed: committed $last versions, expected UserChunks=" +
+        s"$UserChunks — see StreamingQueries.UserChunks")
+    val res = Q312Ranges
+      .map { case (f, t) =>
+        Layout.readChanges(s, snap, f, t, Seq("user_id"))
+          .select(lit(f).as("from_v"), lit(t).as("to_v"),
+            col("user_id"), col("change"),
+            col("before.ts").as("b_ts"),
+            col("before.event_id").as("b_event_id"),
+            col("before.value").as("b_value"),
+            col("after.ts").as("a_ts"),
+            col("after.event_id").as("a_event_id"),
+            col("after.value").as("a_value"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("from_v"), col("user_id"))
+      .localCheckpoint(true)
+    deleteRecursively(scratch)
+    res
+  }
+
+  private lazy val q312Oracle: String = {
+    val rangeVals = Q312Ranges
+      .map { case (f, t) => s"($f, $t)" }.mkString(", ")
+    s"""WITH $q309AsOfCtes,
+       |rk AS (
+       |  SELECT a.v, e.user_id, e.ts, e.event_id, e.value, ROW_NUMBER() OVER (
+       |    PARTITION BY a.v, e.user_id ORDER BY e.f DESC, e.ts DESC, e.event_id DESC) AS rn
+       |  FROM evf e JOIN asofs a ON e.f <= a.v - 1),
+       |w AS (SELECT v, user_id, ts, event_id, value FROM rk WHERE rn = 1),
+       |ranges AS (SELECT CAST(f AS BIGINT) AS from_v, CAST(t AS BIGINT) AS to_v
+       |           FROM (VALUES $rangeVals) r(f, t)),
+       |b AS (SELECT r.from_v, r.to_v, w.user_id, w.ts, w.event_id, w.value,
+       |             1 AS b_present
+       |      FROM ranges r JOIN w ON w.v = r.from_v),
+       |a AS (SELECT r.from_v, r.to_v, w.user_id, w.ts, w.event_id, w.value,
+       |             1 AS a_present
+       |      FROM ranges r JOIN w ON w.v = r.to_v)
+       |SELECT from_v, to_v, user_id,
+       |  CASE WHEN b_present IS NULL THEN 'inserted'
+       |       WHEN a_present IS NULL THEN 'deleted'
+       |       ELSE 'updated' END AS change,
+       |  b.ts AS b_ts, b.event_id AS b_event_id, b.value AS b_value,
+       |  a.ts AS a_ts, a.event_id AS a_event_id, a.value AS a_value
+       |FROM a FULL JOIN b USING (from_v, to_v, user_id)
+       |WHERE b.ts IS DISTINCT FROM a.ts
+       |   OR b.event_id IS DISTINCT FROM a.event_id
+       |   OR b.value IS DISTINCT FROM a.value
+       |ORDER BY from_v, user_id""".stripMargin
+  }
 
   // ---- q164: CDC apply, merge-on-read form ------------------------------
 
@@ -2631,6 +2752,7 @@ object StreamingQueries extends QueryModule {
     "q143_cdc_apply" -> (cdcApply _),
     "q157_cdc_partitioned" -> (cdcApplyPartitioned _),
     "q309_cdc_time_travel" -> (cdcTimeTravel _),
+    "q312_cdc_change_feed" -> (cdcChangeFeed _),
     "q164_cdc_mor" -> (cdcApplyMor _),
     "q174_cdc_resume" -> (cdcResume _),
     "q180_state_reader" -> (stateReader _),
@@ -2675,6 +2797,7 @@ object StreamingQueries extends QueryModule {
     "q143_cdc_apply" -> q143Oracle,
     "q157_cdc_partitioned" -> q157Oracle,
     "q309_cdc_time_travel" -> q309Oracle,
+    "q312_cdc_change_feed" -> q312Oracle,
     "q164_cdc_mor" -> q157Oracle,
     "q174_cdc_resume" -> q157Oracle,
     "q180_state_reader" -> q180Oracle,

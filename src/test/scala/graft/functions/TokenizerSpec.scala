@@ -308,4 +308,56 @@ class TokenizerSpec extends SparkSpec {
       assert(m.pieces.find(_._1 == "ab").map(_._2).contains(2L))
     }
   }
+
+  describe("Tokenizer.UnigramLm (serving behind the trait)") {
+    it("serves the trained model's memoized segmentation through tokenize()") {
+      val corpus = Seq("the cat sat", "the cats sat there", "scatter the cat")
+        .toDF("text")
+      val m = Tokenizer.learnUnigramLm(corpus, col("text"))
+      val got = corpus.select(Tokenizer.UnigramLm(m).tokenize(col("text")).as("p"))
+        .as[Seq[String]].collect().toSeq
+      // per-doc piece stream = concatenation of each word's memoized pieces
+      val wp = m.wordPieces.toMap
+      val want = Seq("the cat sat", "the cats sat there", "scatter the cat")
+        .map(_.split(" ", -1).toSeq.flatMap(wp))
+      assert(got == want)
+      // reassembly totality: pieces concatenate back to the words
+      got.zip(Seq("thecatsat", "thecatssatthere", "scatterthecat"))
+        .foreach { case (ps, flat) => assert(ps.mkString("") == flat) }
+    }
+
+    it("OOV words fall back per code point; over-cap words pass through whole") {
+      val m = Tokenizer.learnUnigramLm(Seq("ab ab").toDF("text"), col("text"))
+      assert(m.maxWordChars == 12)
+      val df = Seq("ab xy abcdefghijklmnop 😀z").toDF("text")
+      val got = df.select(Tokenizer.UnigramLm(m).tokenize(col("text")).as("p"))
+        .as[Seq[String]].collect().head
+      // ab = memoized [ab]; xy = OOV chars; 16-char word whole;
+      // the surrogate-pair emoji must not split
+      assert(got == Seq("ab", "x", "y", "abcdefghijklmnop", "😀", "z"))
+    }
+
+    it("empty words contribute no pieces and null maps to null — the trait contract") {
+      val m = Tokenizer.learnUnigramLm(Seq("ab ab").toDF("text"), col("text"))
+      val df = Seq(Some("ab  ab"), Some(""), None).toDF("text")
+      val got = df.select(Tokenizer.UnigramLm(m).tokenize(col("text")).as("p"))
+        .as[Option[Seq[String]]].collect().toSeq
+      assert(got == Seq(Some(Seq("ab", "ab")), Some(Nil), None))
+    }
+
+    it("drives packOffsets budgets exactly like any other tokenizer") {
+      // 4 docs of "ab ab" -> 2 pieces each under the model; budget 3
+      // packs them at piece granularity: offsets 0,2,4,6
+      val m = Tokenizer.learnUnigramLm(Seq("ab ab").toDF("text"), col("text"))
+      val d = (0L until 4L).map(i => (i, "ab ab")).toDF("id", "text")
+      val got = graft.operators.Packing.packOffsets(
+          d, col("id"), size(Tokenizer.UnigramLm(m).tokenize(col("text"))),
+          budget = 3L)
+        .orderBy(col("pack_id"))
+        .select(col("pack_id"), col("n_tok"), col("start_off"), col("end_off"))
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == Seq((0L, 2L, 0L, 2L), (1L, 2L, 2L, 4L),
+        (2L, 2L, 4L, 6L), (3L, 2L, 6L, 8L)))
+    }
+  }
 }

@@ -555,6 +555,100 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  describe("Layout.readChanges (version-range change feed)") {
+    it("classifies inserted/updated, suppresses unchanged keys, and reads ONLY moved buckets") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/vsnap"
+        val bucket = pmod(col("k"), lit(4L))
+        // v1: keys 0..39 over buckets 0..3
+        Layout.upsertVersioned(spark, snap,
+          (0L until 40L).map(k => (k, s"v$k")).toDF("k", "txt"), Seq("k"), bucket)
+        // v2: replace key 5, add key 41 (bucket 1 only)
+        Layout.upsertVersioned(spark, snap,
+          Seq((5L, "five-v2"), (41L, "new")).toDF("k", "txt"), Seq("k"), bucket)
+        // v3: replace key 5 again, add key 42 (buckets 1 and 2)
+        Layout.upsertVersioned(spark, snap,
+          Seq((5L, "five-v3"), (42L, "fresh")).toDF("k", "txt"), Seq("k"), bucket)
+
+        val feed = Layout.readChanges(spark, snap, 1L, 3L, Seq("k"))
+        // untouched-bucket skip, pinned down to the actual scan set:
+        // buckets 0 and 3 never moved between v1 and v3
+        assert(feed.inputFiles.nonEmpty)
+        assert(!feed.inputFiles.exists(f => f.contains("_b0/") || f.contains("_b3/")),
+          feed.inputFiles.mkString("\n"))
+        val rows = feed
+          .select(col("k"), col("change"), col("before.txt"), col("after.txt"))
+          .as[(Long, String, Option[String], Option[String])].collect().toSet
+        // key 5 updated through two rewrites (before = v1 image, after =
+        // LATEST image); 41/42 inserted; the other 38 bucket-1/2 keys
+        // were copied forward unchanged — suppressed
+        assert(rows == Set(
+          (5L, "updated", Some("v5"), Some("five-v3")),
+          (41L, "inserted", None, Some("new")),
+          (42L, "inserted", None, Some("fresh"))))
+        // the narrower range sees only its own delta
+        val r12 = Layout.readChanges(spark, snap, 1L, 2L, Seq("k"))
+          .select(col("k"), col("change")).as[(Long, String)].collect().toSet
+        assert(r12 == Set((5L, "updated"), (41L, "inserted")))
+        // degenerate range ordering fails loudly
+        val ex = intercept[IllegalArgumentException] {
+          Layout.readChanges(spark, snap, 3L, 3L, Seq("k"))
+        }
+        assert(ex.getMessage.contains("fromV < toV"))
+      }
+    }
+
+    it("a vacuumed from-version fails loudly, not with a mid-scan FileNotFound") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/vsnap"
+        val bucket = pmod(col("k"), lit(4L))
+        Layout.upsertVersioned(spark, snap,
+          (0L until 8L).map(k => (k, s"v$k")).toDF("k", "txt"), Seq("k"), bucket)
+        Layout.upsertVersioned(spark, snap,
+          Seq((5L, "five-v2")).toDF("k", "txt"), Seq("k"), bucket)
+        Layout.vacuumVersions(spark, snap, retainLast = 1)
+        val ex = intercept[IllegalArgumentException] {
+          Layout.readChanges(spark, snap, 1L, 2L, Seq("k"))
+        }
+        assert(ex.getMessage.contains("vacuumed or never committed"))
+      }
+    }
+  }
+
+  describe("Layout.compactVersioned") {
+    it("preserves every retained version's read-back, collapses each bucket to one file, and feeds no changes") {
+      withTempDir { dir =>
+        val snap = s"${dir.getAbsolutePath}/vsnap"
+        val bucket = pmod(col("k"), lit(4L))
+        def readMap(v: Long) = Layout.readAsOf(spark, snap, v)
+          .select(col("k"), col("txt")).as[(Long, String)].collect().toMap
+        Layout.upsertVersioned(spark, snap,
+          (0L until 40L).map(k => (k, s"v$k")).toDF("k", "txt")
+            .repartition(8), // multi-partition stage → multi-file gen dirs
+          Seq("k"), bucket)
+        Layout.upsertVersioned(spark, snap,
+          Seq((5L, "five-v2"), (41L, "new")).toDF("k", "txt"), Seq("k"), bucket)
+        val (m1, m2) = (readMap(1L), readMap(2L))
+        val preFiles = Layout.readAsOf(spark, snap, 2L).inputFiles.length
+        assert(preFiles > 4, s"pre-compaction live files: $preFiles") // genuinely fragmented
+
+        val cv = Layout.compactVersioned(spark, snap)
+        assert(cv == 3L)
+        // identical read-back at EVERY retained version
+        assert(readMap(1L) == m1 && readMap(2L) == m2 && readMap(3L) == m2)
+        // exactly one file per bucket in the compacted generation
+        assert(Layout.readAsOf(spark, snap, 3L).inputFiles.length == 4)
+        // compaction is data-invariant: the change feed across it is
+        // EMPTY even though every bucket's generation pointer moved
+        assert(Layout.readChanges(spark, snap, 2L, 3L, Seq("k")).isEmpty)
+        // vacuum now reclaims the whole pre-compaction history
+        val deleted = Layout.vacuumVersions(spark, snap, retainLast = 1)
+        assert(deleted.count(_.startsWith("g")) >= 4, deleted.toString)
+        assert(readMap(3L) == m2)
+      }
+    }
+  }
+
   describe("Layout.compact") {
     it("collapses many small files into the target count without losing rows") {
       withTempDir { dir =>

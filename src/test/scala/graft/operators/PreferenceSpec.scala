@@ -156,6 +156,91 @@ class PreferenceSpec extends SparkSpec {
     }
   }
 
+  describe("Preference.fleissKappa") {
+    // rows are (group, item, label); ALL goldens hand-computed from the
+    // row lists below — per-item n_ik, S = Σ n_ik², pooled marginals
+    // m_k, Σ m_k², then num = (S−T)·T − (r−1)Σm², den = (r−1)(T²−Σm²)
+    def fk(rows: Seq[(String, Long, String)]) =
+      Preference.fleissKappa(rows.toDF("g", "i", "l"),
+          col("g"), col("i"), col("l"))
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+
+    it("matches a hand-computed 3-rater kappa, exact rational") {
+      // item 1: a,a,b (n=2,1); item 2: b,b,b (n=3)
+      // r=3, N=2, T=6, S = 4+1+9 = 14
+      // marginals: m_a=2, m_b=4 -> Σm² = 20
+      // num = (14−6)·6 − 2·20 = 8; den = 2·(36−20) = 32 (κ = 1/4;
+      // cross-check: P̄ = 8/12 = 2/3, P̄e = 20/36 = 5/9 -> (1/9)/(4/9))
+      val rows = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 1L, "b"),
+        ("g", 2L, "b"), ("g", 2L, "b"), ("g", 2L, "b"))
+      assert(fk(rows) == Seq(("g", 2L, 3L, 6L, 14L, 20L, 8L, 32L)))
+    }
+
+    it("complete 3-way disagreement hits the r=3 floor kappa = -1/2") {
+      // both items rated a,b,c: S = 6, T = 6, m = (2,2,2) -> Σm² = 12
+      // num = 0 − 2·12 = −24; den = 2·(36−12) = 48 (κ = −1/2)
+      val rows = Seq(("g", 1L, "a"), ("g", 1L, "b"), ("g", 1L, "c"),
+        ("g", 2L, "a"), ("g", 2L, "b"), ("g", 2L, "c"))
+      assert(fk(rows) == Seq(("g", 2L, 3L, 6L, 6L, 12L, -24L, 48L)))
+    }
+
+    it("every rating one label releases the 0/0 indeterminate verbatim") {
+      // S = 9+9 = 18, T = 6, Σm² = 36
+      // num = (18−6)·6 − 2·36 = 0; den = 2·(36−36) = 0
+      val rows = (1L to 2L).flatMap(i => Seq.fill(3)(("g", i, "x")))
+      assert(fk(rows) == Seq(("g", 2L, 3L, 6L, 18L, 36L, 0L, 0L)))
+    }
+
+    it("r = 1 releases 0/0 (chance agreement undefined), not a crash") {
+      // S = 2, T = 2, m = (1,1) -> Σm² = 2; num = 0·2 − 0·2 = 0; den = 0
+      val rows = Seq(("g", 1L, "a"), ("g", 2L, "b"))
+      assert(fk(rows) == Seq(("g", 2L, 1L, 2L, 2L, 2L, 0L, 0L)))
+    }
+
+    it("null labels are excluded BEFORE the equal-count check") {
+      // item 2 carries one null rating on top of 3 real ones — the
+      // null is unratable, so the group still has a constant r = 3
+      // and matches the first golden exactly
+      val rows = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 1L, "b"),
+        ("g", 2L, "b"), ("g", 2L, "b"), ("g", 2L, "b"),
+        ("g", 2L, null.asInstanceOf[String]))
+      assert(fk(rows) == Seq(("g", 2L, 3L, 6L, 14L, 20L, 8L, 32L)))
+    }
+
+    it("unequal per-item rating counts fail loudly — Fleiss needs a constant r") {
+      val rows = Seq(("g", 1L, "a"), ("g", 1L, "b"), ("g", 1L, "a"),
+        ("g", 2L, "b"), ("g", 2L, "b"))
+      val ex = intercept[Exception] { fk(rows) }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("unequal per-item rating counts")), ex.toString)
+    }
+
+    it("a group past the injectable overflow cap fails loudly") {
+      val rows = (1L to 3L).flatMap(i =>
+        Seq(("g", i, "a"), ("g", i, "b")))
+      val ex = intercept[Exception] {
+        Preference.fleissKappaCapped(rows.toDF("g", "i", "l"),
+          col("g"), col("i"), col("l"), maxRatings = 5L).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(_.contains("exceeds 5 ratings")), ex.toString)
+    }
+
+    it("independent groups do not bleed into each other's marginals") {
+      // g1 = the 1/4-kappa golden; g2 = all-same-label 0/0 — pooled
+      // marginals are PER GROUP, so g1's numbers must not move
+      val rows = Seq(("g1", 1L, "a"), ("g1", 1L, "a"), ("g1", 1L, "b"),
+        ("g1", 2L, "b"), ("g1", 2L, "b"), ("g1", 2L, "b")) ++
+        (1L to 2L).flatMap(i => Seq.fill(3)(("g2", i, "x")))
+      assert(fk(rows) == Seq(
+        ("g1", 2L, 3L, 6L, 14L, 20L, 8L, 32L),
+        ("g2", 2L, 3L, 6L, 18L, 36L, 0L, 0L)))
+    }
+  }
+
   describe("Preference.lengthSkewAudit") {
     it("computes per-source longer-chosen ppm vs the global rate, exact") {
       val p = Seq(
