@@ -561,6 +561,41 @@ object PipelineQueries extends QueryModule {
     fingerprints(s.read.schema(corpus.schema).json(out))
   }
 
+  /** q314: AVRO container-file round-trip over the q95 edge corpus
+    * PLUS a null-payload stripe — the row-interchange format the CSV/
+    * JSON legs don't cover, via [[graft.sources.AvroIO]] (direct on
+    * the shipped avro-java library; no connector jar). Avro needs no
+    * quoting or escape rules (length-prefixed binary), so embedded
+    * newlines/quotes/backslashes travel verbatim — and unlike CSV it
+    * distinguishes `''` from NULL natively through the
+    * `["null","string"]` union, which the extra stripe pins (every
+    * doc_id ≡ 3 mod 7 writes a NULL payload; `is_null` + coalesced
+    * fingerprints prove null and empty come back as themselves, the
+    * q95 `nullValue`-sentinel workaround made unnecessary).
+    */
+  def avroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = freshWorkDir("q314", dir)
+    val corpus = edgeCorpus(s, dir)
+      .withColumn("payload",
+        when(col("doc_id") % 7 === 3, lit(null).cast("string"))
+          .otherwise(col("payload")))
+    graft.sources.AvroIO.write(corpus, out)
+    graft.sources.AvroIO.read(s, out)
+      .select(col("doc_id"),
+        col("payload").isNull.as("is_null"),
+        length(coalesce(col("payload"), lit(""))).cast("long").as("n_chars"),
+        graft.functions.TextFns.hash60(coalesce(col("payload"), lit(""))).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q314Oracle: String = {
+    val payload = s"(CASE WHEN doc_id % 7 = 3 THEN NULL ELSE $edgePayloadSql END)"
+    s"""SELECT doc_id, ($payload IS NULL) AS is_null,
+       | LENGTH(COALESCE($payload, '')) AS n_chars,
+       | ${graft.functions.TextFns.hash60Sql(s"COALESCE($payload, '')")} AS h
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   private val q95Oracle: String =
     s"""SELECT doc_id, LENGTH($edgePayloadSql) AS n_chars,
        | ${graft.functions.TextFns.hash60Sql(edgePayloadSql)} AS h
@@ -818,6 +853,7 @@ object PipelineQueries extends QueryModule {
     "q87_sharded_cycles" -> (shardedCycles _),
     "q95_csv_roundtrip" -> (csvRoundtrip _),
     "q96_json_roundtrip" -> (jsonRoundtrip _),
+    "q314_avro_roundtrip" -> (avroRoundtrip _),
     "q241_badrow_replay" -> (badrowReplay _),
     "q103_resharded_cycles" -> (reshardedCycles _),
     "q159_initial_position" -> (initialPositions _),
@@ -838,6 +874,7 @@ object PipelineQueries extends QueryModule {
     "q87_sharded_cycles" -> q87Oracle,
     "q95_csv_roundtrip" -> q95Oracle,
     "q96_json_roundtrip" -> q95Oracle,
+    "q314_avro_roundtrip" -> q314Oracle,
     "q241_badrow_replay" -> q241Oracle,
     "q103_resharded_cycles" -> q103Oracle,
     "q159_initial_position" -> q159Oracle,

@@ -3621,7 +3621,12 @@ object Relational extends QueryModule {
     * has NO near-but-distinct pairs — the filter would never fire);
     * distances compare squared.
     */
-  def geoGridJoin(s: SparkSession, dir: String): DataFrame = {
+  /** q255's pair frame (grid-bucketed neighbor join, d² ≤ cell²
+    * filtered, pre-aggregation) — exposed so [[graft.GeoProbe]] can
+    * meter OUTPUT PAIRS vs wall time across corpus decades: the
+    * emitted pair set itself grows superlinearly with density, so the
+    * bench decade reads >10× while pairs/sec stays flat. */
+  private[graft] def geoGridPairs(s: SparkSession, dir: String): DataFrame = {
     val cell = 20L
     val c = t(s, dir, "customer").select(col("c_custkey").as("k"),
       pmod(graft.functions.TextFns.seededHash(1,
@@ -3649,6 +3654,10 @@ object Relational extends QueryModule {
       .filter(col("d2") <= cell * cell)
       .select(least(col("sega"), col("segb")).as("seg_lo"),
         greatest(col("sega"), col("segb")).as("seg_hi"), col("d2"))
+  }
+
+  def geoGridJoin(s: SparkSession, dir: String): DataFrame = {
+    geoGridPairs(s, dir)
       .groupBy(col("seg_lo"), col("seg_hi"))
       .agg(count(lit(1)).as("n_pairs"), sum(col("d2")).as("sum_d2"))
       .orderBy(col("seg_lo"), col("seg_hi"))
