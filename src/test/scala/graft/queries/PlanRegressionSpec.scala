@@ -49,13 +49,17 @@ class PlanRegressionSpec extends SparkSpec {
     ("q304_dgeo_dp_sum",      0, 0, 0, 2), // one hash agg + the orderBy; noise walk is in-projection
     ("q307_pref_length_skew", 1, 2, 0, 4), // exactly ONE bounded 1-row global broadcast (q200's class); pairs join broadcasts
     ("q310_pref_annotator_kappa", 0, 2, 0, 5), // both report-sized marginal frames broadcast (explicit hints — the checkpointed slice hides stats)
-    ("q311_unigram_segment",  0, 1, 1, 3)) // the Zipf-bounded word→pieces map broadcasts; the ONE SMJ is correct-by-design: the totality left join of two corpus-sized frames (docs × per-doc roll-up) must shuffle
+    ("q311_unigram_segment",  0, 1, 1, 3), // the Zipf-bounded word→pieces map broadcasts; the ONE SMJ is correct-by-design: the totality left join of two corpus-sized frames (docs × per-doc roll-up) must shuffle
+    ("q313_pref_fleiss_kappa", 0, 1, 0, 5), // the |groups|-bounded marginal fold broadcasts (explicit hint); shuffles = the (grp,itm,lbl) count, two per-item/per-label refolds, two group folds, the orderBy
+    ("q314_avro_roundtrip",   0, 0, 0, 1), // file-per-task RDD scan + the orderBy — NO join node
+    ("q315_unigram_packing",  0, 1, 0, 3)) // packOffsets' two-phase prefix sum: range buckets + local windows; the ONE BHJ is the tiny bucket-offset table broadcast — no single-partition global window
   // (q305/q306 sit behind sortOnce's localCheckpoint, so their executed
   // plan is an RDD scan — their join shapes are pinned at the operator
   // level in PreferenceSpec/DedupSpec instead; q308's output is the
   // driver-local learned table — a LocalTableScan, nothing to pin;
-  // q309 ends at a stream-drain localCheckpoint, its merge economics
-  // are pinned in LayoutSpec.)
+  // q309/q312 end at stream-drain localCheckpoints — merge economics
+  // and the change feed's moved-bucket-only scan are pinned in
+  // LayoutSpec, down to `inputFiles`.)
 
   private def occurrences(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
