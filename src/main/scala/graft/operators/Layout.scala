@@ -451,37 +451,51 @@ object Layout {
         val base =
           if (gens.nonEmpty) spark.read.parquet(gens: _*) else upd.filter(lit(false))
         val merged = upsert(base, upd, keyCols)
-        // partition the stage by a DUPLICATE of the bucket column so the
-        // data files keep the bucket column itself — generation dirs
-        // must be readable standalone (no partition-discovery root)
-        val stagePath = basePath + "__version_stage"
-        merged.withColumn("__vpart", col(bucketCol))
-          .write.partitionBy("__vpart").mode(SaveMode.Overwrite).parquet(stagePath)
-        val stageDir = new org.apache.hadoop.fs.Path(stagePath)
-        touched.foreach { b =>
-          val src = new org.apache.hadoop.fs.Path(stageDir, s"__vpart=$b")
-          val dst = genDir(basePath, b, next)
-          require(fs.exists(src), s"upsertVersioned: staged bucket $b missing at $src")
-          // a crashed PRIOR attempt at this same (uncommitted) version
-          // left an unreferenced generation — clobber it
-          if (fs.exists(dst)) fs.delete(dst, true)
-          require(fs.rename(src, dst),
-            s"upsertVersioned: generation rename failed for bucket $b")
-        }
-        fs.delete(stageDir, true)
-        val entries = prevEntries ++ touched.map(_ -> next)
-        fs.mkdirs(versionsDir(basePath))
-        val tmp = new org.apache.hadoop.fs.Path(versionsDir(basePath),
-          s"v$next.manifest.tmp")
-        val out = fs.create(tmp, true)
-        val body = entries.toSeq.sortBy(_._1)
-          .map { case (b, g) => s"$b $g" }.mkString("\n")
-        try out.write(body.getBytes("UTF-8")) finally out.close()
-        require(fs.rename(tmp, versionManifest(basePath, next)),
-          s"upsertVersioned: could not commit manifest for version $next")
+        commitGenerations("upsertVersioned", fs, basePath, merged,
+          "__version_stage", touched, bucketCol, next,
+          prevEntries ++ touched.map(_ -> next))
         next
       }
     }
+  }
+
+  /** The ONE versioned-store commit protocol, shared by
+    * [[upsertVersioned]] (touched buckets only) and
+    * [[compactVersioned]] (every live bucket) so a future fix to the
+    * staging/rename/manifest discipline cannot silently fork between
+    * them: stage `df` partitioned by a DUPLICATE of the bucket column
+    * (data files must keep the bucket column itself — generation dirs
+    * are readable standalone, no partition-discovery root), rename
+    * each staged bucket to its version-`next` generation dir
+    * (clobbering a crashed PRIOR attempt's unreferenced generation),
+    * then commit `entries` as the manifest via tmp-write + atomic
+    * rename. Caller holds the merge lock. */
+  private def commitGenerations(op: String,
+      fs: org.apache.hadoop.fs.FileSystem, basePath: String,
+      df: DataFrame, stageSuffix: String, buckets: Seq[Int],
+      bucketCol: String, next: Long, entries: Map[Int, Long]): Unit = {
+    val stagePath = basePath + stageSuffix
+    df.withColumn("__vpart", col(bucketCol))
+      .write.partitionBy("__vpart").mode(SaveMode.Overwrite).parquet(stagePath)
+    val stageDir = new org.apache.hadoop.fs.Path(stagePath)
+    buckets.foreach { b =>
+      val src = new org.apache.hadoop.fs.Path(stageDir, s"__vpart=$b")
+      val dst = genDir(basePath, b, next)
+      require(fs.exists(src), s"$op: staged bucket $b missing at $src")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(fs.rename(src, dst),
+        s"$op: generation rename failed for bucket $b")
+    }
+    fs.delete(stageDir, true)
+    fs.mkdirs(versionsDir(basePath))
+    val tmp = new org.apache.hadoop.fs.Path(versionsDir(basePath),
+      s"v$next.manifest.tmp")
+    val out = fs.create(tmp, true)
+    val body = entries.toSeq.sortBy(_._1)
+      .map { case (b, g) => s"$b $g" }.mkString("\n")
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, versionManifest(basePath, next)),
+      s"$op: could not commit manifest for version $next")
   }
 
   /** Snapshot-isolated read of a versioned snapshot AS OF `version`:
@@ -601,10 +615,15 @@ object Layout {
     // schema donor for the empty-side / no-change cases — preferably a
     // MOVED bucket (read anyway, so the untouched-bucket skip stays
     // strict down to inputFiles); an untouched bucket only when NOTHING
-    // moved (then only this limit-0 schema probe is read at all)
+    // moved (then only this limit-0 schema probe is read at all). A
+    // moved bucket may live only in eFrom under a delete-capable
+    // writer (bucket dropped from toV's manifest — the 'deleted'
+    // contract row), so resolve against whichever manifest carries it.
     lazy val donor = {
-      val b = moved.headOption.getOrElse(eTo.keySet.min)
-      spark.read.parquet(genDir(basePath, b, eTo(b)).toString).limit(0)
+      val (b, g) = (moved.flatMap(b => eTo.get(b).map(b -> _)) ++
+        moved.flatMap(b => eFrom.get(b).map(b -> _)) ++
+        (eTo ++ eFrom).toSeq.sortBy(_._1)).head
+      spark.read.parquet(genDir(basePath, b, g).toString).limit(0)
     }
     def side(dirs: Seq[org.apache.hadoop.fs.Path], as: String) = {
       val df = if (dirs.nonEmpty) spark.read.parquet(dirs.map(_.toString): _*)
@@ -659,28 +678,10 @@ object Layout {
       val buckets = entries.keySet.toSeq.sorted
       val live = spark.read.parquet(
         buckets.map(b => genDir(basePath, b, entries(b)).toString): _*)
-      val stagePath = basePath + "__compact_stage"
-      live.repartition(buckets.size, col(bucketCol))
-        .withColumn("__vpart", col(bucketCol))
-        .write.partitionBy("__vpart").mode(SaveMode.Overwrite).parquet(stagePath)
-      val stageDir = new org.apache.hadoop.fs.Path(stagePath)
-      buckets.foreach { b =>
-        val src = new org.apache.hadoop.fs.Path(stageDir, s"__vpart=$b")
-        val dst = genDir(basePath, b, next)
-        require(fs.exists(src), s"compactVersioned: staged bucket $b missing at $src")
-        if (fs.exists(dst)) fs.delete(dst, true) // crashed prior attempt
-        require(fs.rename(src, dst),
-          s"compactVersioned: generation rename failed for bucket $b")
-      }
-      fs.delete(stageDir, true)
-      fs.mkdirs(versionsDir(basePath))
-      val tmp = new org.apache.hadoop.fs.Path(versionsDir(basePath),
-        s"v$next.manifest.tmp")
-      val out = fs.create(tmp, true)
-      val body = buckets.map(b => s"$b $next").mkString("\n")
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      require(fs.rename(tmp, versionManifest(basePath, next)),
-        s"compactVersioned: could not commit manifest for version $next")
+      commitGenerations("compactVersioned", fs, basePath,
+        live.repartition(buckets.size, col(bucketCol)),
+        "__compact_stage", buckets, bucketCol, next,
+        buckets.map(_ -> next).toMap)
       next
     }
   }

@@ -239,7 +239,12 @@ object Preference {
     * missing-tolerant coefficient like Krippendorff's α, which is a
     * different estimand, not a parameter of this one). NULL labels
     * are excluded BEFORE the count (unratable, not disagreement), so
-    * a null shows up as exactly such an unequal count.
+    * a null shows up as exactly such an unequal count. NULL GROUPS
+    * are excluded explicitly too (an unattributable rating belongs to
+    * no pool — the [[Privacy.rrRelease]] null-exclusion discipline;
+    * without the filter the inner marginal join would silently drop
+    * the null pool's rows instead, the one thing an audit must never
+    * do silently).
     *
     * OVERFLOW CONTRACT: the release needs T²·max(r−1, S/T… ) exact —
     * guarded in-plan by two overflow-free integer tests
@@ -267,7 +272,7 @@ object Preference {
       ratings: DataFrame, group: Column, item: Column, label: Column,
       maxRatings: Long): DataFrame = {
     val nik = ratings
-      .filter(label.isNotNull)
+      .filter(label.isNotNull && group.isNotNull)
       .select(group.as("grp"), item.as("itm"),
         label.cast("string").as("lbl"))
       .groupBy(col("grp"), col("itm"), col("lbl"))

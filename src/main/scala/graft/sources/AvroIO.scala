@@ -120,9 +120,12 @@ object AvroIO {
     val conf = spark.sparkContext.hadoopConfiguration
     val outDir = new Path(path)
     val fs = outDir.getFileSystem(conf)
+    // map the schema BEFORE touching the destination: an unsupported
+    // column type must throw with the prior dataset intact, not after
+    // an overwrite-delete destroyed it
+    val schemaJson = avroSchema(df.schema).toString
     if (fs.exists(outDir)) fs.delete(outDir, true)
     fs.mkdirs(outDir)
-    val schemaJson = avroSchema(df.schema).toString
     val n = df.schema.length
     val confBc = spark.sparkContext.broadcast(new SerializableWritable(conf))
     import spark.implicits._
@@ -195,13 +198,19 @@ object AvroIO {
         val r = new DataFileReader[GenericRecord](
           new FsInput(new Path(file), c),
           new GenericDatumReader[GenericRecord]())
+        // close on exhaustion AND on task end — a short-circuiting
+        // consumer (limit/take) must not leak the stream (a leaked
+        // connection per task on a remote FS)
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; r.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[Row] {
-          private var closed = false
           def hasNext: Boolean = {
             if (closed) false
             else {
               val h = r.hasNext
-              if (!h) { r.close(); closed = true }
+              if (!h) closeOnce()
               h
             }
           }

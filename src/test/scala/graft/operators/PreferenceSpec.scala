@@ -198,6 +198,17 @@ class PreferenceSpec extends SparkSpec {
       assert(fk(rows) == Seq(("g", 2L, 1L, 2L, 2L, 2L, 0L, 0L)))
     }
 
+    it("null GROUPS are excluded explicitly, never silently half-joined away") {
+      // the null-group ratings vanish by CONTRACT (unattributable pool,
+      // documented) — g keeps its golden untouched; without the filter
+      // the inner marginal join would drop the null pool's row silently
+      val rows = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 1L, "b"),
+        ("g", 2L, "b"), ("g", 2L, "b"), ("g", 2L, "b"),
+        (null.asInstanceOf[String], 1L, "a"),
+        (null.asInstanceOf[String], 2L, "b"))
+      assert(fk(rows) == Seq(("g", 2L, 3L, 6L, 14L, 20L, 8L, 32L)))
+    }
+
     it("null labels are excluded BEFORE the equal-count check") {
       // item 2 carries one null rating on top of 3 real ones — the
       // null is unratable, so the group still has a constant r = 3
