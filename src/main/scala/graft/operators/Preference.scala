@@ -326,6 +326,149 @@ object Preference {
           .as("kappa_den"))
   }
 
+  /** MISSING-TOLERANT multi-rater agreement — exact-rational
+    * KRIPPENDORFF'S α (nominal metric) per group: the coefficient
+    * [[fleissKappa]]'s unequal-count guard points the caller at. Real
+    * annotation pools are ragged — raters skip items, items get 2
+    * ratings here and 5 there — and α is DEFINED over exactly that
+    * shape: each unit u with m_u ≥ 2 ratings contributes its ordered
+    * rating pairs weighted 1/(m_u−1) to the coincidence matrix;
+    * single-rating units are unpairable and drop (the standard
+    * convention). With n_uc ratings of label c on unit u,
+    * m_u = Σ_c n_uc, and (over pairable units only) marginals
+    * n_c = Σ_u n_uc, n = Σ_c n_c:
+    *
+    *   D_o = Σ_u (m_u² − Σ_c n_uc²) / (m_u − 1)   observed disagreement
+    *   α   = 1 − (n−1)·D_o / (n² − Σ_c n_c²)
+    *
+    * (the coincidence-matrix nominal form, Krippendorff 2011; the
+    * per-unit numerator m_u² − Σn_uc² counts the disagreeing ordered
+    * pairs since m_u(m_u−1) − Σn_uc(n_uc−1) = m_u² − Σn_uc².)
+    *
+    * EXACT INT64 RATIONAL, no float on the release path: D_o is a sum
+    * of fractions whose denominators are the DISTINCT values of
+    * (m_u−1) — a set bounded by the pool's max rater count, not the
+    * corpus. Per group the per-denominator numerators are summed
+    * (`Σ_{u: m_u−1=d} num_u`), the bounded (d, S_d) list is collected
+    * sorted, and one `aggregate` HOF folds it into the exact pair
+    * (P, N) with P = Π d and N = Σ_d S_d·(P/d) via the
+    * division-free recurrence P' = P·d, N' = N·d + S_d·P — so
+    * D_o = N/P exactly and
+    *
+    *   α = [ P·(n² − Σn_c²) − (n−1)·N ] / [ P·(n² − Σn_c²) ]
+    *
+    * is released as the raw int64 rational (alpha_num, alpha_den),
+    * undivided and unreduced — both engines derive the identical
+    * integers (P and N are order-free: a product over a set and a
+    * symmetric sum). Degenerates release naturally: all ratings one
+    * label ⇒ D_o = 0 AND n² = Σn_c² ⇒ (0, 0); a group with no
+    * pairable unit has no row (nothing is estimable); α < 0 (worse
+    * than chance) falls out of the signed numerator.
+    *
+    * NULL labels/groups are excluded explicitly before any count
+    * (unratable / unattributable — the [[fleissKappa]] discipline);
+    * unlike Fleiss a null simply shrinks m_u, it cannot corrupt the
+    * estimand.
+    *
+    * OVERFLOW CONTRACT: every multiply on the fold and release path
+    * is guarded by an overflow-free `div` test and fails loudly
+    * (raise_error) — P explodes only if the pool mixes MANY distinct
+    * rater counts (P ≤ lcm ≤ (r_max−1)! in the worst case; realistic
+    * pools have r_max ≤ ~15 ⇒ P < 10⁶), and n ≤ ⌊√Long.Max⌋ keeps n²
+    * exact (the [[fleissKappa]] cap, injectable for the spec).
+    *
+    * Shape at 100 TB: one (grp,item,label) hash aggregate, one
+    * (grp,item)-partitioned window to attach m_u (≤ r rows per
+    * partition — no skew exposure), then three |groups|- or
+    * |groups|·|dens|-bounded folds; the collected list is bounded by
+    * the distinct rater counts (≤ r_max values). Nothing collects to
+    * the driver.
+    *
+    * @return (grp, n_items, n_ratings, n_labels, do_num, do_den,
+    *         alpha_num, alpha_den) — n_items/n_ratings count pairable
+    *         units only; do_num/do_den release D_o itself for audit
+    */
+  def krippendorffAlpha(ratings: DataFrame, group: Column, item: Column,
+                        label: Column): DataFrame =
+    krippendorffAlphaCapped(ratings, group, item, label, 3037000499L)
+
+  /** [[krippendorffAlpha]] with the n ≤ ⌊√Long.MaxValue⌋ cap
+    * injectable — the spec lowers it to drive the guard. */
+  private[operators] def krippendorffAlphaCapped(
+      ratings: DataFrame, group: Column, item: Column, label: Column,
+      maxRatings: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lmax = Long.MaxValue
+    val nik = ratings
+      .filter(label.isNotNull && group.isNotNull)
+      .select(group.as("grp"), item.as("itm"),
+        label.cast("string").as("lbl"))
+      .groupBy(col("grp"), col("itm"), col("lbl"))
+      .agg(count(lit(1)).as("n"))
+    // attach m_u and keep pairable units (m >= 2) — the window
+    // partition is (grp, itm): at most r rows, skew-free by contract
+    val pairable = nik
+      .withColumn("m", sum(col("n")).over(
+        Window.partitionBy(col("grp"), col("itm"))))
+      .filter(col("m") >= 2L)
+      .localCheckpoint(false) // two aggregate consumers of one slice
+    // per-unit disagreement fraction num/den = (m² − Σn²)/(m−1),
+    // folded per distinct denominator into a bounded (den, snum) list
+    val dens = pairable.groupBy(col("grp"), col("itm"))
+      .agg(first(col("m")).as("m"), sum(col("n") * col("n")).as("s"))
+      .select(col("grp"), (col("m") * col("m") - col("s")).as("num"),
+        (col("m") - 1L).as("den"))
+      .groupBy(col("grp"), col("den"))
+      .agg(sum(col("num")).as("snum"), count(lit(1)).as("n_units"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n_units")).as("n_items"),
+        sort_array(collect_list(struct(col("den"), col("snum"))))
+          .as("ds"))
+    // pooled label marginals over the SAME pairable slice
+    val marg = pairable.groupBy(col("grp"), col("lbl"))
+      .agg(sum(col("n")).as("nc"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_labels"), sum(col("nc")).as("n_ratings"),
+        sum(col("nc") * col("nc")).as("sum_nc_sq"))
+    def guarded(prod: Column, a: Column, b: Column, what: String): Column =
+      when(a > lit(lmax) / greatest(b, lit(1L)), raise_error(concat(
+        lit(s"krippendorffAlpha: group "), col("grp").cast("string"),
+        lit(s" overflows int64 on $what — sample or shard upstream"))))
+        .otherwise(prod)
+    // division-free exact fold: acc = (p, nn) with p = Π den and
+    // nn/p = Σ snum/den; both frames are |groups| rows post-fold so
+    // the join is broadcast-safe, but the checkpointed slice hides
+    // stats — hint explicitly (the q310/q313 lesson)
+    dens.join(broadcast(marg), Seq("grp"))
+      .withColumn("n_ratings",
+        when(col("n_ratings") > maxRatings, raise_error(concat(
+          lit("krippendorffAlpha: group "), col("grp").cast("string"),
+          lit(s" exceeds $maxRatings ratings — n² would overflow" +
+            " int64; sample or shard upstream"))))
+          .otherwise(col("n_ratings")))
+      .withColumn("fold", aggregate(col("ds"),
+        struct(lit(1L).as("p"), lit(0L).as("nn")),
+        (acc, x) => {
+          val p = acc.getField("p"); val nn = acc.getField("nn")
+          val d = x.getField("den"); val s = x.getField("snum")
+          struct(
+            guarded(p * d, p, d, "Π(m−1)").as("p"),
+            (guarded(nn * d, nn, d, "D_o fold (N·d)")
+              + guarded(s * p, s, p, "D_o fold (S·P)")).as("nn"))
+        }))
+      .withColumn("se",
+        col("n_ratings") * col("n_ratings") - col("sum_nc_sq"))
+      .select(col("grp"), col("n_items"), col("n_ratings"),
+        col("n_labels"),
+        col("fold.nn").as("do_num"), col("fold.p").as("do_den"),
+        (guarded(col("fold.p") * col("se"), col("fold.p"), col("se"),
+          "P·(n²−Σn_c²)")
+          - guarded((col("n_ratings") - 1L) * col("fold.nn"),
+            col("n_ratings") - 1L, col("fold.nn"), "(n−1)·N"))
+          .as("alpha_num"),
+        (col("fold.p") * col("se")).as("alpha_den"))
+  }
+
   /** Per-source VERBOSITY-BIAS audit: the fraction of pairs (exact
     * ppm, truncating integer division — no float on the release path)
     * where the preferred response is strictly longer than the

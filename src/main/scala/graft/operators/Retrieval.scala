@@ -298,4 +298,75 @@ object Retrieval {
       .join(changed.select(col("doc_id")), Seq("doc_id"), "left_anti")
     fresh.unionByName(retained)
   }
+
+  /** Ranked-retrieval EVALUATION — the metrics every retrieval change
+    * (BM25 params, maintained-index drift, fusion weights, an ANN
+    * recall knob) is judged by, released per query in the exact
+    * integer discipline of the rest of the module: no float ever
+    * touches a released number, so an eval regression is a hash
+    * mismatch, not a tolerance debate.
+    *
+    *  - `hits`        = |top-k ∩ relevant|
+    *  - `first_rank`  = rank of the first relevant result (0 if none)
+    *  - reciprocal rank as the EXACT rational `rr_num / rr_den` with
+    *    `rr_den = lcm(1..k)` (constant per eval, int64 for k ≤ 42) and
+    *    `rr_num = rr_den / first_rank` — so MRR aggregates exactly as
+    *    `Σ rr_num / (|Q|·rr_den)` with no per-query rounding
+    *  - `prec_ppm`    = 10⁶·hits div k          (P@k, fixed k denominator)
+    *  - `recall_ppm`  = 10⁶·hits div n_rel, or −1 when the query has NO
+    *    relevant docs (sentinel, not null: recall is undefined there and
+    *    a null would silently vanish from downstream averages)
+    *
+    * Shape at 100 TB: the ranking side is top-k-bounded (Q·k rows) and
+    * BROADCASTS into the qrels join; n_rel is one query-keyed aggregate
+    * over the qrels relation. The corpus appears nowhere — evaluation
+    * cost scales with the judgment set, never the index.
+    *
+    * @param ranking (query_id, doc_id, rank) — rank 1-based; rows with
+    *                rank > k are ignored (evaluating a deeper ranking
+    *                at a shallower k is the normal sweep)
+    * @param qrels   (query_id, doc_id) binary relevance judgments;
+    *                duplicates collapse
+    * @return one row per query present in `ranking`:
+    *         (query_id, n_rel, n_ret, hits, first_rank, rr_num, rr_den,
+    *         prec_ppm, recall_ppm)
+    */
+  def rankedEval(ranking: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 42,
+      s"rankedEval: k = $k outside 1..42 — lcm(1..k) must stay int64")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1L to k).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val rels = qrels.select(col("query_id"), col("doc_id")).distinct()
+      .localCheckpoint(false) // the hit join + the n_rel fold both consume it
+    val nRel = rels.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val topk = ranking
+      .select(col("query_id"), col("doc_id"), col("rank").cast("long").as("rank"))
+      .filter(col("rank") <= k)
+      .localCheckpoint(false) // the n_ret fold + the hit join both consume it
+    // an OUTER join would have to preserve the ranking side — which a
+    // broadcast build cannot (no buildLeft LeftOuter) — so the miss
+    // case is handled by aggregating the INNER hit join (broadcast of
+    // the Q·k-bounded ranking is then legal) and re-attaching it to
+    // the per-query retrieved counts; qrels may be corpus-scale for
+    // pooled judgments and is never broadcast
+    val ret = topk.groupBy(col("query_id")).agg(count(lit(1)).as("n_ret"))
+    val hitAgg = broadcast(topk).join(rels, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rank"))
+    ret.join(hitAgg, Seq("query_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
+      .withColumn("first_rank", coalesce(col("first_rank"), lit(0L)))
+      .join(nRel, Seq("query_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .select(col("query_id"), col("n_rel"), col("n_ret"), col("hits"),
+        col("first_rank"),
+        when(col("first_rank") > 0, expr(s"$lcmK div first_rank"))
+          .otherwise(lit(0L)).as("rr_num"),
+        lit(lcmK).as("rr_den"),
+        expr(s"(1000000 * hits) div $k").as("prec_ppm"),
+        when(col("n_rel") > 0, expr("(1000000 * hits) div n_rel"))
+          .otherwise(lit(-1L)).as("recall_ppm"))
+  }
 }

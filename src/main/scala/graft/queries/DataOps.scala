@@ -5682,26 +5682,36 @@ object DataOps extends QueryModule {
     * corpus-side plan never sees a global window.)
     */
   def bm25Search(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
+    graft.operators.Retrieval.bm25TopK(d, col("doc_id"), col("text"),
+        q115QueryTerms(s, d), k = 10)
+      .sortOnce(col("query_id"), col("rank"))
+  }
+
+  /** q115's 20×3 hashed query-term draw over the corpus vocabulary —
+    * shared by q115/q319 so the eval judges exactly the ranked terms. */
+  private def q115QueryTerms(s: SparkSession, d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val vocab = d.select(explode(TextFns.tokens(col("text"))).as("term")).distinct()
       .withColumn("idx", row_number().over(Window.orderBy(col("term"))).cast("long") - 1)
     val vsize = vocab.agg(count(lit(1)).as("vsize"))
     val slots = s.range(20).select(col("id").as("query_id"))
       .crossJoin(s.range(3).select(col("id").as("slot")))
-    val qterms = slots.crossJoin(broadcast(vsize))
+    slots.crossJoin(broadcast(vsize))
       .withColumn("idx", TextFns.hash60(concat(lit("qry:"), col("query_id").cast("string"),
         lit(":"), col("slot").cast("string"))) % col("vsize"))
       .join(vocab, "idx")
       .select(col("query_id"), col("term"))
-    graft.operators.Retrieval.bm25TopK(d, col("doc_id"), col("text"), qterms, k = 10)
-      .sortOnce(col("query_id"), col("rank"))
   }
 
-  private val q115Oracle: String = {
+  /** The tokenize → postings → df → query-draw → fixed-point scoring →
+    * ranking CTE chain of the q115 replay (rk is the UNFILTERED ranked
+    * relation) — shared with q319, whose qrels derive from the same tf
+    * and qt members. */
+  private val bm25Ctes: String = {
     val qhash = TextFns.hash60Sql(
       "'qry:' || CAST(q.q AS VARCHAR) || ':' || CAST(sl.s AS VARCHAR)")
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |post AS (
        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, unnest(t) AS term FROM toks),
        |tf AS (
@@ -5738,10 +5748,73 @@ object DataOps extends QueryModule {
        |rk AS (
        |  SELECT query_id, doc_id, score,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
-       |  FROM sc)
+       |  FROM sc)""".stripMargin
+  }
+
+  private val q115Oracle: String =
+    s"""WITH $bm25Ctes
        |SELECT query_id, doc_id, score, CAST(rn AS INTEGER) AS rank
        |FROM rk WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** q319: ranked-retrieval EVALUATION — exact-integer MRR / P@k /
+    * recall@k per query ([[graft.operators.Retrieval.rankedEval]])
+    * over q115's BM25 ranking, judged against a relevance set DERIVED
+    * from the corpus itself: a doc is relevant to a query iff it
+    * contains ≥ 2 of the query's 3 drawn terms (computable identically
+    * by both engines, and exactly the multi-term coverage BM25 is
+    * supposed to surface — so hits/recall land strictly between 0 and
+    * 1 and every branch of the metric arithmetic runs). Reciprocal
+    * rank releases as the exact rational over lcm(1..10) = 2520; a
+    * query with no relevant docs releases the −1 recall sentinel. The
+    * oracle replays the whole chain — scoring, ranking, the ≥2-term
+    * qrels, and the metric integer arithmetic — from scratch.
+    */
+  def retrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val qterms = q115QueryTerms(s, d)
+      .localCheckpoint(false) // the ranking AND the qrels both consume it
+    val ranking = graft.operators.Retrieval.bm25TopK(
+      d, col("doc_id"), col("text"), qterms, k = 10)
+    val qrels = d
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.tokens(col("text")))).as("term"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(countDistinct(col("term")).as("nt"))
+      .filter(col("nt") >= 2)
+    graft.operators.Retrieval.rankedEval(ranking, qrels, k = 10)
+      .orderBy(col("query_id"))
   }
+
+  private val q319Oracle: String =
+    s"""WITH $bm25Ctes,
+       |qrels AS (
+       |  SELECT qt.query_id, tf.doc_id
+       |  FROM tf JOIN qt ON tf.term = qt.term
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT tf.term) >= 2),
+       |nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+       |         FROM qrels GROUP BY 1),
+       |topk AS (SELECT query_id, doc_id, rn AS rank FROM rk WHERE rn <= 10),
+       |hit AS (
+       |  SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_ret,
+       |    CAST(SUM(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS hits,
+       |    CAST(COALESCE(MIN(CASE WHEN q.doc_id IS NOT NULL THEN t.rank END),
+       |         0) AS BIGINT) AS first_rank
+       |  FROM topk t LEFT JOIN qrels q
+       |    ON t.query_id = q.query_id AND t.doc_id = q.doc_id
+       |  GROUP BY 1)
+       |SELECT h.query_id, COALESCE(n.n_rel, 0) AS n_rel, h.n_ret, h.hits,
+       |  h.first_rank,
+       |  CAST(CASE WHEN h.first_rank > 0 THEN 2520 // h.first_rank
+       |       ELSE 0 END AS BIGINT) AS rr_num,
+       |  CAST(2520 AS BIGINT) AS rr_den,
+       |  (1000000 * h.hits) // 10 AS prec_ppm,
+       |  CASE WHEN COALESCE(n.n_rel, 0) > 0
+       |       THEN (1000000 * h.hits) // n.n_rel
+       |       ELSE CAST(-1 AS BIGINT) END AS recall_ppm
+       |FROM hit h LEFT JOIN nrel n USING (query_id)
+       |ORDER BY query_id""".stripMargin
 
   // ---- q117: Gopher-style quality rules --------------------------------
 
@@ -6945,6 +7018,75 @@ object DataOps extends QueryModule {
       |  (n_raters - 1) * (n_ratings * n_ratings - sum_m_sq) AS kappa_den
       |FROM gi JOIN gl USING (grp) ORDER BY grp""".stripMargin
 
+  /** q316: RAGGED-pool agreement — exact-rational Krippendorff's α per
+    * group ([[graft.operators.Preference.krippendorffAlpha]]), the
+    * missing-tolerant coefficient q313's Fleiss κ refuses ragged input
+    * for. FOUR deterministic raters are synthesized over documents,
+    * each SKIPPING a deterministic stripe (rater j rates doc d only
+    * when (d+j) mod (j+1) ≠ 0 — so units carry 1..4 ratings, some
+    * unpairable), labels (d·(2j+1)+j) mod 3, pools d mod 4. The oracle
+    * recomputes the full accounting from scratch in DuckDB — per-unit
+    * (m²−Σn²)/(m−1) fractions, the distinct-denominator product fold
+    * (a RECURSIVE CTE replaying P = Πd exactly; N then falls out as
+    * Σ S_d·(P div d) since d | P), pairable marginals, and the final
+    * [P·(n²−Σn_c²) − (n−1)·N] / [P·(n²−Σn_c²)] rational — a green row
+    * pins every count, both folds, the drop-unpairable convention, and
+    * the num/den release.
+    */
+  def krippAlpha(s: SparkSession, dir: String): DataFrame = {
+    val raters = (1 to 4).map { j =>
+      struct(lit(j.toLong).as("rater"),
+        ((col("doc_id") * (2 * j + 1) + j) % 3).as("lbl"),
+        (((col("doc_id") + j) % (j + 1)) =!= 0).as("present"))
+    }
+    val ratings = docs(s, dir)
+      .select(col("doc_id"), explode(array(raters: _*)).as("x"))
+      .filter(col("x.present"))
+      .select(col("doc_id"), col("x.rater").as("rater"), col("x.lbl").as("lbl"))
+    graft.operators.Preference.krippendorffAlpha(ratings,
+        pmod(col("doc_id"), lit(4L)), col("doc_id"), col("lbl"))
+      .orderBy(col("grp"))
+  }
+
+  private val q316Oracle: String =
+    """WITH RECURSIVE r AS (
+      |  SELECT doc_id % 4 AS grp, doc_id AS itm,
+      |         (doc_id * (2*j + 1) + j) % 3 AS lbl
+      |  FROM documents, (VALUES (1), (2), (3), (4)) t(j)
+      |  WHERE (doc_id + j) % (j + 1) <> 0),
+      |nik AS (SELECT grp, itm, lbl, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM r GROUP BY 1, 2, 3),
+      |it AS (SELECT grp, itm, SUM(n) AS m, SUM(n * n) AS s
+      |       FROM nik GROUP BY 1, 2 HAVING SUM(n) >= 2),
+      |pu AS (SELECT grp, itm, m * m - s AS num, m - 1 AS den FROM it),
+      |dd AS (SELECT grp, den, CAST(SUM(num) AS BIGINT) AS snum,
+      |         CAST(COUNT(*) AS BIGINT) AS n_units,
+      |         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY den)
+      |              AS BIGINT) AS rn
+      |       FROM pu GROUP BY 1, 2),
+      |pf(grp, rn, p) AS (
+      |  SELECT grp, rn, CAST(den AS BIGINT) FROM dd WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.grp, d.rn, f.p * d.den
+      |  FROM pf f JOIN dd d ON d.grp = f.grp AND d.rn = f.rn + 1),
+      |pp AS (SELECT grp, CAST(arg_max(p, rn) AS BIGINT) AS p
+      |       FROM pf GROUP BY 1),
+      |fold AS (SELECT d.grp, ANY_VALUE(pp.p) AS p,
+      |           CAST(SUM(d.snum * (pp.p // d.den)) AS BIGINT) AS nn,
+      |           CAST(SUM(d.n_units) AS BIGINT) AS n_items
+      |         FROM dd d JOIN pp USING (grp) GROUP BY d.grp),
+      |mg AS (SELECT n.grp, CAST(COUNT(*) AS BIGINT) AS n_labels,
+      |         CAST(SUM(m) AS BIGINT) AS n_ratings,
+      |         CAST(SUM(m * m) AS BIGINT) AS sum_nc_sq
+      |       FROM (SELECT n.grp, n.lbl, SUM(n.n) AS m
+      |             FROM nik n JOIN it USING (grp, itm) GROUP BY 1, 2) n
+      |       GROUP BY 1)
+      |SELECT grp, n_items, n_ratings, n_labels, nn AS do_num, p AS do_den,
+      |  p * (n_ratings * n_ratings - sum_nc_sq) - (n_ratings - 1) * nn
+      |    AS alpha_num,
+      |  p * (n_ratings * n_ratings - sum_nc_sq) AS alpha_den
+      |FROM fold JOIN mg USING (grp) ORDER BY grp""".stripMargin
+
   // ---- registry --------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6977,6 +7119,7 @@ object DataOps extends QueryModule {
     "q307_pref_length_skew" -> (prefLengthSkew _),
     "q310_pref_annotator_kappa" -> (prefAnnotatorAgreement _),
     "q313_pref_fleiss_kappa" -> (prefFleissKappa _),
+    "q316_kripp_alpha" -> (krippAlpha _),
     "q315_unigram_packing" -> (unigramPacking _),
     "q64_deterministic_sample" -> (deterministicSample _),
     "q65_stratified_sample" -> (stratifiedSample _),
@@ -7071,6 +7214,7 @@ object DataOps extends QueryModule {
     "q113_image_phash" -> (imagePhashDedup _),
     "q114_audio_phash" -> (audioPhashDedup _),
     "q115_bm25_search" -> (bm25Search _),
+    "q319_retrieval_eval" -> (retrievalEval _),
     "q117_quality_rules" -> (qualityRules _),
     "q118_temperature_mix" -> (temperatureMix _),
     "q119_snapshot_diff" -> (snapshotDiff _),
@@ -7102,6 +7246,7 @@ object DataOps extends QueryModule {
     "q307_pref_length_skew" -> q307Oracle,
     "q310_pref_annotator_kappa" -> q310Oracle,
     "q313_pref_fleiss_kappa" -> q313Oracle,
+    "q316_kripp_alpha" -> q316Oracle,
     "q315_unigram_packing" -> q315Oracle,
     "q23_minhash_lsh" -> q23Oracle,
     "q24_ann_brute" -> q24Oracle,
@@ -7218,6 +7363,7 @@ object DataOps extends QueryModule {
     "q113_image_phash" -> q113Oracle,
     "q114_audio_phash" -> q114Oracle,
     "q115_bm25_search" -> q115Oracle,
+    "q319_retrieval_eval" -> q319Oracle,
     "q117_quality_rules" -> q117Oracle,
     "q118_temperature_mix" -> q118Oracle,
     "q119_snapshot_diff" -> q119Oracle,

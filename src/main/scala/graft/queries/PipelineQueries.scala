@@ -596,6 +596,50 @@ object PipelineQueries extends QueryModule {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** q317: WARC web-archive round-trip over the edge corpus PLUS the
+    * null stripe PLUS a TROJAN stripe — every doc_id ≡ 5 mod 11
+    * embeds a complete well-formed WARC record (magic, headers, blank
+    * line, terminator) INSIDE its payload. WARC is length-framed
+    * ([[graft.sources.WarcIO]]): `Content-Length` declares the payload
+    * byte count and the reader never scans payload bytes, so the
+    * embedded record travels verbatim where any delimiter-splitting
+    * reader would shear the document — the failure mode that actually
+    * bites when crawl text QUOTES crawl archives (docs about WARC,
+    * mirrored dumps). Null survives via the zero-length +
+    * extension-header convention, pinned by the same `is_null` +
+    * coalesced fingerprints as q314.
+    */
+  def warcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = freshWorkDir("q317", dir)
+    val trojan = lit("\r\nWARC/1.1\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+    val corpus = edgeCorpus(s, dir)
+      .withColumn("payload",
+        when(col("doc_id") % 7 === 3, lit(null).cast("string"))
+          .when(col("doc_id") % 11 === 5, concat(col("payload"), trojan))
+          .otherwise(col("payload")))
+      .select(col("doc_id"), col("payload"))
+    graft.sources.WarcIO.write(corpus, out)
+    graft.sources.WarcIO.read(s, out)
+      .select(col("doc_id"),
+        col("payload").isNull.as("is_null"),
+        length(coalesce(col("payload"), lit(""))).cast("long").as("n_chars"),
+        graft.functions.TextFns.hash60(coalesce(col("payload"), lit(""))).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q317Oracle: String = {
+    val crlf = "chr(13) || chr(10)"
+    val trojan = s"$crlf || 'WARC/1.1' || $crlf || 'Content-Length: 0' " +
+      s"|| $crlf || $crlf || $crlf || $crlf"
+    val payload = s"(CASE WHEN doc_id % 7 = 3 THEN NULL " +
+      s"WHEN doc_id % 11 = 5 THEN $edgePayloadSql || $trojan " +
+      s"ELSE $edgePayloadSql END)"
+    s"""SELECT doc_id, ($payload IS NULL) AS is_null,
+       | LENGTH(COALESCE($payload, '')) AS n_chars,
+       | ${graft.functions.TextFns.hash60Sql(s"COALESCE($payload, '')")} AS h
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   private val q95Oracle: String =
     s"""SELECT doc_id, LENGTH($edgePayloadSql) AS n_chars,
        | ${graft.functions.TextFns.hash60Sql(edgePayloadSql)} AS h
@@ -854,6 +898,7 @@ object PipelineQueries extends QueryModule {
     "q95_csv_roundtrip" -> (csvRoundtrip _),
     "q96_json_roundtrip" -> (jsonRoundtrip _),
     "q314_avro_roundtrip" -> (avroRoundtrip _),
+    "q317_warc_roundtrip" -> (warcRoundtrip _),
     "q241_badrow_replay" -> (badrowReplay _),
     "q103_resharded_cycles" -> (reshardedCycles _),
     "q159_initial_position" -> (initialPositions _),
@@ -875,6 +920,7 @@ object PipelineQueries extends QueryModule {
     "q95_csv_roundtrip" -> q95Oracle,
     "q96_json_roundtrip" -> q95Oracle,
     "q314_avro_roundtrip" -> q314Oracle,
+    "q317_warc_roundtrip" -> q317Oracle,
     "q241_badrow_replay" -> q241Oracle,
     "q103_resharded_cycles" -> q103Oracle,
     "q159_initial_position" -> q159Oracle,

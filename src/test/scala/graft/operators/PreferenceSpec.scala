@@ -281,4 +281,117 @@ class PreferenceSpec extends SparkSpec {
       assert(got == Seq(("a", 1L, 1000000L, 1000000L, 0L)))
     }
   }
+
+  describe("Preference.krippendorffAlpha") {
+    // rows are (group, item, label); ALL goldens hand-computed from the
+    // row lists — per-unit m_u and Σn_uc², the (den, Σnum) fold into
+    // (P, N), pairable marginals n_c, then
+    // alpha = [P·(n²−Σn_c²) − (n−1)·N] / [P·(n²−Σn_c²)]
+    def ka(rows: Seq[(String, Long, String)]) =
+      Preference.krippendorffAlpha(rows.toDF("g", "i", "l"),
+          col("g"), col("i"), col("l"))
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+
+    it("matches a hand-computed ragged-pool alpha, exact rational") {
+      // unit 1: a,a,b (m=3, Σn²=5, num=9−5=4, den=2)
+      // unit 2: a,b   (m=2, Σn²=2, num=2, den=1)
+      // unit 3: b,b   (m=2, Σn²=4, num=0, den=1)
+      // unit 4: a     (m=1 — unpairable, DROPPED)
+      // dens sorted: (1, 2+0=2), (2, 4) → fold: (p,nn)=(1,0) →
+      //   d=1: (1, 0·1+2·1=2) → d=2: (2, 2·2+4·1=8) ⇒ D_o = 8/2 = 4
+      //   (check: 4/2 + 2/1 + 0/1 = 4 ✓)
+      // pairable marginals: n_a=3, n_b=4, n=7, Σn_c²=25, se=49−25=24
+      // alpha_num = 2·24 − 6·8 = 0; alpha_den = 48 (α = 0 exactly)
+      val rows = Seq(("g", 1L, "a"), ("g", 1L, "a"), ("g", 1L, "b"),
+        ("g", 2L, "a"), ("g", 2L, "b"),
+        ("g", 3L, "b"), ("g", 3L, "b"),
+        ("g", 4L, "a"))
+      assert(ka(rows) == Seq(("g", 3L, 7L, 2L, 8L, 2L, 0L, 48L)))
+    }
+
+    it("perfect within-unit agreement releases alpha = 1") {
+      // unit 1: a,a; unit 2: b,b → every num=0 ⇒ N=0, P=1
+      // marginals n_a=n_b=2, n=4, se=16−8=8 → (8, 8)
+      val rows = Seq(("g", 1L, "a"), ("g", 1L, "a"),
+        ("g", 2L, "b"), ("g", 2L, "b"))
+      assert(ka(rows) == Seq(("g", 2L, 4L, 2L, 0L, 1L, 8L, 8L)))
+    }
+
+    it("systematic disagreement yields a NEGATIVE alpha") {
+      // unit 1: a,b; unit 2: a,b → num=2 each, dens [(1,4)] ⇒ (P,N)=(1,4)
+      // marginals 2,2 → se=8 → alpha_num = 8 − 3·4 = −4 (α = −1/2)
+      val rows = Seq(("g", 1L, "a"), ("g", 1L, "b"),
+        ("g", 2L, "a"), ("g", 2L, "b"))
+      assert(ka(rows) == Seq(("g", 2L, 4L, 2L, 4L, 1L, -4L, 8L)))
+    }
+
+    it("every rating one label releases the 0/0 indeterminate verbatim") {
+      val rows = Seq(("g", 1L, "x"), ("g", 1L, "x"),
+        ("g", 2L, "x"), ("g", 2L, "x"))
+      assert(ka(rows) == Seq(("g", 2L, 4L, 1L, 0L, 1L, 0L, 0L)))
+    }
+
+    it("single-rating units drop and null labels shrink m, never corrupt") {
+      // unit 1: a alone (dropped); unit 2: a,null,b → null excluded,
+      // m=2 pairable (num=2, den=1); marginals n_a=1, n_b=1, se=4−2=2
+      // → alpha_num = 2 − 1·2 = 0, den = 2
+      val raw = Seq(("g", 1L, Some("a")),
+        ("g", 2L, Some("a")), ("g", 2L, None), ("g", 2L, Some("b")))
+      val got = Preference.krippendorffAlpha(raw.toDF("g", "i", "l"),
+          col("g"), col("i"), col("l"))
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSeq
+      assert(got == Seq(("g", 1L, 2L, 2L, 2L, 1L, 0L, 2L)))
+    }
+
+    it("a group with NO pairable unit has no row — nothing is estimable") {
+      val rows = Seq(("g", 1L, "a"), ("g", 2L, "b"), ("h", 1L, "a"),
+        ("h", 1L, "b"))
+      assert(ka(rows).map(_._1) == Seq("h"))
+    }
+
+    it("independent groups do not bleed into each other's marginals") {
+      val rows = Seq(("g", 1L, "a"), ("g", 1L, "a"),
+        ("h", 1L, "a"), ("h", 1L, "b"))
+      // h's lone a,b unit: D_o = 2, se = 2, alpha_num = 2 − 1·2 = 0
+      // (a single mixed unit is exactly chance-level, α = 0 — had the
+      // pools bled, g's two a's would inflate h's marginals)
+      assert(ka(rows) == Seq(("g", 1L, 2L, 1L, 0L, 1L, 0L, 0L),
+        ("h", 1L, 2L, 2L, 2L, 1L, 0L, 2L)))
+    }
+
+    it("a group past the injectable overflow cap fails loudly") {
+      val rows = Seq(("g", 1L, "a"), ("g", 1L, "a"),
+        ("g", 2L, "a"), ("g", 2L, "b"))
+      val e = intercept[Exception] {
+        Preference.krippendorffAlphaCapped(rows.toDF("g", "i", "l"),
+          col("g"), col("i"), col("l"), maxRatings = 3L).collect()
+      }
+      assert(e.getMessage.contains("exceeds 3 ratings"))
+    }
+
+    it("agrees with the definitional coincidence-matrix alpha on a ragged pool") {
+      // independent cross-check: compute α in plain Scala from the
+      // textbook definition (o_ck pair weights 1/(m_u−1)) over a
+      // deterministic ragged pool, compare to the released rational
+      val rows = for {
+        u <- 1L to 40L
+        j <- 1 to 4 if (u + j) % (j + 1) != 0
+      } yield ("g", u, s"l${(u * (2 * j + 1) + j) % 3}")
+      val byUnit = rows.groupBy(_._2).view.mapValues(_.map(_._3))
+        .toMap.filter(_._2.size >= 2)
+      val n = byUnit.values.map(_.size).sum.toDouble
+      val doNum = byUnit.values.map { ls =>
+        val m = ls.size.toDouble
+        val sq = ls.groupBy(identity).values.map(g => g.size.toDouble * g.size).sum
+        (m * m - sq) / (m - 1.0)
+      }.sum
+      val margSq = byUnit.values.flatten.groupBy(identity).values
+        .map(g => g.size.toDouble * g.size).sum
+      val expected = 1.0 - (n - 1.0) * doNum / (n * n - margSq)
+      val Seq((_, _, _, _, _, _, num, den)) = ka(rows)
+      assert(math.abs(num.toDouble / den - expected) < 1e-12)
+    }
+  }
 }

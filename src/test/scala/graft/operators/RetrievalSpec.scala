@@ -221,5 +221,42 @@ class RetrievalSpec extends SparkSpec {
         .agg(sum(col("dl")), count(lit(1))).as[(Long, Long)].head()
       assert(stats == ((3L + 4L + 2L + 4L, 4L)))
     }
+
+    it("rankedEval: hand-computed metrics, rank>k ignored, no-rel sentinel") {
+      // k = 3 ⇒ rr_den = lcm(1..3) = 6
+      // q0: top-3 = d1,d2,d3 + a rank-4 ROW THAT MUST BE IGNORED (d9,
+      //     relevant!); qrels {d2,d3,d9} → n_rel=3, hits=2, first=2,
+      //     rr = 6/2 = 3, prec = 2e6 div 3 = 666666, recall = 666666
+      // q1: one retrieved, nothing relevant → n_rel=0, first=0, rr=0,
+      //     recall = −1 sentinel (NOT null — nulls vanish from means)
+      // q2: judged but never ranked → NO output row
+      val ranking = Seq((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3), (0L, 9L, 4),
+        (1L, 7L, 1)).toDF("query_id", "doc_id", "rank")
+      val qrels = Seq((0L, 2L), (0L, 3L), (0L, 9L), (2L, 5L))
+        .toDF("query_id", "doc_id")
+      val got = Retrieval.rankedEval(ranking, qrels, k = 3)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq(
+        (0L, 3L, 3L, 2L, 2L, 3L, 6L, 666666L, 666666L),
+        (1L, 0L, 1L, 0L, 0L, 0L, 6L, 0L, -1L)))
+    }
+
+    it("rankedEval: duplicate qrels collapse; perfect ranking scores rr 1") {
+      val ranking = Seq((0L, 5L, 1), (0L, 6L, 2)).toDF("query_id", "doc_id", "rank")
+      val qrels = Seq((0L, 5L), (0L, 5L), (0L, 6L)).toDF("query_id", "doc_id")
+      val got = Retrieval.rankedEval(ranking, qrels, k = 2)
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].head()
+      // n_rel = 2 (dup collapsed), hits = 2, first = 1, rr = 2/1 = 2/2
+      assert(got == ((0L, 2L, 2L, 2L, 1L, 2L, 2L, 1000000L, 1000000L)))
+    }
+
+    it("rankedEval: k outside the int64-lcm bound fails fast") {
+      val r = Seq((0L, 1L, 1)).toDF("query_id", "doc_id", "rank")
+      val e = intercept[IllegalArgumentException] {
+        Retrieval.rankedEval(r, r.select(col("query_id"), col("doc_id")), k = 43)
+      }
+      assert(e.getMessage.contains("lcm"), e.getMessage)
+    }
   }
 }

@@ -52,14 +52,16 @@ class PlanRegressionSpec extends SparkSpec {
     ("q311_unigram_segment",  0, 1, 1, 3), // the Zipf-bounded word→pieces map broadcasts; the ONE SMJ is correct-by-design: the totality left join of two corpus-sized frames (docs × per-doc roll-up) must shuffle
     ("q313_pref_fleiss_kappa", 0, 1, 0, 5), // the |groups|-bounded marginal fold broadcasts (explicit hint); shuffles = the (grp,itm,lbl) count, two per-item/per-label refolds, two group folds, the orderBy
     ("q314_avro_roundtrip",   0, 0, 0, 1), // file-per-task RDD scan + the orderBy — NO join node
-    ("q315_unigram_packing",  0, 1, 0, 3)) // packOffsets' two-phase prefix sum: range buckets + local windows; the ONE BHJ is the tiny bucket-offset table broadcast — no single-partition global window
+    ("q315_unigram_packing",  0, 1, 0, 3), // packOffsets' two-phase prefix sum: range buckets + local windows; the ONE BHJ is the tiny bucket-offset table broadcast — no single-partition global window
+    ("q316_kripp_alpha",      0, 1, 0, 6), // the |groups|-bounded marginal fold broadcasts (explicit hint, the q313 lesson); shuffles = per-unit, per-(grp,den), dens-fold, per-(grp,lbl), marg-fold, orderBy — all downstream of the pairable-slice checkpoint
+    ("q317_warc_roundtrip",   0, 0, 0, 1)) // file-per-task RDD scan + the orderBy — NO join node (q314's class)
   // (q305/q306 sit behind sortOnce's localCheckpoint, so their executed
   // plan is an RDD scan — their join shapes are pinned at the operator
   // level in PreferenceSpec/DedupSpec instead; q308's output is the
   // driver-local learned table — a LocalTableScan, nothing to pin;
-  // q309/q312 end at stream-drain localCheckpoints — merge economics
-  // and the change feed's moved-bucket-only scan are pinned in
-  // LayoutSpec, down to `inputFiles`.)
+  // q309/q312/q318 end at stream-drain localCheckpoints — merge
+  // economics and the change feed's moved-bucket-only scan are pinned
+  // in LayoutSpec, down to `inputFiles`.)
 
   private def occurrences(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
