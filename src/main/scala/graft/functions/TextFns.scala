@@ -75,12 +75,24 @@ object TextFns {
     s"CAST(('0x' || substr(md5($expr), 1, 15)) AS BIGINT)"
 
   /** Plain-JVM rendition of [[hash60]] — driver-side reference for specs
-    * that re-derive a selection without Spark. */
+    * that re-derive a selection without Spark, and the synthetic-media
+    * generators' per-cell randomness (executor hot path: millions of
+    * calls per corpus synthesis). The first 15 hex chars of an MD5 are
+    * exactly the top 60 bits of its first 8 bytes, so the value is read
+    * straight off the digest — no per-byte hex formatting — and the
+    * MessageDigest instance is reused per thread (getInstance walks the
+    * provider registry on every call). */
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def hash60Value(s: String): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16)
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // big-endian first 8 bytes >>> 4 == parseLong(hex.substring(0, 15), 16)
+    java.nio.ByteBuffer.wrap(d).getLong(0) >>> 4
   }
 
   /** Seeded hash family for MinHash: h_i(x) = hash60(i || ':' || x). */

@@ -92,6 +92,14 @@ object Multimodal {
     import java.awt.image.BufferedImage
     import java.io.ByteArrayInputStream
 
+    // ImageIO wraps every read/write stream in a DISK-backed
+    // FileCacheImage{Input,Output}Stream by default — a temp file
+    // created, written and deleted per codec call. All payloads here are
+    // in-memory byte arrays (a few KB), so the file cache is pure
+    // syscall overhead at corpus scale: switch the JVM to memory-backed
+    // stream caches once. Answer-invariant (same decoded bytes).
+    javax.imageio.ImageIO.setUseCache(false)
+
     final case class Decoded(width: Int, height: Int, pxMin: Int, pxMax: Int, pxSum: Long)
 
     def decode(payload: Array[Byte]): Option[BufferedImage] =
@@ -409,6 +417,10 @@ object Multimodal {
     */
   object VideoCodec {
     import java.io.ByteArrayInputStream
+
+    // Same memory-backed stream-cache switch as ImageCodec (a caller may
+    // touch only this object; the JVM-global flag is idempotent).
+    javax.imageio.ImageIO.setUseCache(false)
 
     final case class Decoded(nFrames: Int, framesSampled: Int, width: Int, height: Int,
                              pxMin: Int, pxMax: Int, pxSum: Long)
@@ -736,11 +748,15 @@ object Multimodal {
       it.map { internal =>
         val id = internal.getLong(0)
         val seed = id / 3
-        def v(r: Int, c: Int): Int =
+        // one hash per CELL (8×9 grid), not per pixel — the encode
+        // callback below runs per pixel (36×32 = 16 pixels/cell) and the
+        // md5-backed hash60 is the generator's hot path
+        val cells = Array.tabulate(8, 9) { (r, c) =>
           (graft.functions.TextFns.hash60Value(s"$seed:$r:$c") % 200).toInt
+        }
         val png = ImageCodec.encodeGrayPng(36, 32) { (x, y) =>
           val c = x / 4
-          v(y / 4, c) + (if (id % 3 == 2 && c == 4 && y < 8) 55 else 0)
+          cells(y / 4)(c) + (if (id % 3 == 2 && c == 4 && y < 8) 55 else 0)
         }
         Row(id, "image", png, Row(36, 32, null, null))
       }
