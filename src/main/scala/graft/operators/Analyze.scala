@@ -39,12 +39,25 @@ object Analyze {
     */
   def tableStats(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.nonEmpty, "tableStats needs at least one column")
-    val aggs = cols.zipWithIndex.flatMap { case ((_, c), i) =>
-      Seq(count(c).as(s"__cnt_$i"),
-        countDistinct(c).as(s"__ndv_$i"),
-        approx_count_distinct(c, 0.02).as(s"__andv_$i"))
+    // The exact NDVs and the HLL estimates must NOT share one Aggregate:
+    // multiple countDistincts rewrite to an Expand with one group per
+    // (value, gid), and every regular aggregate in the same Aggregate
+    // then allocates its buffer PER GROUP — for approx_count_distinct at
+    // rsd 0.02 that is a ~3 KB sketch per distinct value per column
+    // (gigabytes at 100 K rows, unbounded at scale). Two aggregates over
+    // the same scan keep the sketch count at |cols|: the exact leg's
+    // expand carries only long counters, the HLL leg is a plain
+    // single-group partial aggregation. The single-row results
+    // broadcast-join back together (plan-asserted BroadcastNestedLoopJoin
+    // on literally one row each).
+    val exactAggs = cols.zipWithIndex.flatMap { case ((_, c), i) =>
+      Seq(count(c).as(s"__cnt_$i"), countDistinct(c).as(s"__ndv_$i"))
     }
-    val row = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val sketchAggs = cols.zipWithIndex.map { case ((_, c), i) =>
+      approx_count_distinct(c, 0.02).as(s"__andv_$i")
+    }
+    val row = df.agg(count(lit(1)).as("__n"), exactAggs: _*)
+      .crossJoin(broadcast(df.agg(sketchAggs.head, sketchAggs.tail: _*)))
     val cells = cols.zipWithIndex.map { case ((nm, _), i) =>
       struct(lit(nm).as("col_name"), col(s"__cnt_$i").as("__cnt"),
         col(s"__ndv_$i").as("ndv"), col(s"__andv_$i").as("__andv"))
