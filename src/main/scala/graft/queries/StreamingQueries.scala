@@ -973,8 +973,12 @@ object StreamingQueries extends QueryModule {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("user_id"))
             .orderBy(col("ts").desc, col("event_id").desc)
+          // materialize the per-batch winners ONCE: the isEmpty probe and
+          // the merge write would otherwise each re-run the window sort
+          // (eager checkpoint — a batch is bounded by the chunk size)
           val winners = df.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
+            .localCheckpoint(true)
           if (!winners.isEmpty) {
             val out = scratch.resolve(s"v$id").toString
             val merged = Option(latest.get()) match {
@@ -1038,8 +1042,11 @@ object StreamingQueries extends QueryModule {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("user_id"))
             .orderBy(col("ts").desc, col("event_id").desc)
+          // same one-shot winners materialization as cdcApply: isEmpty +
+          // bucketed write/merge must not re-run the window per consumer
           val winners = df.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
+            .localCheckpoint(true)
           if (!winners.isEmpty) {
             if (!initialized.getAndSet(true)) {
               Layout.writeBucketed(winners, snap, bucketExpr)
@@ -1113,8 +1120,12 @@ object StreamingQueries extends QueryModule {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("user_id"))
             .orderBy(col("ts").desc, col("event_id").desc)
+          // one-shot winners materialization: the emptiness probe,
+          // upsertVersioned's touched-bucket distinct, and its merge
+          // write would otherwise each re-run the window sort
           val winners = df.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
+            .localCheckpoint(true)
           // every chunk is non-empty by construction; an empty batch
           // would shift version numbering vs the oracle — fail loudly
           require(!winners.isEmpty, s"versionedEventStore: empty micro-batch $id")
