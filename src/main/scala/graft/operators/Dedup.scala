@@ -619,13 +619,17 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "v").withColumnRenamed("label", "vlabel"), "v")
         .groupBy(col("u").as("node"))
         .agg(min(col("vlabel")).as("nmin"))
+      // the per-row change flag rides INSIDE the round's one materialized
+      // frame, so observing convergence is a scan of the checkpointed
+      // blocks — not (as before) a second labels join + shuffle per round
       val next = truncation.truncate(
         labels.join(neighborMin, Seq("node"), "left")
-          .select(col("node"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label")),
+          .select(col("node"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+            (col("nmin") < col("label")).as("__changed")),
         iter + 1)
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       iter += 1
     }
     // Un-converged labels are WRONG labels (one component under several
