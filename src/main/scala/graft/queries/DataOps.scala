@@ -4106,8 +4106,17 @@ object DataOps extends QueryModule {
     val prevStore = Dedup.containmentIndex(prevCrawl, col("doc_id"), col("text"),
         threshold = 0.9)
       .localCheckpoint(true) // diff slice + retained carry
-    val prevPairs = Dedup.containmentPairs(prevCrawl, col("doc_id"), col("text"),
-        threshold = 0.9)
+    // The prev FULL pair set, served from the already-materialized index
+    // instead of a second from-scratch posting/df/prefix build: with an
+    // all-'computed' store and no survivors, incrementalContainmentPairs
+    // degenerates to exactly containmentPairs' candidate generation
+    // (every stored prefix probes every stored posting) and the same
+    // string-shingle verification — identical pairs and ppm values, one
+    // whole index construction saved.
+    val noPairs = d.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+      lit(0L).as("cont_ab_ppm"), lit(0L).as("cont_ba_ppm")).limit(0)
+    val prevPairs = Dedup.incrementalContainmentPairs(prevCrawl,
+        col("doc_id"), col("text"), prevStore, noPairs, threshold = 0.9)
       .localCheckpoint(true) // survivor join input, built before maintenance runs
     val store = Dedup.incrementalContainmentIndex(d, prevStore,
         col("doc_id"), col("text"), threshold = 0.9)
@@ -4164,8 +4173,14 @@ object DataOps extends QueryModule {
     // expansion AND the fresh delta leg. Answer-invariant (pigeonhole
     // completeness at any s; every candidate exact-verified), so the
     // q46-full-replay oracle is untouched.
-    val prevPairs = Dedup.simhashNearDups(prevCrawl, col("doc_id"), col("text"),
-        maxHamming = 1, spareBlocks = 2)
+    // Served from the ALREADY-materialized store fingerprints:
+    // simhashNearDups(prevCrawl) ≡ hammingNearDups(simhash(prevCrawl))
+    // and prevStore.simhash IS simhash(prevCrawl) — feeding the store
+    // avoids re-shingling + re-hashing the whole prev corpus a second
+    // time for the pair leg.
+    val prevPairs = Dedup.hammingNearDups(
+        prevStore.select(col("doc_id"), col("simhash").as("fp")),
+        maxHamming = 1, bits = 32, spareBlocks = 2)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     prevPairs.count()
     val store = Dedup.incrementalSimhash(d, prevStore, col("doc_id"), col("text"))
