@@ -4053,8 +4053,21 @@ object DataOps extends QueryModule {
       .localCheckpoint(true)
     val prevPairs = Dedup.lshCandidates(prevStore, NumPerms, RowsPerBand)
       .localCheckpoint(true)
-    val prevVerified = Dedup.minhashNearDups(prevCrawl, col("doc_id"), col("text"),
-      threshold = 0.8, numPerms = NumPerms, rowsPerBand = RowsPerBand)
+    // The prev VERIFIED set, served from the already-materialized store
+    // and candidate pairs instead of a second from-scratch signature +
+    // banding pass: with every candidate marked 'new' and no survivors,
+    // incrementalMinhashNearDups degenerates to exactly minhashNearDups'
+    // verification (same candidates — prevPairs IS lshCandidates over
+    // the store's signatures — same string-shingle Jaccard, shingling
+    // only pair-touched docs). Eager checkpoint keeps its observe node
+    // out of the maintenance action's plan (observed-metric names must
+    // be unique per query).
+    val prevVerified = Dedup.incrementalMinhashNearDups(prevCrawl,
+        col("doc_id"), col("text"),
+        prevPairs.withColumn("origin", lit("new")),
+        prevPairs.select(col("doc_a"), col("doc_b"), lit(0.0).as("jacc")).limit(0),
+        threshold = 0.8)
+      .localCheckpoint(true)
     val store = Dedup.incrementalSignatures(d, prevStore, col("doc_id"), col("text"), NumPerms)
     // CHECKED maintenance: a cap-crossing bucket's re-expanded pairs
     // arrive as origin=new, so this verify step covers them fresh — the
