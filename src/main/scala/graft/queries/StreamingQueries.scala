@@ -1369,8 +1369,11 @@ object StreamingQueries extends QueryModule {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("user_id"))
             .orderBy(col("ts").desc, col("event_id").desc)
+          // one-shot winners materialization (see cdcApply): the isEmpty
+          // probe and the delta append must not re-run the window sort
           val winners = df.withColumn("__rn", row_number().over(w))
             .filter(col("__rn") === 1).drop("__rn")
+            .localCheckpoint(true)
           if (!winners.isEmpty)
             winners.withColumn("__b", lit(id))
               .write.mode("append").parquet(delta) // O(batch): append-only
@@ -1466,8 +1469,11 @@ object StreamingQueries extends QueryModule {
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(col("user_id"))
               .orderBy(col("ts").desc, col("event_id").desc)
+            // one-shot winners materialization (see cdcApply): isEmpty +
+            // the bucketed write/merge must not re-run the window sort
             val winners = df.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1).drop("__rn")
+              .localCheckpoint(true)
             if (!winners.isEmpty) {
               // restart-safe init test: the snapshot directory IS the state
               if (!Files.exists(Paths.get(snap))) {
